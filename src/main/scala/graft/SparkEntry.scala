@@ -1,13 +1,459 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.batch.MinuteAggregate
+import graft.ops.{DedupOps, Exact, SimilarityOps, TextOps}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * plus the LLM-data-pipeline operator surface (dedup / similarity / text).
+  *
+  * Every query here has a DuckDB-equivalent in [[SparkEntry.oracleSql]]; the
+  * two are kept numerically identical by (a) routing double reductions
+  * through exact DECIMAL accumulators ([[graft.ops.Exact]]) and (b) mirroring
+  * per-row double arithmetic expression-for-expression.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A1 — the reference's resident per-minute aggregation
+    * (ref: resources/flink/main.py:105-120) in batch form. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    MinuteAggregate(Tables.events(spark, "/root/testdata/sf0.001"), "ts", "value")
+
+  // ---- helpers ----------------------------------------------------------
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** lag-1 prediction frame used by the evaluation queries (a5/a6/a7): the
+    * previous value of the same user is the "forecast" — deterministic and
+    * oracle-expressible, standing in for the external DeepAR model the
+    * reference treats as a black box (SURVEY.md §7.5). */
+  private def predFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir)
+      .withColumn("prediction", lag(col("value"), 1).over(w))
+      .filter(col("prediction").isNotNull)
+      .select(col("event_id"), col("value").as("target"), col("prediction"))
+  }
+
+  private val predSql =
+    """SELECT event_id, value AS target, prediction FROM (
+      |  SELECT event_id, value,
+      |         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prediction
+      |  FROM events) WHERE prediction IS NOT NULL""".stripMargin
+
+  /** Pinball loss mirrored in Spark and SQL: q*(t-p) / (1-q)*(p-t). */
+  private def ql(q: Double): Column =
+    when(col("target") > col("prediction"), lit(q) * (col("target") - col("prediction")))
+      .otherwise(lit(1.0 - q) * (col("prediction") - col("target")))
+  /** NB: fractional literals are written CAST('…' AS DOUBLE) — DuckDB parses
+    * bare decimal literals as DECIMAL and its decimal→double conversion can be
+    * 1 ULP off the correctly-rounded string→double parse (e.g.
+    * 0.050000000000000044 → 0.05000000000000005). */
+  private def qlSql(q: Double): String =
+    s"CASE WHEN target > prediction THEN CAST('$q' AS DOUBLE) * (target - prediction) " +
+      s"ELSE CAST('${1.0 - q}' AS DOUBLE) * (prediction - target) END"
+
+  // ---- the queries ------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Contract example: grouped sum over lineitem.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(Exact.sumD(col("l_quantity"), 2).as("sum_qty"))),
+
+    // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
+    "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
+
+    // P1 — schema-on-read JSON extraction (envelope flattening analog,
+    // source-schema.json:44-117).
+    "p1_json_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.sumD(col("value"), 2).as("sum_value"))),
+
+    // P2/S8 — keyed latest-wins dedup (online-store get_record semantics,
+    // read_feature_store.ipynb; latest event per key).
+    "p2_dedup_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("value").as("last_value"))
+    }),
+
+    // A3/A4 — series bounds + row count (preprocess.py:101-105).
+    "a3_minmax_time" -> ((s, dir) =>
+      ev(s, dir).agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("min_ts_us"),
+        unix_micros(max(col("ts"))).as("max_ts_us"))),
+
+    // A5 — RMSE of the lag-1 forecast (evaluate.py:73-77).
+    "a5_rmse" -> ((s, dir) => {
+      val err = col("target") - col("prediction")
+      predFrame(s, dir).agg(
+        sqrt(Exact.avgD(err * err, 10)).as("rmse"),
+        count(lit(1)).as("n"))
+    }),
+
+    // A6 — elementwise pinball loss at 0.05/0.5/0.95 (evaluate.py:32-33,84-90).
+    "a6_quantile_loss" -> ((s, dir) =>
+      predFrame(s, dir).select(col("event_id"), col("target"), col("prediction"),
+        ql(0.05).as("ql_low"), ql(0.5).as("ql_mid"), ql(0.95).as("ql_up"))),
+
+    // A7 — mean weighted quantile loss (evaluate.py:82-91).
+    "a7_wql" -> ((s, dir) => {
+      val agg = predFrame(s, dir).agg(
+        Exact.sumD(abs(col("target")), 10).as("abs_sum"),
+        Exact.sumD(ql(0.05), 10).as("s_low"),
+        Exact.sumD(ql(0.5), 10).as("s_mid"),
+        Exact.sumD(ql(0.95), 10).as("s_up"))
+      agg.select(
+        (lit(2.0) / col("abs_sum") * col("s_low")).as("wql_low"),
+        (lit(2.0) / col("abs_sum") * col("s_mid")).as("wql_mid"),
+        (lit(2.0) / col("abs_sum") * col("s_up")).as("wql_up"),
+        ((lit(2.0) / col("abs_sum") * col("s_low")
+          + lit(2.0) / col("abs_sum") * col("s_mid")
+          + lit(2.0) / col("abs_sum") * col("s_up")) / 3.0).as("mean_wql"))
+    }),
+
+    // A9 — hourly Maximum + k-consecutive-breach alarm
+    // (model-monitor-template.yml:766-796), k=3.
+    "a9_alarm" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_start"))
+        .agg(max(col("value")).as("hourly_max"))
+        .withColumn("breached", (col("hourly_max") >= 18.0).cast("int"))
+      val w = Window.orderBy(col("hour_start")).rowsBetween(-2, 0)
+      hourly.withColumn("alarm",
+        (min(col("breached")).over(w) === 1 && count(lit(1)).over(w) === 3).cast("int"))
+    }),
+
+    // O1/O7 — global sort + latest-n lookup (doc/INGESTION.md:36).
+    "o1_topk" -> ((s, dir) =>
+      ev(s, dir).orderBy(col("ts").desc, col("event_id").desc).limit(100)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))),
+
+    // O3/O4 — train/validation/test split sizing over the minute series
+    // (preprocess.py:101-146); p=5, K=4.
+    "o3_split_bounds" -> ((s, dir) => {
+      val minutes = MinuteAggregate(ev(s, dir), "ts", "value").select(col("tx_minute"))
+      val w = Window.orderBy(col("tx_minute"))
+      val idx = minutes.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      val p = 5; val k = 4
+      val splits: Seq[(String, Column => Column)] = Seq[(String, Column => Column)](
+        ("train", n => n - p - k * p),
+        ("validation_1", n => n - p - 3 * p),
+        ("validation_2", n => n - p - 2 * p),
+        ("validation_3", n => n - p - p),
+        ("validation_4", n => n - p),
+        ("test_inputs", n => n - p))
+      val prefixes = splits.map { case (name, lenOf) =>
+        idx.filter(col("rn") <= lenOf(col("n")))
+          .agg(count(lit(1)).as("len"), min(col("tx_minute")).as("start_minute"),
+            max(col("tx_minute")).as("end_minute"))
+          .select(lit(name).as("split_name"), col("len"), col("start_minute"), col("end_minute"))
+      }
+      val targets = idx.filter(col("rn") > col("n") - p)
+        .agg(count(lit(1)).as("len"), min(col("tx_minute")).as("start_minute"),
+          max(col("tx_minute")).as("end_minute"))
+        .select(lit("test_targets").as("split_name"), col("len"), col("start_minute"), col("end_minute"))
+      prefixes.reduce(_ unionAll _) unionAll targets
+    }),
+
+    // J1 — anti-join (the dedup admission check as a relational op,
+    // stream_processing/main.py:47-58).
+    "j1_anti_join" -> ((s, dir) =>
+      Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // J2 — positional alignment of two ordered frames (evaluate.py:60-70).
+    "j2_positional_align" -> ((s, dir) => {
+      val base = ev(s, dir)
+      def side(uid: Int, outCol: String): DataFrame = {
+        val w = Window.orderBy(col("ts"), col("event_id"))
+        base.filter(col("user_id") === uid)
+          .select(col("ts"), col("event_id"), col("value"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("pos"), col("value").as(outCol))
+      }
+      val t = side(1, "target"); val p = side(2, "prediction")
+      t.join(p, "pos")
+        .select(col("pos"), col("target"), col("prediction"),
+          ((col("target") - col("prediction")) * (col("target") - col("prediction"))).as("sq_err"))
+    }),
+
+    // Multi-way dimension join + grouped revenue (broadcast the dims).
+    "j5_region_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = broadcast(Tables.customer(s, dir))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice"), 2).as("revenue"))
+    }),
+
+    // D1 — exact dedup by content fingerprint (hash-groupBy).
+    "d1_dedup_exact" -> ((s, dir) =>
+      docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+
+    // D2 — MinHash-LSH near-dup candidate pairs (16 hashes, 4 bands × 4 rows).
+    "d2_minhash_lsh" -> ((s, dir) =>
+      DedupOps.lshCandidatePairs(docs(s, dir), "doc_id", "text", 16, 4)),
+
+    // D4 — exact token-set Jaccard over prefix-blocked candidate pairs.
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 50).as("bucket"),
+        DedupOps.distinctTokens(col("text")).as("toks"))
+      val a = d.select(col("bucket"), col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = d.select(col("bucket"), col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), DedupOps.jaccard(col("ta"), col("tb")).as("jaccard"))
+    }),
+
+    // T1 — token counting.
+    "t1_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.meanTokenLen(col("text")).as("mean_token_len"))),
+
+    // T2 — quality scoring (length/punct/stopword heuristics).
+    "t2_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // T3 — language-ID heuristic vs the labeled column.
+    "t3_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langIdHeuristic(col("text")).as("lang_pred"),
+        (TextOps.langIdHeuristic(col("text")) === col("lang")).cast("int").as("is_match"))),
+
+    // T4 — document fingerprinting.
+    "t4_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+
+    // S1 — brute-force cosine top-10 for query vectors vec_id < 5.
+    "s1_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    })
+  )
+
+  // ---- DuckDB oracles ---------------------------------------------------
+
+  private val fpSql = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+  private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
+
+  private def minhashOracle: String = {
+    val comps = (0 until 16).map(i => s"min(substr(md5('$i:' || t), 1, 8)) AS h$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val cat = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
+    }.mkString(" UNION ALL ")
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS t FROM documents),
+       |sig AS (SELECT doc_id, $comps FROM tok GROUP BY doc_id),
+       |banded AS ($bands),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |SELECT p.id_a, p.id_b, CAST(($eq) AS DOUBLE) / 16 AS est_jaccard
+       |FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id""".stripMargin
+  }
+
+  private def annOracle: String = {
+    // explicit left-to-right dot/norm fold matching SimilarityOps exactly
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
+  private val stopIn = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "a1_minute_agg" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "p1_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "p2_dedup_latest" ->
+      """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "a3_minmax_time" ->
+      """SELECT COUNT(*) AS n_events,
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+        |FROM events""".stripMargin,
+
+    "a5_rmse" ->
+      s"""WITH p AS ($predSql)
+         |SELECT sqrt(CAST(SUM(CAST((target - prediction) * (target - prediction)
+         |    AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)) AS rmse,
+         |  COUNT(*) AS n
+         |FROM p""".stripMargin,
+
+    "a6_quantile_loss" ->
+      s"""WITH p AS ($predSql)
+         |SELECT event_id, target, prediction,
+         |  ${qlSql(0.05)} AS ql_low, ${qlSql(0.5)} AS ql_mid, ${qlSql(0.95)} AS ql_up
+         |FROM p""".stripMargin,
+
+    "a7_wql" ->
+      s"""WITH p AS ($predSql), agg AS (
+         |  SELECT CAST(SUM(CAST(abs(target) AS DECIMAL(30,10))) AS DOUBLE) AS abs_sum,
+         |    CAST(SUM(CAST(${qlSql(0.05)} AS DECIMAL(30,10))) AS DOUBLE) AS s_low,
+         |    CAST(SUM(CAST(${qlSql(0.5)} AS DECIMAL(30,10))) AS DOUBLE) AS s_mid,
+         |    CAST(SUM(CAST(${qlSql(0.95)} AS DECIMAL(30,10))) AS DOUBLE) AS s_up
+         |  FROM p)
+         |SELECT 2.0 / abs_sum * s_low AS wql_low, 2.0 / abs_sum * s_mid AS wql_mid,
+         |  2.0 / abs_sum * s_up AS wql_up,
+         |  (2.0 / abs_sum * s_low + 2.0 / abs_sum * s_mid + 2.0 / abs_sum * s_up) / 3.0 AS mean_wql
+         |FROM agg""".stripMargin,
+
+    "a9_alarm" ->
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+        |         max(value) AS hourly_max
+        |  FROM events GROUP BY 1)
+        |SELECT hour_start, hourly_max, breached,
+        |  CASE WHEN min(breached) OVER w = 1 AND count(*) OVER w = 3 THEN 1 ELSE 0 END AS alarm
+        |FROM (SELECT *, CASE WHEN hourly_max >= 18.0 THEN 1 ELSE 0 END AS breached FROM hourly)
+        |WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "o1_topk" ->
+      """SELECT event_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "o3_split_bounds" ->
+      """WITH m AS (SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute
+        |           FROM events GROUP BY 1),
+        |idx AS (SELECT tx_minute, row_number() OVER (ORDER BY tx_minute) AS rn,
+        |               count(*) OVER () AS n FROM m)
+        |SELECT 'train' AS split_name, count(*) AS len, min(tx_minute) AS start_minute,
+        |       max(tx_minute) AS end_minute FROM idx WHERE rn <= n - 25
+        |UNION ALL SELECT 'validation_1', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn <= n - 20
+        |UNION ALL SELECT 'validation_2', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn <= n - 15
+        |UNION ALL SELECT 'validation_3', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn <= n - 10
+        |UNION ALL SELECT 'validation_4', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn <= n - 5
+        |UNION ALL SELECT 'test_inputs', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn <= n - 5
+        |UNION ALL SELECT 'test_targets', count(*), min(tx_minute), max(tx_minute) FROM idx WHERE rn > n - 5""".stripMargin,
+
+    "j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "j2_positional_align" ->
+      """WITH t AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS pos, value AS target
+        |           FROM events WHERE user_id = 1),
+        |p AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS pos, value AS prediction
+        |      FROM events WHERE user_id = 2)
+        |SELECT t.pos, target, prediction, (target - prediction) * (target - prediction) AS sq_err
+        |FROM t JOIN p ON t.pos = p.pos""".stripMargin,
+
+    "j5_region_revenue" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "d1_dedup_exact" ->
+      s"""SELECT $fpSql AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+
+    "d2_minhash_lsh" -> minhashOracle,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 50) AS bucket,
+         |                  list_distinct($toksSql) AS toks FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+         |       ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |            / len(list_distinct(list_concat(a.toks, b.toks))) END AS jaccard
+         |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,
+         |  CASE WHEN length(trim(text)) = 0 OR len($toksSql) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len($toksSql)
+         |  END AS mean_token_len
+         |FROM documents""".stripMargin,
+
+    "t2_quality" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+         |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS praw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END AS stopword_ratio,
+         |  praw AS punct_ratio,
+         |  (least(length(text) / 500.0, 1.0)
+         |   + (1.0 - least(praw * 5.0, 1.0))
+         |   + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+         |  ) / 3.0 AS quality
+         |FROM b""".stripMargin,
+
+    "t3_langid" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(lower(text)), 1) AS vr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN vr >= 0.42 THEN 'en' WHEN vr >= 0.36 THEN 'es' ELSE 'de' END AS lang_pred,
+        |  CASE WHEN (CASE WHEN vr >= 0.42 THEN 'en' WHEN vr >= 0.36 THEN 'es' ELSE 'de' END) = lang
+        |       THEN 1 ELSE 0 END AS is_match
+        |FROM b""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fp FROM documents",
+
+    "s1_ann_topk" -> annOracle
+  )
 }

@@ -1,0 +1,100 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One univariate series in the reference's DeepAR JSON-lines shape
+  * (ref: pipelines/blockchain/preprocess.py:123-155). */
+case class TimeSeries(start: String, target: Array[Double])
+
+/** Split-length arithmetic of the reference preprocessing step
+  * (ref: pipelines/blockchain/preprocess.py:101-155).
+  *
+  * Given n ordered points, prediction length p and K validation windows:
+  *   - test targets  = last p rows
+  *   - test inputs   = first n - p rows
+  *   - validation k  = prefix of length n - p - (K - k) * p,  k = 1..K
+  *   - train         = first n - p - K * p rows
+  * Degenerate fallback (ref: preprocess.py:108-114): when n < p*(K+1)+p the
+  * reference shrinks p to int(0.05 * n) (which can be 0 → empty splits; we
+  * reproduce that faithfully, see SeriesETLSpec).
+  */
+object SplitSpec {
+  case class Bounds(p: Int, trainLen: Long, validationLens: Seq[Long],
+                    testInputLen: Long, testTargetLen: Long)
+
+  def bounds(n: Long, predictionLength: Int = 5, numValidationWindows: Int = 4): Bounds = {
+    val k = numValidationWindows
+    val minDataLength = predictionLength.toLong * (k + 1) + predictionLength
+    val p = if (n < minDataLength) (n * 0.05).toInt else predictionLength
+    val trainLen = n - p - k.toLong * p
+    val valLens = (1 to k).map(i => n - p - (k - i).toLong * p)
+    Bounds(p, trainLen, valLens, n - p, p)
+  }
+}
+
+/** O1/O3/O4/O5 — ordered-series ETL: sort, head/tail splits, expanding
+  * validation windows, series→array collection, DeepAR JSON-lines output
+  * (ref: pipelines/blockchain/preprocess.py:93-167).
+  *
+  * Scale notes: the reference sorts the whole frame in pandas on one node.
+  * Here ordering is expressed once as a window over an explicit sort key; for
+  * a single logical series the window is inherently one partition — fine for
+  * the reference's per-minute cardinality (1440 rows/day) but callers with
+  * many series should partition the window by a series id column (supported
+  * via `seriesCol`), which Spark range-shuffles instead of single-tasking.
+  */
+object SeriesETL {
+  private val RN = "__rn"
+  private val N = "__n"
+
+  /** Attach a 1-based position and total count per series, ordered by
+    * `orderCol` (ties broken by the order column being unique — the
+    * reference's tx_minute key is). */
+  def indexed(df: DataFrame, orderCol: String, seriesCol: Option[String] = None): DataFrame = {
+    val w0 = seriesCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
+    val w = w0.orderBy(col(orderCol))
+    df.withColumn(RN, row_number().over(w))
+      .withColumn(N, count(lit(1)).over(w0))
+  }
+
+  /** First `len` rows of the ordered series (prefix / head split). */
+  def prefix(indexedDf: DataFrame, len: Long): DataFrame =
+    indexedDf.filter(col(RN) <= len).drop(RN, N)
+
+  /** Last `len` rows of the ordered series (tail split). */
+  def tail(indexedDf: DataFrame, len: Long): DataFrame =
+    indexedDf.filter(col(RN) > col(N) - len).drop(RN, N)
+
+  /** O4 — expanding-window validation prefixes: k-th series is the prefix of
+    * length n - p - (K-k)*p. Returns (k, prefixDf) pairs. */
+  def validationPrefixes(indexedDf: DataFrame, b: SplitSpec.Bounds): Seq[(Int, DataFrame)] =
+    b.validationLens.zipWithIndex.map { case (len, i) => (i + 1, prefix(indexedDf, len)) }
+
+  /** O5 — collect the ordered series into one TimeSeries row (start = first
+    * order key, target = values in order). Deterministic: collection happens
+    * inside an ordered window, not via collect_list-after-shuffle. */
+  def toSeries(df: DataFrame, orderCol: String, valueCol: String)
+              (implicit spark: SparkSession): Dataset[TimeSeries] = {
+    import spark.implicits._
+    val w = Window.partitionBy().orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(
+        first(col(orderCol)).over(w).cast("string").as("start"),
+        collect_list(col(valueCol).cast("double")).over(w).as("target"),
+        row_number().over(Window.partitionBy().orderBy(col(orderCol))).as("__rn"))
+      .filter(col("__rn") === 1).drop("__rn")
+      .as[TimeSeries]
+  }
+
+  /** Full reference split: (train, validations, testInputs, testTargets). */
+  def split(df: DataFrame, orderCol: String, predictionLength: Int = 5,
+            numValidationWindows: Int = 4): (DataFrame, Seq[(Int, DataFrame)], DataFrame, DataFrame) = {
+    val n = df.count()
+    val b = SplitSpec.bounds(n, predictionLength, numValidationWindows)
+    val idx = indexed(df, orderCol).cache()
+    (prefix(idx, b.trainLen), validationPrefixes(idx, b),
+      prefix(idx, b.testInputLen), tail(idx, b.testTargetLen))
+  }
+}

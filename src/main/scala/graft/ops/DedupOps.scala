@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines.
+  *
+  * Exact dedup is a keyed groupBy on a 128-bit content hash — one shuffle on
+  * the hash, partial-agg'd, no skew (hashes are uniform). MinHash-LSH is the
+  * scale path for near-dup detection: signature computation is embarrassingly
+  * parallel; candidate generation shuffles once on (band, bandSignature) —
+  * bucket sizes stay small because a band collision already implies high
+  * similarity, so the self-join explodes only true near-dup clusters, never
+  * the whole corpus.
+  *
+  * Hash functions are md5-hex based so the semantics are portable (the DuckDB
+  * oracle computes the identical strings); min over fixed-width lowercase hex
+  * strings ≡ min over the underlying integers.
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the smallest id per identical (normalized) content. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct whitespace tokens of a text column. */
+  def distinctTokens(text: Column): Column = array_distinct(TextOps.tokens(text))
+
+  /** One MinHash component: min over tokens of md5(i || ':' || token), first 8
+    * hex chars. Fixed-width hex keeps string-min ≡ numeric-min. */
+  def minhashComponent(tokens: Column, i: Int): Column =
+    array_min(transform(tokens, t => substring(md5(concat(lit(s"$i:"), t)), 1, 8)))
+
+  /** MinHash signature as an array of `numHashes` 8-hex strings. */
+  def minhashSignature(text: Column, numHashes: Int = 16): Column = {
+    val toks = distinctTokens(text)
+    array((0 until numHashes).map(i => minhashComponent(toks, i)): _*)
+  }
+
+  /** Estimated Jaccard similarity between two signatures (fraction of equal
+    * components). */
+  def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x)).cast("double") / numHashes
+
+  /** MinHash-LSH candidate pairs: docs whose signatures collide in at least
+    * one band of `rowsPerBand` components. Output: (idA, idB, est_jaccard)
+    * with idA < idB, one row per pair (dupes across bands collapsed).
+    *
+    * numHashes must be bands * rowsPerBand. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = numHashes / rowsPerBand
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes).as("sig"))
+    // band key = concatenated slice of the signature
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws("", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
+        }: _*)).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact n-gram (word shingle) Jaccard similarity between two token-array
+    * columns, as a double in [0,1]. */
+  def jaccard(tokensA: Column, tokensB: Column): Column = {
+    val inter = size(array_intersect(tokensA, tokensB)).cast("double")
+    val uni = size(array_union(tokensA, tokensB)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Word n-gram shingles (space-joined) of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** SimHash (32-bit, md5-derived bit planes) of the distinct-token set.
+    * Near-dup docs differ in few bits; group by fingerprint bands or compare
+    * popcount(xor) ≤ t downstream. Computed per-row (no shuffle). */
+  def simhash32(text: Column): Column = {
+    val toks = distinctTokens(text)
+    // per-token 32-bit hash from the first 8 hex chars of md5
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    // for each bit b: count of tokens with bit set, vs total
+    val n = size(toks)
+    val bits = (0 until 32).map { b =>
+      val setCnt = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L))
+      when(setCnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over embedding columns
+  * (`array<float>`).
+  *
+  * Brute force is the correctness baseline: broadcast the (small) query set,
+  * score every corpus row, per-query top-k via a partitioned window. One
+  * broadcast + one shuffle on query_id; corpus is streamed, never collected.
+  *
+  * The scale path is IVF-style partition pruning ([[ivfTopK]]): assign every
+  * corpus vector to its nearest centroid (one pass), then probe only the
+  * `nprobe` closest centroids per query — at 100 TB this turns a full-corpus
+  * scan into reading ~nprobe/nlist of the data, and the centroid assignment
+  * doubles as a physical partitioning key for the stored table.
+  */
+object SimilarityOps {
+
+  /** Dot product of two double-array columns (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a double-array column. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most similar
+    * rows of `corpus` (self-matches by id are excluded).
+    *
+    * @return (query_id, rank, neighbor_id, sim) — ties broken by neighbor id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** IVF-style ANN: cluster the corpus once over `centroids` (id, vec), then
+    * per query probe only the `nprobe` nearest centroids' partitions.
+    * Approximate: recall depends on nprobe/centroid quality; exact within the
+    * probed cells. */
+  def ivfTopK(corpusAssigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cent = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("cent_v"))
+    // nprobe nearest centroids per query (tiny cross join — both sides small)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cdist", cosine(col("qv"), col("cent_v")))
+      .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // scan only the probed cells: join on centroid_id prunes the corpus
+    val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (cosine). Centroid set
+    * must be broadcast-small (IVF nlist ~ sqrt(corpus)). */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cent = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("cent_v"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("csim", cosine(col("__v"), col("cent_v")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * bucketed by SimHash-of-embedding-signs (random-hyperplane LSH without
+    * randomness: the sign pattern of selected dimensions is the bucket key, so
+    * only same-bucket pairs are compared). */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, signDims: Int = 8): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val key = concat_ws("", (0 until signDims).map(i =>
+      when(col("v")(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val keyed = v.withColumn("bucket", key)
+    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}
