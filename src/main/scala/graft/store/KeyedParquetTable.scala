@@ -1,0 +1,133 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S6/S7/S8 — a keyed, versioned table on parquet: the Spark-native
+  * re-expression of the reference's SageMaker Feature Group (record id
+  * `tx_minute`, event-time versioning, online latest-wins reads + offline
+  * full-history reads; ref: lib/sagemaker/feature-store.ts:174-194,
+  * agg-fg-schema.json:31-32).
+  *
+  * Design: an append-only versioned log partitioned y/m/d/h like the offline
+  * store (feature-store.ts:187-191). Appends are cheap (no read-modify-write
+  * of the whole table — at 100 TB a rewrite-on-upsert is a non-starter);
+  * readers choose semantics:
+  *   - [[readAll]] — every version (the reference's Athena `SELECT *`, which
+  *     quietly returns duplicate minutes, preprocess.py:77-87)
+  *   - [[readLatest]] — latest event_time per key (online get_record
+  *     semantics, read_feature_store.ipynb)
+  * With a Delta-style table the upsert would be a MERGE; on plain parquet the
+  * same semantics come from append + latest-wins-on-read + periodic
+  * [[compact]] which also collapses versions per partition.
+  */
+class KeyedParquetTable(val path: String, val keyCol: String,
+                        val versionCol: String = "event_time",
+                        val partitioned: Boolean = true) extends Serializable {
+
+  /** Partition columns derived from the key (the reference keys by a
+    * "yyyy-MM-dd HH:mm:ss" minute string and lays out y/m/d/h prefixes). */
+  private def withPartitionCols(df: DataFrame): DataFrame =
+    df.withColumn("year", substring(col(keyCol), 1, 4))
+      .withColumn("month", substring(col(keyCol), 6, 2))
+      .withColumn("day", substring(col(keyCol), 9, 2))
+      .withColumn("hour", substring(col(keyCol), 12, 2))
+
+  /** S6 — upsert a batch: append new versions; readers resolve latest-wins.
+    * Used directly as a `foreachBatch` sink for streaming update-mode aggs.
+    * @param version monotonic sequence (e.g. the streaming batchId) breaking
+    *   ties when two upserts of the same key share an `event_time` second —
+    *   the reference's "last put_record wins" needs a total order. */
+  def upsert(batch: DataFrame, version: Long = 0L): Unit = {
+    val stamped = batch.withColumn("__v", lit(version))
+    val w = if (partitioned)
+      withPartitionCols(stamped).write.partitionBy("year", "month", "day", "hour")
+    else stamped.write
+    w.mode(SaveMode.Append).parquet(path)
+  }
+
+  private def latestOnly(df: DataFrame): DataFrame = {
+    val versioned = if (df.columns.contains("__v")) df else df.withColumn("__v", lit(0L))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, col("__v").desc)
+    versioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__v")
+  }
+
+  def exists(spark: SparkSession): Boolean =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(path))
+
+  /** S7 — offline full-history scan (all versions, duplicates included). */
+  def readAll(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet(path).drop("__v")
+    if (partitioned) df.drop("year", "month", "day", "hour") else df
+  }
+
+  /** S8/online — latest version per key (version col, then upsert sequence). */
+  def readLatest(spark: SparkSession): DataFrame = {
+    val df = spark.read.parquet(path)
+    latestOnly(if (partitioned) df.drop("year", "month", "day", "hour") else df)
+  }
+
+  /** S8 — point lookup of the latest record for one key. Partition pruning:
+    * the key prefix maps directly to y/m/d/h partition values, so the scan
+    * touches exactly one hour partition. */
+  def getRecord(spark: SparkSession, key: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val pruned = if (partitioned)
+      base.filter(col("year") === key.substring(0, 4) &&
+        col("month") === key.substring(5, 7) &&
+        col("day") === key.substring(8, 10) &&
+        col("hour") === key.substring(11, 13))
+        .drop("year", "month", "day", "hour")
+    else base
+    latestOnly(pruned.filter(col(keyCol) === key))
+  }
+
+  /** S9/O6 — per-partition compaction, the reference's hourly Glue job
+    * (ref: resources/glue/FeatureStoreAggregateParquet.py:35-112): for each
+    * y/m/d/h prefix with more than one file, rewrite to
+    * ceil(bytes / targetFileBytes) files. Also collapses superseded versions
+    * (latest-wins) — the parquet analog of a Delta OPTIMIZE + vacuum.
+    *
+    * Stays per-partition by construction: each hour prefix is rewritten
+    * independently with dynamic partition overwrite, so a 100 TB table
+    * compacts incrementally, never as one global rewrite. */
+  def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    if (!partitioned) return
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    // discover hour prefixes with >1 file (FeatureStoreAggregateParquet.py:52-58)
+    def leafDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(s => leafDirs(s.getPath, depth - 1))
+    val prefixes = leafDirs(root, 4).flatMap { dir =>
+      val files = fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > 1) Some((dir, files.map(_.getLen).sum)) else None
+    }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      prefixes.foreach { case (dir, bytes) =>
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val compacted = latestOnly(spark.read.parquet(dir.toString))
+          .withColumn("__v", lit(0L))
+        // re-derive partition values from the last 4 path segments
+        // (year=…/month=…/day=…/hour=…)
+        val parts = Seq.iterate(dir, 4)(_.getParent).map(_.getName).reverse
+          .map { seg => val Array(k, v) = seg.split("=", 2); (k, v) }
+        val withParts = parts.foldLeft(compacted) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
+        withParts.coalesce(n).write.mode(SaveMode.Overwrite)
+          .partitionBy("year", "month", "day", "hour").parquet(path)
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+import graft.monitor.Alarm
+import graft.store.KeyedParquetTable
+
+/** Golden scenario 6 (FIXTURES.md §6): 2 consecutive breaches → no alarm;
+  * 3 consecutive → alarm. Plus keyed-table upsert/read/compact semantics. */
+class MonitoringAndStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alarm fires only after 3 consecutive hourly breaches") {
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // hours 0,1 breach (2x — no alarm); hours 3,4,5 breach (3x — alarm at 5)
+    val df = Seq(
+      t(0) -> 10.0, t(1) -> 12.0, t(2) -> 1.0,
+      t(3) -> 10.0, t(4) -> 11.0, t(5) -> 15.0, t(6) -> 2.0
+    ).toDF("ts", "wql")
+    val out = Alarm.consecutiveBreaches(df, "ts", "wql", threshold = 9.0, k = 3)
+      .select("hour_start", "alarm").as[(String, Int)].collect().toMap
+    assert(out("2024-01-01 01:00:00") === 0, "2 consecutive != alarm")
+    assert(out("2024-01-01 04:00:00") === 0)
+    assert(out("2024-01-01 05:00:00") === 1, "3rd consecutive breach alarms")
+    assert(out("2024-01-01 06:00:00") === 0)
+  }
+
+  test("keyed table: upsert versions, latest-wins read, point lookup, compaction") {
+    val table = new KeyedParquetTable(tmpDir("kt"), "tx_minute")
+    def row(minute: String, n: Long, et: Double) =
+      Seq((minute, n, et)).toDF("tx_minute", "total_nb_trx_1min", "event_time")
+    table.upsert(row("2024-01-01 00:01:00", 5L, 100.0), version = 0)
+    table.upsert(row("2024-01-01 00:01:00", 7L, 200.0), version = 1)
+    table.upsert(row("2024-01-01 00:02:00", 3L, 150.0), version = 1)
+    // same event_time second, higher batch version must win
+    table.upsert(row("2024-01-01 00:02:00", 4L, 150.0), version = 2)
+
+    assert(table.readAll(spark).count() === 4)
+    val latest = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min").as[(String, Long)].collect().toMap
+    assert(latest === Map("2024-01-01 00:01:00" -> 7L, "2024-01-01 00:02:00" -> 4L))
+
+    val rec = table.getRecord(spark, "2024-01-01 00:01:00")
+      .select("total_nb_trx_1min").as[Long].collect()
+    assert(rec.toSeq === Seq(7L))
+
+    // compaction collapses versions per hour partition
+    table.compact(spark)
+    assert(table.readAll(spark).count() === 2, "compaction keeps latest per key")
+    val afterCompact = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min").as[(String, Long)].collect().toMap
+    assert(afterCompact === latest)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** Unit coverage for the LLM-pipeline operators: text stats, MinHash/LSH,
+  * SimHash, Jaccard, cosine ANN. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count / stopword ratio / fingerprint") {
+    val df = Seq((1L, "the quick  brown fox"), (2L, ""), (3L, "  The QUICK brown  fox ")).toDF("id", "text")
+    val out = df.select($"id", TextOps.tokenCount($"text").as("n"),
+      TextOps.fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L)._1 === 4)
+    assert(out(2L)._1 === 0)
+    assert(out(3L)._1 === 4)
+    assert(out(1L)._2 === out(3L)._2, "fingerprint is case/whitespace-insensitive")
+    val sw = df.filter($"id" === 1).select(TextOps.stopwordRatio($"text")).head().getDouble(0)
+    assert(sw === 0.25) // "the" of 4 tokens
+  }
+
+  test("minhash: identical token sets → identical signatures, est jaccard 1") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"), (3L, "x y z")).toDF("id", "text")
+    val sigs = df.select($"id", DedupOps.minhashSignature($"text", 16).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) === sigs(2L), "order-insensitive")
+    assert(sigs(1L) !== sigs(3L))
+    val est = df.filter($"id" <= 2)
+      .select(DedupOps.estJaccard(DedupOps.minhashSignature($"text", 16),
+        DedupOps.minhashSignature($"text", 16), 16)).head().getDouble(0)
+    assert(est === 1.0)
+  }
+
+  test("LSH candidates include identical docs and exclude disjoint docs") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val pairs = DedupOps.lshCandidatePairs(df, "doc_id", "text", 16, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard and shingles") {
+    val df = Seq((1L, "a b c", "b c d")).toDF("id", "x", "y")
+    val j = df.select(DedupOps.jaccard(
+      DedupOps.distinctTokens($"x"), DedupOps.distinctTokens($"y"))).head().getDouble(0)
+    assert(j === 0.5) // {b,c} / {a,b,c,d}
+    val sh = spark.range(1).select(DedupOps.shingles(lit("a b c d"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b", "b c", "c d"))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val df = Seq((1L, "spark catalyst tungsten shuffle partition broadcast join agg"),
+      (2L, "spark catalyst tungsten shuffle partition broadcast join scan"),
+      (3L, "completely different words entirely unrelated corpus tokens here")).toDF("id", "text")
+    val hs = df.select($"id", DedupOps.simhash32($"text").as("h")).as[(Long, Long)].collect().toMap
+    val near = spark.range(1).select(DedupOps.hamming(lit(hs(1L)), lit(hs(2L)))).head().getInt(0)
+    val far = spark.range(1).select(DedupOps.hamming(lit(hs(1L)), lit(hs(3L)))).head().getInt(0)
+    assert(near < far, s"near=$near should be < far=$far")
+  }
+
+  test("brute-force cosine topK returns exact neighbors in similarity order") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(out(1) === 1L) // closest to (1,0) is (0.9,0.1)
+    assert(out(2) === 3L)
+  }
+
+  test("embedding near-dup pairs find same-direction vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
+      (1L, Array(1.0f, 0.01f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
+      (2L, Array(-1.0f, 0.5f, -1.0f, 0.2f, -0.1f, 0.5f, -0.3f, 0.9f))).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.99, signDims = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}
