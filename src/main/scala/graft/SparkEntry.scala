@@ -270,7 +270,14 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
     }.mkString(" UNION ALL ")
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS t FROM documents),
+    // distinct 3-word shingles, mirroring DedupOps.shingles (incl. the
+    // short-doc fallback to one whole-text shingle)
+    val shingleSql =
+      """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |     ELSE list_transform(range(1, len(tk) - 1),
+        |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
+    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
        |sig AS (SELECT doc_id, $comps FROM tok GROUP BY doc_id),
        |banded AS ($bands),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

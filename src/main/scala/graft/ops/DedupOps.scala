@@ -27,15 +27,21 @@ object DedupOps {
   /** Distinct whitespace tokens of a text column. */
   def distinctTokens(text: Column): Column = array_distinct(TextOps.tokens(text))
 
-  /** One MinHash component: min over tokens of md5(i || ':' || token), first 8
-    * hex chars. Fixed-width hex keeps string-min ≡ numeric-min. */
+  /** One MinHash component: min over set elements of md5(i || ':' || elem),
+    * first 8 hex chars. Fixed-width hex keeps string-min ≡ numeric-min. */
   def minhashComponent(tokens: Column, i: Int): Column =
     array_min(transform(tokens, t => substring(md5(concat(lit(s"$i:"), t)), 1, 8)))
 
-  /** MinHash signature as an array of `numHashes` 8-hex strings. */
-  def minhashSignature(text: Column, numHashes: Int = 16): Column = {
-    val toks = distinctTokens(text)
-    array((0 until numHashes).map(i => minhashComponent(toks, i)): _*)
+  /** MinHash signature as an array of `numHashes` 8-hex strings, computed
+    * over the distinct word-`shingleSize`-gram set (shingleSize 1 = unigram
+    * tokens). Shingling is what makes the signature order-sensitive: a corpus
+    * with shared vocabulary but different word order stays dissimilar, which
+    * keeps LSH bucket sizes — and therefore the candidate self-join — small.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 16, shingleSize: Int = 3): Column = {
+    val units = array_distinct(
+      if (shingleSize <= 1) TextOps.tokens(text) else shingles(text, shingleSize))
+    array((0 until numHashes).map(i => minhashComponent(units, i)): _*)
   }
 
   /** Estimated Jaccard similarity between two signatures (fraction of equal
@@ -47,25 +53,48 @@ object DedupOps {
     * one band of `rowsPerBand` components. Output: (idA, idB, est_jaccard)
     * with idA < idB, one row per pair (dupes across bands collapsed).
     *
+    * Shuffle discipline for scale: the bucket self-join carries only
+    * (band, bandSig, id) — ~50 bytes/row, not the full signature; pairs are
+    * de-duplicated *before* signatures are joined back for scoring, so the
+    * wide rows exist only for the (small) true-candidate set. Bucket keys are
+    * md5-uniform, so the join has no skew beyond genuine dup clusters.
+    *
     * numHashes must be bands * rowsPerBand. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleSize: Int = 3): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = numHashes / rowsPerBand
-    val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
-    // band key = concatenated slice of the signature
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until bands).map { b =>
-          concat_ws("", (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r)): _*)
-        }: _*)).as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_sig"))
+    // Relational signature computation: explode the distinct shingle set once
+    // and reduce with numHashes min-aggregates. Each md5 is computed exactly
+    // once per (shingle, i) — the Column-array form would re-inline the
+    // shingle expression into all 16 components. Partial aggregation shrinks
+    // the shuffle to one row per doc before the exchange.
+    val units = docs.select(col(idCol).as("id"),
+      explode(array_distinct(
+        if (shingleSize <= 1) TextOps.tokens(col(textCol))
+        else shingles(col(textCol), shingleSize))).as("t"))
+    val sigs = units.groupBy(col("id")).agg(
+      min(substring(md5(concat(lit("0:"), col("t"))), 1, 8)).as("h0"),
+      (1 until numHashes).map(i =>
+        min(substring(md5(concat(lit(s"$i:"), col("t"))), 1, 8)).as(s"h$i")): _*)
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val eqCount = (0 until numHashes)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("a"), col("id_a") === col("a.id"))
+      .join(sigs.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
-        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
-      .distinct()
+        (eqCount.cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** Exact n-gram (word shingle) Jaccard similarity between two token-array
