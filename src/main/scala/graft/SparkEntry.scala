@@ -255,6 +255,83 @@ object SparkEntry {
       SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S2 — IVF-pruned ANN: assign corpus to centroids (vec_id % 40 == 0),
+    // probe the 2 nearest cells per query, exact top-5 within them.
+    "s2_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // D3 — 32-bit SimHash fingerprints (relational form: one md5 per distinct
+    // token, 32 bit-count aggregates, majority vote per bit).
+    "d3_simhash" -> ((s, dir) => {
+      val units = docs(s, dir).select(col("doc_id"),
+        explode(DedupOps.distinctTokens(col("text"))).as("t"))
+      val h = units.withColumn("h", conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long"))
+      val agg = h.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n"),
+        (0 until 32).map(b => sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"s$b")): _*)
+      agg.select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"s$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    }),
+
+    // D5 — embedding-cosine near-dup pairs, sign-bucket LSH blocked.
+    "d5_embedding_neardup" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8)
+        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
+
+    // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
+    "o5_series" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(s, dir)
+        .withColumn("series", concat_ws(",",
+          collect_list(format_string("%.2f", col("value"))).over(wAll)))
+        .withColumn("rn", row_number().over(wOrd))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("series"))
+    }),
+
+    // P7 — NaN encoding for model input (utils.py:124-125).
+    "p7_nan_encode" -> ((s, dir) =>
+      ev(s, dir).select(col("event_id"),
+        when(col("value").isNull || isnan(col("value")), lit("NaN"))
+          .otherwise(format_string("%.2f", col("value"))).as("target_enc"))),
+
+    // Filter-pushdown aggregation (TPC-H Q6 shape): all predicates reach the
+    // parquet scan; two-column projection prunes the read schema.
+    "q6_filter_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(Exact.sumD(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // Join-heavy top-n (TPC-H Q3 shape): fact-fact join on orderkey, dim
+    // filter broadcast, grouped revenue, global top-10.
+    "q3_top_orders" -> ((s, dir) => {
+      val c = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     })
   )
 
@@ -301,6 +378,50 @@ object SparkEntry {
   }
 
   private val stopIn = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
+
+  private def simhashOracle: String = {
+    // bit b of the 32-bit value of md5's first 8 hex chars: hex digit at
+    // 1-based position 8 - b/4, bit b%4 within the digit
+    val bitSums = (0 until 32).map { b =>
+      val pos = 8 - b / 4
+      val shift = 1 << (b % 4)
+      s"sum(((strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1) // $shift) % 2) AS s$b"
+    }.mkString(", ")
+    val compose = (0 until 32)
+      .map(b => s"CASE WHEN s$b * 2 >= n THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS t FROM documents),
+       |h AS (SELECT doc_id, substr(md5(t), 1, 8) AS hx FROM tok),
+       |agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($compose AS BIGINT) AS simhash FROM agg""".stripMargin
+  }
+
+  private def signBucketSql: String =
+    (1 to 8).map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private def ivfOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v),
+       |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+       |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+       |  FROM probes p
+       |  JOIN assign s ON s.cid = p.cid
+       |  JOIN n x ON x.vec_id = s.vec_id
+       |  JOIN n q ON q.vec_id = p.qid
+       |  WHERE x.vec_id <> p.qid)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -461,6 +582,51 @@ object SparkEntry {
     "t4_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents",
 
-    "s1_ann_topk" -> annOracle
+    "s1_ann_topk" -> annOracle,
+
+    "s2_ann_ivf" -> ivfOracle,
+
+    "d3_simhash" -> simhashOracle,
+
+    "d5_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+         |      $signBucketSql AS bucket FROM v)
+         |SELECT id_a, id_b, printf('%.4f', sim) AS sim_r FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE sim >= CAST('0.35' AS DOUBLE)""".stripMargin,
+
+    "o5_series" ->
+      """SELECT user_id,
+        |  string_agg(printf('%.2f', value), ',' ORDER BY ts, event_id) AS series
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "p7_nan_encode" ->
+      """SELECT event_id,
+        |  CASE WHEN value IS NULL OR isnan(value) THEN 'NaN'
+        |       ELSE printf('%.2f', value) END AS target_enc
+        |FROM events""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST('0.02' AS DOUBLE) AND l_discount <= CAST('0.06' AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, revenue, n_items FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |    COUNT(*) AS n_items
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY l_orderkey)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
   )
 }

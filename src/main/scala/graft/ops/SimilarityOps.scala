@@ -59,7 +59,7 @@ object SimilarityOps {
     val cent = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("cent_v"))
     // nprobe nearest centroids per query (tiny cross join — both sides small)
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc)
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(cent))
       .withColumn("cdist", cosine(col("qv"), col("cent_v")))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
