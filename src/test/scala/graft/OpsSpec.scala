@@ -21,15 +21,18 @@ class OpsSpec extends SparkSpec {
     assert(sw === 0.25) // "the" of 4 tokens
   }
 
-  test("minhash: identical token sets → identical signatures, est jaccard 1") {
+  test("minhash: unigram mode is order-insensitive; shingle mode is order-sensitive") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"), (3L, "x y z")).toDF("id", "text")
-    val sigs = df.select($"id", DedupOps.minhashSignature($"text", 16).as("sig"))
+    val uni = df.select($"id", DedupOps.minhashSignature($"text", 16, shingleSize = 1).as("sig"))
       .as[(Long, Seq[String])].collect().toMap
-    assert(sigs(1L) === sigs(2L), "order-insensitive")
-    assert(sigs(1L) !== sigs(3L))
+    assert(uni(1L) === uni(2L), "same token set → same unigram signature")
+    assert(uni(1L) !== uni(3L))
+    val sh = df.select($"id", DedupOps.minhashSignature($"text", 16, shingleSize = 3).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) !== sh(2L), "different word order → different shingle signature")
     val est = df.filter($"id" <= 2)
-      .select(DedupOps.estJaccard(DedupOps.minhashSignature($"text", 16),
-        DedupOps.minhashSignature($"text", 16), 16)).head().getDouble(0)
+      .select(DedupOps.estJaccard(DedupOps.minhashSignature($"text", 16, 1),
+        DedupOps.minhashSignature($"text", 16, 1), 16)).head().getDouble(0)
     assert(est === 1.0)
   }
 
