@@ -341,9 +341,16 @@ object SparkEntry {
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
   private def minhashOracle: String = {
-    val comps = (0 until 16).map(i => s"min(substr(md5('$i:' || t), 1, 8)) AS h$i").mkString(", ")
+    import graft.ops.DedupOps.{minhashParams, MinhashP => P}
+    // 32-bit value of md5's first 8 hex chars, rebuilt digit-by-digit
+    val hexVal = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(t), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    val comps = minhashParams(16).zipWithIndex.map { case ((a, b), i) =>
+      s"min((bh * $a + $b) % $P) AS h$i"
+    }.mkString(", ")
     val bands = (0 until 4).map { b =>
-      val cat = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(" || ")
+      val cat = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
     }.mkString(" UNION ALL ")
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
@@ -355,7 +362,8 @@ object SparkEntry {
         |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
     s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
-       |sig AS (SELECT doc_id, $comps FROM tok GROUP BY doc_id),
+       |bhs AS (SELECT doc_id, ($hexVal) % $P AS bh FROM tok),
+       |sig AS (SELECT doc_id, $comps FROM bhs GROUP BY doc_id),
        |banded AS ($bands),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)

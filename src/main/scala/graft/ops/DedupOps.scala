@@ -27,21 +27,41 @@ object DedupOps {
   /** Distinct whitespace tokens of a text column. */
   def distinctTokens(text: Column): Column = array_distinct(TextOps.tokens(text))
 
-  /** One MinHash component: min over set elements of md5(i || ':' || elem),
-    * first 8 hex chars. Fixed-width hex keeps string-min ≡ numeric-min. */
-  def minhashComponent(tokens: Column, i: Int): Column =
-    array_min(transform(tokens, t => substring(md5(concat(lit(s"$i:"), t)), 1, 8)))
+  /** Mersenne prime modulus for the affine MinHash family. */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
 
-  /** MinHash signature as an array of `numHashes` 8-hex strings, computed
-    * over the distinct word-`shingleSize`-gram set (shingleSize 1 = unigram
-    * tokens). Shingling is what makes the signature order-sensitive: a corpus
-    * with shared vocabulary but different word order stays dissimilar, which
+  /** Deterministic (a, b) parameters of the affine hash family
+    * h_i(x) = (a_i·x + b_i) mod P. One base hash per element + k cheap
+    * affine transforms replaces k independent md5 calls — the classic
+    * universal-hashing minhash construction. Operands stay < 2^31 so the
+    * products fit in int64 on both Spark and the SQL oracle. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (1103515245L * (i + 1) + 12345L) % MinhashP
+      val b = (2654435761L * i + 1013904223L) % MinhashP
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** Base hash of an element: 32-bit value of md5's first 8 hex chars,
+    * reduced mod P. (md5 keeps the oracle portable — the SQL side rebuilds
+    * the same integer from the hex digits.) */
+  def baseHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long") % MinhashP
+
+  /** One MinHash component over an element array (used by the Column API). */
+  def minhashComponent(tokens: Column, a: Long, b: Long): Column =
+    array_min(transform(tokens, t => (baseHash(t) * a + b) % MinhashP))
+
+  /** MinHash signature as an array of `numHashes` longs, computed over the
+    * distinct word-`shingleSize`-gram set (shingleSize 1 = unigram tokens).
+    * Shingling is what makes the signature order-sensitive: a corpus with
+    * shared vocabulary but different word order stays dissimilar, which
     * keeps LSH bucket sizes — and therefore the candidate self-join — small.
     */
   def minhashSignature(text: Column, numHashes: Int = 16, shingleSize: Int = 3): Column = {
     val units = array_distinct(
       if (shingleSize <= 1) TextOps.tokens(text) else shingles(text, shingleSize))
-    array((0 until numHashes).map(i => minhashComponent(units, i)): _*)
+    array(minhashParams(numHashes).map { case (a, b) => minhashComponent(units, a, b) }: _*)
   }
 
   /** Estimated Jaccard similarity between two signatures (fraction of equal
@@ -65,22 +85,27 @@ object DedupOps {
                         shingleSize: Int = 3): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
     val bands = numHashes / rowsPerBand
-    // Relational signature computation: explode the distinct shingle set once
-    // and reduce with numHashes min-aggregates. Each md5 is computed exactly
-    // once per (shingle, i) — the Column-array form would re-inline the
-    // shingle expression into all 16 components. Partial aggregation shrinks
+    // Relational signature computation: explode the distinct shingle set,
+    // md5 each shingle ONCE, derive the numHashes components by affine
+    // transforms, reduce with min-aggregates. Partial aggregation shrinks
     // the shuffle to one row per doc before the exchange.
+    val params = minhashParams(numHashes)
     val units = docs.select(col(idCol).as("id"),
       explode(array_distinct(
         if (shingleSize <= 1) TextOps.tokens(col(textCol))
         else shingles(col(textCol), shingleSize))).as("t"))
+      .withColumn("bh", baseHash(col("t")))
+    // One row per doc, 16 longs. The plan consumes this three times (banding
+    // + both sides of the scoring join); at production scale materialize it
+    // once as a signatures table and run banding/scoring against that.
     val sigs = units.groupBy(col("id")).agg(
-      min(substring(md5(concat(lit("0:"), col("t"))), 1, 8)).as("h0"),
-      (1 until numHashes).map(i =>
-        min(substring(md5(concat(lit(s"$i:"), col("t"))), 1, 8)).as(s"h$i")): _*)
+      min((col("bh") * params.head._1 + params.head._2) % MinhashP).as("h0"),
+      params.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("bh") * a + b) % MinhashP).as(s"h$i")
+      }: _*)
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
-        concat((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
       }: _*)).as(Seq("band", "band_sig")))
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))

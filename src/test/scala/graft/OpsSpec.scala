@@ -24,11 +24,11 @@ class OpsSpec extends SparkSpec {
   test("minhash: unigram mode is order-insensitive; shingle mode is order-sensitive") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "h g f e d c b a"), (3L, "x y z")).toDF("id", "text")
     val uni = df.select($"id", DedupOps.minhashSignature($"text", 16, shingleSize = 1).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(uni(1L) === uni(2L), "same token set → same unigram signature")
     assert(uni(1L) !== uni(3L))
     val sh = df.select($"id", DedupOps.minhashSignature($"text", 16, shingleSize = 3).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sh(1L) !== sh(2L), "different word order → different shingle signature")
     val est = df.filter($"id" <= 2)
       .select(DedupOps.estJaccard(DedupOps.minhashSignature($"text", 16, 1),
