@@ -27,8 +27,15 @@ object SimilarityOps {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity of two double-array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via composable higher-order functions — kept as the
+    * reference implementation; lambdas evaluate interpreted and break
+    * whole-stage codegen on the scoring hot loop. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity — native codegen'd expression, numerically identical
+    * to [[cosineHof]] (left-to-right accumulation, dot/(√na·√nb)). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
     * rows of `corpus` (self-matches by id are excluded).

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+/** Native CosineSimilarity expression: parity with the composable HOF form,
+  * and SQL availability through GraftExtensions. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the higher-order-function form") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 97 - 48) / 13.0))
+    }.toDF("id", "v")
+    val both = vecs.crossJoin(vecs.select($"id".as("id2"), $"v".as("v2")))
+      .select(
+        SimilarityOps.cosine($"v", $"v2").as("native"),
+        SimilarityOps.cosineHof($"v", $"v2").as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim registers for SQL via GraftExtensions") {
+    val prev = spark // ensure the shared session exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate() // same context, fresh session → extensions apply
+      val r = s2.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s").head().getDouble(0)
+      assert(r === 1.0)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
+  test("type check rejects non-double arrays") {
+    val ex = intercept[Exception] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .select(graft.expressions.VectorExpressions.cosineSim($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}
