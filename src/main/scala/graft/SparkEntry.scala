@@ -143,31 +143,35 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"))),
 
     // O3/O4 — train/validation/test split sizing over the minute series
-    // (preprocess.py:101-146); p=5, K=4.
+    // (preprocess.py:101-146); p=5, K=4. One pass: conditional aggregation
+    // computes all seven splits' (len, start, end) in a single reduction,
+    // then unpivots — the naive form scans the series once per split.
     "o3_split_bounds" -> ((s, dir) => {
       val minutes = MinuteAggregate(ev(s, dir), "ts", "value").select(col("tx_minute"))
       val w = Window.orderBy(col("tx_minute"))
       val idx = minutes.withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      val p = 5; val k = 4
-      val splits: Seq[(String, Column => Column)] = Seq[(String, Column => Column)](
-        ("train", n => n - p - k * p),
-        ("validation_1", n => n - p - 3 * p),
-        ("validation_2", n => n - p - 2 * p),
-        ("validation_3", n => n - p - p),
-        ("validation_4", n => n - p),
-        ("test_inputs", n => n - p))
-      val prefixes = splits.map { case (name, lenOf) =>
-        idx.filter(col("rn") <= lenOf(col("n")))
-          .agg(count(lit(1)).as("len"), min(col("tx_minute")).as("start_minute"),
-            max(col("tx_minute")).as("end_minute"))
-          .select(lit(name).as("split_name"), col("len"), col("start_minute"), col("end_minute"))
+      val p = 5
+      // split name → predicate on (rn, n)
+      val splits: Seq[(String, Column)] = Seq(
+        ("train", col("rn") <= col("n") - p - 4 * p),
+        ("validation_1", col("rn") <= col("n") - p - 3 * p),
+        ("validation_2", col("rn") <= col("n") - p - 2 * p),
+        ("validation_3", col("rn") <= col("n") - p - p),
+        ("validation_4", col("rn") <= col("n") - p),
+        ("test_inputs", col("rn") <= col("n") - p),
+        ("test_targets", col("rn") > col("n") - p))
+      val aggs = splits.flatMap { case (name, pred) => Seq(
+        count(when(pred, 1)).as(s"${name}__len"),
+        min(when(pred, col("tx_minute"))).as(s"${name}__start"),
+        max(when(pred, col("tx_minute"))).as(s"${name}__end"))
       }
-      val targets = idx.filter(col("rn") > col("n") - p)
-        .agg(count(lit(1)).as("len"), min(col("tx_minute")).as("start_minute"),
-          max(col("tx_minute")).as("end_minute"))
-        .select(lit("test_targets").as("split_name"), col("len"), col("start_minute"), col("end_minute"))
-      prefixes.reduce(_ unionAll _) unionAll targets
+      val one = idx.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = splits.map { case (name, _) =>
+        s"'$name', `${name}__len`, `${name}__start`, `${name}__end`"
+      }.mkString(", ")
+      one.select(expr(
+        s"stack(${splits.size}, $stackArgs) AS (split_name, len, start_minute, end_minute)"))
     }),
 
     // J1 — anti-join (the dedup admission check as a relational op,
@@ -191,6 +195,20 @@ object SparkEntry {
       t.join(p, "pos")
         .select(col("pos"), col("target"), col("prediction"),
           ((col("target") - col("prediction")) * (col("target") - col("prediction"))).as("sq_err"))
+    }),
+
+    // J4 — backward as-of join: for each click, the latest preceding error
+    // of the same user (point-in-time-correct feature lookup).
+    "j4_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_t_us"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      graft.ops.AsOfJoin.backward(clicks, errors, Seq("user_id"),
+        "t_us", "err_t_us", Seq("err_event_id", "err_value"),
+        rightTiebreak = Some("err_event_id"))
     }),
 
     // Multi-way dimension join + grouped revenue (broadcast the dims).
@@ -525,6 +543,19 @@ object SparkEntry {
         |      FROM events WHERE user_id = 2)
         |SELECT t.pos, target, prediction, (target - prediction) * (target - prediction) AS sq_err
         |FROM t JOIN p ON t.pos = p.pos""".stripMargin,
+
+    "j4_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |           FROM events WHERE event_type = 'click'),
+        |e0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS err_t_us,
+        |              event_id AS err_event_id, value AS err_value
+        |       FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, err_t_us, err_event_id, err_value FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, err_t_us
+        |                                     ORDER BY err_event_id DESC) AS rn FROM e0)
+        |      WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, c.t_us, c.value, e.err_event_id, e.err_value
+        |FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.t_us >= e.err_t_us""".stripMargin,
 
     "j5_region_revenue" ->
       """SELECT r_name, COUNT(*) AS n_orders,

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.AsOfJoin
+
+/** Backward as-of join semantics: most-recent-at-or-before match, tie
+  * visibility at equal time, inner vs left behavior, tiebreak determinism. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d")
+  ).toDF("k", "t", "lv")
+  private lazy val right = Seq(
+    (1L, 8L, 100), (1L, 15L, 200), (2L, 99L, 300), (1L, 20L, 400)
+  ).toDF("k", "rt", "rv")
+
+  test("inner: matches the greatest right time <= left time, per key") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "t", "lv", "rv").as[(Long, Long, String, Int)].collect().toSet
+    // (1,10)→8/100; (1,20)→20/400 (equal time visible); (2,5): no rt<=5 → dropped
+    assert(out === Set((1L, 10L, "a", 100), (1L, 20L, "b", 400)))
+  }
+
+  test("left: unmatched rows survive with null payload") {
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("rv"), joinType = "left")
+      .select("k", "t", "rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toMap
+    assert(out((2L, 5L)) === None)
+    assert(out((3L, 7L)) === None)
+    assert(out((1L, 10L)) === Some(100))
+  }
+
+  test("right duplicates at the same (key,time) resolve by tiebreak, deterministically") {
+    val dupRight = Seq((1L, 8L, 10, 1L), (1L, 8L, 99, 2L)).toDF("k", "rt", "rv", "seq")
+    val out = AsOfJoin.backward(left.filter($"t" === 10), dupRight, Seq("k"),
+      "t", "rt", Seq("rv"), rightTiebreak = Some("seq"))
+      .select("rv").as[Int].collect()
+    assert(out.toSeq === Seq(99), "highest tiebreak wins")
+  }
+}
