@@ -136,6 +136,22 @@ object SparkEntry {
         (min(col("breached")).over(w) === 1 && count(lit(1)).over(w) === 3).cast("int"))
     }),
 
+    // A10 — sliding (hopping) event-time window: 10-min windows every 5 min.
+    "a10_sliding_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("n_events"), col("sum_value"))),
+
+    // A11 — session window per user: sessions close after a 30-min gap.
+    "a11_session_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"))),
+
     // O1/O7 — global sort + latest-n lookup (doc/INGESTION.md:36).
     "o1_topk" -> ((s, dir) =>
       ev(s, dir).orderBy(col("ts").desc, col("event_id").desc).limit(100)
@@ -513,6 +529,30 @@ object SparkEntry {
         |  CASE WHEN min(breached) OVER w = 1 AND count(*) OVER w = 3 THEN 1 ELSE 0 END AS alarm
         |FROM (SELECT *, CASE WHEN hourly_max >= 18.0 THEN 1 ELSE 0 END AS breached FROM hourly)
         |WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // every event falls in exactly two 10-min/5-min hopping windows; window
+    // starts computed in integer epoch-microseconds (Spark's origin is the
+    // epoch; both engines floor identically)
+    "a10_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events),
+        |x AS (SELECT value, t, unnest([(t // 300000000) * 300000000,
+        |                               (t // 300000000) * 300000000 - 300000000]) AS ws FROM e)
+        |SELECT ws AS w_start_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM x WHERE t >= ws AND t < ws + 600000000 GROUP BY ws""".stripMargin,
+
+    // session closes when the gap reaches 30 min (Spark merges only strictly
+    // overlapping [t, t+gap) intervals → >= starts a new session)
+    "a11_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |f AS (SELECT user_id, t,
+        |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t, sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |                                       ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(t) AS session_start_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "o1_topk" ->
       """SELECT event_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us

@@ -9,7 +9,18 @@ import graft.store.Bucketing
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
 
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // orphaned managed-table dirs survive across JVMs (in-memory catalog)
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
   test("co-located join over same-bucketed tables has no shuffle exchange") {
+    dropTable("b_left"); dropTable("b_right")
     val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
     val right = (1L to 1000L).map(i => (i, i * 2.0)).toDF("k", "rv")
     Bucketing.writeBucketed(left, "b_left", "k", 8, sortCol = Some("k"))
