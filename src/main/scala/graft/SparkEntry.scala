@@ -191,9 +191,10 @@ object SparkEntry {
     }),
 
     // J1 — anti-join (the dedup admission check as a relational op,
-    // stream_processing/main.py:47-58).
+    // stream_processing/main.py:47-58): customers with no large order.
     "j1_anti_join" -> ((s, dir) =>
-      Tables.customer(s, dir).join(Tables.orders(s, dir),
+      Tables.customer(s, dir).join(
+          Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))),
 
@@ -574,7 +575,9 @@ object SparkEntry {
 
     "j1_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > CAST('300000.0' AS DOUBLE))""".stripMargin,
 
     "j2_positional_align" ->
       """WITH t AS (SELECT row_number() OVER (ORDER BY ts, event_id) AS pos, value AS target

@@ -103,23 +103,25 @@ object DedupOps {
       params.zipWithIndex.tail.map { case ((a, b), i) =>
         min((col("bh") * a + b) % MinhashP).as(s"h$i")
       }: _*)
-    val banded = sigs.select(col("id"),
+    // Carry the signature array through banding and score at the join: the
+    // signature subtree is computed once per join side instead of four times
+    // (band a/b + two scoring join-backs). The extra shuffle payload is
+    // numHashes longs per banded row — cheaper than recomputing the
+    // md5-over-shingles scan until signatures are materialized as a table.
+    val sigArr = sigs.select(col("id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val banded = sigArr.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col("sig")(i)): _*)
       }: _*)).as(Seq("band", "band_sig")))
-    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "band_sig"))
+    val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val eqCount = (0 until numHashes)
-      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sigs.as("a"), col("id_a") === col("a.id"))
-      .join(sigs.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a"), col("id_b"),
-        (eqCount.cast("double") / numHashes).as("est_jaccard"))
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+      .distinct()
   }
 
   /** Exact n-gram (word shingle) Jaccard similarity between two token-array
