@@ -241,6 +241,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice"), 2).as("revenue"))
     }),
 
+    // Semi join (EXISTS): orders having at least one high-quantity item,
+    // counted per priority (TPC-H Q4 shape).
+    "q4_semi_join" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))),
+
+    // 6-way join with a same-nation constraint (TPC-H Q5 shape): revenue per
+    // ASIA nation from 1997 orders where the supplier is in the customer's
+    // nation. Dims broadcast; the fact-fact join shuffles on orderkey.
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+    }),
+
+    // A12 — hierarchical rollup: (event_type, day) with subtotals and a
+    // grand total in one pass.
+    "a12_rollup" -> ((s, dir) =>
+      ev(s, dir)
+        .rollup(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))),
+
     // D1 — exact dedup by content fingerprint (hash-groupBy).
     "d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
@@ -608,6 +647,32 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "a12_rollup" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))""".stripMargin,
 
     "d1_dedup_exact" ->
       s"""SELECT $fpSql AS fp, min(doc_id) AS doc_id, count(*) AS n_copies

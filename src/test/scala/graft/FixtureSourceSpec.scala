@@ -44,4 +44,28 @@ class FixtureSourceSpec extends SparkSpec {
     assert(out("2026-08-12 09:00:00") === ((2L, 30L)), "dup hash admitted once")
     assert(out("2026-08-12 09:01:00") === ((1L, 30L)))
   }
+
+  test("checkpoint recovery: dedup and window state survive a restart") {
+    val in = tmpDir("polls2")
+    val ckpt = tmpDir("ckpt2")
+    val table = new KeyedParquetTable(tmpDir("agg2"), "tx_minute")
+    def run(): Unit = {
+      val raw = SourceAdapters.fixtureDirectory(spark, in, maxFilesPerTrigger = 1)
+      val q = Pipeline.writer(Pipeline.aggregates(raw), table, ckpt,
+        Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000L) finally q.stop()
+    }
+    Files.writeString(Paths.get(s"$in/p1.json"),
+      envelope(Seq(tx("x", 10, base + 5), tx("y", 20, base + 30))))
+    run()
+    // second run, NEW query instance on the same checkpoint: dup of "x" must
+    // still be dropped (dedup state restored), window must accumulate
+    Files.writeString(Paths.get(s"$in/p2.json"),
+      envelope(Seq(tx("x", 10, base + 5), tx("z", 5, base + 40))))
+    run()
+    val m0 = table.readLatest(spark)
+      .filter($"tx_minute" === "2026-08-12 09:00:00")
+      .select($"total_nb_trx_1min", $"total_fee_1min").as[(Long, Long)].head()
+    assert(m0 === ((3L, 35L)), "x deduped across restart; z accumulated into restored window")
+  }
 }
