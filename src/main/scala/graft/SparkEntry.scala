@@ -448,7 +448,8 @@ object SparkEntry {
   private def annOracle: String = {
     // explicit left-to-right dot/norm fold matching SimilarityOps exactly
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v),
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |         list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) AS sim
@@ -482,7 +483,8 @@ object SparkEntry {
 
   private def ivfOracle: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v),
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
        |assign AS (SELECT vec_id, cid FROM (
        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
@@ -738,7 +740,8 @@ object SparkEntry {
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
          |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
-         |      $signBucketSql AS bucket FROM v)
+         |      $signBucketSql AS bucket FROM v
+         |      WHERE list_inner_product(ve, ve) > 0)
          |SELECT id_a, id_b, printf('%.4f', sim) AS sim_r FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim

@@ -26,6 +26,8 @@ object MonitoringJob {
          (implicit spark: SparkSession): Metrics = {
     import spark.implicits._
     val n = agg.count()
+    require(n > predictionLength,
+      s"monitoring needs more than predictionLength=$predictionLength rows, got $n")
     val idx = SeriesETL.indexed(agg, orderCol).cache()
     try {
       val p = predictionLength.toLong

@@ -32,12 +32,10 @@ object AsOfJoin {
     val leftOut = left.columns.toSeq
     val key = keyCols.map(col)
 
-    // common shape: keys ++ __t ++ __side ++ left-struct ++ right payloads
-    val lTagged = left.select(
-      key ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__side"),
-        struct(leftOut.map(col): _*).as("__l")) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    // common shape: keys ++ __t ++ __side ++ left-struct ++ right-struct.
+    // The right payload rides as ONE struct so a legitimately NULL payload
+    // field is preserved (a per-column last(ignoreNulls) would skip it and
+    // surface a stale older value, or stitch fields from different rows).
     val rDeduped = rightTiebreak match {
       case Some(tb) =>
         val w = Window.partitionBy((keyCols :+ rightTime).map(col): _*)
@@ -45,24 +43,28 @@ object AsOfJoin {
         right.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
       case None => right
     }
+    val rStructType = org.apache.spark.sql.functions.struct(rightCols.map(col): _*)
+    val lTagged = left.select(
+      key ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(leftOut.map(col): _*).as("__l"),
+        lit(null).cast(rDeduped.select(rStructType).schema.head.dataType).as("__r")): _*)
     val rTagged = rDeduped.select(
       key ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__side"),
-        lit(null).cast(lTagged.schema("__l").dataType).as("__l")) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
+        rStructType.as("__r")): _*)
 
     // right rows sort before left rows at equal time → <= visibility
     val w = Window.partitionBy(key: _*).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
-      .withColumn("__matched", last(when(col("__side") === 0, lit(1)), ignoreNulls = true).over(w))
-    val withPayload = rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"__last_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val leftRows = withPayload.filter(col("__side") === 1)
-    val filtered = if (joinType == "inner") leftRows.filter(col("__matched") === 1) else leftRows
+      .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))
+    val leftRows = carried.filter(col("__side") === 1)
+    val filtered =
+      if (joinType == "inner") leftRows.filter(col("__last_r").isNotNull) else leftRows
     filtered.select(
       leftOut.map(c => col(s"__l.$c").as(c)) ++
-        rightCols.map(c => col(s"__last_$c").as(c)): _*)
+        rightCols.map(c => col(s"__last_r.$c").as(c)): _*)
   }
 }

@@ -31,8 +31,8 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("sample_rate", IntegerType)))
 
-  /** One decoded feature record. */
-  case class MediaFeatures(contentId: Long, nBytes: Long, sha: String,
+  /** One decoded feature record. `md5` is the full-payload digest. */
+  case class MediaFeatures(contentId: Long, nBytes: Long, md5: String,
                            featureDim: Int, features: Array[Float])
 
   /** Per-partition decoder contract. Implementations must be Serializable
@@ -88,13 +88,14 @@ object Multimodal {
         rows.map { case (id, payload, fmt) =>
           val bytes = if (payload == null) Array.emptyByteArray else payload
           md.reset()
-          val sha = bytes.take(1024) // bounded digest input for huge payloads
-          val hex = md.digest(sha).map("%02x".format(_)).mkString
+          // full-payload digest: a prefix digest would collide distinct media
+          // sharing a container header
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
           val feats = d.decode(bytes, fmt)
           MediaFeatures(id, bytes.length.toLong, hex, feats.length, feats)
         }
       }
-      .toDF("content_id", "n_bytes", "sha", "feature_dim", "features")
+      .toDF("content_id", "n_bytes", "md5", "feature_dim", "features")
   }
 
   /** Frame-sampling plan for video payloads: emit (content_id, frame_idx)

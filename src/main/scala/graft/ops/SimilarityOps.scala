@@ -37,17 +37,25 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSim(a, b)
 
+  /** Non-degenerate-vector predicate: a zero-norm vector (padding row,
+    * failed encoder) makes cosine NaN, and Spark sorts NaN as the LARGEST
+    * double — an unguarded zero vector would rank #1 for every query. All
+    * scoring entry points filter on this. */
+  private def nonZero(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x) > 0
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
-    * rows of `corpus` (self-matches by id are excluded).
+    * rows of `corpus` (self-matches by id are excluded; zero-norm vectors on
+    * either side are dropped).
     *
     * @return (query_id, rank, neighbor_id, sim) — ties broken by neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+      col(vecCol).cast("array<double>").as("cv")).filter(nonZero(col("cv")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
@@ -62,9 +70,10 @@ object SimilarityOps {
   def ivfTopK(corpusAssigned: DataFrame, centroids: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
     val cent = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("cent_v"))
+      .filter(nonZero(col("cent_v")))
     // nprobe nearest centroids per query (tiny cross join — both sides small)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
     val probes = q.crossJoin(broadcast(cent))
@@ -74,6 +83,7 @@ object SimilarityOps {
     // scan only the probed cells: join on centroid_id prunes the corpus
     val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
+      .filter(nonZero(col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -87,9 +97,10 @@ object SimilarityOps {
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
-      col(vecCol).cast("array<double>").as("__v"))
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
     val cent = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("cent_v"))
+      .filter(nonZero(col("cent_v")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
     c.crossJoin(broadcast(cent))
       .withColumn("csim", cosine(col("__v"), col("cent_v")))
@@ -104,6 +115,7 @@ object SimilarityOps {
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, signDims: Int = 8): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(nonZero(col("v")))
     val key = concat_ws("", (0 until signDims).map(i =>
       when(col("v")(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
     val keyed = v.withColumn("bucket", key)

@@ -32,7 +32,8 @@ object Skew {
     * salt or a broadcast-isolate plan. */
   def hotKeys(df: DataFrame, key: String, threshold: Double = 10.0): DataFrame = {
     val counts = df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
-    val mean = counts.agg(avg(col("cnt"))).head().getDouble(0)
-    counts.filter(col("cnt") >= mean * threshold)
+    val meanRow = counts.agg(avg(col("cnt"))).head()
+    if (meanRow.isNullAt(0)) counts // empty input → no hot keys
+    else counts.filter(col("cnt") >= meanRow.getDouble(0) * threshold)
   }
 }

@@ -48,11 +48,12 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     w.mode(SaveMode.Append).parquet(path)
   }
 
-  private def latestOnly(df: DataFrame): DataFrame = {
+  private def latestOnly(df: DataFrame, keepVersion: Boolean = false): DataFrame = {
     val versioned = if (df.columns.contains("__v")) df else df.withColumn("__v", lit(0L))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, col("__v").desc)
-    versioned.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__v")
+    val resolved = versioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (keepVersion) resolved else resolved.drop("__v")
   }
 
   def exists(spark: SparkSession): Boolean =
@@ -113,8 +114,10 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     try {
       prefixes.foreach { case (dir, bytes) =>
         val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        val compacted = latestOnly(spark.read.parquet(dir.toString))
-          .withColumn("__v", lit(0L))
+        // keep each survivor's original __v: resetting it would let a
+        // replayed foreachBatch (same batchId, higher __v than 0) win over
+        // the newer compacted value
+        val compacted = latestOnly(spark.read.parquet(dir.toString), keepVersion = true)
         // re-derive partition values from the last 4 path segments
         // (year=…/month=…/day=…/hour=…)
         val parts = Seq.iterate(dir, 4)(_.getParent).map(_.getName).reverse

@@ -32,28 +32,46 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Exact-TTL dedup keyed by a string column: admits the first row per key,
-    * drops subsequent rows until `ttlMs` of processing time has elapsed with
-    * no state refresh. Mirrors the DynamoDB conditional-put + item-TTL pair.
+    * drops subsequent rows until `ttlMs` of processing time has elapsed since
+    * ADMISSION (duplicates do not refresh the TTL — DynamoDB's conditional
+    * put fails without touching the item). Mirrors the conditional-put +
+    * item-TTL pair.
+    *
+    * State holds the admission timestamp, and the timeout is re-armed with
+    * the REMAINING ttl on every invocation: Spark's GroupState contract
+    * clears a pending timeout whenever the function runs for a key without
+    * setting a new one, so a duplicate arrival would otherwise cancel
+    * expiry and leak the key's state forever.
     *
     * Works on streaming Datasets only (uses flatMapGroupsWithState). */
   def processingTimeTtl(df: DataFrame, keyCol: String, ttlMs: Long): DataFrame = {
     implicit val rowEnc: Encoder[Row] = Encoders.row(df.schema)
     implicit val strEnc: Encoder[String] = Encoders.STRING
-    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     df.as[Row](rowEnc)
       .groupByKey(r => r.getAs[String](keyCol))
-      .flatMapGroupsWithState[Boolean, Row](
+      .flatMapGroupsWithState[Long, Row](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
-        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val now = state.getCurrentProcessingTimeMs()
           if (state.hasTimedOut) {
             // TTL elapsed: forget the key (next arrival is admitted afresh).
             state.remove()
             Iterator.empty
           } else if (state.exists) {
-            // seen within TTL: drop all rows in this batch
-            Iterator.empty
+            val remaining = state.get + ttlMs - now
+            if (remaining <= 0) {
+              // TTL elapsed but the timeout hadn't fired yet: re-admit.
+              state.update(now)
+              state.setTimeoutDuration(ttlMs)
+              if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+            } else {
+              // seen within TTL: drop the duplicates, re-arm the REMAINING ttl
+              state.setTimeoutDuration(remaining)
+              Iterator.empty
+            }
           } else {
-            state.update(true)
+            state.update(now)
             state.setTimeoutDuration(ttlMs)
             // admit exactly one row per key per first-seen batch
             if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty

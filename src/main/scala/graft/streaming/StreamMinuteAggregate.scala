@@ -37,7 +37,9 @@ object StreamMinuteAggregate {
     txs
       .groupBy(window(col(timeCol), "1 minute").as("w"))
       .agg(
-        count(col(feeCol)).as("total_nb_trx_1min"),
+        // count rows, not fee values: a null-fee tx still counts (matches
+        // the batch form and the reference's COUNT(hash) over non-null hash)
+        count(lit(1)).as("total_nb_trx_1min"),
         sum(col(feeCol)).as("total_fee_1min"),
         avg(col(feeCol)).as("avg_fee_1min"))
       .select(

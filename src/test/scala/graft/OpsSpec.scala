@@ -75,6 +75,15 @@ class OpsSpec extends SparkSpec {
     assert(out(2) === 3L)
   }
 
+  test("zero-norm vectors never appear as neighbors (NaN-ordering guard)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(1L), "zero vector must be filtered, not ranked #1 via NaN")
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
