@@ -79,4 +79,30 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(rows.keySet === Set("h1", "h2", "h3"))
     assert(rows("h1") === 1, "first h1 row wins; later dupes dropped")
   }
+
+  test("processing-time TTL dedup re-admits a key after the TTL elapses") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamDedup
+    val ckpt = tmpDir("ttl_ckpt")
+    val in = tmpDir("ttl_in")
+    val sink = tmpDir("ttl_sink")
+    def runOnce(): Unit = {
+      val raw = spark.readStream.text(in)
+        .selectExpr("split(value, ',')[0] AS hash", "CAST(split(value, ',')[1] AS INT) AS fee")
+      val out = StreamDedup.processingTimeTtl(raw, "hash", ttlMs = 500L)
+      val q = out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000L) finally q.stop()
+    }
+    Files.writeString(Paths.get(s"$in/f1.txt"), "k,1\nk,9")
+    runOnce()
+    Thread.sleep(1200) // TTL (500 ms) elapses between runs
+    Files.writeString(Paths.get(s"$in/f2.txt"), "k,2")
+    runOnce()
+    val rows = spark.read.parquet(sink).as[(String, Int)].collect().map(_._2).sorted
+    assert(rows.toSeq === Seq(1, 2),
+      "first admission wins in run 1; expired key admitted afresh in run 2")
+  }
 }
