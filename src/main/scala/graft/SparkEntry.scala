@@ -152,6 +152,19 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
           col("n_events"))),
 
+    // Set operations (absent from the reference — engine surface): users
+    // active in week 1 but not week 2, and those active in both.
+    "o8_set_ops" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val w1 = e.filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+        .select(col("user_id")).distinct()
+      val w2 = e.filter(col("ts") >= lit("2024-01-08").cast("timestamp") &&
+          col("ts") < lit("2024-01-15").cast("timestamp"))
+        .select(col("user_id")).distinct()
+      w1.except(w2).withColumn("set_op", lit("only_week1"))
+        .unionByName(w1.intersect(w2).withColumn("set_op", lit("both_weeks")))
+    }),
+
     // O1/O7 — global sort + latest-n lookup (doc/INGESTION.md:36).
     "o1_topk" -> ((s, dir) =>
       ev(s, dir).orderBy(col("ts").desc, col("event_id").desc).limit(100)
@@ -595,6 +608,14 @@ object SparkEntry {
         |                                       ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         |SELECT user_id, min(t) AS session_start_us, COUNT(*) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "o8_set_ops" ->
+      """WITH w1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+        |w2 AS (SELECT DISTINCT user_id FROM events
+        |       WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15')
+        |SELECT user_id, 'only_week1' AS set_op FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+        |UNION ALL
+        |SELECT user_id, 'both_weeks' AS set_op FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)""".stripMargin,
 
     "o1_topk" ->
       """SELECT event_id, event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
