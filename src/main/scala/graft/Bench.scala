@@ -13,7 +13,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // one tiny action to pay session/codegen bring-up outside the timings
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // e2e_stream_agg is a correctness-gate streaming REPLAY (fixture render +
+    // multi-microbatch run, ~30 s of trigger/checkpoint overhead independent
+    // of data size) — it would swamp the query-throughput totals the bench
+    // tracks round-over-round. Verify covers it; StreamBench measures
+    // streaming throughput properly.
+    val skip = Set("e2e_stream_agg")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

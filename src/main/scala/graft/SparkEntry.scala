@@ -419,6 +419,17 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
+    }),
+
+    // E2E streaming (S3/S4/S6/S10 + P1/P2/P3 + A1 in their STREAMING forms):
+    // events rendered as polled envelope fixtures — with overlap duplicates
+    // and health-check noise — replayed as a real multi-microbatch
+    // Structured Streaming run through unnest → dedup → 1-min window agg →
+    // keyed upsert; the returned table state must equal the oracle's clean
+    // batch recomputation (see graft.streaming.EndToEnd).
+    "e2e_stream_agg" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      graft.streaming.EndToEnd.run(s, ev(s, dir), work)
     })
   )
 
@@ -798,6 +809,17 @@ object SparkEntry {
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Clean batch recomputation of the streamed result: the fixture's
+    // overlap duplicates are removed by dedup and its health-check txs by
+    // the event-bus filter, so the final table must equal a per-minute agg
+    // over the raw events (fee := event_id % 10000, integer → exact sums).
+    "e2e_stream_agg" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(event_id % 10000) AS BIGINT) AS total_fee_1min,
+        |  CAST(SUM(event_id % 10000) AS DOUBLE) / COUNT(*) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin
   )
 }
