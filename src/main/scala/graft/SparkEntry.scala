@@ -302,16 +302,22 @@ object SparkEntry {
     "d2_minhash_lsh" -> ((s, dir) =>
       DedupOps.lshCandidatePairs(docs(s, dir), "doc_id", "text", 16, 4)),
 
-    // D4 — exact token-set Jaccard over prefix-blocked candidate pairs.
-    "d4_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"),
-        substring(col("text"), 1, 50).as("bucket"),
-        DedupOps.distinctTokens(col("text")).as("toks"))
-      val a = d.select(col("bucket"), col("doc_id").as("id_a"), col("toks").as("ta"))
-      val b = d.select(col("bucket"), col("doc_id").as("id_b"), col("toks").as("tb"))
-      a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), DedupOps.jaccard(col("ta"), col("tb")).as("jaccard"))
+    // D2b — the 100 TB shape of d2: the signature relation is computed ONCE,
+    // persisted as a parquet table, and banding + scoring run against the
+    // table (the signature subtree appears once; both join sides are cheap
+    // parquet re-reads, not md5-over-shingles recomputes).
+    "d2b_minhash_materialized" -> ((s, dir) => {
+      val sigTable = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+      DedupOps.pairsFromSignatures(
+        DedupOps.materializeSignatures(docs(s, dir), "doc_id", "text", sigTable, 16), 16, 4)
     }),
+
+    // D4 — exact token-set Jaccard over MinHash-band blocked candidates.
+    // (Blocking on a raw text prefix makes the self-join quadratic in the
+    // largest shared-boilerplate bucket; a band collision instead has
+    // P = J^rowsPerBand, so bucket sizes track true similarity.)
+    "d4_ngram_jaccard" -> ((s, dir) =>
+      DedupOps.blockedJaccardPairs(docs(s, dir), "doc_id", "text", 16, 4)),
 
     // T1 — token counting.
     "t1_token_stats" -> ((s, dir) =>
@@ -438,7 +444,10 @@ object SparkEntry {
   private val fpSql = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
 
-  private def minhashOracle: String = {
+  /** Shared CTE chain computing the MinHash signature relation, its banded
+    * view, and the distinct LSH candidate pairs — mirrored by
+    * DedupOps.signatures/bandedSignatures/lshCandidateIds. */
+  private def minhashCtes: String = {
     import graft.ops.DedupOps.{minhashParams, MinhashP => P}
     // 32-bit value of md5's first 8 hex chars, rebuilt digit-by-digit
     val hexVal = (1 to 8).map(j =>
@@ -451,23 +460,37 @@ object SparkEntry {
       val cat = (b * 4 until b * 4 + 4).map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band, $cat AS bsig FROM sig"
     }.mkString(" UNION ALL ")
-    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     // distinct 3-word shingles, mirroring DedupOps.shingles (incl. the
     // short-doc fallback to one whole-text shingle)
     val shingleSql =
       """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
         |     ELSE list_transform(range(1, len(tk) - 1),
         |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
-    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
        |bhs AS (SELECT doc_id, ($hexVal) % $P AS bh FROM tok),
        |sig AS (SELECT doc_id, $comps FROM bhs GROUP BY doc_id),
        |banded AS ($bands),
        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCtes
        |SELECT p.id_a, p.id_b, CAST(($eq) AS DOUBLE) / 16 AS est_jaccard
        |FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id""".stripMargin
   }
+
+  /** Exact unigram-token Jaccard over the LSH candidate pairs (d4). */
+  private def blockedJaccardOracle: String =
+    s"""WITH $minhashCtes,
+       |tks AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+       |       ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       |            / len(list_distinct(list_concat(a.toks, b.toks))) END AS jaccard
+       |FROM pairs p JOIN tks a ON p.id_a = a.doc_id JOIN tks b ON p.id_b = b.doc_id""".stripMargin
 
   private def annOracle: String = {
     // explicit left-to-right dot/norm fold matching SimilarityOps exactly
@@ -714,14 +737,11 @@ object SparkEntry {
 
     "d2_minhash_lsh" -> minhashOracle,
 
-    "d4_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, substr(text, 1, 50) AS bucket,
-         |                  list_distinct($toksSql) AS toks FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
-         |       ELSE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         |            / len(list_distinct(list_concat(a.toks, b.toks))) END AS jaccard
-         |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin,
+    // d2b runs the same logical query against a materialized signature
+    // table — the result is identical by construction.
+    "d2b_minhash_materialized" -> minhashOracle,
+
+    "d4_ngram_jaccard" -> blockedJaccardOracle,
 
     "t1_token_stats" ->
       s"""SELECT doc_id,

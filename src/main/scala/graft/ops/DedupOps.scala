@@ -82,39 +82,23 @@ object DedupOps {
     * numHashes must be bands * rowsPerBand. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
-                        shingleSize: Int = 3): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
-    val bands = numHashes / rowsPerBand
-    // Relational signature computation: explode the distinct shingle set,
-    // md5 each shingle ONCE, derive the numHashes components by affine
-    // transforms, reduce with min-aggregates. Partial aggregation shrinks
-    // the shuffle to one row per doc before the exchange.
-    val params = minhashParams(numHashes)
-    val units = docs.select(col(idCol).as("id"),
-      explode(array_distinct(
-        if (shingleSize <= 1) TextOps.tokens(col(textCol))
-        else shingles(col(textCol), shingleSize))).as("t"))
-      .withColumn("bh", baseHash(col("t")))
-    // One row per doc, 16 longs. The plan consumes this three times (banding
-    // + both sides of the scoring join); at production scale materialize it
-    // once as a signatures table and run banding/scoring against that.
-    val sigs = units.groupBy(col("id")).agg(
-      min((col("bh") * params.head._1 + params.head._2) % MinhashP).as("h0"),
-      params.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((col("bh") * a + b) % MinhashP).as(s"h$i")
-      }: _*)
+                        shingleSize: Int = 3): DataFrame =
     // Carry the signature array through banding and score at the join: the
     // signature subtree is computed once per join side instead of four times
     // (band a/b + two scoring join-backs). The extra shuffle payload is
     // numHashes longs per banded row — cheaper than recomputing the
     // md5-over-shingles scan until signatures are materialized as a table.
-    val sigArr = sigs.select(col("id"),
-      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-    val banded = sigArr.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col("sig")(i)): _*)
-      }: _*)).as(Seq("band", "band_sig")))
+    pairsFromSignatures(
+      signatures(docs, idCol, textCol, numHashes, shingleSize),
+      numHashes, rowsPerBand)
+
+  /** Banding + estimated-Jaccard scoring against an existing signature
+    * relation (id, sig). With a [[materializeSignatures]] table as input this
+    * is the 100 TB shape: the signature scan appears ONCE in the plan (a
+    * cheap parquet re-read per join side, no md5-over-shingles recompute). */
+  def pairsFromSignatures(sigArr: DataFrame, numHashes: Int = 16,
+                          rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedSignatures(sigArr, numHashes, rowsPerBand)
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -122,6 +106,88 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
       .distinct()
+  }
+
+  /** Compute the signature relation once and persist it as a parquet table
+    * (compute-once, band-and-score-many). Returns the reloaded relation. */
+  def materializeSignatures(docs: DataFrame, idCol: String, textCol: String,
+                            path: String, numHashes: Int = 16,
+                            shingleSize: Int = 3): DataFrame = {
+    signatures(docs, idCol, textCol, numHashes, shingleSize)
+      .write.mode("overwrite").parquet(path)
+    docs.sparkSession.read.parquet(path)
+  }
+
+  /** MinHash signature relation — one row per doc: (id, sig: array<long>).
+    *
+    * Relational signature computation: explode the distinct shingle set,
+    * md5 each shingle ONCE, derive the numHashes components by affine
+    * transforms, reduce with min-aggregates. Partial aggregation shrinks
+    * the shuffle to one row per doc before the exchange. At production scale
+    * this is the relation to materialize once as a table (see
+    * [[materializeSignatures]]) and share across banding + scoring. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val params = minhashParams(numHashes)
+    val units = docs.select(col(idCol).as("id"),
+      explode(array_distinct(
+        if (shingleSize <= 1) TextOps.tokens(col(textCol))
+        else shingles(col(textCol), shingleSize))).as("t"))
+      .withColumn("bh", baseHash(col("t")))
+    val sigs = units.groupBy(col("id")).agg(
+      min((col("bh") * params.head._1 + params.head._2) % MinhashP).as("h0"),
+      params.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((col("bh") * a + b) % MinhashP).as(s"h$i")
+      }: _*)
+    sigs.select(col("id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Banded view of a signature relation: (id, sig, band, band_sig) — one
+    * row per (doc, band), the LSH bucketing key. */
+  def bandedSignatures(sigArr: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = numHashes / rowsPerBand
+    sigArr.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col("sig")(i)): _*)
+      }: _*)).as(Seq("band", "band_sig")))
+  }
+
+  /** MinHash-band blocked candidate id pairs (no scoring): (id_a, id_b),
+    * distinct, id_a < id_b. A band collision already implies high estimated
+    * Jaccard (P[collide] = J^rowsPerBand per band), so unlike a raw text
+    * prefix the blocking key never groups boilerplate-prefix documents into
+    * one quadratic bucket. */
+  def lshCandidateIds(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 16, rowsPerBand: Int = 4,
+                      shingleSize: Int = 3): DataFrame = {
+    val banded = bandedSignatures(
+      signatures(docs, idCol, textCol, numHashes, shingleSize),
+      numHashes, rowsPerBand).select(col("band"), col("band_sig"), col("id"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard over MinHash-band blocked candidates — the
+    * scale-safe form of prefix-blocked n-gram dedup: candidates come from
+    * LSH banding (similarity-proportional bucket sizes), scores are the
+    * exact Jaccard over distinct unigram tokens. The token arrays are joined
+    * back per id AFTER pair dedup, so wide rows exist only for true
+    * candidates. */
+  def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, rowsPerBand: Int = 4,
+                          shingleSize: Int = 3): DataFrame = {
+    val pairs = lshCandidateIds(docs, idCol, textCol, numHashes, rowsPerBand, shingleSize)
+    val toks = docs.select(col(idCol).as("id"), distinctTokens(col(textCol)).as("toks"))
+    pairs
+      .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
   }
 
   /** Exact n-gram (word shingle) Jaccard similarity between two token-array

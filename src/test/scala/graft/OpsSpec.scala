@@ -45,6 +45,20 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("blocked exact Jaccard scores LSH candidates; materialized signatures agree") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h x"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val scored = DedupOps.blockedJaccardPairs(df, "doc_id", "text", 16, 4)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(scored.keySet === Set((1L, 2L)), "only the near-dup pair survives blocking")
+    assert(scored((1L, 2L)) === 8.0 / 9.0) // |{a..h}| / |{a..h,x}|
+    // compute-once signature table reproduces the inline candidate pairs
+    val sigs = DedupOps.materializeSignatures(df, "doc_id", "text", tmpDir("sigs"), 16)
+    val fromTable = DedupOps.pairsFromSignatures(sigs, 16, 4)
+    val inline = DedupOps.lshCandidatePairs(df, "doc_id", "text", 16, 4)
+    assert(fromTable.except(inline).isEmpty && inline.except(fromTable).isEmpty)
+  }
+
   test("jaccard and shingles") {
     val df = Seq((1L, "a b c", "b c d")).toDF("id", "x", "y")
     val j = df.select(DedupOps.jaccard(
