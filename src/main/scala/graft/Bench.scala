@@ -18,7 +18,9 @@ object Bench {
     // of data size) — it would swamp the query-throughput totals the bench
     // tracks round-over-round. Verify covers it; StreamBench measures
     // streaming throughput properly.
-    val skip = Set("e2e_stream_agg")
+    // o6_compact_files likewise: it is a store-maintenance round trip (two
+    // upserts + compact + FS listing), not a query.
+    val skip = Set("e2e_stream_agg", "o6_compact_files")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -124,6 +124,91 @@ object SparkEntry {
           + lit(2.0) / col("abs_sum") * col("s_up")) / 3.0).as("mean_wql"))
     }),
 
+    // A8 — compaction sizing arithmetic: per hour-prefix byte totals and the
+    // ceil(bytes / target) file count the compactor would choose
+    // (FeatureStoreAggregateParquet.py:79-85; KeyedParquetTable.compact uses
+    // the same formula on real file listings).
+    "a8_compaction_sizing" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_prefix"))
+        .agg(sum(octet_length(col("props")).cast("long")).as("total_bytes"),
+          count(lit(1)).as("n_objects"))
+        .withColumn("n_target_files", expr("(total_bytes + 16383) div 16384"))),
+
+    // J3 — scalar threshold compare + feedback: the monitoring loop's
+    // "tighten the alarm threshold when the model improves" as a 1-row query
+    // (update_monitoring_threshold.py:66-101; rate 0.5).
+    "j3_threshold_update" -> ((s, dir) => {
+      val th = lit(0.35)
+      val agg = predFrame(s, dir).agg(
+        Exact.sumD(abs(col("target")), 10).as("abs_sum"),
+        Exact.sumD(ql(0.05), 10).as("s_low"),
+        Exact.sumD(ql(0.5), 10).as("s_mid"),
+        Exact.sumD(ql(0.95), 10).as("s_up"))
+      agg.select(((lit(2.0) / col("abs_sum") * col("s_low")
+          + lit(2.0) / col("abs_sum") * col("s_mid")
+          + lit(2.0) / col("abs_sum") * col("s_up")) / 3.0).as("mean_wql"))
+        .select(col("mean_wql"), th.as("threshold"),
+          graft.monitor.ThresholdUpdate.nextCol(col("mean_wql"), th, lit(0.5))
+            .as("next_threshold"))
+    }),
+
+    // O6/S9 — compaction end-to-end: two upsert versions per hour partition,
+    // compact to one file per hour, then report the ACTUAL on-disk file
+    // count alongside a content rollup. The oracle pins n_files = 1 and
+    // recomputes the content from events — a superseded version surviving
+    // compaction, a lost row, or a split partition all hash-mismatch.
+    "o6_compact_files" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft-o6").toString
+      val table = new graft.store.KeyedParquetTable(s"$work/table", "tx_minute")
+      def minuteAgg(df: DataFrame, v: Double) =
+        MinuteAggregate(df, "ts", "value").withColumn("event_time", lit(v))
+      table.upsert(minuteAgg(ev(s, dir).filter(pmod(col("event_id"), lit(2)) === 0), 0.0), 0, bulk = true)
+      table.upsert(minuteAgg(ev(s, dir), 1.0), 1, bulk = true)
+      table.compact(s, targetFileBytes = Long.MaxValue)
+      val root = new org.apache.hadoop.fs.Path(table.path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def leaves(p: org.apache.hadoop.fs.Path, d: Int): Seq[org.apache.hadoop.fs.Path] =
+        if (d == 0) Seq(p)
+        else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(x => leaves(x.getPath, d - 1))
+      // hour-partition file counts: driver-side METADATA listing (bounded by
+      // #hour partitions, never data rows)
+      val counts = leaves(root, 4).map { hourDir =>
+        val segs = Seq.iterate(hourDir, 4)(_.getParent).map(_.getName.split("=")(1)).reverse
+        val prefix = s"${segs(0)}-${segs(1)}-${segs(2)} ${segs(3)}"
+        val n = fs.listStatus(hourDir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        (prefix, n)
+      }
+      val files = s.createDataFrame(counts).toDF("hour_prefix", "n_files")
+      val content = table.readLatest(s)
+        .groupBy(substring(col("tx_minute"), 1, 13).as("hour_prefix"))
+        .agg(count(lit(1)).as("n_minutes"), sum(col("total_nb_trx_1min")).as("total_trx"))
+      files.join(content, "hour_prefix")
+        .select(col("hour_prefix"), col("n_files"), col("n_minutes"), col("total_trx"))
+    }),
+
+    // P5 — string→timestamp cast round-trip + per-series sort index
+    // (preprocess.py:31-38: feature-store strings parsed back to timestamps,
+    // then position-indexed per series).
+    "p5_cast_sort" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_parsed"), col("event_id"))
+      ev(s, dir)
+        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("ts_parsed", to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("sort_idx", row_number().over(w))
+        .select(col("event_id"), col("user_id"), col("ts_str"), col("sort_idx"))
+    }),
+
+    // P6 — typed→string casts at the sink edge (the reference stores every
+    // feature ValueAsString, delivery_stream_to_featurestore/main.py:54-62).
+    "p6_value_as_string" -> ((s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        col("event_id").cast("string").as("id_str"),
+        col("user_id").cast("string").as("user_str"),
+        format_string("%.4f", col("value")).as("value_str"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))),
+
     // A9 — hourly Maximum + k-consecutive-breach alarm
     // (model-monitor-template.yml:766-796), k=3.
     "a9_alarm" -> ((s, dir) => {
@@ -608,6 +693,50 @@ object SparkEntry {
          |  2.0 / abs_sum * s_up AS wql_up,
          |  (2.0 / abs_sum * s_low + 2.0 / abs_sum * s_mid + 2.0 / abs_sum * s_up) / 3.0 AS mean_wql
          |FROM agg""".stripMargin,
+
+    "a8_compaction_sizing" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_prefix,
+        |  CAST(SUM(strlen(props)) AS BIGINT) AS total_bytes,
+        |  COUNT(*) AS n_objects,
+        |  CAST((CAST(SUM(strlen(props)) AS BIGINT) + 16383) // 16384 AS BIGINT) AS n_target_files
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "j3_threshold_update" ->
+      s"""WITH p AS ($predSql), agg AS (
+         |  SELECT CAST(SUM(CAST(abs(target) AS DECIMAL(30,10))) AS DOUBLE) AS abs_sum,
+         |    CAST(SUM(CAST(${qlSql(0.05)} AS DECIMAL(30,10))) AS DOUBLE) AS s_low,
+         |    CAST(SUM(CAST(${qlSql(0.5)} AS DECIMAL(30,10))) AS DOUBLE) AS s_mid,
+         |    CAST(SUM(CAST(${qlSql(0.95)} AS DECIMAL(30,10))) AS DOUBLE) AS s_up
+         |  FROM p),
+         |w AS (SELECT (2.0 / abs_sum * s_low + 2.0 / abs_sum * s_mid
+         |              + 2.0 / abs_sum * s_up) / 3.0 AS mean_wql FROM agg)
+         |SELECT mean_wql, CAST('0.35' AS DOUBLE) AS threshold,
+         |  CASE WHEN mean_wql < CAST('0.35' AS DOUBLE)
+         |       THEN mean_wql + abs(mean_wql - CAST('0.35' AS DOUBLE)) * CAST('0.5' AS DOUBLE)
+         |       ELSE CAST('0.35' AS DOUBLE) END AS next_threshold
+         |FROM w""".stripMargin,
+
+    "o6_compact_files" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_prefix,
+        |  CAST(1 AS INTEGER) AS n_files,
+        |  COUNT(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+        |  COUNT(*) AS total_trx
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "p5_cast_sort" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INTEGER) AS sort_idx
+        |FROM events""".stripMargin,
+
+    "p6_value_as_string" ->
+      """SELECT event_id,
+        |  CAST(event_id AS VARCHAR) AS id_str,
+        |  CAST(user_id AS VARCHAR) AS user_str,
+        |  printf('%.4f', value) AS value_str,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM events""".stripMargin,
 
     "a9_alarm" ->
       """WITH hourly AS (

@@ -41,4 +41,10 @@ object Alarm {
 object ThresholdUpdate {
   def next(wql: Double, threshold: Double, updateRate: Double = 0.5): Double =
     if (wql < threshold) wql + math.abs(wql - threshold) * updateRate else threshold
+
+  /** Columnar form of [[next]] — the same compare-and-tighten expressed
+    * relationally so the feedback step can run inside a query (J3). */
+  def nextCol(wql: Column, threshold: Column, updateRate: Column): Column =
+    when(wql < threshold, wql + abs(wql - threshold) * updateRate)
+      .otherwise(threshold)
 }

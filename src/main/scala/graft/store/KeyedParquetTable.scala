@@ -40,11 +40,19 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * @param version monotonic sequence (e.g. the streaming batchId) breaking
     *   ties when two upserts of the same key share an `event_time` second —
     *   the reference's "last put_record wins" needs a total order. */
-  def upsert(batch: DataFrame, version: Long = 0L): Unit = {
+  def upsert(batch: DataFrame, version: Long = 0L, bulk: Boolean = false): Unit = {
     val stamped = batch.withColumn("__v", lit(version))
-    val w = if (partitioned)
-      withPartitionCols(stamped).write.partitionBy("year", "month", "day", "hour")
-    else stamped.write
+    val w = if (partitioned) {
+      val p = withPartitionCols(stamped)
+      // bulk (backfill) loads: co-locate each hour partition into one task so
+      // the append writes one file per directory instead of one per task —
+      // streaming micro-batches skip this (few open windows, extra shuffle
+      // not worth it; compact() collapses their small files on cadence)
+      val arranged = if (bulk)
+        p.repartition(col("year"), col("month"), col("day"), col("hour"))
+      else p
+      arranged.write.partitionBy("year", "month", "day", "hour")
+    } else stamped.write
     w.mode(SaveMode.Append).parquet(path)
   }
 
@@ -93,9 +101,14 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * ceil(bytes / targetFileBytes) files. Also collapses superseded versions
     * (latest-wins) — the parquet analog of a Delta OPTIMIZE + vacuum.
     *
-    * Stays per-partition by construction: each hour prefix is rewritten
-    * independently with dynamic partition overwrite, so a 100 TB table
-    * compacts incrementally, never as one global rewrite. */
+    * Runs as ONE distributed pass regardless of how many prefixes need work:
+    * the sizing plan (prefix → target file count, from the driver-side file
+    * listing) is broadcast-joined onto the scan — dynamic partition pruning
+    * skips prefixes that are already compact — each partition's survivors are
+    * salted into its ceil(bytes/target) output files, and a single dynamic
+    * partition overwrite rewrites exactly the planned prefixes. The previous
+    * shape (one read+write job per prefix) serialized hundreds of tiny Spark
+    * jobs; at 100 TB the single salted pass is also what bounds task counts. */
   def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
     if (!partitioned) return
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,27 +118,37 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     def leafDirs(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(s => leafDirs(s.getPath, depth - 1))
-    val prefixes = leafDirs(root, 4).flatMap { dir =>
+    val plan = leafDirs(root, 4).flatMap { dir =>
       val files = fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length > 1) Some((dir, files.map(_.getLen).sum)) else None
+      if (files.length <= 1) None
+      else {
+        val segs = Seq.iterate(dir, 4)(_.getParent).map(_.getName.split("=", 2)(1)).reverse
+        val n = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        Some((segs(0), segs(1), segs(2), segs(3), n))
+      }
     }
+    if (plan.isEmpty) return
+    val planDf = spark.createDataFrame(plan).toDF("year", "month", "day", "hour", "__n")
+    val todo = spark.read.parquet(path)
+      .join(broadcast(planDf), Seq("year", "month", "day", "hour"))
+      .drop("year", "month", "day", "hour")
+    // keep each survivor's original __v: resetting it would let a replayed
+    // foreachBatch (same batchId, higher __v than 0) win over the newer
+    // compacted value
+    val compacted = latestOnly(todo, keepVersion = true)
+    // re-derive partition values from the key (string-typed, matching the
+    // upsert layout — month=01, not the scan's int-inferred month=1, so the
+    // dynamic overwrite replaces the original directories)
+    val ready = withPartitionCols(compacted)
+      .withColumn("__salt", pmod(xxhash64(col(keyCol)), col("__n")))
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      prefixes.foreach { case (dir, bytes) =>
-        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        // keep each survivor's original __v: resetting it would let a
-        // replayed foreachBatch (same batchId, higher __v than 0) win over
-        // the newer compacted value
-        val compacted = latestOnly(spark.read.parquet(dir.toString), keepVersion = true)
-        // re-derive partition values from the last 4 path segments
-        // (year=…/month=…/day=…/hour=…)
-        val parts = Seq.iterate(dir, 4)(_.getParent).map(_.getName).reverse
-          .map { seg => val Array(k, v) = seg.split("=", 2); (k, v) }
-        val withParts = parts.foldLeft(compacted) { case (df, (k, v)) => df.withColumn(k, lit(v)) }
-        withParts.coalesce(n).write.mode(SaveMode.Overwrite)
-          .partitionBy("year", "month", "day", "hour").parquet(path)
-      }
+      ready
+        .repartition(col("year"), col("month"), col("day"), col("hour"), col("__salt"))
+        .drop("__salt", "__n")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("year", "month", "day", "hour").parquet(path)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
