@@ -67,6 +67,11 @@ object SeriesETL {
   def tail(indexedDf: DataFrame, len: Long): DataFrame =
     indexedDf.filter(col(RN) > col(N) - len).drop(RN, N)
 
+  /** Rows with position in (from, to] — a bounded slice of the ordered
+    * series (e.g. a capped history window ending at the forecast origin). */
+  def range(indexedDf: DataFrame, from: Long, to: Long): DataFrame =
+    indexedDf.filter(col(RN) > from && col(RN) <= to).drop(RN, N)
+
   /** O4 — expanding-window validation prefixes: k-th series is the prefix of
     * length n - p - (K-k)*p. Returns (k, prefixDf) pairs. */
   def validationPrefixes(indexedDf: DataFrame, b: SplitSpec.Bounds): Seq[(Int, DataFrame)] =

@@ -19,10 +19,23 @@ object MonitoringJob {
   /** @param agg        aggregate table (latest-wins view)
     * @param orderCol   time key, ascending (e.g. tx_minute)
     * @param targetCol  metric column (reference: avg_fee_1min)
-    * @param confidence monitoring confidence (whitelist {60,70,80,90}) */
+    * @param confidence monitoring confidence (whitelist {60,70,80,90})
+    * @param maxHistory cap on the context window collected for the
+    *                   forecaster (default: one year of minutes) — the
+    *                   driver transfer stays bounded however old the table
+    *                   grows; the Forecaster contract takes a driver-side
+    *                   array because it mirrors the reference's endpoint call
+    * @param artifactDir when set, renders targets-quantiles.csv +
+    *                   evaluation.json and the capture-format JSONL pairs
+    *                   under this directory (see [[EvaluationReport]] /
+    *                   [[MonitoringCapture]])
+    * @param uploadTime  timestamp used for capture paths + inferenceTime */
   def run(agg: DataFrame, orderCol: String, targetCol: String,
           forecaster: Forecaster, threshold: Double,
-          predictionLength: Int = 5, confidence: Int = 90)
+          predictionLength: Int = 5, confidence: Int = 90,
+          maxHistory: Long = 527040L,
+          artifactDir: Option[String] = None,
+          uploadTime: java.time.Instant = java.time.Instant.EPOCH)
          (implicit spark: SparkSession): Metrics = {
     import spark.implicits._
     val n = agg.count()
@@ -31,25 +44,31 @@ object MonitoringJob {
     val idx = SeriesETL.indexed(agg, orderCol).cache()
     try {
       val p = predictionLength.toLong
-      // prefix drives the forecast; tail is ground truth
-      // (monitoring_data_collection.py:154-176)
-      val history = SeriesETL.toSeries(
-        SeriesETL.prefix(idx, n - p), orderCol, targetCol).head().target
+      // capped context window ending at the forecast origin drives the
+      // forecast; tail is ground truth (monitoring_data_collection.py:154-176)
+      val hist = SeriesETL.toSeries(
+        SeriesETL.range(idx, math.max(0L, n - p - maxHistory), n - p),
+        orderCol, targetCol).head()
       val truth = SeriesETL.tail(idx, p).orderBy(orderCol)
         .select(col(targetCol).cast("double")).as[Double].collect()
 
       val (lowQ, upQ) = QuantileBounds.monitoring(confidence)
       val quantiles = Seq(lowQ, 0.5, upQ)
-      val (mean, qPreds) = forecaster.predict(history, truth.length, quantiles)
+      val (mean, qPreds) = forecaster.predict(hist.target, truth.length, quantiles)
 
       // J2 positional align of truth vs predictions
       val aligned = truth.indices.map { i =>
-        (truth(i), mean(i), qPreds(lowQ)(i), qPreds(0.5)(i), qPreds(upQ)(i))
-      }.toDF("target", "prediction_mean", "pred_low", "pred_mid", "pred_up")
+        (i + 1, truth(i), mean(i), qPreds(lowQ)(i), qPreds(0.5)(i), qPreds(upQ)(i))
+      }.toDF("__pos", "target", "prediction_mean", "pred_low", "pred_mid", "pred_up")
 
       val rmse = Evaluation.rmse(aligned, "target", "prediction_mean")
       val (perQ, meanWql) = Evaluation.weightedQuantileLoss(aligned, "target",
         Seq(lowQ -> "pred_low", 0.5 -> "pred_mid", upQ -> "pred_up"))
+      artifactDir.foreach { dir =>
+        EvaluationReport.write(aligned, "__pos", dir, lowQ, upQ)
+        MonitoringCapture.write(hist.start, hist.target.toSeq,
+          qPreds(0.5).toSeq, truth.toSeq, dir, uploadTime)
+      }
       Metrics(rmse, perQ, meanWql, truth.length, threshold, meanWql >= threshold)
     } finally idx.unpersist()
   }
