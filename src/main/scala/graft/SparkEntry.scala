@@ -257,30 +257,35 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"))),
 
     // O3/O4 — train/validation/test split sizing over the minute series
-    // (preprocess.py:101-146); p=5, K=4. One pass: conditional aggregation
-    // computes all seven splits' (len, start, end) in a single reduction,
-    // then unpivots — the naive form scans the series once per split.
+    // (preprocess.py:101-146); p=5, K=4. Split membership "rn <= n - c" over
+    // the ordered unique minute keys ⟺ "tx_minute < (c-th key from the end)",
+    // so instead of a single-partition global row_number the query fetches
+    // the last 5p keys with a top-k (TakeOrdered — no global sort, 25 strings
+    // to the driver) and evaluates all seven splits' (len, start, end) in ONE
+    // conditional-aggregation pass, then unpivots.
     "o3_split_bounds" -> ((s, dir) => {
       val minutes = MinuteAggregate(ev(s, dir), "ts", "value").select(col("tx_minute"))
-      val w = Window.orderBy(col("tx_minute"))
-      val idx = minutes.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
       val p = 5
-      // split name → predicate on (rn, n)
+      val edge = minutes.orderBy(col("tx_minute").desc).limit(5 * p)
+        .collect().map(_.getString(0))
+      // all but the last c minutes; empty when the series has ≤ c points
+      def before(c: Int): Column =
+        if (edge.length < c) lit(false) else col("tx_minute") < edge(c - 1)
       val splits: Seq[(String, Column)] = Seq(
-        ("train", col("rn") <= col("n") - p - 4 * p),
-        ("validation_1", col("rn") <= col("n") - p - 3 * p),
-        ("validation_2", col("rn") <= col("n") - p - 2 * p),
-        ("validation_3", col("rn") <= col("n") - p - p),
-        ("validation_4", col("rn") <= col("n") - p),
-        ("test_inputs", col("rn") <= col("n") - p),
-        ("test_targets", col("rn") > col("n") - p))
+        ("train", before(5 * p)),
+        ("validation_1", before(4 * p)),
+        ("validation_2", before(3 * p)),
+        ("validation_3", before(2 * p)),
+        ("validation_4", before(p)),
+        ("test_inputs", before(p)),
+        ("test_targets",
+          if (edge.length < p) lit(true) else col("tx_minute") >= edge(p - 1)))
       val aggs = splits.flatMap { case (name, pred) => Seq(
         count(when(pred, 1)).as(s"${name}__len"),
         min(when(pred, col("tx_minute"))).as(s"${name}__start"),
         max(when(pred, col("tx_minute"))).as(s"${name}__end"))
       }
-      val one = idx.agg(aggs.head, aggs.tail: _*)
+      val one = minutes.agg(aggs.head, aggs.tail: _*)
       val stackArgs = splits.map { case (name, _) =>
         s"'$name', `${name}__len`, `${name}__start`, `${name}__end`"
       }.mkString(", ")
@@ -297,15 +302,16 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))),
 
     // J2 — positional alignment of two ordered frames (evaluate.py:60-70).
+    // Each side's global position comes from the two-pass range-partitioned
+    // rank (ops/Ranking), not a single-partition window.
     "j2_positional_align" -> ((s, dir) => {
       val base = ev(s, dir)
-      def side(uid: Int, outCol: String): DataFrame = {
-        val w = Window.orderBy(col("ts"), col("event_id"))
-        base.filter(col("user_id") === uid)
-          .select(col("ts"), col("event_id"), col("value"))
-          .withColumn("pos", row_number().over(w))
+      def side(uid: Int, outCol: String): DataFrame =
+        graft.ops.Ranking.globalRowNumber(
+          base.filter(col("user_id") === uid)
+            .select(col("ts"), col("event_id"), col("value")),
+          Seq(col("ts"), col("event_id")), "pos")
           .select(col("pos"), col("value").as(outCol))
-      }
       val t = side(1, "target"); val p = side(2, "prediction")
       t.join(p, "pos")
         .select(col("pos"), col("target"), col("prediction"),

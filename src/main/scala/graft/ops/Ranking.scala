@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ordering index — the two-pass range-partitioned rank that
+  * replaces a single-partition `Window.orderBy(...).row_number()`.
+  *
+  * Pass 1 range-partitions by the order columns and counts rows per
+  * partition (a metadata-sized driver list — one long per partition, never
+  * data rows); pass 2 computes a per-partition local row_number (the window
+  * is partitioned by the range-partition id, so every task ranks its own
+  * slice in parallel) and adds the partition's cumulative offset.
+  *
+  * The order columns must form a total order (unique keys): the final index
+  * is then independent of the sampling-based range boundaries.
+  */
+object Ranking {
+
+  /** Attach a 1-based global position `out` ordered by `orderCols`. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      out: String = "pos"): DataFrame = {
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // pass 1: per-partition counts → cumulative offsets (driver-side scan of
+    // #partitions entries)
+    val counts = ranged.groupBy(col("__pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+    // pass 2: parallel local rank + offset
+    ranged
+      .withColumn("__lrn",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
+      .join(offDf, "__pid")
+      .withColumn(out, (col("__lrn") + col("__off")).cast("int"))
+      .drop("__pid", "__lrn", "__off")
+  }
+}

@@ -59,6 +59,17 @@ class OpsSpec extends SparkSpec {
     assert(fromTable.except(inline).isEmpty && inline.except(fromTable).isEmpty)
   }
 
+  test("two-pass global row number matches a single-partition rank") {
+    import graft.ops.Ranking
+    val df = spark.range(1000).select(
+      (col("id") * 48271 % 1009).as("k"), col("id").as("v")) // shuffled unique keys
+    val got = Ranking.globalRowNumber(df, Seq(col("k"), col("v")), "pos")
+    val want = df.withColumn("pos",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"k", $"v")))
+    assert(got.count() === 1000)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("jaccard and shingles") {
     val df = Seq((1L, "a b c", "b c d")).toDF("id", "x", "y")
     val j = df.select(DedupOps.jaccard(
