@@ -384,6 +384,16 @@ object SparkEntry {
           date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))),
 
+    // A13 — cube over (event_type, day): all four grouping sets in one pass,
+    // disambiguated by the grouping-set id (rounding out the rollup family;
+    // same partial-agg shuffle shape as a12 with 4x the grouping sets).
+    "a13_cube" -> ((s, dir) =>
+      ev(s, dir)
+        .cube(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))),
+
     // D1 — exact dedup by content fingerprint (hash-groupBy).
     "d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
@@ -865,6 +875,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY ROLLUP (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))""".stripMargin,
+
+    // Spark's grouping_id() packs grouping(col_i) bits MSB-first:
+    // gid = grouping(event_type)*2 + grouping(day).
+    "a13_cube" ->
+      """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(GROUPING(event_type) * 2
+        |       + GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) AS INTEGER) AS gid,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))""".stripMargin,
 
     "d1_dedup_exact" ->
       s"""SELECT $fpSql AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
