@@ -28,6 +28,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Fixed per-query scratch dir, recreated on each call — repeated
+    * Verify/Bench runs must not accumulate temp data on the host. */
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-scratch", name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(p.toFile)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   /** lag-1 prediction frame used by the evaluation queries (a5/a6/a7): the
     * previous value of the same user is the "forecast" — deterministic and
     * oracle-expressible, standing in for the external DeepAR model the
@@ -159,27 +172,15 @@ object SparkEntry {
     // recomputes the content from events — a superseded version surviving
     // compaction, a lost row, or a split partition all hash-mismatch.
     "o6_compact_files" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-o6").toString
+      val work = scratch("o6")
       val table = new graft.store.KeyedParquetTable(s"$work/table", "tx_minute")
       def minuteAgg(df: DataFrame, v: Double) =
         MinuteAggregate(df, "ts", "value").withColumn("event_time", lit(v))
       table.upsert(minuteAgg(ev(s, dir).filter(pmod(col("event_id"), lit(2)) === 0), 0.0), 0, bulk = true)
       table.upsert(minuteAgg(ev(s, dir), 1.0), 1, bulk = true)
       table.compact(s, targetFileBytes = Long.MaxValue)
-      val root = new org.apache.hadoop.fs.Path(table.path)
-      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-      def leaves(p: org.apache.hadoop.fs.Path, d: Int): Seq[org.apache.hadoop.fs.Path] =
-        if (d == 0) Seq(p)
-        else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(x => leaves(x.getPath, d - 1))
-      // hour-partition file counts: driver-side METADATA listing (bounded by
-      // #hour partitions, never data rows)
-      val counts = leaves(root, 4).map { hourDir =>
-        val segs = Seq.iterate(hourDir, 4)(_.getParent).map(_.getName.split("=")(1)).reverse
-        val prefix = s"${segs(0)}-${segs(1)}-${segs(2)} ${segs(3)}"
-        val n = fs.listStatus(hourDir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        (prefix, n)
-      }
-      val files = s.createDataFrame(counts).toDF("hour_prefix", "n_files")
+      val files = s.createDataFrame(table.hourPrefixFileCounts(s))
+        .toDF("hour_prefix", "n_files")
       val content = table.readLatest(s)
         .groupBy(substring(col("tx_minute"), 1, 13).as("hour_prefix"))
         .agg(count(lit(1)).as("n_minutes"), sum(col("total_nb_trx_1min")).as("total_trx"))
@@ -311,7 +312,8 @@ object SparkEntry {
           base.filter(col("user_id") === uid)
             .select(col("ts"), col("event_id"), col("value")),
           Seq(col("ts"), col("event_id")), "pos")
-          .select(col("pos"), col("value").as(outCol))
+          // int at the query edge (oracle schema); the operator itself is long
+          .select(col("pos").cast("int").as("pos"), col("value").as(outCol))
       val t = side(1, "target"); val p = side(2, "prediction")
       t.join(p, "pos")
         .select(col("pos"), col("target"), col("prediction"),
@@ -408,7 +410,7 @@ object SparkEntry {
     // table (the signature subtree appears once; both join sides are cheap
     // parquet re-reads, not md5-over-shingles recomputes).
     "d2b_minhash_materialized" -> ((s, dir) => {
-      val sigTable = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+      val sigTable = scratch("sigs")
       DedupOps.pairsFromSignatures(
         DedupOps.materializeSignatures(docs(s, dir), "doc_id", "text", sigTable, 16), 16, 4)
     }),
@@ -535,7 +537,7 @@ object SparkEntry {
     // keyed upsert; the returned table state must equal the oracle's clean
     // batch recomputation (see graft.streaming.EndToEnd).
     "e2e_stream_agg" -> ((s, dir) => {
-      val work = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+      val work = scratch("e2e")
       graft.streaming.EndToEnd.run(s, ev(s, dir), work)
     })
   )

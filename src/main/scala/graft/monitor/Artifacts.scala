@@ -32,9 +32,11 @@ object EvaluationReport {
     *                 (orderCol, target, prediction_mean, pred_low, pred_mid,
     *                 pred_up) — one row per forecast step, so the single-file
     *                 CSV is bounded by the prediction window, never the table
-    * @return (rmse, mean weighted quantile loss), as written to the report */
+    * @param rmse     precomputed metrics for the report (the caller already
+    * @param meanWql  has them — recomputing here would double the Spark jobs
+    *                 per monitoring run and create two sources of truth) */
   def write(aligned: DataFrame, orderCol: String, outDir: String,
-            lowQ: Double, upQ: Double): (Double, Double) = {
+            lowQ: Double, upQ: Double, rmse: Double, meanWql: Double): Unit = {
     val err = col("target") - col("prediction_mean")
     val full = aligned.select(
       col(orderCol),
@@ -61,14 +63,10 @@ object EvaluationReport {
     fs.rename(part, new Path(outDir, "targets-quantiles.csv"))
     fs.delete(stage, true)
 
-    val rmse = Evaluation.rmse(aligned, "target", "prediction_mean")
-    val (_, meanWql) = Evaluation.weightedQuantileLoss(aligned, "target",
-      Seq(lowQ -> "pred_low", 0.5 -> "pred_mid", upQ -> "pred_up"))
     val report =
       s"""{"deepar_metrics": {"rmse": {"value": $rmse, "standard_deviation": "NaN"}, """ +
         s""""weighted_quantile_loss": {"value": $meanWql, "standard_deviation": "NaN"}}}"""
     Files.writeString(Paths.get(outDir, "evaluation.json"), report)
-    (rmse, meanWql)
   }
 }
 

@@ -65,7 +65,7 @@ object MonitoringJob {
       val (perQ, meanWql) = Evaluation.weightedQuantileLoss(aligned, "target",
         Seq(lowQ -> "pred_low", 0.5 -> "pred_mid", upQ -> "pred_up"))
       artifactDir.foreach { dir =>
-        EvaluationReport.write(aligned, "__pos", dir, lowQ, upQ)
+        EvaluationReport.write(aligned, "__pos", dir, lowQ, upQ, rmse, meanWql)
         MonitoringCapture.write(hist.start, hist.target.toSeq,
           qPreds(0.5).toSeq, truth.toSeq, dir, uploadTime)
       }

@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** Attach a 1-based global position `out` ordered by `orderCols`. */
+  /** Attach a 1-based global position `out` (long — a global index must not
+    * inherit row_number's 2^31 cap) ordered by `orderCols`. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       out: String = "pos"): DataFrame = {
+    // Freeze the partition assignment BEFORE running two actions over it:
+    // repartitionByRange samples per-execution (and AQE may re-coalesce), so
+    // without pinning, the counts pass and the rank pass could see different
+    // boundaries — duplicated/missing positions, or pids silently dropped by
+    // the offsets join. The eager localCheckpoint materializes the ranged
+    // blocks once (with __pid baked into the rows) and both passes read them.
     val ranged = df.repartitionByRange(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // pass 1: per-partition counts → cumulative offsets (driver-side scan of
     // #partitions entries)
     val counts = ranged.groupBy(col("__pid")).count()
@@ -36,7 +44,7 @@ object Ranking {
       .withColumn("__lrn",
         row_number().over(Window.partitionBy(col("__pid")).orderBy(orderCols: _*)))
       .join(offDf, "__pid")
-      .withColumn(out, (col("__lrn") + col("__off")).cast("int"))
+      .withColumn(out, col("__lrn") + col("__off"))
       .drop("__pid", "__lrn", "__off")
   }
 }

@@ -109,20 +109,44 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * partition overwrite rewrites exactly the planned prefixes. The previous
     * shape (one read+write job per prefix) serialized hundreds of tiny Spark
     * jobs; at 100 TB the single salted pass is also what bounds task counts. */
-  def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
-    if (!partitioned) return
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fileSystem(spark: SparkSession) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hourDirs(spark: SparkSession): Seq[Path] = {
+    val fs = fileSystem(spark)
     val root = new Path(path)
-    if (!fs.exists(root)) return
-    // discover hour prefixes with >1 file (FeatureStoreAggregateParquet.py:52-58)
     def leafDirs(p: Path, depth: Int): Seq[Path] =
       if (depth == 0) Seq(p)
       else fs.listStatus(p).filter(_.isDirectory).toSeq.flatMap(s => leafDirs(s.getPath, depth - 1))
-    val plan = leafDirs(root, 4).flatMap { dir =>
+    if (!partitioned || !fs.exists(root)) Seq.empty else leafDirs(root, 4)
+  }
+
+  /** Partition values (year, month, day, hour) of an hour directory, parsed
+    * from its last 4 `k=v` path segments. */
+  private def partValues(dir: Path): Seq[String] =
+    Seq.iterate(dir, 4)(_.getParent).map(_.getName.split("=", 2)(1)).reverse
+
+  /** S9 observability — "yyyy-MM-dd HH" prefix → parquet file count, from a
+    * driver-side METADATA listing (bounded by #hour partitions, never rows).
+    * The compaction gate and the o6 file-count oracle both read this. */
+  def hourPrefixFileCounts(spark: SparkSession): Seq[(String, Int)] = {
+    val fs = fileSystem(spark)
+    hourDirs(spark).map { dir =>
+      val s = partValues(dir)
+      (s"${s(0)}-${s(1)}-${s(2)} ${s(3)}",
+        fs.listStatus(dir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+    }
+  }
+
+  def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    if (!partitioned) return
+    val fs = fileSystem(spark)
+    // discover hour prefixes with >1 file (FeatureStoreAggregateParquet.py:52-58)
+    val plan = hourDirs(spark).flatMap { dir =>
       val files = fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (files.length <= 1) None
       else {
-        val segs = Seq.iterate(dir, 4)(_.getParent).map(_.getName.split("=", 2)(1)).reverse
+        val segs = partValues(dir)
         val n = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
         Some((segs(0), segs(1), segs(2), segs(3), n))
       }

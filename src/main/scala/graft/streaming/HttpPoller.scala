@@ -60,10 +60,10 @@ class EnvelopePoller(fetcher: Fetcher, landingDir: String,
   /** Total oversize txs discarded (the reference's dropped-tx metric). */
   @volatile var droppedTxs: Long = 0L
 
-  private def envelopeBounds(id: String): (String, String) = (
+  private def envelopePrefix(id: String): String =
     s"""{"version":0,"id":"$id","detail-type":"Incoming Data","source":"$source",""" +
-      s""""account":0,"time":"${clock()}","region":"","resources":[],"detail":{"txs":[""",
-    "]}}")
+      s""""account":0,"time":"${clock()}","region":"","resources":[],"detail":{"txs":["""
+  private val envelopeSuffix = "]}}"
 
   /** One poll → one landing file (JSON lines, one envelope per line), or
     * None when the fetch failed or yielded no packable txs. Files are
@@ -76,15 +76,19 @@ class EnvelopePoller(fetcher: Fetcher, landingDir: String,
         if (!root.isArray) Seq.empty
         else (0 until root.size()).map(i => mapper.writeValueAsString(root.get(i)))
       } catch { case _: Exception => Seq.empty[String] }
-    val id = s"$source-$seq"
-    val (prefix, suffix) = envelopeBounds(id)
-    val (batches, dropped) = EnvelopeBatcher.split(prefix, suffix, txs, maxEnvelopeBytes)
+    // size against a representative fixed-width id, then stamp each batch
+    // with its own unique id (the reference gives every bus entry one)
+    val sizingPrefix = envelopePrefix(f"$source-$seq-0000")
+    val (batches, dropped) =
+      EnvelopeBatcher.split(sizingPrefix, envelopeSuffix, txs, maxEnvelopeBytes)
     droppedTxs += dropped.length
     if (batches.isEmpty) None
     else {
       val dir = Paths.get(landingDir)
       Files.createDirectories(dir)
-      val lines = batches.map(b => prefix + b.mkString(",") + suffix).mkString("\n")
+      val lines = batches.zipWithIndex.map { case (b, i) =>
+        envelopePrefix(f"$source-$seq-$i%04d") + b.mkString(",") + envelopeSuffix
+      }.mkString("\n")
       val tmp = dir.resolve(s".poll-$seq.tmp")
       val dst = dir.resolve(f"poll-$seq%09d.json")
       Files.write(tmp, lines.getBytes(UTF_8))
@@ -98,8 +102,10 @@ class EnvelopePoller(fetcher: Fetcher, landingDir: String,
   def start(): Unit = if (running.compareAndSet(false, true)) {
     thread = new Thread(() => {
       while (running.get()) {
+        // a poll must never kill the loop: transient I/O failures (disk
+        // full, landing dir unwritable) are skipped like failed fetches
         try pollOnce()
-        catch { case _: InterruptedException => /* stopping */ }
+        catch { case scala.util.control.NonFatal(_) | (_: InterruptedException) => }
         try Thread.sleep(intervalMs)
         catch { case _: InterruptedException => /* stopping */ }
       }

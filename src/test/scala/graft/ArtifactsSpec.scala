@@ -19,7 +19,10 @@ class ArtifactsSpec extends SparkSpec {
       (2, 12.0, 12.0, 11.0, 12.0, 13.0))
       .toDF("__pos", "target", "prediction_mean", "pred_low", "pred_mid", "pred_up")
     val out = tmpDir("eval")
-    val (rmse, wql) = EvaluationReport.write(aligned, "__pos", out, 0.05, 0.95)
+    val rmse = graft.batch.Evaluation.rmse(aligned, "target", "prediction_mean")
+    val (_, wql) = graft.batch.Evaluation.weightedQuantileLoss(aligned, "target",
+      Seq(0.05 -> "pred_low", 0.5 -> "pred_mid", 0.95 -> "pred_up"))
+    EvaluationReport.write(aligned, "__pos", out, 0.05, 0.95, rmse, wql)
 
     val csv = Files.readString(Paths.get(out, "targets-quantiles.csv")).trim.split("\n")
     assert(csv(0) === "target,prediction_mean,prediction_0.05,prediction_0.5," +

@@ -65,7 +65,8 @@ class OpsSpec extends SparkSpec {
       (col("id") * 48271 % 1009).as("k"), col("id").as("v")) // shuffled unique keys
     val got = Ranking.globalRowNumber(df, Seq(col("k"), col("v")), "pos")
     val want = df.withColumn("pos",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"k", $"v")))
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy($"k", $"v"))
+        .cast("long"))
     assert(got.count() === 1000)
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
