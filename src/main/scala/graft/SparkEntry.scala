@@ -422,6 +422,30 @@ object SparkEntry {
     "d4_ngram_jaccard" -> ((s, dir) =>
       DedupOps.blockedJaccardPairs(docs(s, dir), "doc_id", "text", 16, 4)),
 
+    // C1 — the corpus-cleaning pipeline COMPOSED: language/quality/length
+    // filters → exact dedup (canonical = min doc_id per fingerprint) →
+    // near-dup removal (drop the higher id of any MinHash pair with
+    // est_jaccard ≥ 0.5). One declarative plan: per-row scoring fuses into
+    // the scan, the two dedup stages are one groupBy + one anti-join — the
+    // shape a production training-data cleaner runs at 100 TB.
+    "c1_corpus_clean" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = d.select(col("doc_id"),
+        TextOps.langIdHeuristic(col("text")).as("lang"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val kept = scored.filter(col("n_tokens") >= 5 && col("quality") >= 0.5)
+      val canon = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val uniq = kept.join(canon, Seq("fp", "doc_id"))
+      val dupIds = DedupOps.lshCandidatePairs(d, "doc_id", "text", 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      uniq.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          Exact.fmt(col("quality"), 4).as("quality_r"))
+    }),
+
     // T1 — token counting.
     "t1_token_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -496,6 +520,46 @@ object SparkEntry {
         .withColumn("rn", row_number().over(wOrd))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("series"))
+    }),
+
+    // O9 — top-k per key: latest 3 events per user. Spark 4 compiles the
+    // rank-filter into WindowGroupLimit (bounded per-group heaps on BOTH
+    // sides of the exchange — only k rows per key cross the shuffle, no
+    // full sort materializes; see docs/PLANS.md "Top-k per key").
+    "o9_group_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, dir).withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("rk"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
+    // A14 — exact percentiles per group (p50/p95/p99 with linear
+    // interpolation — the monitoring-dashboard rollup surface).
+    "a14_percentiles" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n"))),
+
+    // S3 — symmetric int8 embedding quantization (training pipelines store
+    // embeddings quantized 4x smaller; scale = max|x|/127 per vector,
+    // q = trunc(x/scale) — trunc, because Spark's double→int cast truncates
+    // and the oracle mirrors it with trunc()). Per-row, no shuffle.
+    "s3_quantize" -> ((s, dir) => {
+      val v = col("embedding")
+      val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+      val scale = (maxAbs / lit(127.0)).as("scale")
+      // string-encoded ints: the driver's row comparator sorts on column
+      // values, which arrays break (same convention as o5_series)
+      emb(s, dir).select(col("vec_id"), scale,
+        concat_ws(",",
+          when(maxAbs === 0.0, transform(v, _ => lit(0)))
+            .otherwise(transform(v, x =>
+              (x.cast("double") / (maxAbs / lit(127.0))).cast("int"))))
+          .as("qvec"))
     }),
 
     // P7 — NaN encoding for model input (utils.py:124-125).
@@ -583,6 +647,41 @@ object SparkEntry {
     s"""WITH $minhashCtes
        |SELECT p.id_a, p.id_b, CAST(($eq) AS DOUBLE) / 16 AS est_jaccard
        |FROM pairs p JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id""".stripMargin
+  }
+
+  /** The composed cleaning pipeline (c1): filters → exact dedup → near-dup
+    * removal, sharing the minhash CTE chain. est_jaccard ≥ 0.5 over 16
+    * components ⟺ ≥ 8 equal components (integer compare, no fp literal). */
+  private def corpusCleanOracle: String = {
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashCtes,
+       |dup AS (SELECT DISTINCT p.id_b FROM pairs p
+       |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+       |  WHERE ($eq) >= 8),
+       |b AS (SELECT doc_id, text,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+       |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |            / length(text) END AS praw,
+       |  CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE)
+       |    / greatest(length(lower(text)), 1) AS vr,
+       |  $fpSql AS fp
+       |  FROM documents),
+       |q AS (SELECT doc_id, fp,
+       |  CASE WHEN vr >= 0.42 THEN 'en' WHEN vr >= 0.36 THEN 'es' ELSE 'de' END AS lang,
+       |  ntok AS n_tokens,
+       |  (least(length(text) / 500.0, 1.0)
+       |   + (1.0 - least(praw * 5.0, 1.0))
+       |   + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+       |  ) / 3.0 AS quality
+       |  FROM b),
+       |kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND quality >= CAST('0.5' AS DOUBLE)),
+       |canon AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+       |SELECT k.doc_id, k.lang, k.n_tokens, printf('%.4f', k.quality) AS quality_r
+       |FROM kept k JOIN canon c ON k.fp = c.fp AND k.doc_id = c.doc_id
+       |WHERE k.doc_id NOT IN (SELECT id_b FROM dup)""".stripMargin
   }
 
   /** Exact unigram-token Jaccard over the LSH candidate pairs (d4). */
@@ -901,6 +1000,8 @@ object SparkEntry {
 
     "d4_ngram_jaccard" -> blockedJaccardOracle,
 
+    "c1_corpus_clean" -> corpusCleanOracle,
+
     "t1_token_stats" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens,
@@ -962,6 +1063,30 @@ object SparkEntry {
       """SELECT user_id,
         |  string_agg(printf('%.2f', value), ',' ORDER BY ts, event_id) AS series
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "o9_group_topk" ->
+      """SELECT user_id, rk, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS INTEGER) AS rk
+        |  FROM events) WHERE rk <= 3""".stripMargin,
+
+    "a14_percentiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, CAST('0.5' AS DOUBLE)) AS p50,
+        |  quantile_cont(value, CAST('0.95' AS DOUBLE)) AS p95,
+        |  quantile_cont(value, CAST('0.99' AS DOUBLE)) AS p99,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "s3_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |m AS (SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS maxabs FROM v)
+        |SELECT vec_id, maxabs / 127.0 AS scale,
+        |  array_to_string(
+        |    CASE WHEN maxabs = 0.0 THEN list_transform(ve, x -> 0)
+        |         ELSE list_transform(ve, x -> CAST(trunc(x / (maxabs / 127.0)) AS INTEGER)) END,
+        |    ',') AS qvec
+        |FROM m""".stripMargin,
 
     "p7_nan_encode" ->
       """SELECT event_id,
