@@ -68,19 +68,30 @@ object SimilarityOps {
     * Approximate: recall depends on nprobe/centroid quality; exact within the
     * probed cells. */
   def ivfTopK(corpusAssigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    scoreProbedCells(corpusAssigned,
+      probeCells(queries, centroids, idCol, vecCol, nprobe), idCol, vecCol, k)
+
+  /** The `nprobe` nearest centroids per query: (query_id, qv, centroid_id).
+    * A tiny broadcast cross join — both sides are small by construction. */
+  def probeCells(queries: DataFrame, centroids: DataFrame, idCol: String,
+                 vecCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
     val cent = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("cent_v"))
       .filter(nonZero(col("cent_v")))
-    // nprobe nearest centroids per query (tiny cross join — both sides small)
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .withColumn("cdist", cosine(col("qv"), col("cent_v")))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    // scan only the probed cells: join on centroid_id prunes the corpus
+  }
+
+  /** Score the probed cells only: the broadcast join on centroid_id prunes
+    * the corpus scan to ~nprobe/nlist of the data. Exact within the cells. */
+  def scoreProbedCells(corpusAssigned: DataFrame, probes: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
       .filter(nonZero(col("cv")))

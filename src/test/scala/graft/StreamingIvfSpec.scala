@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+import graft.streaming.IvfIndex
+
+/** Streaming ANN index: vectors streamed in micro-batches land in a
+  * cell-partitioned table; search equals the batch IVF result and the scan
+  * is statically partition-pruned to the probed cells. */
+class StreamingIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed index equals batch IVF; search scan is partition-pruned") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val index = new IvfIndex(tmpDir("ivf"), centroids)
+
+    // stream the corpus in two micro-batches
+    val rows = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = index.writer(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", tmpDir("ivf-ckpt")).start()
+    try {
+      input.addData(first.toIndexedSeq); q.processAllAvailable()
+      input.addData(second.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val streamed = index.search(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+
+    // batch reference: same centroids, same corpus, same params
+    val assigned = SimilarityOps.assignToCentroids(emb, centroids, "vec_id", "embedding")
+    val batch = SimilarityOps.ivfTopK(assigned, centroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+
+    // the probed-cell filter must reach the scan as a partition filter
+    val plan = streamed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      s"expected static partition pruning in:\n$plan")
+  }
+}
