@@ -28,15 +28,25 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
-  /** Fixed per-query scratch dir, recreated on each call — repeated
-    * Verify/Bench runs must not accumulate temp data on the host. */
+  /** Per-JVM scratch root: a fresh temp directory per process (two
+    * concurrent runs on one host — e.g. Verify and Bench — must never
+    * clobber each other's scratch data), removed on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(root.toFile)))
+    root
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
+  /** Per-query scratch dir under the per-process root, recreated on each
+    * call — repeated runs within one JVM must not accumulate temp data. */
   private def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-scratch", name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(p.toFile)
+    val p = scratchRoot.resolve(name)
+    rmTree(p.toFile)
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

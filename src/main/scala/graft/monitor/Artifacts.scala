@@ -53,20 +53,28 @@ object EvaluationReport {
       Evaluation.quantileLoss(col("target"), col("pred_up"), upQ)
         .as(s"quantile_loss_${qName(upQ)}"))
 
-    // single CSV in forecast-step order (one evaluation window => tiny)
+    // single CSV in forecast-step order (one evaluation window => tiny);
+    // everything goes through the Hadoop FS so a non-local outDir
+    // (s3a/hdfs) works for both artifacts
     val stage = new Path(outDir, "_csv")
     full.coalesce(1).sortWithinPartitions(orderCol).drop(orderCol)
       .write.option("header", "true").csv(stage.toString)
     val fs = stage.getFileSystem(aligned.sparkSession.sparkContext.hadoopConfiguration)
     val part = fs.listStatus(stage).map(_.getPath)
       .filter(_.getName.startsWith("part-")).head
-    fs.rename(part, new Path(outDir, "targets-quantiles.csv"))
+    val csvDest = new Path(outDir, "targets-quantiles.csv")
+    // rerun into an existing outDir: rename onto an existing target fails
+    // silently on some filesystems and would leave a stale CSV beside a
+    // fresh evaluation.json
+    if (fs.exists(csvDest)) fs.delete(csvDest, false)
+    require(fs.rename(part, csvDest), s"rename $part -> $csvDest failed")
     fs.delete(stage, true)
 
     val report =
       s"""{"deepar_metrics": {"rmse": {"value": $rmse, "standard_deviation": "NaN"}, """ +
         s""""weighted_quantile_loss": {"value": $meanWql, "standard_deviation": "NaN"}}}"""
-    Files.writeString(Paths.get(outDir, "evaluation.json"), report)
+    val jsonOut = fs.create(new Path(outDir, "evaluation.json"), true)
+    try jsonOut.write(report.getBytes(UTF_8)) finally jsonOut.close()
   }
 }
 

@@ -138,17 +138,27 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     }
   }
 
-  def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+  /** Concurrency contract: the pass plans from a driver-side listing and
+    * then dynamically OVERWRITES the planned hour partitions — an upsert
+    * appending to a planned prefix between the listing and the overwrite
+    * commit would be silently deleted. Run compaction only on hours the
+    * writer has moved past: `excludeHourPrefixes` (format "yyyy-MM-dd HH")
+    * drops the open hour(s) from the plan — a streaming caller passes the
+    * hours its watermark still admits (the reference's hourly Glue job has
+    * the same contract: it compacts *previous* hours on a cadence). */
+  def compact(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024,
+              excludeHourPrefixes: Set[String] = Set.empty): Unit = {
     if (!partitioned) return
     val fs = fileSystem(spark)
     // discover hour prefixes with >1 file (FeatureStoreAggregateParquet.py:52-58)
     val plan = hourDirs(spark).flatMap { dir =>
       val files = fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length <= 1) None
+      val segs0 = partValues(dir)
+      if (files.length <= 1 ||
+          excludeHourPrefixes.contains(s"${segs0(0)}-${segs0(1)}-${segs0(2)} ${segs0(3)}")) None
       else {
-        val segs = partValues(dir)
         val n = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        Some((segs(0), segs(1), segs(2), segs(3), n))
+        Some((segs0(0), segs0(1), segs0(2), segs0(3), n))
       }
     }
     if (plan.isEmpty) return

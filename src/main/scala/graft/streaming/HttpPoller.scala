@@ -5,7 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.{Duration, Instant}
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
@@ -55,10 +55,13 @@ class EnvelopePoller(fetcher: Fetcher, landingDir: String,
   private val mapper = new ObjectMapper
   private val running = new AtomicBoolean(false)
   private var thread: Thread = _
-  private var seq = 0L
+  // atomic: pollOnce() is public and may race the daemon loop — two polls
+  // must never mint the same sequence number (colliding .tmp/landing names)
+  private val seq = new AtomicLong(0L)
+  private val dropped = new AtomicLong(0L)
 
   /** Total oversize txs discarded (the reference's dropped-tx metric). */
-  @volatile var droppedTxs: Long = 0L
+  def droppedTxs: Long = dropped.get()
 
   private def envelopePrefix(id: String): String =
     s"""{"version":0,"id":"$id","detail-type":"Incoming Data","source":"$source",""" +
@@ -76,24 +79,25 @@ class EnvelopePoller(fetcher: Fetcher, landingDir: String,
         if (!root.isArray) Seq.empty
         else (0 until root.size()).map(i => mapper.writeValueAsString(root.get(i)))
       } catch { case _: Exception => Seq.empty[String] }
-    // size against a representative fixed-width id, then stamp each batch
-    // with its own unique id (the reference gives every bus entry one)
-    val sizingPrefix = envelopePrefix(f"$source-$seq-0000")
-    val (batches, dropped) =
+    // claim this poll's sequence number atomically, then size against a
+    // representative fixed-width id and stamp each batch with its own
+    // unique id (the reference gives every bus entry one)
+    val n = seq.getAndIncrement()
+    val sizingPrefix = envelopePrefix(f"$source-$n-0000")
+    val (batches, oversize) =
       EnvelopeBatcher.split(sizingPrefix, envelopeSuffix, txs, maxEnvelopeBytes)
-    droppedTxs += dropped.length
+    dropped.addAndGet(oversize.length.toLong)
     if (batches.isEmpty) None
     else {
       val dir = Paths.get(landingDir)
       Files.createDirectories(dir)
       val lines = batches.zipWithIndex.map { case (b, i) =>
-        envelopePrefix(f"$source-$seq-$i%04d") + b.mkString(",") + envelopeSuffix
+        envelopePrefix(f"$source-$n-$i%04d") + b.mkString(",") + envelopeSuffix
       }.mkString("\n")
-      val tmp = dir.resolve(s".poll-$seq.tmp")
-      val dst = dir.resolve(f"poll-$seq%09d.json")
+      val tmp = dir.resolve(s".poll-$n.tmp")
+      val dst = dir.resolve(f"poll-$n%09d.json")
       Files.write(tmp, lines.getBytes(UTF_8))
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-      seq += 1
       Some(dst)
     }
   }

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import graft.ops.SimilarityOps
@@ -13,25 +14,69 @@ import graft.ops.SimilarityOps
   * static `IN` partition filter, so at 100 TB a query touches
   * ~nprobe/nlist of the files regardless of corpus growth.
   *
+  * Layout: `path/__b=<epoch>/centroid_id=<cell>/part-*.parquet`. Streaming
+  * micro-batches land under their batchId epoch, which makes replays
+  * idempotent: a batch retried after a partial write (or replayed after a
+  * restart before the checkpoint committed) first deletes its own epoch
+  * directory, so the rewrite replaces — never duplicates — the previous
+  * attempt. Maintenance passes ([[compactCells]], [[reassign]]) write
+  * NEGATIVE, strictly decreasing epochs, so they can never collide with a
+  * replayed batchId. As defense in depth against a maintenance pass that
+  * crashed between its commit and the cleanup of the dirs it consumed,
+  * [[search]] collapses duplicate vector ids before scoring.
+  *
   * The centroid set is frozen at index-build time (the standard IVF
-  * contract: re-train centroids offline, rebuild or re-assign on drift —
-  * re-assignment is one batch job over the table).
+  * contract); on drift, [[reassign]] re-clusters the stored table against a
+  * new centroid set in one batch pass.
   */
-class IvfIndex(val path: String, centroids: DataFrame) extends Serializable {
+class IvfIndex(val path: String, val centroids: DataFrame) extends Serializable {
 
-  /** Assign a (micro-)batch to cells and append it to the index. */
-  def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
+  private def fs(spark: SparkSession) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def epochDirs(spark: SparkSession): Seq[Path] = {
+    val root = new Path(path)
+    val f = fs(spark)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+      .map(_.getPath).toSeq
+  }
+
+  private def epochOf(dir: Path): Long = dir.getName.stripPrefix("__b=").toLong
+
+  /** Next maintenance epoch: below every existing epoch and always < 0. */
+  private def nextMaintenanceEpoch(spark: SparkSession): Long =
+    math.min(-1L, epochDirs(spark).map(epochOf).foldLeft(0L)(math.min) - 1L)
+
+  /** Assign a (micro-)batch to cells and append it under `epoch`. */
+  def append(batch: DataFrame, idCol: String, vecCol: String, epoch: Long = 0L): Unit =
     SimilarityOps.assignToCentroids(batch, centroids, idCol, vecCol)
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+      .withColumn("__b", lit(epoch))
+      .write.mode(SaveMode.Append).partitionBy("__b", "centroid_id").parquet(path)
 
-  /** Streaming sink maintaining the index (exactly-once per batch via the
-    * checkpoint; appends are idempotent at the cell-file level). */
+  /** Idempotent per-epoch write: replaces any previous content of `epoch`
+    * (a partial write from a failed attempt, or the complete output of a
+    * replayed batch) instead of appending alongside it. */
+  def writeEpoch(batch: DataFrame, idCol: String, vecCol: String, epoch: Long): Unit = {
+    val dir = new Path(path, s"__b=$epoch")
+    val f = fs(batch.sparkSession)
+    if (f.exists(dir)) f.delete(dir, true)
+    append(batch, idCol, vecCol, epoch)
+  }
+
+  /** Streaming sink maintaining the index. Exactly-once per batch: the
+    * epoch directory is keyed by batchId and deleted before (re)writing
+    * ([[writeEpoch]]), so a replay after a partial write or a pre-commit
+    * restart replaces the previous attempt instead of appending duplicate
+    * vectors. */
   def writer(stream: DataFrame, idCol: String, vecCol: String,
              checkpoint: String): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) => append(batch, idCol, vecCol) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeEpoch(batch, idCol, vecCol, batchId)
+      }
 
   /** ANN top-k over the indexed corpus. The probed cell ids (a bounded
     * #queries × nprobe driver list) become a static partition filter, so
@@ -44,6 +89,80 @@ class IvfIndex(val path: String, centroids: DataFrame) extends Serializable {
       .collect().map(_.get(0)) // metadata-sized: #queries × nprobe ids
     val corpus = spark.read.parquet(path)
       .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+      // duplicate-id guard (interrupted maintenance pass): the exchange is
+      // over the PRUNED cells only, never the whole corpus
+      .dropDuplicates(idCol)
     SimilarityOps.scoreProbedCells(corpus, probes, idCol, vecCol, k)
+  }
+
+  /** Per-cell small-file compaction: streaming appends accumulate one file
+    * per batch per cell; this rewrites every current epoch into ONE new
+    * maintenance epoch with ceil(cellBytes / targetFileBytes) files per cell
+    * (same salted single-pass shape as KeyedParquetTable.compact), then
+    * deletes the consumed epoch directories. Must not run concurrently with
+    * the streaming writer (the writer would append to an epoch this pass has
+    * already scanned). */
+  def compactCells(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    val dirs = epochDirs(spark)
+    if (dirs.isEmpty) return
+    val f = fs(spark)
+    // per-cell byte totals from a driver-side METADATA listing (bounded by
+    // #cells × #epochs, never rows)
+    val cellBytes = dirs.flatMap { d =>
+      f.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .map { c =>
+          val bytes = f.listStatus(c.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).sum
+          (c.getPath.getName.stripPrefix("centroid_id="), bytes)
+        }
+    }.groupBy(_._1).map { case (cell, xs) =>
+      (cell, math.max(1, math.ceil(xs.map(_._2).sum.toDouble / targetFileBytes).toInt))
+    }.toSeq
+    if (cellBytes.isEmpty) return
+    val epoch = nextMaintenanceEpoch(spark)
+    val planDf = spark.createDataFrame(cellBytes).toDF("__cell", "__n")
+    val all = spark.read.parquet(path).drop("__b")
+      .withColumn("__cell", col("centroid_id").cast("string"))
+      .join(broadcast(planDf), Seq("__cell"))
+    all
+      .withColumn("__salt", pmod(xxhash64(col("__cell")), col("__n")))
+      .repartition(col("centroid_id"), col("__salt"))
+      .drop("__cell", "__n", "__salt")
+      .withColumn("__b", lit(epoch))
+      .write.mode(SaveMode.Append).partitionBy("__b", "centroid_id").parquet(path)
+    dirs.foreach(d => f.delete(d, true))
+  }
+
+  /** Centroid drift: re-assign every stored vector against `newCentroids`
+    * in one batch pass — the rebuilt table lands under a fresh maintenance
+    * epoch, the consumed epochs are deleted, and the returned index serves
+    * searches with the new centroid set. Same concurrency contract as
+    * [[compactCells]]. */
+  def reassign(spark: SparkSession, newCentroids: DataFrame,
+               idCol: String, vecCol: String): IvfIndex = {
+    val dirs = epochDirs(spark)
+    val next = new IvfIndex(path, newCentroids)
+    if (dirs.isEmpty) return next
+    val epoch = nextMaintenanceEpoch(spark)
+    val vectors = spark.read.parquet(path).select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol)
+    next.append(vectors, idCol, vecCol, epoch)
+    val f = fs(spark)
+    dirs.foreach(d => f.delete(d, true))
+    next
+  }
+
+  /** Observability: cell id → parquet file count (driver-side metadata
+    * listing; the compaction-cadence gate reads this). */
+  def cellFileCounts(spark: SparkSession): Map[String, Int] = {
+    val f = fs(spark)
+    epochDirs(spark).flatMap { d =>
+      f.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .map { c =>
+          (c.getPath.getName.stripPrefix("centroid_id="),
+            f.listStatus(c.getPath).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+        }
+    }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2).sum) }
   }
 }

@@ -43,5 +43,32 @@ class StreamingIvfSpec extends SparkSpec {
     val plan = streamed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [centroid_id"),
       s"expected static partition pruning in:\n$plan")
+
+    // replay a batch (restart before checkpoint commit): the epoch dir is
+    // rewritten, not appended — no duplicate vectors, search unchanged
+    index.writeEpoch(second.toIndexedSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", epoch = 1L)
+    val replayed = index.search(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(replayed.except(batch).isEmpty && batch.except(replayed).isEmpty)
+
+    // compaction: total file count drops to one per cell, search equality holds
+    val before = index.cellFileCounts(spark)
+    assert(before.values.sum > before.size, "expected multi-file cells pre-compact")
+    index.compactCells(spark, targetFileBytes = Long.MaxValue)
+    val after = index.cellFileCounts(spark)
+    assert(after.values.forall(_ == 1), s"expected 1 file/cell, got $after")
+    val compacted = index.search(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(compacted.except(batch).isEmpty && batch.except(compacted).isEmpty)
+
+    // centroid re-assignment: new centroid set, rebuilt index equals batch
+    // IVF computed against the same new centroids
+    val newCentroids = emb.filter(col("vec_id") % 40 === 20)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val reindexed = index.reassign(spark, newCentroids, "vec_id", "embedding")
+    val reSearch = reindexed.search(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    val reAssigned = SimilarityOps.assignToCentroids(emb, newCentroids, "vec_id", "embedding")
+    val reBatch = SimilarityOps.ivfTopK(reAssigned, newCentroids, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(reSearch.except(reBatch).isEmpty && reBatch.except(reSearch).isEmpty)
   }
 }
