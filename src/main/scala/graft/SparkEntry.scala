@@ -613,6 +613,21 @@ object SparkEntry {
     "e2e_stream_agg" -> ((s, dir) => {
       val work = scratch("e2e")
       graft.streaming.EndToEnd.run(s, ev(s, dir), work)
+    }),
+
+    // Watermark DISCARD semantics (the reference's core lateness contract,
+    // resources/flink/main.py:77): a deterministic subset of events arrives
+    // a full microbatch-group of files late, beyond the 60 s watermark; the
+    // oracle recomputes the aggregate EXCLUDING exactly those rows, so any
+    // late row admitted (or on-time row dropped) hash-mismatches. Day-sized
+    // fixture files, 2 files/trigger, arrivals delayed 6 files (= 6 days of
+    // event time — the late-events filter lags one batch behind the arrival
+    // batch's watermark, so the delay must clear 2 batch-groups plus the
+    // lag) — see graft.streaming.EndToEnd's late-variant doc.
+    "e2e_late_drop" -> ((s, dir) => {
+      val work = scratch("e2e_late")
+      graft.streaming.EndToEnd.run(s, ev(s, dir), work,
+        maxFilesPerTrigger = 2, envelopesPerFile = 2880L, lateDelayFiles = 6)
     })
   )
 
@@ -1133,6 +1148,23 @@ object SparkEntry {
         |  COUNT(*) AS total_nb_trx_1min,
         |  CAST(SUM(event_id % 10000) AS BIGINT) AS total_fee_1min,
         |  CAST(SUM(event_id % 10000) AS DOUBLE) / COUNT(*) AS avg_fee_1min
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Clean recomputation EXCLUDING exactly the deterministically-delayed
+    // subset (event_id % 13 = 0, not an overlap-dup candidate, outside the
+    // 1 h tail) — those rows arrive beyond the 60 s watermark and must be
+    // discarded by the streaming aggregate.
+    "e2e_late_drop" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(event_id % 10000) AS BIGINT) AS total_fee_1min,
+        |  CAST(SUM(event_id % 10000) AS DOUBLE) / COUNT(*) AS avg_fee_1min
+        |FROM events
+        |WHERE NOT (event_id % 13 = 0 AND event_id % 7 <> 0
+        |           -- second-truncated on both sides: the fixture writer
+        |           -- compares unix_timestamp (floor seconds) values
+        |           AND date_trunc('second', ts) <
+        |               date_trunc('second', (SELECT max(ts) FROM events)) - INTERVAL 1 HOUR)
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -40,15 +40,60 @@ import graft.store.KeyedParquetTable
   * with the data's event time), so with contiguous day chunks no on-time row
   * ever falls behind the 60 s watermark — the final table equals the clean
   * batch aggregate, which is exactly what the oracle recomputes.
+  *
+  * ==Late-data variant (watermark DISCARD semantics)==
+  *
+  * With `lateDelayFiles = d > 0`, a deterministic subset of events —
+  * `event_id % 13 == 0 && event_id % 7 != 0 && ts < max(ts) - 1 h` — is
+  * shifted into the envelope exactly `d` fixture files after its on-time
+  * position (event time unchanged), and must then be dropped by the 60 s
+  * watermark — the reference's core lateness contract
+  * (resources/flink/main.py:77 — `watermark(Duration.ofSeconds(60))`).
+  *
+  * Determinism needs care, because Spark's late-events filter (SPARK-40925)
+  * compares against the watermark in effect during the PREVIOUS microbatch —
+  * one batch older than the value a progress report shows for the arrival
+  * batch (measured here empirically: an arrival exactly one batch late is
+  * admitted; two batches late with an intervening on-time file is dropped).
+  * With day-per-file fixtures, `m = maxFilesPerTrigger` and `d >= 2m + 2`:
+  *
+  *   - a late row from file `k` arrives in file `j = k + d` (or a trailing
+  *     file), whose batch is `j div m`; the filter's watermark is computed
+  *     from batches through `j div m - 2`, i.e. files through
+  *     `m*(j div m - 1) - 1 >= k + 2` — so it reflects on-time day `k+2`'s
+  *     event times, a full day past the late row's minute window;
+  *   - this requires every on-time day-file to be non-empty (true for the
+  *     events table at every SF: the day slots are contiguous, so file
+  *     index = day index) — a gap would let reindexing shrink the delay;
+  *   - the `%7 != 0` guard keeps the overlap-duplicate re-send from
+  *     delivering the same tx on time anyway (dup copies go out one
+  *     envelope later by design, which would defeat the delay);
+  *   - the 1 h tail exclusion keeps rows out whose window the final
+  *     watermark (bounded by `max(ts) - 60 s`) never overtakes; rows from
+  *     the last days arrive in trailing files whose filter watermark
+  *     already covers all on-time data.
+  *
+  * The oracle recomputes the aggregate excluding exactly that subset — so a
+  * pipeline that ADMITTED any late row (or dropped any on-time row) hash-
+  * mismatches.
   */
 object EndToEnd {
 
   private val EnvelopeSeconds = 30L
   private val EnvelopesPerFile = 2880L // one day of 30 s polls
 
+  /** Spark-side predicate for the delayed subset; the DuckDB oracle and the
+    * ScalaTest spec mirror it. `maxTime` = max epoch-second over `events`. */
+  private def lateEvent(maxTime: Long) =
+    pmod(col("event_id"), lit(13)) === 0 &&
+      pmod(col("event_id"), lit(7)) =!= 0 &&
+      col("time") < lit(maxTime - 3600L)
+
   /** Render `events` into time-ordered envelope fixture files under
     * `dir/data`. Returns the file count. */
-  def writeFixtures(spark: SparkSession, events: DataFrame, dir: String): Int = {
+  def writeFixtures(spark: SparkSession, events: DataFrame, dir: String,
+                    envelopesPerFile: Long = EnvelopesPerFile,
+                    lateDelayFiles: Int = 0): Int = {
     val base = events.select(
       md5(col("event_id").cast("string")).as("hash"),
       pmod(col("event_id"), lit(10000)).cast("int").as("fee"),
@@ -56,7 +101,17 @@ object EndToEnd {
       col("event_id"))
       .withColumn("env_id", expr(s"time div $EnvelopeSeconds"))
 
-    val incoming = base.withColumn("detail_type", lit("Incoming Data"))
+    val onTime = base.withColumn("detail_type", lit("Incoming Data"))
+    // late variant: move the delayed subset's ARRIVAL (its envelope, hence
+    // its file and microbatch) without touching its event time
+    val incoming =
+      if (lateDelayFiles == 0) onTime
+      else {
+        val maxTime = events.agg(max(unix_timestamp(col("ts")))).first().getLong(0)
+        onTime.withColumn("env_id",
+          when(lateEvent(maxTime), col("env_id") + lit(lateDelayFiles * envelopesPerFile))
+            .otherwise(col("env_id")))
+      }
     // overlap duplicates: same tx re-polled one envelope later
     val dups = incoming.filter(pmod(col("event_id"), lit(7)) === 0)
       .withColumn("env_id", col("env_id") + 1)
@@ -70,7 +125,7 @@ object EndToEnd {
       .groupBy(col("detail_type"), col("env_id"))
       .agg(collect_list(col("tx")).as("txs"))
       .select(
-        expr(s"(env_id - 1) div $EnvelopesPerFile").as("chunk"),
+        expr(s"(env_id - 1) div $envelopesPerFile").as("chunk"),
         to_json(struct(
           col("detail_type").as("detail-type"),
           struct(col("txs")).as("detail"))).as("value"))
@@ -102,10 +157,19 @@ object EndToEnd {
   }
 
   /** Replay the fixtures through the resident pipeline (multi-batch
-    * AvailableNow) into a keyed table and return its latest state. */
+    * AvailableNow) into a keyed table and return its latest state.
+    *
+    * For the late-data variant pass `lateDelayFiles = maxFilesPerTrigger`
+    * and an `envelopesPerFile` small enough to yield several microbatches
+    * (see the class doc for why that pair is deterministic). */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
-    writeFixtures(spark, events, workDir)
+          maxFilesPerTrigger: Int = 4,
+          envelopesPerFile: Long = EnvelopesPerFile,
+          lateDelayFiles: Int = 0): DataFrame = {
+    require(lateDelayFiles == 0 || lateDelayFiles >= 2 * maxFilesPerTrigger + 2,
+      "the late-events filter lags one batch behind the arrival batch's " +
+        "watermark (class doc): lateDelayFiles >= 2*maxFilesPerTrigger + 2")
+    writeFixtures(spark, events, workDir, envelopesPerFile, lateDelayFiles)
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(s"$workDir/data")

@@ -24,4 +24,33 @@ class EndToEndSpec extends SparkSpec {
     assert(streamed.count() === expected.count())
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
   }
+
+  test("late arrivals beyond the 60s watermark are discarded (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    // day files, 2 files/trigger, arrivals delayed 6 files: the late-events
+    // filter uses the watermark from one batch BEFORE arrival, so the delay
+    // must clear two batch-groups plus that lag (EndToEnd late-variant doc)
+    val streamed = EndToEnd.run(spark, events, tmpDir("e2e_late"),
+      maxFilesPerTrigger = 2, envelopesPerFile = 2880L, lateDelayFiles = 6)
+
+    val maxTime = events.agg(max(unix_timestamp(col("ts")))).first().getLong(0)
+    val late = pmod(col("event_id"), lit(13)) === 0 &&
+      pmod(col("event_id"), lit(7)) =!= 0 &&
+      unix_timestamp(col("ts")) < lit(maxTime - 3600L)
+    assert(events.filter(late).count() > 0, "late subset must be non-empty")
+
+    val expected = events.filter(!late)
+      .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("tx_minute"))
+      .agg(count(lit(1)).as("total_nb_trx_1min"),
+        sum(pmod(col("event_id"), lit(10000)).cast("int")).as("total_fee_1min"),
+        avg(pmod(col("event_id"), lit(10000)).cast("int")).as("avg_fee_1min"))
+
+    // the drop is material: fewer txs than the no-late replay would count
+    val totalTx = streamed.agg(sum("total_nb_trx_1min")).first().getLong(0)
+    assert(totalTx === events.filter(!late).count())
+    assert(totalTx < events.count())
+    assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
+  }
 }
