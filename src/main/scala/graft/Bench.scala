@@ -28,7 +28,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
-      }
+      } finally spark.catalog.clearCache() // queries may cache shared subtrees
       // failures report a negative time so they can't masquerade as fast wins
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

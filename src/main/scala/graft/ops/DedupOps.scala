@@ -162,10 +162,19 @@ object DedupOps {
     * one quadratic bucket. */
   def lshCandidateIds(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16, rowsPerBand: Int = 4,
-                      shingleSize: Int = 3): DataFrame = {
-    val banded = bandedSignatures(
+                      shingleSize: Int = 3): DataFrame =
+    candidateIdsFromSignatures(
       signatures(docs, idCol, textCol, numHashes, shingleSize),
-      numHashes, rowsPerBand).select(col("band"), col("band_sig"), col("id"))
+      numHashes, rowsPerBand)
+
+  /** Band-blocked candidate id pairs against an existing signature relation
+    * (id, sig). With a [[materializeSignatures]] table as input, both sides
+    * of the bucket self-join are cheap parquet re-reads — the signature
+    * subtree never executes twice. */
+  def candidateIdsFromSignatures(sigArr: DataFrame, numHashes: Int = 16,
+                                 rowsPerBand: Int = 4): DataFrame = {
+    val banded = bandedSignatures(sigArr, numHashes, rowsPerBand)
+      .select(col("band"), col("band_sig"), col("id"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig"))
       .filter(col("a.id") < col("b.id"))
@@ -181,8 +190,18 @@ object DedupOps {
     * candidates. */
   def blockedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 16, rowsPerBand: Int = 4,
-                          shingleSize: Int = 3): DataFrame = {
-    val pairs = lshCandidateIds(docs, idCol, textCol, numHashes, rowsPerBand, shingleSize)
+                          shingleSize: Int = 3): DataFrame =
+    blockedJaccardFromSignatures(
+      signatures(docs, idCol, textCol, numHashes, shingleSize),
+      docs, idCol, textCol, numHashes, rowsPerBand)
+
+  /** [[blockedJaccardPairs]] against an existing signature relation — the
+    * compute-once shape: blocking reads the (materialized) signatures, and
+    * only the scoring join-back touches the raw text. */
+  def blockedJaccardFromSignatures(sigArr: DataFrame, docs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val pairs = candidateIdsFromSignatures(sigArr, numHashes, rowsPerBand)
     val toks = docs.select(col(idCol).as("id"), distinctTokens(col(textCol)).as("toks"))
     pairs
       .join(toks.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
