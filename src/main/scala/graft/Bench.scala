@@ -20,7 +20,9 @@ object Bench {
     // streaming throughput properly.
     // o6_compact_files likewise: it is a store-maintenance round trip (two
     // upserts + compact + FS listing), not a query.
-    val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files")
+    // o10_version_history likewise (two upserts + full-history read)
+    val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
+      "o10_version_history")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

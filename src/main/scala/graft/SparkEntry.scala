@@ -618,6 +618,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
+    // quietly returns duplicate minutes, one per upsert version
+    // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
+    // SURVEY §7.4.3). Two upserts — first-half days, then a full
+    // recomputation — make every day ≤ 15 minute a 2-version key; readAll
+    // must expose BOTH versions (identical aggregates: a minute never spans
+    // days, so the second upsert recomputes the same value), later minutes
+    // exactly one.
+    "o10_version_history" -> ((s, dir) => {
+      val work = scratch("o10")
+      val table = new graft.store.KeyedParquetTable(s"$work/table", "tx_minute")
+      def minuteAgg(df: DataFrame, v: Double) =
+        MinuteAggregate(df, "ts", "value").withColumn("event_time", lit(v))
+      table.upsert(minuteAgg(ev(s, dir).filter(dayofmonth(col("ts")) <= 15), 0.0), 0, bulk = true)
+      table.upsert(minuteAgg(ev(s, dir), 1.0), 1, bulk = true)
+      table.readAll(s)
+        .groupBy(col("tx_minute"))
+        .agg(count(lit(1)).as("n_versions"),
+          countDistinct(col("total_nb_trx_1min")).as("n_distinct_counts"),
+          sum(col("total_nb_trx_1min")).as("sum_over_versions"))
+    }),
+
     // E2E streaming (S3/S4/S6/S10 + P1/P2/P3 + A1 in their STREAMING forms):
     // events rendered as polled envelope fixtures — with overlap duplicates
     // and health-check noise — replayed as a real multi-microbatch
@@ -1152,6 +1174,15 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Versioned-store contract: minutes upserted twice (days 1-15) surface
+    // two identical versions in the full-history scan; the rest one.
+    "o10_version_history" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  CAST(CASE WHEN min(extract(day FROM ts)) <= 15 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS n_distinct_counts,
+        |  CAST(COUNT(*) * (CASE WHEN min(extract(day FROM ts)) <= 15 THEN 2 ELSE 1 END) AS BIGINT) AS sum_over_versions
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Clean batch recomputation of the streamed result: the fixture's
     // overlap duplicates are removed by dedup and its health-check txs by
