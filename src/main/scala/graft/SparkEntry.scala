@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.batch.MinuteAggregate
-import graft.ops.{DedupOps, Exact, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, Exact, Multimodal, SimilarityOps, TextOps}
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * plus the LLM-data-pipeline operator surface (dedup / similarity / text).
@@ -618,6 +618,34 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // M1 — multimodal decode, oracle-grade: one WAV payload synthesized per
+    // user (16-bit PCM, amplitudes 0/±16384 derived from event_id so every
+    // feature is exactly representable in float), decoded back through the
+    // REAL pure-JVM RIFF/PCM parser (Multimodal.BuiltinDecoder) via the
+    // per-partition decode pipeline. The compared features are
+    // order-insensitive (frame count, #nonzero via rms², peak), so the
+    // oracle recomputes them relationally without replaying sample order.
+    "m1_wav_features" -> ((s, dir) => {
+      import s.implicits._
+      val samples = ev(s, dir).select(col("user_id"),
+        when(pmod(col("event_id"), lit(3)) === 0, 16384)
+          .when(pmod(col("event_id"), lit(3)) === 1, -16384)
+          .otherwise(0).as("amp"))
+      val payloads = samples.groupBy(col("user_id"))
+        .agg(collect_list(col("amp")).as("amps"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, amps) => (uid, Multimodal.encodeWavPcm16(amps)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "audio", "wav")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 2).cast("long").as("n_frames"),
+          // rms² · n · 4 = #nonzero samples (|s| ∈ {0, 0.5}) — integer-exact
+          round(pow(element_at(col("features"), 3), 2) *
+            element_at(col("features"), 2) * 4).cast("long").as("n_nonzero"),
+          round(element_at(col("features"), 5) * 2).cast("long").as("peak2"))
+    }),
+
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
     // quietly returns duplicate minutes, one per upsert version
     // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
@@ -1174,6 +1202,16 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // The WAV payload round-trips through a real RIFF/PCM encode + decode;
+    // the oracle recomputes the order-insensitive features relationally.
+    "m1_wav_features" ->
+      """SELECT user_id AS content_id,
+        |  COUNT(*) AS n_frames,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 3 IN (0, 1)) AS BIGINT) AS n_nonzero,
+        |  CAST(CASE WHEN COUNT(*) FILTER (WHERE event_id % 3 IN (0, 1)) > 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS peak2
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Versioned-store contract: minutes upserted twice (days 1-15) surface
     // two identical versions in the full-history scan; the rest one.

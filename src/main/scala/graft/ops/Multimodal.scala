@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extraction runs per-partition so heavyweight
   * codec state is initialized once per task, not once per row.
   *
-  * The actual codecs are STUBBED behind [[Decoder]] (this environment ships
-  * no image/audio libraries — see the builder brief): `FakeDecoder` is a
-  * deterministic stand-in so the Spark-side plumbing (schema, partitioning,
-  * batch shape, null handling) is real and tested. A production deployment
-  * swaps in a JNI/JavaCV-backed `Decoder` without touching the pipeline.
+  * Codecs behind [[Decoder]]: [[BuiltinDecoder]] is a REAL pure-JVM decoder
+  * for uncompressed containers — BMP (BITMAPINFOHEADER, 24/32-bit BGR) and
+  * WAV (RIFF, 16-bit PCM) — no external media libraries needed. Compressed
+  * formats (jpeg/mp3/h264, whose codecs this environment doesn't ship) fall
+  * back to the deterministic [[FakeDecoder]] hash features; a production
+  * deployment swaps in a JNI/JavaCV-backed `Decoder` without touching the
+  * pipeline.
   *
   * Scale notes: payloads stay in the `binary` column end-to-end — no
   * base64 inflation, no driver collection. `decodeFeatures` is a
@@ -58,6 +60,161 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Real pure-JVM decoder for uncompressed containers.
+    *
+    * BMP (format "bmp"): parses the 14-byte file header + BITMAPINFOHEADER,
+    * 24/32-bit uncompressed BGR(A), bottom-up or top-down row order, 4-byte
+    * row padding. Features (dim 9):
+    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant]`.
+    *
+    * WAV (format "wav"): parses the RIFF header and chunk list, 16-bit PCM
+    * (audio format 1), any channel count (frames averaged across channels).
+    * Features (dim 9):
+    * `[sample_rate, n_frames, rms, zero_crossing_rate, peak, rms per
+    * quarter]` (amplitudes normalized to [-1, 1]).
+    *
+    * Unknown formats hash through [[FakeDecoder]]; malformed payloads yield
+    * an EMPTY feature vector (feature_dim 0) so a training pipeline can
+    * filter them relationally instead of dying mid-task. */
+  class BuiltinDecoder(fallback: Decoder = new FakeDecoder()) extends Decoder {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    override def decode(payload: Array[Byte], format: String): Array[Float] =
+      try {
+        format match {
+          case "bmp" => decodeBmp(payload)
+          case "wav" => decodeWav(payload)
+          case _     => fallback.decode(payload, format)
+        }
+      } catch { case _: Exception => Array.emptyFloatArray }
+
+    private def decodeBmp(bytes: Array[Byte]): Array[Float] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+      val dataOffset = b.getInt(10)
+      val headerSize = b.getInt(14)
+      require(headerSize >= 40, s"unsupported DIB header size $headerSize")
+      val width = b.getInt(18)
+      val rawHeight = b.getInt(22)
+      val height = math.abs(rawHeight)
+      val bottomUp = rawHeight > 0
+      val bpp = b.getShort(28).toInt
+      require(b.getShort(26) == 1, "planes must be 1")
+      require(bpp == 24 || bpp == 32, s"unsupported bit depth $bpp")
+      require(b.getInt(30) == 0, "compressed BMP unsupported")
+      require(width > 0 && height > 0, "empty image")
+      val bytesPerPx = bpp / 8
+      val rowBytes = (width * bytesPerPx + 3) / 4 * 4 // rows pad to 4 bytes
+      require(bytes.length >= dataOffset + rowBytes.toLong * height, "truncated pixel data")
+
+      var sumB, sumG, sumR = 0.0
+      val quadrant = new Array[Double](4) // gray sums: [top-left, top-right, bottom-left, bottom-right]
+      val quadrantN = new Array[Long](4)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        val rowOff = dataOffset + srcRow * rowBytes
+        var x = 0
+        while (x < width) {
+          val px = rowOff + x * bytesPerPx
+          val bl = bytes(px) & 0xff
+          val gr = bytes(px + 1) & 0xff
+          val rd = bytes(px + 2) & 0xff
+          sumB += bl; sumG += gr; sumR += rd
+          val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
+          quadrant(q) += (bl + gr + rd) / 3.0
+          quadrantN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      Array(width.toFloat, height.toFloat,
+        (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
+        qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
+        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3))
+    }
+
+    private def qMean(sum: Array[Double], cnt: Array[Long], i: Int): Float =
+      if (cnt(i) == 0) 0f else (sum(i) / cnt(i)).toFloat
+
+    private def decodeWav(bytes: Array[Byte]): Array[Float] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 44 && b.getInt(0) == 0x46464952, "not RIFF") // "RIFF"
+      require(b.getInt(8) == 0x45564157, "not WAVE") // "WAVE"
+      // walk the chunk list for fmt + data (extra chunks like LIST are legal)
+      var off = 12
+      var sampleRate = 0; var channels = 0; var bitsPerSample = 0
+      var dataOff = -1; var dataLen = 0
+      while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
+        val id = b.getInt(off)
+        val len = b.getInt(off + 4)
+        if (id == 0x20746d66) { // "fmt "
+          require(b.getShort(off + 8) == 1, "non-PCM WAV unsupported")
+          channels = b.getShort(off + 10).toInt
+          sampleRate = b.getInt(off + 12)
+          bitsPerSample = b.getShort(off + 22).toInt
+        } else if (id == 0x61746164) { // "data"
+          dataOff = off + 8
+          dataLen = math.min(len, bytes.length - dataOff)
+        }
+        off += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      require(sampleRate > 0 && dataOff >= 0, "missing fmt or data chunk")
+      require(bitsPerSample == 16, s"unsupported bit depth $bitsPerSample")
+      require(channels > 0, "no channels")
+      val frameBytes = 2 * channels
+      val nFrames = dataLen / frameBytes
+      require(nFrames > 0, "empty audio")
+
+      var sumSq = 0.0; var peak = 0.0; var crossings = 0L; var prevSign = 0
+      val quarterSq = new Array[Double](4)
+      val quarterN = new Array[Long](4)
+      var i = 0
+      while (i < nFrames) {
+        var acc = 0.0
+        var c = 0
+        while (c < channels) { // mix down: mean across channels
+          acc += b.getShort(dataOff + i * frameBytes + 2 * c) / 32768.0
+          c += 1
+        }
+        val s = acc / channels
+        sumSq += s * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        val q = math.min(3, i * 4 / nFrames)
+        quarterSq(q) += s * s
+        quarterN(q) += 1
+        i += 1
+      }
+      def qRms(q: Int): Float =
+        if (quarterN(q) == 0) 0f else math.sqrt(quarterSq(q) / quarterN(q)).toFloat
+      Array(sampleRate.toFloat, nFrames.toFloat,
+        math.sqrt(sumSq / nFrames).toFloat,
+        (crossings.toDouble / nFrames).toFloat, peak.toFloat,
+        qRms(0), qRms(1), qRms(2), qRms(3))
+    }
+  }
+
+  /** Encode 16-bit mono PCM samples as a WAV payload (the write side of
+    * [[BuiltinDecoder]]'s "wav" path; also the fixture synthesizer for the
+    * multimodal oracle query). Samples are clamped to int16. */
+  def encodeWavPcm16(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val n = samples.length
+    val bb = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + 2 * n).putInt(0x45564157) // RIFF, size, WAVE
+    bb.putInt(0x20746d66).putInt(16)                            // "fmt ", chunk len
+      .putShort(1).putShort(1)                                  // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)                // rate, byte rate
+      .putShort(2).putShort(16)                                 // block align, bits
+    bb.putInt(0x61746164).putInt(2 * n)                         // "data", len
+    samples.foreach(s => bb.putShort(math.max(-32768, math.min(32767, s)).toShort))
+    bb.array()
   }
 
   /** Wrap raw payloads into the canonical media frame:

@@ -76,6 +76,80 @@ class DeepARSpec extends SparkSpec {
     assert(f1.toSeq === f2.toSeq)
   }
 
+  test("multimodal: BuiltinDecoder decodes a real 24-bit BMP payload") {
+    implicit val s = spark
+    // 3×2 bottom-up BMP, 24bpp: rowBytes = 3*3 padded to 12.
+    // Visual layout (top row first): [red, green, blue] / [white, black, gray(64)]
+    def px(b: Int, g: Int, r: Int) = Array(b.toByte, g.toByte, r.toByte)
+    val topRow = px(0, 0, 255) ++ px(0, 255, 0) ++ px(255, 0, 0) ++ Array[Byte](0, 0, 0)
+    val botRow = px(255, 255, 255) ++ px(0, 0, 0) ++ px(64, 64, 64) ++ Array[Byte](0, 0, 0)
+    val pixelData = botRow ++ topRow // bottom-up storage
+    val bb = java.nio.ByteBuffer.allocate(54 + pixelData.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixelData.length)
+      .putInt(0).putInt(54)             // reserved, data offset
+      .putInt(40).putInt(3).putInt(2)   // BITMAPINFOHEADER, w=3, h=2 (bottom-up)
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(pixelData.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(pixelData)
+    val bmp = bb.array()
+
+    val media = Multimodal.asMediaFrame(
+      Seq((7L, bmp)).toDF("id", "data"), "id", "data", "image", "bmp")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 9)
+    val Array(w, h, mb, mg, mr, q0, q1, q2, q3) = f._2
+    assert(w === 3f && h === 2f)
+    // channel means over all 6 px: B=(0+0+255+255+0+64)/6, G=(0+255+0+255+0+64)/6, R=(255+0+0+255+0+64)/6
+    assert(math.abs(mb - 574f / 6) < 1e-3 && math.abs(mg - 574f / 6) < 1e-3 &&
+      math.abs(mr - 574f / 6) < 1e-3)
+    // quadrants (y<1 = top): q0 = top-left (x<2: red, green) gray = (85+85)/2
+    assert(math.abs(q0 - 85f) < 1e-3)
+    // q1 = top-right (blue) gray 85; q2 = bottom-left (white, black) = (255+0)/2
+    assert(math.abs(q1 - 85f) < 1e-3 && math.abs(q2 - 127.5f) < 1e-3)
+    // q3 = bottom-right (gray 64)
+    assert(math.abs(q3 - 64f) < 1e-3)
+  }
+
+  test("multimodal: BuiltinDecoder decodes a real 16-bit PCM WAV payload") {
+    implicit val s = spark
+    // mono 8kHz square wave: 100 frames of +16384, 100 of -16384 → |s|=0.5
+    // everywhere: rms = 0.5, peak = 0.5, one sign change → zcr = 1/200
+    val n = 200
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(36 + 2 * n).putInt(0x45564157) // RIFF size WAVE
+    bb.putInt(0x20746d66).putInt(16)  // "fmt ", 16
+      .putShort(1).putShort(1)        // PCM, mono
+      .putInt(8000).putInt(16000)     // rate, byte rate
+      .putShort(2).putShort(16)       // block align, bits
+    bb.putInt(0x61746164).putInt(2 * n) // "data"
+    (0 until n).foreach(i => bb.putShort(if (i < n / 2) 16384 else -16384))
+    val wav = bb.array()
+
+    val media = Multimodal.asMediaFrame(
+      Seq((8L, wav)).toDF("id", "data"), "id", "data", "audio", "wav")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 9)
+    val Array(rate, frames, rms, zcr, peak, r0, r1, r2, r3) = f._2
+    assert(rate === 8000f && frames === 200f)
+    assert(math.abs(rms - 0.5f) < 1e-4 && math.abs(peak - 0.5f) < 1e-4)
+    assert(math.abs(zcr - 1f / 200) < 1e-6)
+    Seq(r0, r1, r2, r3).foreach(r => assert(math.abs(r - 0.5f) < 1e-4))
+  }
+
+  test("multimodal: BuiltinDecoder yields empty features for malformed payloads") {
+    implicit val s = spark
+    val junk = Seq((9L, "not-a-bmp-at-all".getBytes)).toDF("id", "data")
+    val f = Multimodal.decodeFeatures(
+      Multimodal.asMediaFrame(junk, "id", "data", "image", "bmp"),
+      new Multimodal.BuiltinDecoder)
+      .select("feature_dim").as[Int].head()
+    assert(f === 0)
+  }
+
   test("multimodal: frame sampling emits duration/interval frames") {
     implicit val s = spark
     val media = Seq((1L, Array[Byte](1), 2500L)).toDF("id", "data", "dur")
