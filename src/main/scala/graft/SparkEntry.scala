@@ -618,6 +618,28 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // MON1 — fleet monitoring, oracle-grade: one metrics row per user_id
+    // series (per-minute mean value), naive last-observation forecast over
+    // the final 5 points, RMSE + mean weighted quantile loss per key — the
+    // distributed form of the reference's single-metric monitoring job
+    // (custom_monitoring_metrics.py:140-169), scaled past one metric via
+    // groupByKey + flatMapSortedGroups with ring-buffered per-key state.
+    // Metrics rounded to 4 dp: the per-key loops sum 5 doubles sequentially,
+    // the oracle sums relationally — algebraically identical, ulp-different.
+    "mon1_fleet_metrics" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .groupBy(col("user_id"), MinuteAggregate.minuteKey(col("ts")).as("m"))
+        .agg((Exact.sumD(col("value"), 10) / count(lit(1))).as("v"))
+      graft.monitor.MonitoringJob.runFleet(
+          series, "user_id", "m", "v",
+          new graft.batch.NaiveForecaster, threshold = 0.1)(s)
+        .filter(col("n") > 0) // series too short to score carry NaN metrics
+        .select(col("series").cast("long").as("series"),
+          Exact.fmt(col("rmse"), 4).as("rmse_r"),
+          Exact.fmt(col("mean_wql"), 4).as("wql_r"),
+          col("n"))
+    }),
+
     // M1 — multimodal decode, oracle-grade: one WAV payload synthesized per
     // user (16-bit PCM, amplitudes 0/±16384 derived from event_id so every
     // feature is exactly representable in float), decoded back through the
@@ -1202,6 +1224,36 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Naive forecast base = series value at position n-5; truth = last 5;
+    // pinball at q ∈ {0.05, 0.5, 0.95} with weight 2/Σ|truth|. Series with
+    // ≤ 5 points produce no base row and drop out, matching the Spark
+    // side's n > 0 filter.
+    "mon1_fleet_metrics" ->
+      """WITH series AS (
+        |  SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS m,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM series
+        |), base AS (
+        |  SELECT user_id, v AS b FROM idx WHERE rn = n - 5
+        |), truth AS (
+        |  SELECT i.user_id, i.v, b.b FROM idx i JOIN base b USING (user_id)
+        |  WHERE i.rn > i.n - 5
+        |)
+        |SELECT user_id AS series,
+        |  printf('%.4f', sqrt(sum((v-b)*(v-b)) / 5)) AS rmse_r,
+        |  printf('%.4f', (
+        |      sum(CASE WHEN v > b THEN CAST('0.05' AS DOUBLE)*(v-b) ELSE CAST('0.95' AS DOUBLE)*(b-v) END)
+        |    + sum(CASE WHEN v > b THEN CAST('0.5' AS DOUBLE)*(v-b) ELSE CAST('0.5' AS DOUBLE)*(b-v) END)
+        |    + sum(CASE WHEN v > b THEN CAST('0.95' AS DOUBLE)*(v-b) ELSE CAST('0.05' AS DOUBLE)*(b-v) END)
+        |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM truth GROUP BY 1""".stripMargin,
 
     // The WAV payload round-trips through a real RIFF/PCM encode + decode;
     // the oracle recomputes the order-insensitive features relationally.

@@ -73,6 +73,83 @@ object MonitoringJob {
     } finally idx.unpersist()
   }
 
+  /** One fleet-metrics row per monitored series. */
+  case class SeriesMetrics(series: String, rmse: Double, meanWql: Double,
+                           n: Long, threshold: Double, breached: Boolean)
+
+  /** Fleet variant: monitor MANY series in one distributed pass — one
+    * metrics row per series key, the forecaster invoked per key on the
+    * EXECUTORS (the single-series [[run]] mirrors the reference's one
+    * driver-side endpoint call; a fleet of metrics must not serialize
+    * through the driver).
+    *
+    * Scale shape: `groupByKey(series).flatMapSortedGroups(order)` — one
+    * shuffle on the series key; within each group the sorted iterator is
+    * folded into a RING BUFFER of `maxHistory + predictionLength` doubles,
+    * so per-key executor state is bounded no matter how long a series
+    * grows, and series of wildly different lengths skew only by their
+    * capped window. Metric math mirrors [[Evaluation]] exactly (pinball,
+    * weight = 2/Σ|target|, mean over quantiles); the per-group sums run
+    * over the sorted window, so results are deterministic.
+    *
+    * Series shorter than `predictionLength + 1` rows can't be scored and
+    * surface as NaN metrics with `n = 0` (not silently dropped — a fleet
+    * dashboard must see dead series). */
+  def runFleet(agg: DataFrame, seriesCol: String, orderCol: String,
+               targetCol: String, forecaster: Forecaster, threshold: Double,
+               predictionLength: Int = 5, confidence: Int = 90,
+               maxHistory: Long = 527040L)
+              (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (lowQ, upQ) = QuantileBounds.monitoring(confidence)
+    val quantiles = Seq(lowQ, 0.5, upQ)
+    val p = predictionLength
+    val cap = (maxHistory + p).min(Int.MaxValue.toLong).toInt
+
+    agg.select(col(seriesCol).cast("string").as("__series"),
+        col(orderCol).cast("string").as("__ord"),
+        col(targetCol).cast("double").as("__target"))
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("__ord")) { (series, rows) =>
+        // last `cap` values of the sorted series, constant memory
+        val ring = new Array[Double](cap)
+        var seen = 0L
+        rows.foreach { r => ring((seen % cap).toInt) = r._3; seen += 1 }
+        val len = math.min(seen, cap.toLong).toInt
+        if (seen <= p) {
+          Iterator.single(SeriesMetrics(series, Double.NaN, Double.NaN,
+            0L, threshold, breached = false))
+        } else {
+          val start = if (seen >= cap) (seen % cap).toInt else 0
+          val window = Array.tabulate(len)(i => ring((start + i) % cap))
+          val (hist, truth) = window.splitAt(len - p)
+          val (mean, qPreds) = forecaster.predict(hist, p, quantiles)
+          var sqErr = 0.0; var absSum = 0.0
+          val qlSum = new Array[Double](quantiles.length)
+          var i = 0
+          while (i < p) {
+            val t = truth(i)
+            val e = t - mean(i)
+            sqErr += e * e
+            absSum += math.abs(t)
+            var qi = 0
+            while (qi < quantiles.length) {
+              val q = quantiles(qi); val pr = qPreds(q)(i)
+              qlSum(qi) += (if (t > pr) q * (t - pr) else (1.0 - q) * (pr - t))
+              qi += 1
+            }
+            i += 1
+          }
+          val rmse = math.sqrt(sqErr / p)
+          val meanWql = qlSum.map(2.0 / absSum * _).sum / quantiles.length
+          Iterator.single(SeriesMetrics(series, rmse, meanWql, p.toLong,
+            threshold, meanWql >= threshold))
+        }
+      }
+      .toDF("series", "rmse", "mean_wql", "n", "threshold", "breached")
+  }
+
   /** Append a metrics row to the monitoring table (the CloudWatch
     * put_metric_data analog, custom_monitoring_metrics.py:189-210). */
   def record(m: Metrics, tsEpochSec: Long, path: String)

@@ -58,6 +58,44 @@ class DeepARSpec extends SparkSpec {
     assert(m.breached)
   }
 
+  test("fleet monitoring: per-key metrics match the single-series job") {
+    implicit val s = spark
+    // three series: flat (zero error), shifted tail (known rmse/wql,
+    // breaches), and one too short to score (must surface, not vanish)
+    val flat = (1 to 50).map(i => ("flat", f"m$i%03d", 10.0))
+    val shift = (1 to 45).map(i => ("shift", f"m$i%03d", 10.0)) ++
+      (46 to 50).map(i => ("shift", f"m$i%03d", 12.0))
+    val short = (1 to 3).map(i => ("short", f"m$i%03d", 5.0))
+    val df = (flat ++ shift ++ short).toDF("series", "tx_minute", "avg_fee_1min")
+
+    val fleet = MonitoringJob.runFleet(df, "series", "tx_minute", "avg_fee_1min",
+      new NaiveForecaster, threshold = 0.1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fleet.keySet === Set("flat", "shift", "short"))
+
+    val f = fleet("flat")
+    assert(f.getDouble(1) === 0.0 && f.getDouble(2) === 0.0 && !f.getBoolean(5))
+
+    // shift must agree exactly with the single-series job on the same data
+    val single = MonitoringJob.run(
+      df.filter($"series" === "shift").drop("series"),
+      "tx_minute", "avg_fee_1min", new NaiveForecaster, threshold = 0.1)
+    val sh = fleet("shift")
+    assert(math.abs(sh.getDouble(1) - single.rmse) < 1e-12)
+    assert(math.abs(sh.getDouble(2) - single.meanWql) < 1e-12)
+    assert(sh.getBoolean(5) === single.breached)
+
+    val st = fleet("short")
+    assert(st.getLong(3) === 0L && st.getDouble(1).isNaN && !st.getBoolean(5))
+
+    // bounded state: a tight maxHistory cap still scores (naive forecaster
+    // reads only the window tail, which the ring buffer preserves)
+    val capped = MonitoringJob.runFleet(df, "series", "tx_minute", "avg_fee_1min",
+      new NaiveForecaster, threshold = 0.1, maxHistory = 7L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(capped("shift") - single.rmse) < 1e-12)
+  }
+
   test("multimodal: decode pipeline preserves ids, dims, and determinism") {
     implicit val s = spark
     val payloads = Seq((1L, "abc".getBytes), (2L, "defgh".getBytes), (3L, Array.emptyByteArray))
