@@ -618,6 +618,16 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // T5 — BPE-ish subword tokenization: greedy left-to-right merge-or-char
+    // scan against a fixed merge vocabulary (what one round of BPE training
+    // learns), as a per-row codegen'd expression. n_merges = chars saved by
+    // merges — the compression a real subword vocab buys on this corpus.
+    "t5_bpe_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("n_subwords"),
+        (length(regexp_replace(col("text"), "\\s", "")) -
+          TextOps.bpeishTokenCount(col("text"))).cast("long").as("n_merges"))),
+
     // MON1 — fleet monitoring, oracle-grade: one metrics row per user_id
     // series (per-minute mean value), naive last-observation forecast over
     // the final 5 points, RMSE + mean weighted quantile loss per key — the
@@ -1224,6 +1234,15 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // The regex alternation is the tokenizer (see TextOps.bpeishPattern):
+    // merges beat the \S fallback under both engines' alternation semantics.
+    "t5_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern()}')) AS BIGINT) AS n_subwords,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g'))
+         |       - len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern()}')) AS BIGINT) AS n_merges
+         |FROM documents""".stripMargin,
 
     // Naive forecast base = series value at position n-5; truth = last 5;
     // pinball at q ∈ {0.05, 0.5, 0.95} with weight 2/Σ|truth|. Series with

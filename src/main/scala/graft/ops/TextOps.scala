@@ -73,4 +73,32 @@ object TextOps {
     * Collision-safe enough for exact-dup detection at 100 TB (128-bit). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Default merge vocabulary for the BPE-ish tokenizer: high-frequency
+    * English character pairs (what one round of BPE training on English text
+    * learns first). Order = merge priority. */
+  val defaultMerges: Seq[String] = Seq(
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar")
+
+  /** BPE-ish subword tokenization pattern. Greedy left-to-right: at each
+    * position the highest-priority matching merge is taken, else one
+    * non-space character — exactly the scan a regex alternation
+    * `(m1|m2|…|\S)` performs. The same token stream falls out under both
+    * leftmost-first (Java) and leftmost-longest (RE2/DuckDB) alternation
+    * semantics, because every merge is strictly longer than the single-char
+    * fallback — which is what makes the op oracle-mirrorable. Merges must be
+    * regex-safe literals (the default vocabulary is). */
+  def bpeishPattern(merges: Seq[String] = defaultMerges): String =
+    merges.mkString("(", "|", "|\\S)")
+
+  /** Subword tokens of the lowercased text (array column). A real BPE vocab
+    * plugs in via `merges` — the scan shape is identical, only the vocabulary
+    * grows; per-row, codegen'd, no shuffle. */
+  def bpeishTokens(text: Column, merges: Seq[String] = defaultMerges): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern(merges)), lit(0))
+
+  /** Subword token count (empty/blank text → 0). */
+  def bpeishTokenCount(text: Column, merges: Seq[String] = defaultMerges): Column =
+    size(bpeishTokens(text, merges))
 }

@@ -36,6 +36,20 @@ class OpsSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("BPE-ish tokenizer: greedy merge-or-char scan with priority order") {
+    val df = Seq((1L, "The cat"), (2L, ""), (3L, "thth")).toDF("id", "text")
+    val toks = df.select($"id", TextOps.bpeishTokens($"text").as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    // "the cat" → th|e + c|at (merges th, at; never overlapping)
+    assert(toks(1L) === Seq("th", "e", "c", "at"))
+    assert(toks(2L) === Seq.empty)
+    // after consuming "th", the scan resumes AT the next char: th|th
+    assert(toks(3L) === Seq("th", "th"))
+    val counts = df.select($"id", TextOps.bpeishTokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(counts === Map(1L -> 4, 2L -> 0, 3L -> 2))
+  }
+
   test("LSH candidates include identical docs and exclude disjoint docs") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "p q r s t u v w")).toDF("doc_id", "text")
