@@ -706,9 +706,11 @@ object SparkEntry {
     // Structured Streaming run through unnest → dedup → 1-min window agg →
     // keyed upsert; the returned table state must equal the oracle's clean
     // batch recomputation (see graft.streaming.EndToEnd).
+    // withAuxSinks also replays the S5 raw-archive leg and the S11 metrics
+    // listener, asserting completeness of both (failures fail this row).
     "e2e_stream_agg" -> ((s, dir) => {
       val work = scratch("e2e")
-      graft.streaming.EndToEnd.run(s, ev(s, dir), work)
+      graft.streaming.EndToEnd.run(s, ev(s, dir), work, withAuxSinks = true)
     }),
 
     // Watermark DISCARD semantics (the reference's core lateness contract,

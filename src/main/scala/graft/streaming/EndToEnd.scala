@@ -162,24 +162,69 @@ object EndToEnd {
     * For the late-data variant pass `lateDelayFiles = maxFilesPerTrigger`
     * and an `envelopesPerFile` small enough to yield several microbatches
     * (see the class doc for why that pair is deterministic). */
+  /** With `withAuxSinks` the replay also exercises the two auxiliary legs of
+    * the reference architecture and ASSERTS their contracts (so a failure
+    * fails the correctness row, not just a unit test):
+    *   - S5 raw archive (the Firehose→S3 passthrough): every envelope line
+    *     of the source must land, byte-preserving, in the archive;
+    *   - S11 metrics listener: per-batch rows whose `input_rows` must sum
+    *     to exactly the source line count for the resident query (the
+    *     listener bus is async — polled to quiescence before asserting). */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
           maxFilesPerTrigger: Int = 4,
           envelopesPerFile: Long = EnvelopesPerFile,
-          lateDelayFiles: Int = 0): DataFrame = {
+          lateDelayFiles: Int = 0,
+          withAuxSinks: Boolean = false): DataFrame = {
     require(lateDelayFiles == 0 || lateDelayFiles >= 2 * maxFilesPerTrigger + 2,
       "the late-events filter lags one batch behind the arrival batch's " +
         "watermark (class doc): lateDelayFiles >= 2*maxFilesPerTrigger + 2")
     writeFixtures(spark, events, workDir, envelopesPerFile, lateDelayFiles)
-    val raw = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(s"$workDir/data")
-    val table = new KeyedParquetTable(s"$workDir/table", "tx_minute")
-    val query = Pipeline.writer(
-      Pipeline.aggregates(raw), table, s"$workDir/ckpt", Trigger.AvailableNow)
-      .start()
-    query.awaitTermination()
-    table.readLatest(spark)
-      .select(col("tx_minute"), col("total_nb_trx_1min"),
-        col("total_fee_1min"), col("avg_fee_1min"))
+    val listener =
+      if (withAuxSinks) Some(new Sinks.MetricsListener(spark, s"$workDir/metrics"))
+      else None
+    listener.foreach(spark.streams.addListener)
+    try {
+      val raw = spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(s"$workDir/data")
+      val table = new KeyedParquetTable(s"$workDir/table", "tx_minute")
+      val query = Pipeline.writer(
+        Pipeline.aggregates(raw), table, s"$workDir/ckpt", Trigger.AvailableNow)
+        .start()
+      val archive = if (withAuxSinks) {
+        val rawForArchive = spark.readStream
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .text(s"$workDir/data")
+        Some(Sinks.rawArchive(rawForArchive, s"$workDir/archive", s"$workDir/ckpt_archive")
+          .trigger(Trigger.AvailableNow).start())
+      } else None
+      query.awaitTermination()
+      archive.foreach(_.awaitTermination())
+
+      if (withAuxSinks) {
+        val srcLines = spark.read.text(s"$workDir/data").count()
+        val archived = spark.read.text(s"$workDir/archive").count()
+        require(archived == srcLines,
+          s"S5 raw archive incomplete: $archived of $srcLines envelope lines")
+        // listener delivery is async: poll until the resident query's
+        // metrics rows account for every source line (or time out)
+        val qid = query.id.toString
+        def ingested(): Long = {
+          val m = spark.read.parquet(s"$workDir/metrics")
+          m.filter(col("query_id") === qid)
+            .agg(coalesce(sum(col("input_rows")), lit(0L))).head().getLong(0)
+        }
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var got = ingested()
+        while (got != srcLines && System.nanoTime() < deadline) {
+          Thread.sleep(200); got = ingested()
+        }
+        require(got == srcLines,
+          s"S11 metrics incomplete: $got of $srcLines input rows accounted")
+      }
+      table.readLatest(spark)
+        .select(col("tx_minute"), col("total_nb_trx_1min"),
+          col("total_fee_1min"), col("avg_fee_1min"))
+    } finally listener.foreach(spark.streams.removeListener)
   }
 }

@@ -12,7 +12,8 @@ class EndToEndSpec extends SparkSpec {
   test("streaming replay equals clean batch aggregate (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)
-    val streamed = EndToEnd.run(spark, events, tmpDir("e2e"), maxFilesPerTrigger = 4)
+    val streamed = EndToEnd.run(spark, events, tmpDir("e2e"), maxFilesPerTrigger = 4,
+      withAuxSinks = true)
 
     val expected = events
       .groupBy(date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss")
