@@ -534,6 +534,15 @@ object SparkEntry {
       SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8)
         .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
 
+    // D5b — the scale knobs of d5 under oracle: multi-probe (2 rotations of
+    // 8 sign dims) recovers pairs a single bucket rotation misses — the
+    // oracle admits a pair if EITHER rotation collides, so the result is a
+    // strict superset of d5's and pins the recall/bucket-size trade.
+    "d5b_embedding_multiprobe" -> ((s, dir) =>
+      SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8,
+          rotations = 2)
+        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -850,8 +859,12 @@ object SparkEntry {
        |SELECT doc_id, CAST($compose AS BIGINT) AS simhash FROM agg""".stripMargin
   }
 
-  private def signBucketSql: String =
-    (1 to 8).map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  private def signBucketSql: String = signBucketSql(0)
+
+  /** Sign-bucket key over dims [rot*8, rot*8+8) — 1-indexed in DuckDB. */
+  private def signBucketSql(rot: Int): String =
+    (rot * 8 + 1 to rot * 8 + 8)
+      .map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
   private def ivfOracle: String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -1180,6 +1193,19 @@ object SparkEntry {
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim
          |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE sim >= CAST('0.35' AS DOUBLE)""".stripMargin,
+
+    // Multi-probe: a candidate pair collides in EITHER sign-bucket rotation.
+    "d5b_embedding_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+         |      ${signBucketSql(0)} AS b0, ${signBucketSql(1)} AS b1 FROM v
+         |      WHERE list_inner_product(ve, ve) > 0)
+         |SELECT id_a, id_b, printf('%.4f', sim) AS sim_r FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |                   AND (a.b0 = b.b0 OR a.b1 = b.b1))
          |WHERE sim >= CAST('0.35' AS DOUBLE)""".stripMargin,
 
     "o5_series" ->

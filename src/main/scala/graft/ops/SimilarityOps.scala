@@ -121,18 +121,40 @@ object SimilarityOps {
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by SimHash-of-embedding-signs (random-hyperplane LSH without
-    * randomness: the sign pattern of selected dimensions is the bucket key, so
-    * only same-bucket pairs are compared). */
+    * randomness: the sign pattern of selected dimensions is the bucket key,
+    * so only same-bucket pairs are compared).
+    *
+    * The two scale knobs, both surfaced at the query level:
+    *   - `signDims` — bucket-key bits. More bits → smaller buckets → a
+    *     cheaper self-join but lower recall (a near-dup pair flipping any
+    *     keyed sign lands in different buckets).
+    *   - `rotations` — multi-probe: rotation `r` buckets on dims
+    *     `[r·signDims, (r+1)·signDims)`; a pair is a candidate if ANY
+    *     rotation collides. Recall lost to a sign flip in one rotation is
+    *     recovered by the others, at `rotations`× bucketing cost — the
+    *     standard banding trade (P[miss] = Π_r P[flip in rotation r]).
+    *
+    * Candidate id pairs are DISTINCT'd before the vectors are joined back
+    * for scoring (multi-probe collides the same pair in several rotations;
+    * wide rows must exist once per candidate, not once per collision). */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, signDims: Int = 8): DataFrame = {
+                            threshold: Double, signDims: Int = 8,
+                            rotations: Int = 1): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(nonZero(col("v")))
-    val key = concat_ws("", (0 until signDims).map(i =>
+    def key(r: Int) = concat_ws("", (r * signDims until (r + 1) * signDims).map(i =>
       when(col("v")(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
-    val keyed = v.withColumn("bucket", key)
-    val a = keyed.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = keyed.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+    val keyed = v.select(col("id"),
+      posexplode(array((0 until rotations).map(key): _*)).as(Seq("rot", "bucket")))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.rot") === col("b.rot") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
