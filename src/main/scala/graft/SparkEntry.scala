@@ -530,6 +530,25 @@ object SparkEntry {
     }),
 
     // D5 — embedding-cosine near-dup pairs, sign-bucket LSH blocked.
+    // S4 — the STREAMING IVF index path, oracle-grade: the corpus lands in
+    // the cell-partitioned on-disk index across two epoch writes (what the
+    // micro-batch writer does per batchId), then search prunes to the probed
+    // cells via a static partition filter. Same queries and oracle as the
+    // in-memory s2 plan — the index layout must not change a single
+    // neighbor.
+    "s4_ivf_index_search" -> ((s, dir) => {
+      val work = scratch("s4")
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val index = new graft.streaming.IvfIndex(s"$work/index", centroids)
+      index.writeEpoch(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", epoch = 0L)
+      index.writeEpoch(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", epoch = 1L)
+      index.search(s, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     "d5_embedding_neardup" -> ((s, dir) =>
       SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8)
         .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
@@ -1181,6 +1200,10 @@ object SparkEntry {
     "s1_ann_topk" -> annOracle,
 
     "s2_ann_ivf" -> ivfOracle,
+
+    // The on-disk epoch-partitioned index must return the identical
+    // neighbor set the in-memory IVF plan does.
+    "s4_ivf_index_search" -> ivfOracle,
 
     "d3_simhash" -> simhashOracle,
 
