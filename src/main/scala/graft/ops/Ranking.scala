@@ -32,9 +32,13 @@ object Ranking {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     // pass 1: per-partition counts → cumulative offsets (driver-side scan of
-    // #partitions entries)
-    val counts = ranged.groupBy(col("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // #partitions entries). Counted straight off the checkpointed blocks
+    // (mapPartitionsWithIndex over InternalRows) — no exchange, no codegen
+    // stage, no per-field deserialization; the index aligns with __pid
+    // because localCheckpoint preserves partitioning.
+    val counts = ranged.queryExecution.toRdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, c) => val off = acc; acc += c; (pid, off) }
     val offDf = broadcast(
