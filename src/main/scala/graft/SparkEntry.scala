@@ -646,6 +646,31 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // P8/S2 — the producer's ≤ maxBytes envelope batcher under oracle: txs
+    // rendered at FIXED width (so the greedy packing reduces to exact
+    // arithmetic the oracle can mirror: 7 txs/envelope at these constants),
+    // every 50th event oversize and discarded (lib.js:136-143). The real
+    // EnvelopeBatcher.split runs per user on executors; the oracle
+    // recomputes counts from the packing arithmetic.
+    "p8_envelope_batcher" -> ((s, dir) => {
+      import s.implicits._
+      val txs = ev(s, dir).select(col("user_id"),
+        when(pmod(col("event_id"), lit(50)) === 0,
+          // fixed oversize width 212 > maxBytes - overhead → always dropped
+          concat(lit("{\"pad\":\""), lpad(lit("x"), 200, "x"), lit("\"}")))
+          .otherwise(format_string("{\"fee\":\"%05d\"}",
+            pmod(col("event_id"), lit(10000)))).as("tx"))
+      txs.groupBy(col("user_id")).agg(collect_list(col("tx")).as("txs"))
+        .as[(Long, Seq[String])]
+        .map { case (uid, ts) =>
+          val (batches, dropped) =
+            graft.streaming.EnvelopeBatcher.split("[", "]", ts, maxBytes = 128)
+          (uid, ts.length.toLong, batches.length.toLong,
+            dropped.length.toLong, batches.map(_.length).sum.toLong)
+        }
+        .toDF("user_id", "n_txs", "n_envelopes", "n_dropped", "n_packed")
+    }),
+
     // T5 — BPE-ish subword tokenization: greedy left-to-right merge-or-char
     // scan against a fixed merge vocabulary (what one round of BPE training
     // learns), as a per-row codegen'd expression. n_merges = chars saved by
@@ -1285,6 +1310,18 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Packing arithmetic: overhead 2 ("[" + "]"), tx width 15, separator 1
+    // → after k txs an envelope holds 16k+1 bytes; 16·7+1 = 113 ≤ 128 <
+    // 129 → 7 txs per envelope. Oversize txs (event_id % 50 = 0) never
+    // enter an envelope.
+    "p8_envelope_batcher" ->
+      """SELECT user_id,
+        |  COUNT(*) AS n_txs,
+        |  CAST(CEIL((COUNT(*) FILTER (WHERE event_id % 50 <> 0)) / 7.0) AS BIGINT) AS n_envelopes,
+        |  COUNT(*) FILTER (WHERE event_id % 50 = 0) AS n_dropped,
+        |  COUNT(*) FILTER (WHERE event_id % 50 <> 0) AS n_packed
+        |FROM events GROUP BY 1""".stripMargin,
 
     // The regex alternation is the tokenizer (see TextOps.bpeishPattern):
     // merges beat the \S fallback under both engines' alternation semantics.
