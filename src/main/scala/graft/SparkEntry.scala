@@ -425,6 +425,22 @@ object SparkEntry {
         DedupOps.materializeSignatures(docs(s, dir), "doc_id", "text", sigTable, 16), 16, 4)
     }),
 
+    // D6 — near-dup CLUSTERING: connected components over the thresholded
+    // LSH pair graph, one canonical id (component min) per doc — the
+    // contract pair-wise dropping gets wrong on similarity chains. Min-label
+    // propagation to fixpoint; the oracle recomputes components via a
+    // recursive transitive closure.
+    "d6_neardup_clusters" -> ((s, dir) => {
+      val sigs = DedupOps.signatures(docs(s, dir), "doc_id", "text", 16).cache()
+      val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val labeled = DedupOps.connectedComponents(pairs)
+      labeled.join(
+          labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // D4 — exact token-set Jaccard over MinHash-band blocked candidates.
     // (Blocking on a raw text prefix makes the self-join quadratic in the
     // largest shared-boilerplate bucket; a band collision instead has
@@ -1173,6 +1189,27 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
+
+    // Components of the ≥0.5-estimated-Jaccard pair graph by recursive
+    // transitive closure; label = component min doc_id.
+    "d6_neardup_clusters" -> {
+      val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |scored AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+         |          UNION SELECT id_b, id_a FROM scored),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT l.id AS doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+         |FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c
+         |  USING (cluster_id)""".stripMargin
+    },
 
     // d2b runs the same logical query against a materialized signature
     // table — the result is identical by construction.

@@ -209,6 +209,51 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
   }
 
+  /** Connected components over an undirected pair relation — the clustering
+    * step a production near-dup pipeline runs on LSH pair output. Dropping
+    * `id_b` of every pair over-deletes on chains (A~B, B~C kills B and C,
+    * though A~C may be dissimilar); the correct contract is one canonical
+    * doc per COMPONENT.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every node
+    * takes the min label among itself and its neighbors; one join + one
+    * groupBy per round, lineage cut by localCheckpoint. Rounds needed =
+    * component diameter: near-dup components are clique-ish (2-3 hops), so
+    * this converges in a handful of rounds. For adversarial long-chain
+    * graphs the alternating large-star/small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") drop the bound to
+    * O(log²) with the same relational core.
+    *
+    * @return (id, cluster_id) — every node of the pair relation labeled
+    *         with its component's min id. Throws if maxIter rounds don't
+    *         reach the fixpoint (wrong labels must not pass silently). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram (word shingle) Jaccard similarity between two token-array
     * columns, as a double in [0,1]. */
   def jaccard(tokensA: Column, tokensB: Column): Column = {

@@ -59,6 +59,16 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connected components label chains by component min, not pair-wise") {
+    // chain 1~5~3 plus disjoint pair 10~12: pair-wise id_b-dropping would
+    // delete 5, 3 AND 12 but also break if 3~1 were absent; components give
+    // {1,3,5}→1 and {10,12}→10
+    val pairs = Seq((1L, 5L), (5L, 3L), (10L, 12L)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(1L -> 1L, 5L -> 1L, 3L -> 1L, 10L -> 10L, 12L -> 10L))
+  }
+
   test("blocked exact Jaccard scores LSH candidates; materialized signatures agree") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h x"),
       (3L, "p q r s t u v w")).toDF("doc_id", "text")
