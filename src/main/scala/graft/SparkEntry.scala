@@ -662,6 +662,16 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // X1 — reproducible domain-weighted mixture sampling (training-data
+    // assembly): keep/drop derives from a salted md5 of the doc id, so the
+    // mix is auditable and identical on any engine/partitioning — never
+    // rand(). One scan, one codegen'd filter. The oracle recomputes the
+    // hash digit-for-digit and applies the same integer thresholds.
+    "x1_mixture_sample" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureSample(docs(s, dir), col("doc_id"), col("lang"),
+          SparkEntry.mixtureRates)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     // P8/S2 — the producer's ≤ maxBytes envelope batcher under oracle: txs
     // rendered at FIXED width (so the greedy packing reduces to exact
     // arithmetic the oracle can mirror: 7 txs/envelope at these constants),
@@ -918,6 +928,11 @@ object SparkEntry {
        |agg AS (SELECT doc_id, count(*) AS n, $bitSums FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($compose AS BIGINT) AS simhash FROM agg""".stripMargin
   }
+
+  /** Mixture weights for x1 (lang → sampling rate); the oracle SQL is
+    * generated from this same map so the two can never drift. */
+  private[graft] val mixtureRates: Map[String, Double] =
+    Map("en" -> 0.9, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
 
   private def signBucketSql: String = signBucketSql(0)
 
@@ -1347,6 +1362,19 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // The 32-bit hash is rebuilt digit-by-digit from md5('mix:' || doc_id)
+    // and compared against the SAME integer thresholds the Spark map holds.
+    "x1_mixture_sample" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val thr = graft.SparkEntry.mixtureRates.toSeq.sortBy(_._1).map { case (d, r) =>
+        s"WHEN lang = '$d' THEN ${graft.ops.Sampling.threshold(r)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ($hexVal) < (CASE $thr ELSE 0 END)""".stripMargin
+    },
 
     // Packing arithmetic: overhead 2 ("[" + "]"), tx width 15, separator 1
     // → after k txs an envelope holds 16k+1 bytes; 16·7+1 = 113 ≤ 128 <

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data assembly.
+  *
+  * `rand()`-based sampling is non-reproducible across retries, repartitions,
+  * and engines — a training-mix built with it can never be audited or
+  * rebuilt. These operators derive the keep/drop decision from a salted md5
+  * of the row KEY, so the same row makes the same decision everywhere: the
+  * sample is a pure per-row filter (codegen'd, no shuffle, no state), any
+  * engine can reproduce it, and changing the salt draws an independent
+  * sample. This is how large corpus pipelines pin train/val membership and
+  * domain mixture weights at 100 TB.
+  */
+object Sampling {
+
+  private val Two32 = 4294967296.0 // 2^32
+
+  /** 32-bit uniform hash of (salt, key): integer value of the first 8 hex
+    * chars of md5("salt:key"). Any engine reproduces it from the same md5. */
+  def hash32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Integer keep-threshold for a sampling fraction (exact compare — no
+    * double arithmetic at filter time). */
+  def threshold(fraction: Double): Long = math.round(fraction * Two32)
+
+  /** Reproducible Bernoulli sample: keep rows whose salted key-hash falls
+    * below fraction·2^32. */
+  def seededSample(df: DataFrame, key: Column, fraction: Double,
+                   salt: String = "sample"): DataFrame =
+    df.filter(hash32(key, salt) < threshold(fraction))
+
+  /** Domain-weighted mixture in ONE pass: each row keeps with its domain's
+    * rate (domains absent from `rates` drop). One scan, one codegen'd
+    * filter — not a union of per-domain samples. */
+  def mixtureSample(df: DataFrame, key: Column, domain: Column,
+                    rates: Map[String, Double], salt: String = "mix"): DataFrame = {
+    val thr = rates.foldLeft(lit(0L)) { case (acc, (d, r)) =>
+      when(domain === d, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(hash32(key, salt) < thr)
+  }
+}

@@ -59,6 +59,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("seeded sampling: deterministic, nested across rates, salt-independent") {
+    import graft.ops.Sampling
+    val df = spark.range(2000).toDF("id")
+    def ids(frac: Double, salt: String = "sample") =
+      Sampling.seededSample(df, col("id"), frac, salt).as[Long].collect().toSet
+    val a = ids(0.3)
+    assert(a === ids(0.3), "same salt+rate → identical sample")
+    // threshold sampling nests: raising the rate only ADDS rows (stable
+    // train subsets as the budget grows)
+    assert(a.subsetOf(ids(0.6)))
+    // a different salt draws an independent sample
+    assert(a !== ids(0.3, "other"))
+    // rate is approximately honored
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05)
+  }
+
   test("connected components label chains by component min, not pair-wise") {
     // chain 1~5~3 plus disjoint pair 10~12: pair-wise id_b-dropping would
     // delete 5, 3 AND 12 but also break if 3~1 were absent; components give
