@@ -672,6 +672,19 @@ object SparkEntry {
           SparkEntry.mixtureRates)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
+    // order, sliced into 512-token training sequences with docs splitting
+    // at boundaries. The assignment is arithmetic over an exclusive global
+    // running sum computed with the two-pass range-partitioned primitive —
+    // no single-partition window anywhere.
+    "x2_sequence_packing" -> ((s, dir) =>
+      graft.ops.Packing.sequenceAssignments(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          Seq(col("doc_id")), TextOps.tokenCount(col("text")), budget = 512L)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("seq_first"), col("seq_last"), col("n_splits"))),
+
     // P8/S2 — the producer's ≤ maxBytes envelope batcher under oracle: txs
     // rendered at FIXED width (so the greedy packing reduces to exact
     // arithmetic the oracle can mirror: 7 txs/envelope at these constants),
@@ -1362,6 +1375,23 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Exclusive running sum over doc_id order → integer slice arithmetic.
+    "x2_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  off // 512 AS seq_first,
+         |  CASE WHEN n_tokens <= 0 THEN off // 512
+         |       ELSE (off + n_tokens - 1) // 512 END AS seq_last,
+         |  (CASE WHEN n_tokens <= 0 THEN off // 512
+         |        ELSE (off + n_tokens - 1) // 512 END) - off // 512 AS n_splits
+         |FROM c""".stripMargin,
 
     // The 32-bit hash is rebuilt digit-by-digit from md5('mix:' || doc_id)
     // and compared against the SAME integer thresholds the Spark map holds.

@@ -18,6 +18,37 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Attach the exclusive global running sum of `valueCol` in `orderCols`
+    * order (`out` = sum of all PRIOR rows' values; first row gets 0). Same
+    * two-pass shape as [[globalRowNumber]] — per-partition totals to the
+    * driver (one long per partition), then parallel local cumsums plus the
+    * partition offset. The order columns must form a total order. */
+  def globalRunningSum(df: DataFrame, orderCols: Seq[Column], valueCol: Column,
+                       out: String = "cumsum"): DataFrame = {
+    val ranged = df.withColumn("__val", valueCol.cast("long"))
+      .repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val valIdx = ranged.schema.fieldIndex("__val")
+    val totals = ranged.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L
+        it.foreach(r => s += (if (r.isNullAt(valIdx)) 0L else r.getLong(valIdx)))
+        Iterator((i, s))
+      }.collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, s) => val off = acc; acc += s; (pid, off) }
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__poff"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("__lsum", coalesce(sum(col("__val")).over(w), lit(0L)))
+      .join(offDf, "__pid")
+      .withColumn(out, col("__lsum") + col("__poff"))
+      .drop("__pid", "__lsum", "__poff", "__val")
+  }
+
   /** Attach a 1-based global position `out` (long — a global index must not
     * inherit row_number's 2^31 cap) ordered by `orderCols`. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],

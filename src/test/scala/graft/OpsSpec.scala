@@ -59,6 +59,25 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("global running sum and sequence packing slice the token stream exactly") {
+    import graft.ops.{Packing, Ranking}
+    val df = Seq((1L, 100L), (2L, 500L), (3L, 0L), (4L, 30L))
+      .toDF("id", "toks")
+    val sums = Ranking.globalRunningSum(df, Seq(col("id")), col("toks"), "c")
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(sums === Map(1L -> 0L, 2L -> 100L, 3L -> 600L, 4L -> 600L))
+
+    // budget 512: doc2 spans [100,600) → sequences 0 and 1 (one split);
+    // empty doc3 attaches to its offset's sequence with no splits
+    val packed = Packing.sequenceAssignments(df, Seq(col("id")), col("toks"), 512L)
+      .select("id", "seq_first", "seq_last", "n_splits")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(packed(1L) === ((0L, 0L, 0L)))
+    assert(packed(2L) === ((0L, 1L, 1L)))
+    assert(packed(3L) === ((1L, 1L, 0L)))
+    assert(packed(4L) === ((1L, 1L, 0L)))
+  }
+
   test("seeded sampling: deterministic, nested across rates, salt-independent") {
     import graft.ops.Sampling
     val df = spark.range(2000).toDF("id")
