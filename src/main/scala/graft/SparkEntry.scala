@@ -662,6 +662,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // T6 — rarity-weighted top terms per document: tf × linear inverse
+    // document frequency (score = tf/df — division is exactly rounded per
+    // IEEE-754, so the ranking is engine-deterministic; tf·ln(N/df) would
+    // hinge on libm ulp differences). Group top-3 compiles to
+    // WindowGroupLimit: bounded per-doc heaps both sides of the exchange.
+    "t6_top_terms" -> ((s, dir) => {
+      val toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+          // raw double, no rounding: a single IEEE division is bit-identical
+          // on both engines, while %.6f half-cases (tf/df is dyadic, e.g.
+          // 1/128) split between Java half-up and C half-even
+          col("tf"), col("df"), col("score"))
+    }),
+
     // X1 — reproducible domain-weighted mixture sampling (training-data
     // assembly): keep/drop derives from a salted md5 of the doc id, so the
     // mix is auditable and identical on any engine/partitioning — never
@@ -1375,6 +1396,20 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey)
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // tf/df reproduces exactly on both engines (single rounded division).
+    "t6_top_terms" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |s AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+           |      FROM tf JOIN dfreq USING (term))
+           |SELECT doc_id, rank, term, tf, df, score
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
+           |WHERE rank <= 3""".stripMargin,
 
     // Exclusive running sum over doc_id order → integer slice arithmetic.
     "x2_sequence_packing" ->
