@@ -670,7 +670,9 @@ object SparkEntry {
     "t6_top_terms" -> ((s, dir) => {
       val toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // tf feeds both the document-frequency rollup and the scoring join —
+      // cache so the token explode + first groupBy run once
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term")
         .withColumn("score", col("tf").cast("double") / col("df"))
