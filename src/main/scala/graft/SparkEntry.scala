@@ -560,7 +560,30 @@ object SparkEntry {
       val index = new graft.streaming.IvfIndex(s"$work/index", centroids)
       index.writeEpoch(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", epoch = 0L)
       index.writeEpoch(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", epoch = 1L)
+      // maintenance under the same oracle: per-cell small-file compaction
+      // must not change a neighbor
+      index.compactCells(s, targetFileBytes = Long.MaxValue)
       index.search(s, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S5i — centroid-drift maintenance under oracle: the index built on the
+    // %40 centroid set is re-assigned against a DIFFERENT centroid set
+    // (%25, offset 5) in one batch pass; the searched result must equal the
+    // oracle's IVF recomputation against the NEW centroids.
+    "s5_ivf_reassign" -> ((s, dir) => {
+      val work = scratch("s5")
+      val e = emb(s, dir)
+      val oldCent = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val newCent = e.filter(col("vec_id") % 25 === 5)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val index = new graft.streaming.IvfIndex(s"$work/index", oldCent)
+      index.writeEpoch(e, "vec_id", "embedding", epoch = 0L)
+      val reassigned = index.reassign(s, newCent, "vec_id", "embedding")
+      reassigned.search(s, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nprobe = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
@@ -977,11 +1000,15 @@ object SparkEntry {
     (rot * 8 + 1 to rot * 8 + 8)
       .map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
-  private def ivfOracle: String =
+  private def ivfOracle: String = ivfOracle("vec_id % 40 = 0")
+
+  /** IVF top-k oracle parameterized by the centroid-set predicate (s2/s4 use
+    * the %40 set; s5's drift re-assignment a different one). */
+  private def ivfOracle(centroidPred: String): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
        |      WHERE list_inner_product(ve, ve) > 0),
-       |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+       |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE $centroidPred),
        |assign AS (SELECT vec_id, cid FROM (
        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
        |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
@@ -1314,9 +1341,13 @@ object SparkEntry {
 
     "s2_ann_ivf" -> ivfOracle,
 
-    // The on-disk epoch-partitioned index must return the identical
-    // neighbor set the in-memory IVF plan does.
+    // The on-disk epoch-partitioned index — including a compaction pass —
+    // must return the identical neighbor set the in-memory IVF plan does.
     "s4_ivf_index_search" -> ivfOracle,
+
+    // After centroid-drift re-assignment, search must equal an IVF
+    // recomputation against the NEW centroid set.
+    "s5_ivf_reassign" -> ivfOracle("vec_id % 25 = 5"),
 
     "d3_simhash" -> simhashOracle,
 

@@ -234,23 +234,30 @@ object DedupOps {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
-    var changed = 1L
+    // labels only ever DECREASE, so Σlabel is strictly monotone until the
+    // fixpoint — an unchanged sum IS convergence; no per-round diff join.
+    // Exact decimal sum: a long overflow colliding two different label sets
+    // would silently end the loop early.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < maxIter) {
+    while (!converged && rounds < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $maxIter rounds")
+    require(converged, s"label propagation did not converge in $maxIter rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
