@@ -731,6 +731,14 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
           col("seq_first"), col("seq_last"), col("n_splits"))),
 
+    // X3 — exactly-20-per-language deterministic panel: rows ranked inside
+    // each domain by salted key-hash (a reproducible shuffle), first 20
+    // kept — the eval-panel counterpart of x1's Bernoulli mixture. Group
+    // top-k compiles to WindowGroupLimit.
+    "x3_domain_panel" -> ((s, dir) =>
+      graft.ops.Sampling.domainPanel(docs(s, dir), col("doc_id"), col("lang"), k = 20)
+        .select(col("doc_id"), col("lang"), col("panel_rank").cast("long").as("panel_rank"))),
+
     // P8/S2 — the producer's ≤ maxBytes envelope batcher under oracle: txs
     // rendered at FIXED width (so the greedy packing reduces to exact
     // arithmetic the oracle can mirror: 7 txs/envelope at these constants),
@@ -1443,6 +1451,18 @@ object SparkEntry {
            |FROM (SELECT *, row_number() OVER (
            |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM s)
            |WHERE rank <= 3""".stripMargin,
+
+    // Same digit-rebuilt hash as x1 (salt 'panel'), ranked per language.
+    "x3_domain_panel" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('panel:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""SELECT doc_id, lang, panel_rank FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang ORDER BY ($hexVal), doc_id) AS panel_rank
+         |  FROM documents)
+         |WHERE panel_rank <= 20""".stripMargin
+    },
 
     // Exclusive running sum over doc_id order → integer slice arithmetic.
     "x2_sequence_packing" ->

@@ -34,6 +34,18 @@ object Sampling {
                    salt: String = "sample"): DataFrame =
     df.filter(hash32(key, salt) < threshold(fraction))
 
+  /** Exactly-k-per-domain deterministic panel (eval sets, human-review
+    * batches): rows ranked within each domain by their salted key-hash —
+    * a reproducible shuffle — and the first k kept. Compiles to
+    * WindowGroupLimit: bounded per-domain heaps on both sides of the
+    * exchange, never a full per-domain sort. */
+  def domainPanel(df: DataFrame, key: Column, domain: Column, k: Int,
+                  salt: String = "panel"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domain).orderBy(hash32(key, salt), key)
+    df.withColumn("panel_rank", row_number().over(w)).filter(col("panel_rank") <= k)
+  }
+
   /** Domain-weighted mixture in ONE pass: each row keeps with its domain's
     * rate (domains absent from `rates` drop). One scan, one codegen'd
     * filter — not a union of per-domain samples. */
