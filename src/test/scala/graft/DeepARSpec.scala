@@ -96,6 +96,18 @@ class DeepARSpec extends SparkSpec {
     assert(math.abs(capped("shift") - single.rmse) < 1e-12)
   }
 
+  test("fleet monitoring orders numeric keys numerically, not lexically") {
+    implicit val s = spark
+    // order keys 1..50 as LONGS: lexicographic order would interleave
+    // (1, 10, 11, ..., 2, 20, ...) and pick a wrong forecast window
+    val df = ((1 to 45).map(i => ("k", i.toLong, 10.0)) ++
+      (46 to 50).map(i => ("k", i.toLong, 12.0))).toDF("series", "pos", "v")
+    val m = MonitoringJob.runFleet(df, "series", "pos", "v",
+      new NaiveForecaster, threshold = 0.1).collect().head
+    // truth = last 5 (12.0), base = position 45 (10.0) → rmse exactly 2
+    assert(math.abs(m.getDouble(1) - 2.0) < 1e-12)
+  }
+
   test("multimodal: decode pipeline preserves ids, dims, and determinism") {
     implicit val s = spark
     val payloads = Seq((1L, "abc".getBytes), (2L, "defgh".getBytes), (3L, Array.emptyByteArray))
@@ -186,6 +198,19 @@ class DeepARSpec extends SparkSpec {
       new Multimodal.BuiltinDecoder)
       .select("feature_dim").as[Int].head()
     assert(f === 0)
+
+    // negative chunk length: the walk must FAIL (→ empty features), not
+    // stall — off += 8 + len + (len & 1) stops advancing at len = -8
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0x46464952).putInt(56).putInt(0x45564157)
+    bb.putInt(0x20746d66).putInt(-8) // poisoned length
+    val evil = Multimodal.decodeFeatures(
+      Multimodal.asMediaFrame(Seq((10L, bb.array())).toDF("id", "data"),
+        "id", "data", "audio", "wav"),
+      new Multimodal.BuiltinDecoder)
+      .select("feature_dim").as[Int].head()
+    assert(evil === 0)
   }
 
   test("multimodal: frame sampling emits duration/interval frames") {

@@ -30,10 +30,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
+    # --partial: tolerate absent outputs (a filtered Verify run writes only
+    # the named queries). WITHOUT the flag an absent dir is a FAILURE — in a
+    # full run it means the query threw and Verify swallowed the error;
+    # treating that as "not run" would green-light a broken gate.
+    partial = "--partial" in sys.argv[3:]
     for name, sql in sorted(oracle.items()):
-        # a filtered Verify run (3rd arg) writes only the named queries —
-        # absent outputs are "not run", not failures
-        if not __import__("os").path.isdir(f"{out_dir}/{name}"):
+        if partial and not __import__("os").path.isdir(f"{out_dir}/{name}"):
             n_skip += 1
             continue
         try:
