@@ -20,9 +20,12 @@ object Bench {
     // streaming throughput properly.
     // o6_compact_files likewise: it is a store-maintenance round trip (two
     // upserts + compact + FS listing), not a query.
-    // o10_version_history likewise (two upserts + full-history read)
+    // o10_version_history likewise (two upserts + full-history read), and
+    // s4/s5 (full on-disk index builds + maintenance passes + search —
+    // index-construction round trips, not query throughput; s2 benches the
+    // IVF query plan itself)
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
-      "o10_version_history")
+      "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
