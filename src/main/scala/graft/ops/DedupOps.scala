@@ -261,6 +261,67 @@ object DedupOps {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-graph scale path: converges in O(log² n) rounds regardless
+    * of component diameter, where [[connectedComponents]]' label propagation
+    * needs diameter rounds (fine for clique-ish near-dup components, ruinous
+    * on long chains). Each round is two groupBy+join passes over the edge
+    * relation; no step ever materializes a neighborhood larger than the
+    * input degree.
+    *
+    *   - large-star: every node's LARGER neighbors re-attach to the minimum
+    *     of its neighborhood (min(Γ(u) ∪ u)) — halves tree heights;
+    *   - small-star: every node and its SMALLER neighbors attach to that
+    *     minimum — flattens toward stars.
+    *
+    * Fixpoint = the edge set stops changing; then every edge points a node
+    * at its component's minimum id. Same output contract as
+    * [[connectedComponents]]: (id, cluster_id) for every node of `pairs`. */
+  def connectedComponentsAlternating(pairs: DataFrame, idA: String = "id_a",
+                                     idB: String = "id_b",
+                                     maxIter: Int = 40): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct().localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges point large→small (large-star output shape)
+      val m = e.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val withM = e.join(m, "src")
+      withM.select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    }
+
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("src"),
+        least(col(idA), col(idB)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"alternating rounds did not converge in $maxIter rounds")
+    nodes.join(edges.select(col("src").as("id"), col("dst").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Exact n-gram (word shingle) Jaccard similarity between two token-array
     * columns, as a double in [0,1]. */
   def jaccard(tokensA: Column, tokensB: Column): Column = {

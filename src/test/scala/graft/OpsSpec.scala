@@ -78,6 +78,28 @@ class OpsSpec extends SparkSpec {
     assert(packed(4L) === ((1L, 1L, 0L)))
   }
 
+  test("alternating large-star/small-star components equal label propagation") {
+    import scala.util.Random
+    // adversarial shapes for propagation: a 40-node chain (diameter 40 —
+    // alternation must converge in far fewer rounds), a star, two cliques
+    // bridged by one edge, and a seeded random graph
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val star = (1L to 8L).map(i => (100L, 100L + i))
+    val cliques = (for (a <- 200L to 204L; b <- a + 1 to 204L) yield (a, b)) ++
+      (for (a <- 300L to 304L; b <- a + 1 to 304L) yield (a, b)) :+ (204L, 300L)
+    val rnd = new Random(7)
+    val random = (0 until 60).map(_ => (rnd.nextInt(40).toLong + 400L, rnd.nextInt(40).toLong + 400L))
+      .filter(p => p._1 != p._2)
+    for (edges <- Seq(chain, star, cliques, random)) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val prop = DedupOps.connectedComponents(pairs, maxIter = 60)
+        .as[(Long, Long)].collect().toMap
+      val alt = DedupOps.connectedComponentsAlternating(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(alt === prop, s"mismatch on edge set ${edges.take(5)}…")
+    }
+  }
+
   test("seeded sampling: deterministic, nested across rates, salt-independent") {
     import graft.ops.Sampling
     val df = spark.range(2000).toDF("id")
