@@ -441,6 +441,20 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
     }),
 
+    // D6b — the same clustering contract via the alternating large-star/
+    // small-star algorithm (O(log²) rounds on any diameter): both
+    // implementations must produce the identical component labeling.
+    "d6b_clusters_alternating" -> ((s, dir) => {
+      val sigs = DedupOps.signatures(docs(s, dir), "doc_id", "text", 16).cache()
+      val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val labeled = DedupOps.connectedComponentsAlternating(pairs)
+      labeled.join(
+          labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    }),
+
     // D4 — exact token-set Jaccard over MinHash-band blocked candidates.
     // (Blocking on a raw text prefix makes the self-join quadratic in the
     // largest shared-boilerplate bucket; a band collision instead has
@@ -1001,6 +1015,27 @@ object SparkEntry {
   private[graft] val mixtureRates: Map[String, Double] =
     Map("en" -> 0.9, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
 
+  /** Recursive-transitive-closure component labeling of the thresholded
+    * LSH pair graph (shared by d6 and d6b — same contract, two algorithms). */
+  private def clusterOracle: String = {
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE $minhashCtes,
+       |scored AS (
+       |  SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+       |          UNION SELECT id_b, id_a FROM scored),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT l.id AS doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+       |FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c
+       |  USING (cluster_id)""".stripMargin
+  }
+
   private def signBucketSql: String = signBucketSql(0)
 
   /** Sign-bucket key over dims [rot*8, rot*8+8) — 1-indexed in DuckDB. */
@@ -1278,24 +1313,11 @@ object SparkEntry {
 
     // Components of the ≥0.5-estimated-Jaccard pair graph by recursive
     // transitive closure; label = component min doc_id.
-    "d6_neardup_clusters" -> {
-      val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH RECURSIVE $minhashCtes,
-         |scored AS (
-         |  SELECT p.id_a, p.id_b FROM pairs p
-         |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
-         |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
-         |          UNION SELECT id_b, id_a FROM scored),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
-         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-         |SELECT l.id AS doc_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
-         |FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c
-         |  USING (cluster_id)""".stripMargin
-    },
+    "d6_neardup_clusters" -> clusterOracle,
+
+    // Same contract, computed by alternating large-star/small-star rounds —
+    // the labeling must be identical to d6's.
+    "d6b_clusters_alternating" -> clusterOracle,
 
     // d2b runs the same logical query against a materialized signature
     // table — the result is identical by construction.

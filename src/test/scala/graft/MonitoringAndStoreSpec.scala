@@ -43,6 +43,12 @@ class MonitoringAndStoreSpec extends SparkSpec {
       .select("total_nb_trx_1min").as[Long].collect()
     assert(rec.toSeq === Seq(7L))
 
+    // excluding the open hour leaves it untouched (the writer-concurrency
+    // contract: a compaction pass must never plan a prefix an active
+    // streaming writer may still append to)
+    table.compact(spark, excludeHourPrefixes = Set("2024-01-01 00"))
+    assert(table.readAll(spark).count() === 4, "excluded hour keeps all versions")
+
     // compaction collapses versions per hour partition
     table.compact(spark)
     assert(table.readAll(spark).count() === 2, "compaction keeps latest per key")
