@@ -1487,13 +1487,17 @@ object SparkEntry {
     },
 
     // Exclusive running sum over doc_id order → integer slice arithmetic.
+    // `off` is CAST back to BIGINT: DuckDB's SUM returns HUGEINT and HUGEINT
+    // arithmetic stays HUGEINT, which the driver's pandas bridge widens to
+    // float64 — "17.0" vs Spark's "17" hash-mismatched in round 3 despite
+    // identical values.
     "x2_sequence_packing" ->
       s"""WITH t AS (SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tokens
          |  FROM documents),
          |c AS (SELECT doc_id, n_tokens,
-         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
          |  FROM t)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  off // 512 AS seq_first,

@@ -58,6 +58,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             n_fail += 1
             continue
+        # int-vs-float dtype drift: Python's 17 == 17.0 hides it, but the
+        # driver hashes string reprs ("17" vs "17.0") and fails. DuckDB
+        # HUGEINT (e.g. any un-cast SUM) reaches pandas as float64 — caught
+        # round 3 on x2_sequence_packing only by the driver.
+        kind_drift = [c for c in gc
+                      if {g[c].dtype.kind, w[c].dtype.kind} == {"i", "f"}]
+        if kind_drift:
+            print(f"FAIL {name}: int-vs-float dtype drift in {kind_drift} "
+                  f"(driver hashes '17' vs '17.0' as a mismatch)")
+            n_fail += 1
+            continue
         mismatch = None
         for c in gc:
             gv, wv = list(g[c]), list(w[c])
