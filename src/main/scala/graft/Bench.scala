@@ -26,8 +26,12 @@ object Bench {
     // IVF query plan itself)
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
       "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign")
+    // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
+    // driver's full run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => skip(q._1)).map { case (name, fn) =>
+      .filterNot(q => skip(q._1))
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
