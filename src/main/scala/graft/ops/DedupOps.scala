@@ -120,14 +120,29 @@ object DedupOps {
 
   /** MinHash signature relation — one row per doc: (id, sig: array<long>).
     *
-    * Relational signature computation: explode the distinct shingle set,
-    * md5 each shingle ONCE, derive the numHashes components by affine
-    * transforms, reduce with min-aggregates. Partial aggregation shrinks
-    * the shuffle to one row per doc before the exchange. At production scale
-    * this is the relation to materialize once as a table (see
-    * [[materializeSignatures]]) and share across banding + scoring. */
+    * Computed by the native one-pass expression
+    * [[graft.expressions.MinHashSignature]]: the per-doc mins run inside the
+    * row scan (whole-stage codegen, no shingle array, no explode + groupBy —
+    * ZERO exchanges), with semantics identical to [[signaturesRelational]],
+    * which the DuckDB oracle mirrors. Docs with null text are absent from
+    * the relation, matching the relational form (explode of a null shingle
+    * array emits no rows). At production scale this is the relation to
+    * materialize once as a table (see [[materializeSignatures]]) and share
+    * across banding + scoring. */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+                 numHashes: Int = 16, shingleSize: Int = 3): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.expressions.MinHashExpressions
+          .minhashSig(col(textCol), numHashes, shingleSize).as("sig"))
+
+  /** The composable-builtin form of [[signatures]] (explode the distinct
+    * shingle set, md5 each shingle once, affine transforms, min-aggregates
+    * partial-agg'd before the exchange). Kept as the executable spec the
+    * native expression is tested against — higher-order functions evaluate
+    * lambdas interpreted, so this form costs ~6× more per scan. */
+  def signaturesRelational(docs: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
     val params = minhashParams(numHashes)
     val units = docs.select(col(idCol).as("id"),
       explode(array_distinct(

@@ -49,4 +49,38 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.toLowerCase.contains("cosine_sim"))
   }
+
+  test("native minhash signature matches the relational form on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (shingle <- Seq(1, 3)) {
+      val native = graft.ops.DedupOps.signatures(docs, "doc_id", "text", 16, shingle)
+      val rel = graft.ops.DedupOps.signaturesRelational(docs, "doc_id", "text", 16, shingle)
+      assert(native.exceptAll(rel).isEmpty && rel.exceptAll(native).isEmpty)
+    }
+  }
+
+  test("native minhash signature matches the relational form on edge-case text") {
+    // shorter-than-one-shingle docs, repeated tokens (multiset min == set
+    // min), interior tabs/newlines (\s+ split), leading/trailing spaces
+    // (trim strips 0x20 only), a doc that is pure whitespace
+    val edge = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "one two"),
+      (5L, "a b c d e f g"), (6L, "a a a a a a"), (7L, "  padded  doc  "),
+      (8L, "tab\tsep\ttokens and\nnewlines here"), (9L, "x y z"),
+    ).toDF("doc_id", "text")
+    for (shingle <- Seq(1, 2, 3)) {
+      val native = graft.ops.DedupOps.signatures(edge, "doc_id", "text", 16, shingle)
+      val rel = graft.ops.DedupOps.signaturesRelational(edge, "doc_id", "text", 16, shingle)
+      assert(native.exceptAll(rel).isEmpty && rel.exceptAll(native).isEmpty)
+    }
+  }
+
+  test("null text is absent from the signature relation in both forms") {
+    val d = Seq((1L, Option("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(graft.ops.DedupOps.signatures(d, "doc_id", "text", 16, 3)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(graft.ops.DedupOps.signaturesRelational(d, "doc_id", "text", 16, 3)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }
