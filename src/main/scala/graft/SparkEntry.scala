@@ -753,6 +753,84 @@ object SparkEntry {
       graft.ops.Sampling.domainPanel(docs(s, dir), col("doc_id"), col("lang"), k = 20)
         .select(col("doc_id"), col("lang"), col("panel_rank").cast("long").as("panel_rank"))),
 
+    // T7 — Gopher-style repetition signals: duplicate-token fraction and
+    // the fraction of adjacent-2-gram slots taken by the most frequent
+    // 2-gram. Per-row array math (native gram array, sort, run-length scan)
+    // — no shuffle; the oracle recomputes via unnest + groupBy + max.
+    "t7_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.dupTokenFraction(col("text")).as("dup_token_frac"),
+        TextOps.topBigramFraction(col("text")).as("top_2gram_frac"))),
+
+    // T8 — PII scrubbing. The synthetic corpus contains no PII, so a
+    // deterministic email + phone is planted on every 5th doc first (both
+    // engines build the identical augmented text); the scrubber then masks
+    // with RE2-safe patterns (explicit classes, no lookarounds — Java and
+    // RE2 agree). Output pins the match counts and the md5 of the scrubbed
+    // text, so a single divergent replacement anywhere fails the hash.
+    "t8_pii_redact" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.org or call +1-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0")))
+          .otherwise(col("text")).as("t"))
+      aug.select(col("doc_id"),
+        TextOps.piiCount(col("t"), TextOps.emailPattern).as("n_emails"),
+        TextOps.piiCount(col("t"), TextOps.phonePattern).as("n_phones"),
+        md5(TextOps.redactPii(col("t"))).as("red_fp"))
+    }),
+
+    // X4 — benchmark decontamination: train docs sharing a word 4-gram with
+    // the held-out set (doc_id % 17 == 0). 4-grams because the synthetic
+    // vocabulary is ~40 words (a real pipeline uses 13-grams; the op is
+    // parameterized). Shuffle key is md5(gram), fixed-width and uniform.
+    "x4_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.contaminationCounts(
+          d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(17)) === 0),
+          "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), col("n_shared_grams"))
+    }),
+
+    // J6 — range (interval) join at scale: events matched to irregular
+    // quadratic value bands [i², (i+1)²) via RangeJoin.viaBins — bands
+    // expand to width-8 bins, the join is a plain equi-join on the bin
+    // (shuffleable hash join, never a nested loop), the exact range
+    // predicate remains as residual filter. Oracle uses the theta-join
+    // formulation directly; both must agree row-for-row.
+    "j6_range_join" -> ((s, dir) => {
+      val bands = s.range(23).select(col("id").as("band_id"),
+        (col("id") * col("id")).cast("double").as("lo"),
+        ((col("id") + 1) * (col("id") + 1)).cast("double").as("hi"))
+      graft.ops.RangeJoin.viaBins(
+          ev(s, dir).select(col("value")), "value", bands, "lo", "hi", binWidth = 8.0)
+        .groupBy(col("band_id"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))
+    }),
+
+    // S6 — ANN quality metric: recall@5 of the IVF(nprobe=2) plan against
+    // the exact brute-force top-5, per query — the evaluation loop an
+    // embedding pipeline runs when tuning nlist/nprobe.
+    "s6_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = SimilarityOps.bruteForceTopK(
+          e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val centroids = e.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"))
+    }),
+
     // P8/S2 — the producer's ≤ maxBytes envelope batcher under oracle: txs
     // rendered at FIXED width (so the greedy packing reduces to exact
     // arithmetic the oracle can mirror: 7 txs/envelope at these constants),
@@ -1485,6 +1563,98 @@ object SparkEntry {
          |  FROM documents)
          |WHERE panel_rank <= 20""".stripMargin
     },
+
+    "t7_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM (
+        |        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST('1.0' AS DOUBLE) - CAST(nd AS DOUBLE) / n AS dup_token_frac,
+        |  CASE WHEN n < 2 THEN CAST('0.0' AS DOUBLE)
+        |       ELSE CAST(top AS DOUBLE) / (n - 1) END AS top_2gram_frac
+        |FROM s LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "t8_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.org or call +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |r AS (SELECT doc_id, t,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(red) AS red_fp
+        |FROM r""".stripMargin,
+
+    "x4_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 3),
+        |                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gram
+        |  FROM t),
+        |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM sh JOIN bench USING (gram) WHERE doc_id % 17 <> 0 GROUP BY 1""".stripMargin,
+
+    "j6_range_join" ->
+      """WITH bands AS (SELECT i AS band_id, CAST(i * i AS DOUBLE) AS lo,
+        |                      CAST((i + 1) * (i + 1) AS DOUBLE) AS hi
+        |               FROM range(0, 23) t(i))
+        |SELECT band_id, lo, hi, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "s6_ann_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+        |                    c.vec_id) AS rank
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+        |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  JOIN n x ON x.vec_id = a.vec_id JOIN n q ON q.vec_id = p.qid
+        |  WHERE x.vec_id <> p.qid),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5)
+        |SELECT i.query_id,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+        |FROM ivf i LEFT JOIN brute b USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
 
     // Exclusive running sum over doc_id order → integer slice arithmetic.
     // `off` is CAST back to BIGINT: DuckDB's SUM returns HUGEINT and HUGEINT

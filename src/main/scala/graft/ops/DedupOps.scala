@@ -224,6 +224,30 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), jaccard(col("ta"), col("tb")).as("jaccard"))
   }
 
+  /** Benchmark-contamination check: for every corpus doc, how many of its
+    * distinct word `gramSize`-grams also occur in the benchmark set (the
+    * standard n-gram-overlap decontamination pass an LLM training pipeline
+    * runs against eval sets before training). Returns (id, n_shared_grams)
+    * for contaminated docs only.
+    *
+    * Scale shape: both sides explode to distinct grams and join on the
+    * md5 of the gram — a fixed-width 32-char shuffle key instead of the
+    * raw n-gram text (which for character-heavy corpora is 10× wider).
+    * Gram hashes are uniform, so the join has no skew; the benchmark side
+    * is distinct-reduced before the join and is typically small enough
+    * that AQE broadcasts it. */
+  def contaminationCounts(corpus: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          gramSize: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(graft.expressions.MinHashExpressions
+        .wordGrams(col(textCol), gramSize))).as("gram"))
+      .select(col("id"), md5(col("gram")).as("gh"))
+    val bg = grams(bench).select(col("gh")).distinct()
+    grams(corpus).join(bg, "gh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Connected components over an undirected pair relation — the clustering
     * step a production near-dup pipeline runs on LSH pair output. Dropping
     * `id_b` of every pair over-deletes on chains (A~B, B~C kills B and C,

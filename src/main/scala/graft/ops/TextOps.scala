@@ -101,4 +101,57 @@ object TextOps {
   /** Subword token count (empty/blank text → 0). */
   def bpeishTokenCount(text: Column, merges: Seq[String] = defaultMerges): Column =
     size(bpeishTokens(text, merges))
+
+  /** Fraction of tokens that are repeats of an earlier token —
+    * 1 − |distinct tokens| / |tokens| (Gopher-style repetition signal;
+    * 0 for the degenerate single-token doc). Per-row, no shuffle. */
+  def dupTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  /** Occurrence count of the most frequent adjacent token 2-gram (0 for
+    * docs with fewer than two tokens). Sort the gram array, then the max
+    * run length IS the max multiplicity — one pass over the sorted array,
+    * no per-row hash map, no shuffle. */
+  def topBigramCount(text: Column): Column = {
+    val grams = array_sort(
+      graft.expressions.MinHashExpressions.wordGrams(text, 2))
+    val top = aggregate(grams,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(tokens(text)) < 2, lit(0L)).otherwise(top)
+  }
+
+  /** Fraction of adjacent-2-gram slots taken by the single most frequent
+    * 2-gram (Gopher's top-n-gram filter signal; 0 below two tokens). */
+  def topBigramFraction(text: Column): Column = {
+    val n = size(tokens(text))
+    when(n < 2, lit(0.0))
+      .otherwise(topBigramCount(text).cast("double") / (n - 1))
+  }
+
+  /** Email / phone patterns for PII scrubbing. Deliberately writable in both
+    * Java-regex and RE2 dialects (explicit character classes, no
+    * backreferences/lookarounds) so the DuckDB oracle applies the identical
+    * pattern. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Count of pattern matches in the text (0 when none). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Text with emails and phone numbers masked. Per-row, codegen'd — the
+    * scrub runs inside the scan at 100 TB like any other projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
 }
