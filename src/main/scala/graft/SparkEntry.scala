@@ -707,9 +707,14 @@ object SparkEntry {
     "t6_top_terms" -> ((s, dir) => {
       val toks = docs(s, dir).filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("term"))
-      // tf feeds both the document-frequency rollup and the scoring join —
-      // cache so the token explode + first groupBy run once
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")).cache()
+      // tf feeds both the document-frequency rollup and the scoring join.
+      // Deliberately NOT cached: measured A/B (docs/PLANS.md) shows warm
+      // parity (~0.8 s both at sf0.1) while the cache charges an extra
+      // materialization and pins executor memory. The recomputed subtree is
+      // scan+explode+partial-agg (fully parallel); at real scale the
+      // compute-once shape is a materialized tf table (the d2b pattern),
+      // not an InMemoryRelation.
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "term")
         .withColumn("score", col("tf").cast("double") / col("df"))

@@ -346,12 +346,30 @@ object DedupOps {
       .select(greatest(col(idA), col(idB)).as("src"),
         least(col(idA), col(idB)).as("dst"))
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // Per-round fixpoint probe: one cheap commutative signature aggregate
+    // (count, exact decimal Σsrc/Σdst, Σxxhash64(src,dst)) instead of the
+    // count+except pair the naive check needs — except is a full shuffle
+    // set-difference EVERY round. Equal signatures almost surely mean an
+    // unchanged edge set, but "almost surely" must not decide correctness:
+    // when signatures match we run except ONCE to prove the fixpoint (&&
+    // short-circuits, so the expensive job runs a single time per call —
+    // or again only on an astronomically unlikely hash collision).
+    def signature(df: DataFrame): Seq[Any] =
+      df.agg(
+        count(lit(1)),
+        coalesce(sum(col("src").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
+        coalesce(sum(col("dst").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))
+      ).head().toSeq
+    var prevSig = signature(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val sig = signature(next)
+      converged = sig == prevSig && next.except(edges).isEmpty
+      prevSig = sig
       edges = next
       rounds += 1
     }
