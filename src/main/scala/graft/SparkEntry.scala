@@ -921,6 +921,42 @@ object SparkEntry {
           round(element_at(col("features"), 5) * 2).cast("long").as("peak2"))
     }),
 
+    // M2 — multimodal image decode, oracle-grade: one 24-bit BMP synthesized
+    // per user (pixel channels 0/255 derived from event_id divisibility, so
+    // every channel mean times the pixel count is an exact multiple of 255),
+    // decoded back through the REAL pure-JVM BITMAPINFOHEADER parser
+    // (Multimodal.BuiltinDecoder, bottom-up row order + 4-byte row padding
+    // both exercised). The compared features are order-insensitive (dims +
+    // per-channel nonzero counts via the channel means), so the oracle
+    // recomputes them relationally without replaying pixel placement.
+    "m2_bmp_features" -> ((s, dir) => {
+      import s.implicits._
+      val bmpW = 8
+      val px = ev(s, dir).select(col("user_id"),
+        (when(pmod(col("event_id"), lit(2)) === 0, 255).otherwise(0) +
+         when(pmod(col("event_id"), lit(3)) === 0, 255 * 256).otherwise(0) +
+         when(pmod(col("event_id"), lit(5)) === 0, 255 * 65536).otherwise(0))
+          .as("rgb"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(collect_list(col("rgb")).as("pxs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, pxs) => (uid, Multimodal.encodeBmp24(pxs, bmpW)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "bmp")
+      // mean_ch · width · height = 255 · #pixels-with-that-channel-set —
+      // integer-exact (padding pixels are black and contribute 0)
+      val nPx = element_at(col("features"), 1) * element_at(col("features"), 2)
+      def chanCount(i: Int) =
+        round(element_at(col("features"), i) * nPx / 255).cast("long")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          chanCount(3).as("n_blue"),
+          chanCount(4).as("n_green"),
+          chanCount(5).as("n_red"))
+    }),
+
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
     // quietly returns duplicate minutes, one per upsert version
     // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
@@ -1754,6 +1790,18 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE event_id % 3 IN (0, 1)) AS BIGINT) AS n_nonzero,
         |  CAST(CASE WHEN COUNT(*) FILTER (WHERE event_id % 3 IN (0, 1)) > 0
         |            THEN 1 ELSE 0 END AS BIGINT) AS peak2
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The BMP payload round-trips through a real BITMAPINFOHEADER encode +
+    // decode; the oracle recomputes dims and per-channel set-pixel counts
+    // relationally (8-wide image, partial last row padded with black).
+    "m2_bmp_features" ->
+      """SELECT user_id AS content_id,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS height,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_blue,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red
         |FROM events GROUP BY 1""".stripMargin,
 
     // Versioned-store contract: minutes upserted twice (days 1-15) surface

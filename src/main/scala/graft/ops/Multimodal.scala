@@ -220,6 +220,44 @@ object Multimodal {
     bb.array()
   }
 
+  /** Encode packed 0xRRGGBB pixels as an uncompressed 24-bit bottom-up BMP
+    * (the write side of [[BuiltinDecoder]]'s "bmp" path; also the fixture
+    * synthesizer for the multimodal image oracle query). `height` is
+    * `ceil(n / width)`; the trailing partial row is padded with black
+    * (0,0,0) pixels so the channel sums stay relationally recomputable. */
+  def encodeBmp24(pixels: Array[Int], width: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(width > 0, "width must be positive")
+    val height = math.max(1, (pixels.length + width - 1) / width)
+    val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4 bytes
+    val dataOffset = 54                    // 14-byte file header + 40-byte BITMAPINFOHEADER
+    val bb = ByteBuffer.allocate(dataOffset + rowBytes * height)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(dataOffset + rowBytes * height).putInt(0).putInt(dataOffset)
+    bb.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+      .putShort(1).putShort(24)                // planes, bpp
+      .putInt(0).putInt(rowBytes * height)     // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var y = 0
+    while (y < height) {
+      val srcRow = height - 1 - y // bottom-up: file row 0 is the image's last
+      var x = 0
+      while (x < width) {
+        val i = srcRow * width + x
+        val px = if (i < pixels.length) pixels(i) else 0
+        bb.put((px & 0xff).toByte)          // B
+          .put(((px >> 8) & 0xff).toByte)   // G
+          .put(((px >> 16) & 0xff).toByte)  // R
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowBytes) { bb.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    bb.array()
+  }
+
   /** Wrap raw payloads into the canonical media frame:
     * (content_id, payload binary, meta struct). */
   def asMediaFrame(df: DataFrame, idCol: String, payloadCol: String,

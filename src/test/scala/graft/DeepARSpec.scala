@@ -162,6 +162,24 @@ class DeepARSpec extends SparkSpec {
     assert(math.abs(q3 - 64f) < 1e-3)
   }
 
+  test("multimodal: encodeBmp24 round-trips through BuiltinDecoder with row padding") {
+    implicit val s = spark
+    // 5 px at width 2 → height 3, one black pad pixel; width 2 also forces
+    // 4-byte row padding (rowBytes 6 → 8)
+    val pixels = Array(0x0000ff, 0x00ff00, 0xff0000, 0xffffff, 0x404040)
+    val bmp = Multimodal.encodeBmp24(pixels, width = 2)
+    val media = Multimodal.asMediaFrame(
+      Seq((11L, bmp)).toDF("id", "data"), "id", "data", "image", "bmp")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 9)
+    val Array(w, h, mb, mg, mr, _, _, _, _) = f._2
+    assert(w === 2f && h === 3f)
+    // channel sums over 6 px (pad contributes 0): B = 255+0+0+255+64 = 574,
+    // G = 0+255+0+255+64 = 574, R = 0+0+255+255+64 = 574
+    Seq(mb, mg, mr).foreach(m => assert(math.abs(m - 574f / 6) < 1e-3))
+  }
+
   test("multimodal: BuiltinDecoder decodes a real 16-bit PCM WAV payload") {
     implicit val s = spark
     // mono 8kHz square wave: 100 frames of +16384, 100 of -16384 → |s|=0.5
