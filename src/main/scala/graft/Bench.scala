@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // median-of-N per query (fixed per-query back-to-back repeats) so ambient
+    // machine noise can't masquerade as a plan change round-over-round; the
+    // r6 bench showed ~1.2x uniform inflation that hid a real optimization
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,32 +27,48 @@ object Bench {
     // o10_version_history likewise (two upserts + full-history read), and
     // s4/s5 (full on-disk index builds + maintenance passes + search —
     // index-construction round trips, not query throughput; s2 benches the
-    // IVF query plan itself)
+    // IVF query plan itself); e2e_neardup is a streaming replay like
+    // e2e_stream_agg.
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
-      "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign")
+      "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign",
+      "e2e_neardup")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1))
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+        // failures report a negative time so they can't masquerade as fast wins
+        val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // cache teardown happens OUTSIDE the timed window — caching queries
+        // must not be charged for their own unpersist
+        spark.catalog.clearCache()
+        elapsed
       }
-      // failures report a negative time so they can't masquerade as fast wins
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // cache teardown happens OUTSIDE the timed window — caching queries
-      // must not be charged for their own unpersist
-      spark.catalog.clearCache()
-      name -> elapsed
+      val med = if (times.exists(_ < 0)) -1.0 else median(times)
+      val spread = if (med > 0) (times.max - times.min) / med else -1.0
+      (name, med, spread)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = osBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"load1_before":$loadBefore,"load1_after":$loadAfter}""")
     spark.stop()
   }
 }

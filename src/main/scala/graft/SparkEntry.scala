@@ -1005,6 +1005,19 @@ object SparkEntry {
       val work = scratch("e2e_late")
       graft.streaming.EndToEnd.run(s, ev(s, dir), work,
         maxFilesPerTrigger = 2, envelopesPerFile = 2880L, lateDelayFiles = 6)
+    }),
+
+    // Streaming near-dup dedup e2e — the resident LLM-pipeline query:
+    // documents replayed in multiple micro-batches, per-batch signature
+    // append + incremental band join vs the accumulated signature table;
+    // the union of per-batch pair emissions must equal d2's batch
+    // recomputation over the full corpus (same DuckDB oracle). Pair
+    // emission is structurally exactly-once, so a replay/band-join bug
+    // shows up as a row-count mismatch (see graft.streaming.StreamNearDup).
+    "e2e_neardup" -> ((s, dir) => {
+      val work = scratch("e2e_neardup")
+      graft.streaming.StreamNearDup.run(s, docs(s, dir), work,
+        numFiles = 8, maxFilesPerTrigger = 2)
     })
   )
 
@@ -1429,6 +1442,11 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
+
+    // The streaming incremental form must converge to exactly the batch
+    // LSH pair set — arrival order changes WHEN a pair is reported, never
+    // WHAT is a duplicate.
+    "e2e_neardup" -> minhashOracle,
 
     // Components of the ≥0.5-estimated-Jaccard pair graph by recursive
     // transitive closure; label = component min doc_id.

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.EndToEnd
+import graft.ops.DedupOps
+import graft.streaming.{EndToEnd, StreamNearDup}
 
 /** Oracle-shaped check of the full streaming replay at sf0.001: the final
   * keyed-table state must equal an independent batch recomputation over the
@@ -53,5 +54,18 @@ class EndToEndSpec extends SparkSpec {
     assert(totalTx === events.filter(!late).count())
     assert(totalTx < events.count())
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
+  }
+
+  test("streaming near-dup converges to the batch LSH pair set (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val streamed = StreamNearDup.run(spark, docs, tmpDir("e2e_neardup"),
+      numFiles = 8, maxFilesPerTrigger = 2)
+    val batch = DedupOps.lshCandidatePairs(docs, "doc_id", "text", 16, 4)
+    assert(batch.count() > 0, "fixture corpus must contain LSH candidate pairs")
+    // exact set equality INCLUDING multiplicity: a double emission (replay
+    // or band-join bug) must fail the count, not vanish into except()
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 }
