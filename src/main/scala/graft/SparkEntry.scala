@@ -850,6 +850,10 @@ object SparkEntry {
           concat(lit("{\"pad\":\""), lpad(lit("x"), 200, "x"), lit("\"}")))
           .otherwise(format_string("{\"fee\":\"%05d\"}",
             pmod(col("event_id"), lit(10000)))).as("tx"))
+      // per-user collect_list is bounded by events-per-user (the reference
+      // batches per Lambda invocation, i.e. per poll — a few hundred txs);
+      // an unbounded-fanout producer would need the two-pass running-sum
+      // packing of ops/Packing.scala instead
       txs.groupBy(col("user_id")).agg(collect_list(col("tx")).as("txs"))
         .as[(Long, Seq[String])]
         .map { case (uid, ts) =>

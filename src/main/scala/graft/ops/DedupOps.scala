@@ -95,10 +95,42 @@ object DedupOps {
   /** Banding + estimated-Jaccard scoring against an existing signature
     * relation (id, sig). With a [[materializeSignatures]] table as input this
     * is the 100 TB shape: the signature scan appears ONCE in the plan (a
-    * cheap parquet re-read per join side, no md5-over-shingles recompute). */
+    * cheap parquet re-read per join side, no md5-over-shingles recompute).
+    *
+    * ==Degenerate-corpus guard==
+    * A corpus of near-identical documents puts them all in ONE band bucket,
+    * making the self-join quadratic in that bucket — correct but explosive
+    * (10k verbatim copies → ~50M pairs per colliding band). `maxBucketSize`
+    * (opt-in) drops buckets larger than the cap BEFORE the join and logs
+    * what was dropped. Recall note: docs in an over-cap bucket are that
+    * similar to thousands of others — exact dedup ([[exactDupGroups]] /
+    * fingerprint groupBy) is the right operator for them, and capped LSH
+    * still pairs them through any other under-cap band. The bucket-size
+    * count shuffles on the same (band, band_sig) key the join itself needs,
+    * so the guard adds no new exchange shape — one window pass, linear in
+    * the bucket, where the join would have been quadratic. */
   def pairsFromSignatures(sigArr: DataFrame, numHashes: Int = 16,
-                          rowsPerBand: Int = 4): DataFrame = {
-    val banded = bandedSignatures(sigArr, numHashes, rowsPerBand)
+                          rowsPerBand: Int = 4,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded0 = bandedSignatures(sigArr, numHashes, rowsPerBand)
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val sized = banded0.withColumn("__bn", count(lit(1))
+          .over(Window.partitionBy(col("band"), col("band_sig"))))
+        // guard path is opt-in: one extra small agg job to surface the drop
+        // count — silent truncation would read as "covered everything"
+        val drops = sized.filter(col("__bn") > maxBucketSize)
+          .agg(coalesce(count(lit(1)), lit(0L)),
+            coalesce(countDistinct(col("band"), col("band_sig")), lit(0L)))
+          .head()
+        if (drops.getLong(0) > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pairsFromSignatures: dropped ${drops.getLong(0)} banded rows in " +
+              s"${drops.getLong(1)} over-cap buckets (maxBucketSize=$maxBucketSize)")
+        sized.filter(col("__bn") <= maxBucketSize).drop("__bn")
+      }
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "band_sig"))

@@ -56,6 +56,67 @@ class EndToEndSpec extends SparkSpec {
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
   }
 
+  test("quiet stream: open mid-minute window surfaces through the update-mode upsert") {
+    // The reference Flink job needs an explicit idle-timeout
+    // (resources/flink/main.py:34) or a quiet stream leaves the last window
+    // unflushed forever. Our mitigation is structural: update-mode emission
+    // + keyed upsert — every batch upserts the CURRENT value of every
+    // updated window, so a window whose watermark never closes (stream went
+    // idle mid-minute, no later event to advance it) is still visible, and
+    // a later resume upserts the cumulative value over it.
+    import graft.store.KeyedParquetTable
+    import graft.streaming.Pipeline
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+
+    val work = tmpDir("quiet")
+    Files.createDirectories(Paths.get(s"$work/data"))
+    val t0 = 1700000000L - (1700000000L % 60) // minute-aligned epoch
+    def envelope(txs: Seq[(String, Int, Long)]): String =
+      s"""{"detail-type":"Incoming Data","detail":{"txs":[""" +
+        txs.map { case (h, f, t) => s"""{"hash":"$h","fee":$f,"time":$t}""" }
+          .mkString(",") + "]}}"
+    def writeFile(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val p = Paths.get(s"$work/data/$name")
+      Files.write(p, lines.mkString("\n").getBytes)
+      p.toFile.setLastModified(mtime)
+    }
+    def minuteKey(epochSec: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(epochSec / 60 * 60))
+
+    // phase 1 — the stream goes idle 20 s into minute 1: its window can
+    // never close (watermark needs an event past t0+180 to pass t0+120)
+    writeFile("f0.txt", Seq(envelope(Seq(("a", 10, t0 + 5), ("b", 20, t0 + 10), ("c", 30, t0 + 20)))), 1600000000000L)
+    writeFile("f1.txt", Seq(envelope(Seq(("d", 40, t0 + 65), ("e", 50, t0 + 80)))), 1600000060000L)
+    val table = new KeyedParquetTable(s"$work/table", "tx_minute")
+    def replay(): Unit = {
+      val raw = spark.readStream.option("maxFilesPerTrigger", 1).text(s"$work/data")
+      Pipeline.writer(Pipeline.aggregates(raw), table, s"$work/ckpt", Trigger.AvailableNow)
+        .start().awaitTermination()
+    }
+    replay()
+    val state1 = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min", "total_fee_1min").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state1(minuteKey(t0)) === ((3L, 60L)))
+    assert(state1(minuteKey(t0 + 60)) === ((2L, 90L)),
+      "open window must be visible while the stream is idle")
+
+    // phase 2 — the stream resumes: the still-open minute-1 window grows and
+    // the cumulative upsert must win over the phase-1 value
+    writeFile("f2.txt", Seq(envelope(Seq(("f", 60, t0 + 100), ("g", 70, t0 + 125)))), 1600000120000L)
+    replay()
+    val state2 = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min", "total_fee_1min").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state2(minuteKey(t0)) === ((3L, 60L)))
+    assert(state2(minuteKey(t0 + 60)) === ((3L, 150L)),
+      "resumed stream must upsert the cumulative window value")
+    assert(state2(minuteKey(t0 + 120)) === ((1L, 70L)))
+  }
+
   test("streaming near-dup converges to the batch LSH pair set (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)

@@ -59,6 +59,26 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("degenerate corpus: per-bucket cap bounds the LSH self-join") {
+    // 10k verbatim copies land in ONE bucket per band — uncapped that is
+    // ~4 × C(10k,2) ≈ 200M join rows; with the cap the join sees none of
+    // them and completes in bounded time, while under-cap legit pairs
+    // elsewhere in the corpus still come through
+    val degenerate = spark.range(10000)
+      .select(col("id").as("doc_id"), lit("spam spam spam spam spam ham").as("text"))
+    val legit = Seq((100001L, "a b c d e f g h"), (100002L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val sigs = DedupOps.signatures(degenerate.unionAll(legit), "doc_id", "text", 16)
+    val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((100001L, 100002L)),
+      "over-cap buckets dropped, under-cap pairs preserved")
+    // and the uncapped default is unchanged on a small corpus
+    val uncapped = DedupOps.pairsFromSignatures(
+      DedupOps.signatures(legit, "doc_id", "text", 16), 16, 4)
+    assert(uncapped.count() === 1)
+  }
+
   test("global running sum and sequence packing slice the token stream exactly") {
     import graft.ops.{Packing, Ranking}
     val df = Seq((1L, 100L), (2L, 500L), (3L, 0L), (4L, 30L))
