@@ -961,6 +961,39 @@ object SparkEntry {
           chanCount(5).as("n_red"))
     }),
 
+    // M3 — multimodal image decode through the COMPRESSED container: the
+    // same per-user pixel construction as M2 but encoded as a real PNG
+    // (zlib IDAT, per-row rotating scanline filters) and decoded back
+    // through the pure-JVM critical-chunk parser (Inflater + all five
+    // filter reconstructions). Identical feature layout to BMP, so the
+    // oracle differs from m2 only in width — container correctness is
+    // isolated exactly.
+    "m3_png_features" -> ((s, dir) => {
+      import s.implicits._
+      val pngW = 7 // odd width; last partial row padded with black
+      val px = ev(s, dir).select(col("user_id"),
+        (when(pmod(col("event_id"), lit(2)) === 0, 255).otherwise(0) +
+         when(pmod(col("event_id"), lit(3)) === 0, 255 * 256).otherwise(0) +
+         when(pmod(col("event_id"), lit(5)) === 0, 255 * 65536).otherwise(0))
+          .as("rgb"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(collect_list(col("rgb")).as("pxs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, pxs) => (uid, Multimodal.encodePng(pxs, pngW)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "png")
+      val nPx = element_at(col("features"), 1) * element_at(col("features"), 2)
+      def chanCount(i: Int) =
+        round(element_at(col("features"), i) * nPx / 255).cast("long")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          chanCount(3).as("n_blue"),
+          chanCount(4).as("n_green"),
+          chanCount(5).as("n_red"))
+    }),
+
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
     // quietly returns duplicate minutes, one per upsert version
     // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
@@ -1821,6 +1854,17 @@ object SparkEntry {
       """SELECT user_id AS content_id,
         |  CAST(8 AS BIGINT) AS width,
         |  CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS height,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_blue,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The PNG payload round-trips through a real zlib encode + filtered
+    // decode; same relational recomputation as m2, 7-wide image.
+    "m3_png_features" ->
+      """SELECT user_id AS content_id,
+        |  CAST(7 AS BIGINT) AS width,
+        |  CAST(CEIL(COUNT(*) / 7.0) AS BIGINT) AS height,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_blue,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red

@@ -10,12 +10,14 @@ import org.apache.spark.sql.types._
   * codec state is initialized once per task, not once per row.
   *
   * Codecs behind [[Decoder]]: [[BuiltinDecoder]] is a REAL pure-JVM decoder
-  * for uncompressed containers — BMP (BITMAPINFOHEADER, 24/32-bit BGR) and
-  * WAV (RIFF, 16-bit PCM) — no external media libraries needed. Compressed
-  * formats (jpeg/mp3/h264, whose codecs this environment doesn't ship) fall
-  * back to the deterministic [[FakeDecoder]] hash features; a production
-  * deployment swaps in a JNI/JavaCV-backed `Decoder` without touching the
-  * pipeline.
+  * for three containers — BMP (BITMAPINFOHEADER, 24/32-bit BGR), WAV (RIFF,
+  * 16-bit PCM) and PNG (critical-chunk subset: IHDR/IDAT/IEND, 8-bit
+  * truecolor ± alpha, all five scanline filters, zlib via
+  * `java.util.zip.Inflater`) — no external media libraries needed. Other
+  * compressed formats (jpeg/mp3/h264, whose codecs this environment doesn't
+  * ship) fall back to the deterministic [[FakeDecoder]] hash features; a
+  * production deployment swaps in a JNI/JavaCV-backed `Decoder` without
+  * touching the pipeline.
   *
   * Scale notes: payloads stay in the `binary` column end-to-end — no
   * base64 inflation, no driver collection. `decodeFeatures` is a
@@ -75,6 +77,13 @@ object Multimodal {
     * `[sample_rate, n_frames, rms, zero_crossing_rate, peak, rms per
     * quarter]` (amplitudes normalized to [-1, 1]).
     *
+    * PNG (format "png"): parses the critical chunks only (IHDR / IDAT /
+    * IEND, CRC-verified), 8-bit color types 2 (RGB) and 6 (RGBA), no
+    * interlace; IDAT streams are concatenated, inflated, and the five
+    * scanline filters (None/Sub/Up/Average/Paeth) undone. Features are the
+    * SAME 9-dim layout as BMP, so image features are container-independent:
+    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant]`.
+    *
     * Unknown formats hash through [[FakeDecoder]]; malformed payloads yield
     * an EMPTY feature vector (feature_dim 0) so a training pipeline can
     * filter them relationally instead of dying mid-task. */
@@ -86,6 +95,7 @@ object Multimodal {
         format match {
           case "bmp" => decodeBmp(payload)
           case "wav" => decodeWav(payload)
+          case "png" => decodePng(payload)
           case _     => fallback.decode(payload, format)
         }
       } catch { case _: Exception => Array.emptyFloatArray }
@@ -201,6 +211,109 @@ object Multimodal {
         (crossings.toDouble / nFrames).toFloat, peak.toFloat,
         qRms(0), qRms(1), qRms(2), qRms(3))
     }
+
+    private def decodePng(bytes: Array[Byte]): Array[Float] = {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      require(bytes.length >= 45, "truncated PNG")
+      require(b.getLong(0) == 0x89504e470d0a1a0aL, "not a PNG")
+      var off = 8
+      var width = 0; var height = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var seenEnd = false
+      val crc = new java.util.zip.CRC32()
+      while (!seenEnd && off + 12 <= bytes.length) {
+        val len = b.getInt(off)
+        require(len >= 0 && off + 12L + len <= bytes.length, "bad chunk length")
+        crc.reset()
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == b.getInt(off + 8 + len), "chunk CRC mismatch")
+        b.getInt(off + 4) match {
+          case 0x49484452 => // IHDR
+            width = b.getInt(off + 8)
+            height = b.getInt(off + 12)
+            require(bytes(off + 16) == 8, "unsupported bit depth")
+            colorType = bytes(off + 17) & 0xff
+            require(colorType == 2 || colorType == 6, s"unsupported color type $colorType")
+            require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
+              "unsupported compression/filter/interlace")
+          case 0x49444154 => idat.write(bytes, off + 8, len) // IDAT
+          case 0x49454e44 => seenEnd = true                  // IEND
+          case _ => // ancillary chunk (tEXt, pHYs, ...) — skip
+        }
+        off += 12 + len
+      }
+      require(seenEnd && width > 0 && height > 0 && colorType >= 0, "missing IHDR/IEND")
+      val bpp = if (colorType == 6) 4 else 3
+      val stride = width * bpp
+      // inflate the concatenated IDAT zlib stream into filtered scanlines
+      val raw = new Array[Byte]((1 + stride) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        require(n > 0 || inf.finished(), "truncated IDAT stream")
+        got += n
+      }
+      inf.end()
+      require(got == raw.length, s"inflated $got of ${raw.length} filtered bytes")
+      // undo per-scanline filters (each row declares its own filter byte;
+      // reconstruction reads the already-recon'd previous row/pixel)
+      val recon = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val f = raw(y * (1 + stride)) & 0xff
+        val src = y * (1 + stride) + 1
+        val dst = y * stride
+        var i = 0
+        while (i < stride) {
+          val x = raw(src + i) & 0xff
+          val a = if (i >= bpp) recon(dst + i - bpp) & 0xff else 0
+          val up = if (y > 0) recon(dst - stride + i) & 0xff else 0
+          val c = if (y > 0 && i >= bpp) recon(dst - stride + i - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + up
+            case 3 => x + ((a + up) >> 1)
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            case other => throw new IllegalArgumentException(s"unknown filter $other")
+          }
+          recon(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      // same stats and feature ORDER as decodeBmp (PNG stores RGB(A); BMP
+      // stores BGR) so image features are container-independent
+      var sumB, sumG, sumR = 0.0
+      val quadrant = new Array[Double](4)
+      val quadrantN = new Array[Long](4)
+      y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val px = y * stride + x * bpp
+          val rd = recon(px) & 0xff
+          val gr = recon(px + 1) & 0xff
+          val bl = recon(px + 2) & 0xff
+          sumB += bl; sumG += gr; sumR += rd
+          val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
+          quadrant(q) += (bl + gr + rd) / 3.0
+          quadrantN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      Array(width.toFloat, height.toFloat,
+        (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
+        qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
+        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3))
+    }
   }
 
   /** Encode 16-bit mono PCM samples as a WAV payload (the write side of
@@ -256,6 +369,89 @@ object Multimodal {
       y += 1
     }
     bb.array()
+  }
+
+  /** Encode packed 0xRRGGBB pixels as an 8-bit truecolor PNG (color type 2,
+    * no interlace; the write side of [[BuiltinDecoder]]'s "png" path and the
+    * fixture synthesizer for the PNG oracle query). The scanline filter type
+    * ROTATES per row (None/Sub/Up/Average/Paeth, `y % 5`) so a round-trip
+    * exercises every filter's reconstruction, not just the trivial one.
+    * `height` is `ceil(n / width)`; the trailing partial row is padded with
+    * black pixels, mirroring [[encodeBmp24]]. */
+  def encodePng(pixels: Array[Int], width: Int): Array[Byte] = {
+    import java.nio.ByteBuffer
+    require(width > 0, "width must be positive")
+    val height = math.max(1, (pixels.length + width - 1) / width)
+    val stride = width * 3
+    // raw RGB scanlines
+    val recon = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val i = y * width + x
+        val px = if (i < pixels.length) pixels(i) else 0
+        val o = y * stride + x * 3
+        recon(o) = ((px >> 16) & 0xff).toByte     // R
+        recon(o + 1) = ((px >> 8) & 0xff).toByte  // G
+        recon(o + 2) = (px & 0xff).toByte         // B
+        x += 1
+      }
+      y += 1
+    }
+    // filter each row (filter byte + filtered bytes)
+    val raw = new Array[Byte]((1 + stride) * height)
+    y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = recon(y * stride + i) & 0xff
+        val a = if (i >= 3) recon(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) recon((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) recon((y - 1) * stride + i - 3) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - up
+          case 3 => cur - ((a + up) >> 1)
+          case _ =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+        }
+        raw(y * (1 + stride) + 1 + i) = (filtered & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    // zlib-deflate the scanlines, then assemble signature + chunks
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val bb = ByteBuffer.allocate(12 + data.length) // big-endian by default
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array(), 0, bb.capacity())
+    }
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Wrap raw payloads into the canonical media frame:

@@ -180,6 +180,41 @@ class DeepARSpec extends SparkSpec {
     Seq(mb, mg, mr).foreach(m => assert(math.abs(m - 574f / 6) < 1e-3))
   }
 
+  test("multimodal: encodePng round-trips through BuiltinDecoder, all five filters") {
+    implicit val s = spark
+    // 17 px at width 3 → height 6: rows exercise filters 0,1,2,3,4,0 and the
+    // last row carries one black pad pixel. Deterministic varied pixels so
+    // Sub/Up/Average/Paeth reconstruction is non-trivial.
+    val pixels = Array.tabulate(17)(i => ((i * 37 + 11) % 256 << 16) |
+      ((i * 101 + 7) % 256 << 8) | ((i * 53 + 3) % 256))
+    val png = Multimodal.encodePng(pixels, width = 3)
+    // container-independence: the SAME pixels as a BMP must yield the SAME
+    // features bit-for-bit (shared layout [w, h, meanB, meanG, meanR, quads])
+    val bmp = Multimodal.encodeBmp24(pixels, width = 3)
+    val media = Multimodal.asMediaFrame(
+      Seq((21L, png)).toDF("id", "data"), "id", "data", "image", "png")
+      .union(Multimodal.asMediaFrame(
+        Seq((22L, bmp)).toDF("id", "data"), "id", "data", "image", "bmp"))
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("content_id", "feature_dim", "features")
+      .as[(Long, Int, Array[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(f(21L)._1 === 9 && f(22L)._1 === 9)
+    assert(f(21L)._2.toSeq === f(22L)._2.toSeq)
+    assert(f(21L)._2(0) === 3f && f(21L)._2(1) === 6f)
+  }
+
+  test("multimodal: corrupted PNG (bad CRC / truncated IDAT) yields empty features") {
+    implicit val s = spark
+    val png = Multimodal.encodePng(Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff), width = 2)
+    val badCrc = png.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x7f).toByte
+    val truncated = png.take(png.length - 20)
+    val media = Multimodal.asMediaFrame(
+      Seq((31L, badCrc), (32L, truncated)).toDF("id", "data"), "id", "data", "image", "png")
+    val dims = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim").as[Int].collect()
+    assert(dims.toSeq === Seq(0, 0))
+  }
+
   test("multimodal: BuiltinDecoder decodes a real 16-bit PCM WAV payload") {
     implicit val s = spark
     // mono 8kHz square wave: 100 frames of +16384, 100 of -16384 → |s|=0.5
