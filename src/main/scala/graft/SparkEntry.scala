@@ -51,6 +51,47 @@ object SparkEntry {
     p.toString
   }
 
+  /** Corpus-adaptive scale knobs shared by the Spark queries and the DuckDB
+    * oracle — the round-7 sf0.1→sf1 sweep caught two quadratic families:
+    * IVF centroid sets growing linearly with the corpus (assign cost
+    * N·nlist = N²/40) and sign-LSH bucketing with a FIXED 2^8 bucket space
+    * (candidate pairs ~ N²/256). Both knobs now derive from the corpus size
+    * so cost stays linear: nlist is pinned into (32, 64] by a power-of-2 id
+    * stride, and the sign-key width grows as ceil(log2 N) so expected
+    * bucket occupancy is constant.
+    *
+    * Parity: the Scala side computes with exact bit arithmetic; the oracle
+    * SQL embeds a generated integer CASE ladder over the same COUNT(*) —
+    * never float LOG2, whose rounding at exact powers of two need not agree
+    * across engines. */
+  private object Adaptive {
+    /** ceil(log2(n)) for n >= 1 (0 for n <= 1) — exact. */
+    def ceilLog2(n: Long): Int =
+      if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+
+    /** Smallest power-of-2 id stride keeping ceil(n/stride) <= 64 centroids. */
+    def centroidStride(n: Long): Long = 1L << ceilLog2((n + 63) / 64)
+
+    /** Sign-LSH key width: ceil(log2 n) − 2, clamped to [4, 32] (embedding
+      * dim 64 holds two non-overlapping 32-bit rotations for multi-probe).
+      * The −2 targets ~4 vectors per bucket: candidates stay LINEAR (~2N)
+      * while single-probe recall is materially better than occupancy-1
+      * keying would give. */
+    def signDims(n: Long): Int = math.min(32, math.max(4, ceilLog2(n) - 2))
+
+    /** SQL integer CASE ladder mirroring [[centroidStride]]: stride = 2^k
+      * for cnt in (64·2^(k-1), 64·2^k]. */
+    def strideSql(cntExpr: String): String =
+      (0 to 24).map(k => s"WHEN $cntExpr <= ${64L << k} THEN ${1L << k}")
+        .mkString("CASE ", " ", s" ELSE ${1L << 25} END")
+
+    /** SQL integer CASE ladder mirroring [[signDims]] (k = ceil(log2 cnt)
+      * for cnt in (2^(k-1), 2^k]; the k=6 branch folds in the lower clamp). */
+    def signDimsSql(cntExpr: String): String =
+      (6 to 34).map(k => s"WHEN $cntExpr <= ${1L << k} THEN ${math.min(32, k - 2)}")
+        .mkString("CASE ", " ", " ELSE 32 END")
+  }
+
   /** lag-1 prediction frame used by the evaluation queries (a5/a6/a7): the
     * previous value of the same user is the "forecast" — deterministic and
     * oracle-expressible, standing in for the external DeepAR model the
@@ -531,11 +572,15 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
-    // S2 — IVF-pruned ANN: assign corpus to centroids (vec_id % 40 == 0),
-    // probe the 2 nearest cells per query, exact top-5 within them.
+    // S2 — IVF-pruned ANN: assign corpus to a FIXED-SIZE centroid set
+    // (nlist pinned into (32,64] by a power-of-2 id stride — a corpus-
+    // fraction set makes assignment N·nlist = quadratic), probe the 2
+    // nearest cells per query, exact top-5 within them. Re-tuning nlist as
+    // the corpus grows is the s5 reassign path. The count() is one
+    // metadata-cheap job.
     "s2_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") % 40 === 0)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
       SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
@@ -569,7 +614,7 @@ object SparkEntry {
     "s4_ivf_index_search" -> ((s, dir) => {
       val work = scratch("s4")
       val e = emb(s, dir)
-      val centroids = e.filter(col("vec_id") % 40 === 0)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val index = new graft.streaming.IvfIndex(s"$work/index", centroids)
       index.writeEpoch(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", epoch = 0L)
@@ -583,15 +628,16 @@ object SparkEntry {
     }),
 
     // S5i — centroid-drift maintenance under oracle: the index built on the
-    // %40 centroid set is re-assigned against a DIFFERENT centroid set
-    // (%25, offset 5) in one batch pass; the searched result must equal the
-    // oracle's IVF recomputation against the NEW centroids.
+    // stride-0 centroid set is re-assigned against a DIFFERENT same-size
+    // set (offset stride/2) in one batch pass; the searched result must
+    // equal the oracle's IVF recomputation against the NEW centroids.
     "s5_ivf_reassign" -> ((s, dir) => {
       val work = scratch("s5")
       val e = emb(s, dir)
-      val oldCent = e.filter(col("vec_id") % 40 === 0)
+      val stride = Adaptive.centroidStride(e.count())
+      val oldCent = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-      val newCent = e.filter(col("vec_id") % 25 === 5)
+      val newCent = e.filter(col("vec_id") % stride === stride / 2)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val index = new graft.streaming.IvfIndex(s"$work/index", oldCent)
       index.writeEpoch(e, "vec_id", "embedding", epoch = 0L)
@@ -602,18 +648,27 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
-    "d5_embedding_neardup" -> ((s, dir) =>
-      SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8)
-        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
+    // D5 — sign-key width grows as ceil(log2 N): a FIXED key width makes
+    // same-bucket candidate pairs ~N²/2^bits; constant expected occupancy
+    // keeps them linear (the sweep measured 0.4→57.7 s for 10× data at the
+    // old fixed 8 bits).
+    "d5_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.embeddingNearDupPairs(e, "vec_id", "embedding", 0.35,
+          Adaptive.signDims(e.count()))
+        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
 
     // D5b — the scale knobs of d5 under oracle: multi-probe (2 rotations of
-    // 8 sign dims) recovers pairs a single bucket rotation misses — the
-    // oracle admits a pair if EITHER rotation collides, so the result is a
-    // strict superset of d5's and pins the recall/bucket-size trade.
-    "d5b_embedding_multiprobe" -> ((s, dir) =>
-      SimilarityOps.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.35, 8,
-          rotations = 2)
-        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))),
+    // the adaptive sign width) recovers pairs a single bucket rotation
+    // misses — the oracle admits a pair if EITHER rotation collides, so the
+    // result is a strict superset of d5's and pins the recall/bucket trade.
+    "d5b_embedding_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.embeddingNearDupPairs(e, "vec_id", "embedding", 0.35,
+          Adaptive.signDims(e.count()), rotations = 2)
+        .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
 
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
@@ -823,7 +878,7 @@ object SparkEntry {
       val brute = SimilarityOps.bruteForceTopK(
           e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      val centroids = e.filter(col("vec_id") % 40 === 0)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
       SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
@@ -1205,19 +1260,27 @@ object SparkEntry {
        |  USING (cluster_id)""".stripMargin
   }
 
-  private def signBucketSql: String = signBucketSql(0)
+  /** Full 64-char sign string of the embedding (1-indexed dims in DuckDB);
+    * the adaptive bucket key is a prefix substring of width sd (out-of-range
+    * dims read NULL → '0', matching Spark's null-index semantics). */
+  private def signStrSql: String =
+    (1 to 64).map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
-  /** Sign-bucket key over dims [rot*8, rot*8+8) — 1-indexed in DuckDB. */
-  private def signBucketSql(rot: Int): String =
-    (rot * 8 + 1 to rot * 8 + 8)
-      .map(i => s"(CASE WHEN ve[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+  /** `params` CTE exposing the corpus-adaptive knobs (see [[Adaptive]]) —
+    * integer CASE ladders over COUNT(*), exact on both engines. */
+  private def adaptiveParamsSql: String =
+    s"""params AS (SELECT ${Adaptive.strideSql("cnt")} AS stride,
+       |                  ${Adaptive.signDimsSql("cnt")} AS sd
+       |           FROM (SELECT count(*) AS cnt FROM embeddings))""".stripMargin
 
-  private def ivfOracle: String = ivfOracle("vec_id % 40 = 0")
+  private def ivfOracle: String =
+    ivfOracle("vec_id % (SELECT stride FROM params) = 0")
 
   /** IVF top-k oracle parameterized by the centroid-set predicate (s2/s4 use
-    * the %40 set; s5's drift re-assignment a different one). */
+    * the stride-0 set; s5's drift re-assignment the stride/2 offset). */
   private def ivfOracle(centroidPred: String): String =
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
        |      WHERE list_inner_product(ve, ve) > 0),
        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE $centroidPred),
@@ -1551,14 +1614,16 @@ object SparkEntry {
 
     // After centroid-drift re-assignment, search must equal an IVF
     // recomputation against the NEW centroid set.
-    "s5_ivf_reassign" -> ivfOracle("vec_id % 25 = 5"),
+    "s5_ivf_reassign" -> ivfOracle(
+      "vec_id % (SELECT stride FROM params) = (SELECT stride FROM params) // 2"),
 
     "d3_simhash" -> simhashOracle,
 
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |$adaptiveParamsSql,
          |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
-         |      $signBucketSql AS bucket FROM v
+         |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
          |      WHERE list_inner_product(ve, ve) > 0)
          |SELECT id_a, id_b, printf('%.4f', sim) AS sim_r FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1566,11 +1631,14 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE sim >= CAST('0.35' AS DOUBLE)""".stripMargin,
 
-    // Multi-probe: a candidate pair collides in EITHER sign-bucket rotation.
+    // Multi-probe: a candidate pair collides in EITHER sign-bucket rotation
+    // (rotation r keys dims [r·sd, (r+1)·sd), 1-indexed substr prefixes).
     "d5b_embedding_multiprobe" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |$adaptiveParamsSql,
          |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
-         |      ${signBucketSql(0)} AS b0, ${signBucketSql(1)} AS b1 FROM v
+         |      substr($signStrSql, 1, (SELECT sd FROM params)) AS b0,
+         |      substr($signStrSql, (SELECT sd FROM params) + 1, (SELECT sd FROM params)) AS b1 FROM v
          |      WHERE list_inner_product(ve, ve) > 0)
          |SELECT id_a, id_b, printf('%.4f', sim) AS sim_r FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1718,7 +1786,8 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "s6_ann_recall" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |$adaptiveParamsSql,
         |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
         |      WHERE list_inner_product(ve, ve) > 0),
         |brute AS (SELECT query_id, neighbor_id FROM (
@@ -1727,7 +1796,8 @@ object SparkEntry {
         |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
         |                    c.vec_id) AS rank
         |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
-        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE vec_id % 40 = 0),
+        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id % (SELECT stride FROM params) = 0),
         |assign AS (SELECT vec_id, cid FROM (
         |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
         |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
