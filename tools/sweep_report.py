@@ -1,10 +1,13 @@
 #!/usr/bin/env python3
-"""Scale-sweep report: given N bench JSON lines (graft.Bench output) at
+"""Scale-sweep report: given bench JSON lines (graft.Bench output) at
 increasing scale factors, print a per-query table of times and scaling
 ratios, flagging anything super-linear.
 
-Usage: sweep_report.py out1.json:MULT1 out2.json:MULT2 [...]
-  where MULT is the data multiple relative to the first file (e.g. 1, 3, 10).
+Usage: sweep_report.py out1a.json[,out1b.json...]:MULT1 out2.json:MULT2 [...]
+  where MULT is the data multiple relative to the first spec (e.g. 1, 3, 10)
+  and multiple comma-separated files for one MULT are merged by per-query
+  MINIMUM — this machine shows multi-minute ambient load spikes, and the min
+  across staggered runs is the noise-robust estimator of true plan cost.
 
 A query is flagged SUPER-LINEAR when time_ratio > data_ratio * SLACK
 between the smallest and largest SF. SLACK (default 1.5) absorbs fixed
@@ -26,11 +29,25 @@ def load(path):
     raise SystemExit(f"no bench JSON line in {path}")
 
 
+def load_merged(paths):
+    """Per-query min across runs; a query failed (<0) in ALL runs stays -1."""
+    datas = [load(p) for p in paths]
+    merged = dict(datas[0])
+    qs = {}
+    for q in datas[0]["queries"]:
+        times = [d["queries"][q] for d in datas if q in d["queries"]]
+        good = [t for t in times if t >= 0]
+        qs[q] = min(good) if good else -1.0
+    merged["queries"] = qs
+    merged["value"] = sum(t for t in qs.values() if t > 0)
+    return merged
+
+
 def main(specs):
     runs = []  # (mult, data)
     for spec in specs:
         path, mult = spec.rsplit(":", 1)
-        runs.append((float(mult), load(path)))
+        runs.append((float(mult), load_merged(path.split(","))))
     runs.sort(key=lambda r: r[0])
     base_mult, base = runs[0]
     names = sorted(base["queries"])
