@@ -37,6 +37,12 @@ object ScaleGen {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/graft-testdata/sf1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
+    // the documents transform is a 26-letter alphabet rotation: replica 26
+    // would repeat replica 0's vocabulary VERBATIM, giving cross-replica dup
+    // pairs and quadratic LSH growth — the exact artifact this generator
+    // exists to avoid. Larger sweeps need a second rotation axis (e.g.
+    // per-replica token-order permutation), not a silent wraparound.
+    require(reps <= 26, s"SPARK_GRAFT_REPL=$reps > 26 wraps the alphabet rotation")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
