@@ -62,13 +62,21 @@ object Bench {
       val spread = if (med > 0) (times.max - times.min) / med else -1.0
       (name, med, spread)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // r7 postmortem: the single JSON line outgrew the driver's tail-capture
+    // window (full-precision doubles + spread/load fields) and the head —
+    // "metric":"total" — was cut, leaving BENCH_r07 parsed:null. Contract fix:
+    // verbose diagnostics go on their OWN line first; the driver-parsed
+    // summary line is compact (3-decimal medians) and printed LAST so any
+    // tail capture always contains it whole.
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.3f" }
+    val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadAfter = osBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spreads,"load1_before":$loadBefore,"load1_after":$loadAfter}""")
+    println(s"""{"metric":"bench_detail","spread":$spreads,"load1_before":${r3(loadBefore)},"load1_after":${r3(loadAfter)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
