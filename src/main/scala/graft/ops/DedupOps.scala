@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Rounds the most recent connected-components call took to converge —
+    * diagnostic only (scale sweeps read it to separate "more rounds" from
+    * "wider shuffles" when a clustering query goes super-linear). */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
+  /** Default LSH bucket cap for COMPOSED pipelines that run on dirty corpora
+    * (the c1 cleaner): a band bucket larger than this means thousands of
+    * near-identical documents — exact-fingerprint dedup territory, which the
+    * composed cleaner runs anyway — while the bucket's quadratic self-join
+    * would dominate the whole job. Real near-dup clusters are orders of
+    * magnitude smaller, so on a non-degenerate corpus the cap never fires
+    * (and the oracle's uncapped SQL stays exactly equal). */
+  val DefaultBucketCap = 4096
+
   /** Exact dedup: keep the smallest id per identical (normalized) content. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
@@ -329,6 +343,7 @@ object DedupOps {
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $maxIter rounds")
+    lastCcRounds = rounds
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -406,6 +421,7 @@ object DedupOps {
       rounds += 1
     }
     require(converged, s"alternating rounds did not converge in $maxIter rounds")
+    lastCcRounds = rounds
     nodes.join(edges.select(col("src").as("id"), col("dst").as("cluster_id")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
