@@ -75,6 +75,36 @@ object StreamNearDup {
       .write.mode(SaveMode.Append).partitionBy("__b").parquet(path)
   }
 
+  /** Compact an epoch-keyed accumulated table (the signature table grows one
+    * epoch dir + >=1 file per micro-batch — unbounded over a long replay)
+    * into a single maintenance epoch of ceil(bytes / targetFileBytes) files,
+    * deleting the consumed epoch dirs. Maintenance epochs are NEGATIVE and
+    * strictly decreasing (as in [[IvfIndex]]), so they can never collide
+    * with a replayed batchId. Must not run concurrently with the streaming
+    * writer; inside `foreachBatch` (the [[run]] cadence hook) that holds by
+    * construction. A crash between the rewrite and the deletes leaves
+    * duplicate ids behind — safe: the band join emits the same pair twice
+    * and the per-batch `distinct()` collapses it. */
+  def compactEpochs(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val dirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+      .map(_.getPath).toSeq
+    if (dirs.size <= 1) return
+    val epochs = dirs.map(_.getName.stripPrefix("__b=").toLong)
+    val bytes = dirs.flatMap(d => fs.listStatus(d).filter(_.isFile).map(_.getLen)).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val epoch = math.min(-1L, epochs.min - 1L)
+    spark.read.parquet(path).drop("__b")
+      .repartition(nFiles)
+      .withColumn("__b", lit(epoch))
+      .write.mode(SaveMode.Append).partitionBy("__b").parquet(path)
+    dirs.foreach(d => fs.delete(d, true))
+  }
+
   /** Replay `docs` through the incremental pipeline in multiple micro-batches
     * and return the accumulated pair set (id_a, id_b, est_jaccard).
     *
@@ -84,7 +114,8 @@ object StreamNearDup {
     * otherwise pass vacuously. */
   def run(spark: SparkSession, docs: DataFrame, workDir: String,
           numFiles: Int = 8, maxFilesPerTrigger: Int = 2,
-          numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+          numHashes: Int = 16, rowsPerBand: Int = 4,
+          compactEvery: Int = 0): DataFrame = {
     writeFixtures(spark, docs, workDir, numFiles)
     val sigPath = s"$workDir/sigs"
     val pairPath = s"$workDir/pairs"
@@ -94,6 +125,12 @@ object StreamNearDup {
       .text(s"$workDir/data")
       .select(from_json(col("value"), docSchema).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.text").as("text"))
+
+    // with compaction on, sig epochs are collapsed so the final epoch-join
+    // check below would be blind — count cross-batch pairs exactly as they
+    // are emitted instead (a pair is cross-batch iff not BOTH ids arrived
+    // in the current batch)
+    val crossAcc = spark.sparkContext.longAccumulator("crossBatchPairs")
 
     val query = stream.writeStream
       .outputMode("append")
@@ -130,17 +167,44 @@ object StreamNearDup {
             DedupOps.estJaccard(col("nsig"), col("asig"), numHashes).as("est_jaccard"))
           .distinct()
         writeEpoch(pairs, pairPath, batchId)
+        if (compactEvery > 0) {
+          // re-read this batch's written pairs (no recompute of the band
+          // join); an all-duplicate-free batch writes no partition dir
+          val pairDir = new Path(pairPath, s"__b=$batchId")
+          val pfs = pairDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (pfs.exists(pairDir)) {
+            val written = s.read.parquet(pairDir.toString)
+            val newIds = newSigs.select(col("id"))
+            val bothNew = written
+              .join(newIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+              .join(newIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+              .count()
+            crossAcc.add(written.count() - bothNew)
+          }
+          // compaction cadence: consolidate the accumulated signature table
+          // every `compactEvery` batches so a long replay keeps a bounded
+          // epoch-dir/file count. Runs inside foreachBatch — serial with the
+          // writer, satisfying compactEpochs' concurrency contract. The pair
+          // OUTPUT table is append-only archive (never re-read per batch),
+          // so it is not compacted here.
+          if (batchId % compactEvery == compactEvery - 1)
+            compactEpochs(s, sigPath)
+        }
       }
       .start()
     query.awaitTermination()
 
-    val sigs = spark.read.parquet(sigPath)
     val out = spark.read.parquet(pairPath)
     // the contract under test is CROSS-batch incremental detection
-    val crossBatch = out
-      .join(sigs.select(col("id").as("id_a"), col("__b").as("ba")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("__b").as("bb")), Seq("id_b"))
-      .filter(col("ba") =!= col("bb")).count()
+    val crossBatch =
+      if (compactEvery > 0) crossAcc.value.longValue
+      else {
+        val sigs = spark.read.parquet(sigPath)
+        out
+          .join(sigs.select(col("id").as("id_a"), col("__b").as("ba")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("__b").as("bb")), Seq("id_b"))
+          .filter(col("ba") =!= col("bb")).count()
+      }
     require(crossBatch > 0,
       s"no dup pair spanned micro-batches (replay degenerated to one batch?)")
     out.select(col("id_a"), col("id_b"), col("est_jaccard"))
