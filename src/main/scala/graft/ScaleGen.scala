@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    user_id, doc_id, vec_id) is offset by `i * (max(key)+1)`, so foreign
   *    keys keep referencing exactly one parent row and join fan-outs match
   *    the original per-replica.
-  *  - `documents.text` gets a per-replica alphabet rotation (`translate`,
-  *    a Caesar cipher over a-z): token/shingle structure WITHIN a replica
+  *  - `documents.text` gets a per-replica affine cipher over a-z
+  *    (`translate` with image x → a·x + r mod 26, a coprime to 26 — 312
+  *    distinct permutations): token/shingle structure WITHIN a replica
   *    is preserved byte-for-byte (same Jaccard graph, same dup density),
   *    while ACROSS replicas every token is a different string, so MinHash /
   *    SimHash / n-gram similarity does not explode quadratically the way
@@ -37,12 +38,12 @@ object ScaleGen {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/graft-testdata/sf1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPL", "10").toInt
-    // the documents transform is a 26-letter alphabet rotation: replica 26
-    // would repeat replica 0's vocabulary VERBATIM, giving cross-replica dup
-    // pairs and quadratic LSH growth — the exact artifact this generator
-    // exists to avoid. Larger sweeps need a second rotation axis (e.g.
-    // per-replica token-order permutation), not a silent wraparound.
-    require(reps <= 26, s"SPARK_GRAFT_REPL=$reps > 26 wraps the alphabet rotation")
+    // the documents transform is an affine cipher over a-z (two axes: 26
+    // rotations × 12 multipliers coprime to 26 = 312 distinct permutations);
+    // replica 312 would repeat replica 0's vocabulary VERBATIM, giving
+    // cross-replica dup pairs and quadratic LSH growth — the exact artifact
+    // this generator exists to avoid.
+    require(reps <= 312, s"SPARK_GRAFT_REPL=$reps > 312 exhausts the affine cipher family")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -96,10 +97,19 @@ object ScaleGen {
       off(off(d, "event_id", bEvt, i), "user_id", bUser, i)), "events")
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // Per-replica AFFINE cipher x -> a·x + r (mod 26): axis 1 is the rotation
+    // r = i mod 26, axis 2 the multiplier a = COPRIMES(i / 26) (the 12 units
+    // of Z/26). Any two distinct affine maps agree on at most gcd(a1-a2, 26)
+    // ≤ 2 letters (a's are odd, so the difference is even and never 26), so
+    // cross-replica token collisions need tokens drawn from a ≤2-letter
+    // alphabet — negligible, preserving the linear-dup-growth property the
+    // rotation gave, but for 312 replicas (sf31 off a sf0.1 base) not 26.
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     write(replicate("documents") { (d, i) =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val a = coprimes(i / 26); val r = i % 26
+      val image = (0 until 26).map(l => alpha((a * l + r) % 26)).mkString
       val d2 = off(d, "doc_id", bDoc, i)
-      if (i == 0) d2 else d2.withColumn("text", translate(col("text"), alpha, rot))
+      if (i == 0) d2 else d2.withColumn("text", translate(col("text"), alpha, image))
     }, "documents")
 
     write(replicate("embeddings") { (d, i) =>
