@@ -34,7 +34,10 @@ def load_merged(paths):
     datas = [load(p) for p in paths]
     merged = dict(datas[0])
     qs = {}
-    for q in datas[0]["queries"]:
+    # union, not datas[0]'s keys: a query present only in a later run of the
+    # merge group must not be silently dropped
+    names = sorted({q for d in datas for q in d["queries"]})
+    for q in names:
         times = [d["queries"][q] for d in datas if q in d["queries"]]
         good = [t for t in times if t >= 0]
         qs[q] = min(good) if good else -1.0
@@ -50,7 +53,8 @@ def main(specs):
         runs.append((float(mult), load_merged(path.split(","))))
     runs.sort(key=lambda r: r[0])
     base_mult, base = runs[0]
-    names = sorted(base["queries"])
+    # union across SFs so a query missing from the base run is still reported
+    names = sorted({q for _, r in runs for q in r["queries"]})
     print(f"{'query':28s}" + "".join(f"{f'x{m:g}':>10s}" for m, _ in runs)
           + f"{'t-ratio':>9s}{'d-ratio':>9s}  verdict")
     flagged = []
@@ -63,7 +67,16 @@ def main(specs):
         dr = runs[-1][0] / base_mult
         verdict = "ok (sub-linear)" if tr <= dr else (
             "ok (≈linear)" if tr <= dr * SLACK else "SUPER-LINEAR")
-        if verdict == "SUPER-LINEAR":
+        # also check every ADJACENT pair: a mid-scale blow-up that recovers
+        # at the endpoint (e.g. a spill band) must not pass unflagged. The
+        # 0.5 s floor keeps overhead-dominated sub-second readings (where
+        # adjacent ratios are mostly fixed-cost noise) out of the flag set —
+        # the endpoint check still covers them.
+        for (m0, r0), (m1, r1) in zip(runs, runs[1:]):
+            t0, t1 = r0["queries"].get(q), r1["queries"].get(q)
+            if t0 and t1 and t0 >= 0.5 and t1 / t0 > (m1 / m0) * SLACK:
+                verdict = f"SUPER-LINEAR (x{m0:g}->x{m1:g})"
+        if verdict.startswith("SUPER-LINEAR"):
             flagged.append((q, tr, dr))
         print(f"{q:28s}" + "".join(f"{t:10.2f}" for t in times)
               + f"{tr:9.2f}{dr:9.1f}  {verdict}")
