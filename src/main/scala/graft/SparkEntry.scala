@@ -69,8 +69,18 @@ object SparkEntry {
     def ceilLog2(n: Long): Int =
       if (n <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
 
-    /** Smallest power-of-2 id stride keeping ceil(n/stride) <= 64 centroids. */
-    def centroidStride(n: Long): Long = 1L << ceilLog2((n + 63) / 64)
+    /** Smallest power-of-2 id stride keeping ceil(n/stride) <= 64 centroids.
+      * Floored at 2 so the centroid set is always a PROPER subset of the
+      * corpus: with stride 1 (n <= 64) every vector is a centroid and the
+      * s5 drift-reassign offset (stride/2 = 0) degenerates to a no-op —
+      * the queries would stop exercising what they claim to test. */
+    def centroidStride(n: Long): Long = {
+      // [[strideSql]]'s ladder ends at ELSE 2^55 (cnt > 2^60); past 64·2^55
+      // the Scala stride would keep doubling while the SQL side stays
+      // pinned — fail loudly rather than let engine parity silently drift
+      require(n <= (64L << 55), s"corpus of $n rows exceeds the stride ladder")
+      math.max(2L, 1L << ceilLog2((n + 63) / 64))
+    }
 
     /** Sign-LSH key width: ceil(log2 n) − 2, clamped to [4, 32] (embedding
       * dim 64 holds two non-overlapping 32-bit rotations for multi-probe).
@@ -80,10 +90,13 @@ object SparkEntry {
     def signDims(n: Long): Int = math.min(32, math.max(4, ceilLog2(n) - 2))
 
     /** SQL integer CASE ladder mirroring [[centroidStride]]: stride = 2^k
-      * for cnt in (64·2^(k-1), 64·2^k]. */
+      * for cnt in (64·2^(k-1), 64·2^k]; first branch folds in the lower
+      * stride floor of 2. The ladder runs to 2^54 (64·2^54 = 2^60 rows ≈
+      * 10^18 — beyond any physical corpus) so Spark and the oracle agree
+      * unconditionally, not just below a 2^25 cap. */
     def strideSql(cntExpr: String): String =
-      (0 to 24).map(k => s"WHEN $cntExpr <= ${64L << k} THEN ${1L << k}")
-        .mkString("CASE ", " ", s" ELSE ${1L << 25} END")
+      (1 to 54).map(k => s"WHEN $cntExpr <= ${64L << k} THEN ${1L << k}")
+        .mkString("CASE ", " ", s" ELSE ${1L << 55} END")
 
     /** SQL integer CASE ladder mirroring [[signDims]] (k = ceil(log2 cnt)
       * for cnt in (2^(k-1), 2^k]; the k=6 branch folds in the lower clamp). */
@@ -524,7 +537,12 @@ object SparkEntry {
     "c1_corpus_clean" -> ((s, dir) => {
       val d = docs(s, dir)
       val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
-      val dupIds = DedupOps.pairsFromSignatures(sigs, 16, 4)
+      // bucket-capped: a degenerate corpus (mass-duplicated boilerplate)
+      // otherwise makes the band self-join quadratic; over-cap docs are
+      // that similar to thousands of others, and the exact-fingerprint
+      // dedup below collapses them regardless. Never fires on the driver
+      // corpus, so the uncapped oracle SQL stays exactly equal.
+      val dupIds = DedupOps.pairsFromSignatures(sigs, 16, 4, DedupOps.DefaultBucketCap)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_b").as("doc_id")).distinct()
       val kept = d.select(col("doc_id"),
@@ -986,7 +1004,7 @@ object SparkEntry {
     // decoded back through the REAL pure-JVM BITMAPINFOHEADER parser
     // (Multimodal.BuiltinDecoder, bottom-up row order + 4-byte row padding
     // both exercised). The compared features are order-insensitive (dims +
-    // per-channel nonzero counts via the channel means), so the oracle
+    // the decoder's exact per-channel bright-pixel counts), so the oracle
     // recomputes them relationally without replaying pixel placement.
     "m2_bmp_features" -> ((s, dir) => {
       import s.implicits._
@@ -1002,18 +1020,18 @@ object SparkEntry {
         .map { case (uid, pxs) => (uid, Multimodal.encodeBmp24(pxs, bmpW)) }
         .toDF("id", "data")
       val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "bmp")
-      // mean_ch · width · height = 255 · #pixels-with-that-channel-set —
-      // integer-exact (padding pixels are black and contribute 0)
-      val nPx = element_at(col("features"), 1) * element_at(col("features"), 2)
-      def chanCount(i: Int) =
-        round(element_at(col("features"), i) * nPx / 255).cast("long")
+      // per-channel counts come from the decoder's EXACT bright-pixel
+      // features (slots 10-12, integer-exact in Float32 to 2^24 px) —
+      // reconstructing them from the rounded Float32 channel mean drifts
+      // once a user has ~30k+ pixels. Fixture channels are 0/255, so
+      // bright (> 127) ≡ channel-set and the oracle's COUNT(*) agrees.
       Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
         .select(col("content_id"),
           element_at(col("features"), 1).cast("long").as("width"),
           element_at(col("features"), 2).cast("long").as("height"),
-          chanCount(3).as("n_blue"),
-          chanCount(4).as("n_green"),
-          chanCount(5).as("n_red"))
+          element_at(col("features"), 10).cast("long").as("n_blue"),
+          element_at(col("features"), 11).cast("long").as("n_green"),
+          element_at(col("features"), 12).cast("long").as("n_red"))
     }),
 
     // M3 — multimodal image decode through the COMPRESSED container: the
@@ -1037,16 +1055,41 @@ object SparkEntry {
         .map { case (uid, pxs) => (uid, Multimodal.encodePng(pxs, pngW)) }
         .toDF("id", "data")
       val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "png")
-      val nPx = element_at(col("features"), 1) * element_at(col("features"), 2)
-      def chanCount(i: Int) =
-        round(element_at(col("features"), i) * nPx / 255).cast("long")
+      // exact bright-pixel count features, as in m2
       Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
         .select(col("content_id"),
           element_at(col("features"), 1).cast("long").as("width"),
           element_at(col("features"), 2).cast("long").as("height"),
-          chanCount(3).as("n_blue"),
-          chanCount(4).as("n_green"),
-          chanCount(5).as("n_red"))
+          element_at(col("features"), 10).cast("long").as("n_blue"),
+          element_at(col("features"), 11).cast("long").as("n_green"),
+          element_at(col("features"), 12).cast("long").as("n_red"))
+    }),
+
+    // M4 — multimodal image decode through the LOSSY container: per-user
+    // grayscale built from event parity, each value an 8×8 UNIFORM block
+    // (the shape a quality-100 baseline JPEG stores exactly: one integer DC,
+    // mathematically zero ACs — nothing lost to coefficient rounding), then
+    // encoded as a real baseline JPEG (std Annex K Huffman, byte stuffing)
+    // and decoded back through the pure-JVM entropy + IDCT path. Features
+    // read the decoder's exact bright-count slot; the oracle recomputes
+    // dims/counts relationally (6-block-wide image ⇒ 48 px; each source
+    // value is 64 px).
+    "m4_jpeg_features" -> ((s, dir) => {
+      import s.implicits._
+      val wBlocks = 6
+      val px = ev(s, dir).select(col("user_id"),
+        when(pmod(col("event_id"), lit(2)) === 0, 255).otherwise(0).as("g"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(collect_list(col("g")).as("gs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, gs) => (uid, graft.ops.Jpeg.encodeGrayBlocks(gs, wBlocks)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "jpeg")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 10).cast("long").as("n_bright"))
     }),
 
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
@@ -1938,6 +1981,17 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_blue,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The JPEG payload round-trips through a real baseline encode + Huffman
+    // decode + IDCT; uniform 8×8 blocks make the lossy container exact, so
+    // the oracle recomputes dims and bright counts relationally (6 blocks
+    // wide ⇒ 48 px; one source value ⇒ 64 px; pad blocks black).
+    "m4_jpeg_features" ->
+      """SELECT user_id AS content_id,
+        |  CAST(48 AS BIGINT) AS width,
+        |  CAST(8 * CEIL(COUNT(*) / 6.0) AS BIGINT) AS height,
+        |  CAST(64 * COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_bright
         |FROM events GROUP BY 1""".stripMargin,
 
     // Versioned-store contract: minutes upserted twice (days 1-15) surface

@@ -1,0 +1,409 @@
+package graft.ops
+
+/** Baseline sequential JPEG (ITU-T T.81), grayscale, pure JVM, zero deps —
+  * the encode/decode pair for the most common real multimodal container.
+  * Spec scope: 8-bit precision, single component (no chroma subsampling to
+  * get wrong), standard Annex K luminance Huffman tables (carried in-file
+  * via DHT, as required), byte-stuffed entropy coding, full run-length /
+  * EOB / ZRL AC coding, naive separable double-precision DCT.
+  *
+  * Exactness contract for the oracle fixtures: with the all-ones
+  * quantization table this codec round-trips any image whose 8×8 blocks are
+  * each UNIFORM exactly (a constant block has one DC coefficient — integer
+  * after the ×8 DCT gain — and mathematically zero ACs, so nothing is lost
+  * to coefficient rounding). [[encodeGrayBlocks]] builds exactly such
+  * images. Arbitrary images round-trip approximately (coefficient rounding
+  * ≤ 0.5 each), like any quality-100 baseline JPEG.
+  *
+  * Reference repo analog: none — the reference pipeline has no image path;
+  * this extends the engine's multimodal surface (SURVEY §2.9 extras)
+  * alongside the BMP/PNG/WAV codecs in [[Multimodal]].
+  */
+object Jpeg {
+
+  /** Zigzag scan: position i in scan order → natural index (row*8+col). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Standard luminance DC table (T.81 Annex K.3.1): code-length counts
+    * for lengths 1..16, then the symbols (categories 0..11). */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 11).toArray
+
+  /** Standard luminance AC table (Annex K.3.2). */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical codes from (bits, vals): symbol → (code, length). */
+  private def encodeTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out
+  }
+
+  /** Decode-side canonical table: per-length (minCode, maxCode, valPtr). */
+  private final class DecodeTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k
+        minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = code - 1 // -1 when no codes of this length
+        if (bits(len - 1) == 0) maxCode(len) = -1
+        code <<= 1
+      }
+    }
+    def decode(in: BitReader): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        code = (code << 1) | in.bit()
+        len += 1
+        if (maxCode(len) >= 0 && code <= maxCode(len) && code >= minCode(len))
+          return vals(valPtr(len) + code - minCode(len))
+      }
+      throw new IllegalArgumentException("invalid Huffman code")
+    }
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) {
+      val pad = (acc << (8 - n)) | ((1 << (8 - n)) - 1) // pad with 1s
+      out.write(pad)
+      if (pad == 0xff) out.write(0x00)
+      acc = 0; n = 0
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def bit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "truncated entropy stream")
+        val b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "truncated after 0xff")
+          val m = bytes(pos) & 0xff
+          require(m == 0x00, f"unexpected marker ff$m%02x inside scan")
+          pos += 1 // stuffed zero
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(k: Int): Int = {
+      var v = 0; var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** Sign-extend a `size`-bit magnitude per T.81 F.2.2.1. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0 else if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+
+  /** Bit category of a value (0 for 0, else bits of |v|). */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  private val CosT = Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private def cN(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Forward DCT, natural-order in/out, block indexed [y*8+x] / [v*8+u]. */
+  private def fdct(f: Array[Double]): Array[Double] =
+    Array.tabulate(64) { i =>
+      val u = i % 8; val v = i / 8
+      var s = 0.0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { s += f(y * 8 + x) * CosT(u)(x) * CosT(v)(y); x += 1 }
+        y += 1
+      }
+      0.25 * cN(u) * cN(v) * s
+    }
+
+  private def idct(coef: Array[Double]): Array[Double] =
+    Array.tabulate(64) { i =>
+      val x = i % 8; val y = i / 8
+      var s = 0.0
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) { s += cN(u) * cN(v) * coef(v * 8 + u) * CosT(u)(x) * CosT(v)(y); u += 1 }
+        v += 1
+      }
+      0.25 * s
+    }
+
+  private def u16(hi: Int, lo: Int): Array[Byte] = Array(hi.toByte, lo.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, (v & 0xff).toByte)
+
+  /** Encode an 8-bit grayscale image as baseline JPEG with an all-ones
+    * quantization table (quality-lossless coefficient storage). Image dims
+    * need not be block-aligned; partial edge blocks are zero-padded (those
+    * blocks then round-trip approximately — see class doc). */
+  def encodeGray(gray: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && gray.nonEmpty, "empty image")
+    val height = (gray.length + width - 1) / width
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Byte]): Unit = {
+      out.write(u16(0xff, marker), 0, 2)
+      out.write(be16(body.length + 2), 0, 2)
+      out.write(body, 0, body.length)
+    }
+    out.write(u16(0xff, 0xd8), 0, 2) // SOI
+    seg(0xdb, 0x00.toByte +: Array.fill(64)(1.toByte)) // DQT: Pq=0,Tq=0, q=1
+    seg(0xc0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](1, 1, 0x11, 0)) // SOF0: 1 comp, 1x1 sampling, Tq=0
+    seg(0xc4, 0x00.toByte +: (DcBits.map(_.toByte) ++ DcVals.map(_.toByte)))
+    seg(0xc4, 0x10.toByte +: (AcBits.map(_.toByte) ++ AcVals.map(_.toByte)))
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+
+    val dcCodes = encodeTable(DcBits, DcVals)
+    val acCodes = encodeTable(AcBits, AcVals)
+    val bw = new BitWriter(out)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    var prevDc = 0
+    val block = new Array[Double](64)
+    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = bx * 8 + x; val py = by * 8 + y
+          val idx = py * width + px
+          val v = if (px < width && py < height && idx < gray.length) gray(idx) & 0xff else 0
+          block(y * 8 + x) = v - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdct(block)
+      // quantize (q=1) in zigzag order; AC magnitudes clamp at the standard
+      // table's size-10 ceiling (reachable only by adversarial ±128
+      // checkerboards — the same bound real quality-100 encoders hit)
+      val zz = Array.tabulate(64)(i => {
+        val q = math.round(coef(Zigzag(i))).toInt
+        if (i == 0) q else math.max(-1023, math.min(1023, q))
+      })
+      val diff = zz(0) - prevDc
+      prevDc = zz(0)
+      val dcCat = category(diff)
+      val (dcode, dlen) = dcCodes(dcCat)
+      bw.put(dcode, dlen)
+      if (dcCat > 0)
+        bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) {
+            val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 // ZRL
+          }
+          val size = category(zz(k))
+          val (c, l) = acCodes((run << 4) | size)
+          bw.put(c, l)
+          bw.put(if (zz(k) < 0) zz(k) + (1 << size) - 1 else zz(k), size)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+    }
+    bw.flush()
+    out.write(u16(0xff, 0xd9), 0, 2) // EOI
+    out.toByteArray
+  }
+
+  /** One uniform 8×8 block per input value (the oracle-exact fixture shape):
+    * image width 8·widthBlocks, trailing blocks of the last row black. */
+  def encodeGrayBlocks(vals: Array[Int], widthBlocks: Int): Array[Byte] = {
+    val rows = (vals.length + widthBlocks - 1) / widthBlocks
+    val w = widthBlocks * 8
+    val gray = new Array[Int](w * rows * 8)
+    vals.indices.foreach { i =>
+      val bx = i % widthBlocks; val by = i / widthBlocks
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { gray((by * 8 + y) * w + bx * 8 + x) = vals(i) & 0xff; x += 1 }
+        y += 1
+      }
+    }
+    encodeGray(gray, w)
+  }
+
+  /** Decode a baseline grayscale JPEG: (width, height, row-major pixels). */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var pos = 2
+    var width = 0; var height = 0
+    var quant: Array[Int] = null // zigzag order
+    var compTq = -1
+    var dcTable: DecodeTable = null
+    var acTable: DecodeTable = null
+    var dcTableId = -1; var acTableId = -1
+    val dhtTables = scala.collection.mutable.Map[Int, DecodeTable]()
+    val dqtTables = scala.collection.mutable.Map[Int, Array[Int]]()
+
+    def u8(i: Int): Int = { require(i < bytes.length, "truncated segment"); bytes(i) & 0xff }
+    def u16at(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+
+    var inScan = false
+    while (!inScan) {
+      require(u8(pos) == 0xff, f"expected marker at $pos, got ${u8(pos)}%02x")
+      val marker = u8(pos + 1)
+      pos += 2
+      marker match {
+        case 0xd9 => throw new IllegalArgumentException("EOI before scan data")
+        case m if m >= 0xd0 && m <= 0xd7 => // RSTn outside scan: ignore
+        case 0xc0 => // SOF0 baseline
+          val len = u16at(pos)
+          require(u8(pos + 2) == 8, "only 8-bit precision")
+          height = u16at(pos + 3); width = u16at(pos + 5)
+          require(u8(pos + 7) == 1, "only single-component (grayscale) JPEG")
+          require(u8(pos + 9) == 0x11, "subsampling must be 1x1")
+          compTq = u8(pos + 10)
+          pos += len
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          val len = u16at(pos)
+          var p = pos + 2
+          while (p < pos + len) {
+            val tcTh = u8(p)
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val nVals = bits.sum
+            val vals = Array.tabulate(nVals)(i => u8(p + 17 + i))
+            dhtTables((tcTh >> 4) * 4 + (tcTh & 0x0f)) = new DecodeTable(bits, vals)
+            p += 17 + nVals
+          }
+          pos += len
+        case 0xdb => // DQT
+          val len = u16at(pos)
+          var p = pos + 2
+          while (p < pos + len) {
+            val pqTq = u8(p)
+            require((pqTq >> 4) == 0, "only 8-bit quant tables")
+            dqtTables(pqTq & 0x0f) = Array.tabulate(64)(i => u8(p + 1 + i))
+            p += 65
+          }
+          pos += len
+        case 0xda => // SOS
+          val len = u16at(pos)
+          require(u8(pos + 2) == 1, "single-component scan expected")
+          dcTableId = u8(pos + 4) >> 4
+          acTableId = u8(pos + 4) & 0x0f
+          pos += len
+          inScan = true
+        case 0xdd => // DRI
+          require(u16at(pos + 2) == 0, "restart intervals unsupported")
+          pos += u16at(pos)
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case _ => pos += u16at(pos) // APPn / COM / other: skip
+      }
+    }
+    require(width > 0 && height > 0, "missing SOF0")
+    quant = dqtTables.getOrElse(compTq, throw new IllegalArgumentException("missing DQT"))
+    dcTable = dhtTables.getOrElse(dcTableId,
+      throw new IllegalArgumentException("missing DC DHT"))
+    acTable = dhtTables.getOrElse(4 + acTableId,
+      throw new IllegalArgumentException("missing AC DHT"))
+
+    val br = new BitReader(bytes, pos)
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val gray = new Array[Int](width * height)
+    var prevDc = 0
+    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+      val zz = new Array[Int](64)
+      val dcCat = dcTable.decode(br)
+      prevDc += extend(br.receive(dcCat), dcCat)
+      zz(0) = prevDc
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val sym = acTable.decode(br)
+        if (sym == 0x00) eob = true
+        else if (sym == 0xf0) k += 16
+        else {
+          k += sym >> 4
+          require(k < 64, "AC run past block end")
+          zz(k) = extend(br.receive(sym & 0x0f), sym & 0x0f)
+          k += 1
+        }
+      }
+      val coef = new Array[Double](64)
+      var i = 0
+      while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * quant(i); i += 1 }
+      val px = idct(coef)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val ix = bx * 8 + x; val iy = by * 8 + y
+          if (ix < width && iy < height) {
+            val v = math.round(px(y * 8 + x) + 128.0).toInt
+            gray(iy * width + ix) = math.max(0, math.min(255, v))
+          }
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (width, height, gray)
+  }
+}

@@ -68,8 +68,12 @@ object Multimodal {
     *
     * BMP (format "bmp"): parses the 14-byte file header + BITMAPINFOHEADER,
     * 24/32-bit uncompressed BGR(A), bottom-up or top-down row order, 4-byte
-    * row padding. Features (dim 9):
-    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant]`.
+    * row padding. Features (dim 12):
+    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant,
+    * bright-pixel count (value > 127) per channel B/G/R]`. The counts are
+    * integer-exact in Float32 up to 2^24 pixels — downstream queries that
+    * need exact per-channel counts read them directly instead of
+    * reconstructing from a rounded Float32 mean (which drifts past ~30k px).
     *
     * WAV (format "wav"): parses the RIFF header and chunk list, 16-bit PCM
     * (audio format 1), any channel count (frames averaged across channels).
@@ -81,8 +85,14 @@ object Multimodal {
     * IEND, CRC-verified), 8-bit color types 2 (RGB) and 6 (RGBA), no
     * interlace; IDAT streams are concatenated, inflated, and the five
     * scanline filters (None/Sub/Up/Average/Paeth) undone. Features are the
-    * SAME 9-dim layout as BMP, so image features are container-independent:
-    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant]`.
+    * SAME 12-dim layout as BMP, so image features are container-independent:
+    * `[width, height, meanB, meanG, meanR, gray mean per 2×2 quadrant,
+    * bright-pixel count per channel]`.
+    *
+    * JPEG (formats "jpeg"/"jpg"): baseline sequential grayscale via
+    * [[graft.ops.Jpeg]] (standard Huffman tables, full AC run-length
+    * decode, double-precision IDCT); features use the shared 12-dim image
+    * layout with B=G=R=gray.
     *
     * Unknown formats hash through [[FakeDecoder]]; malformed payloads yield
     * an EMPTY feature vector (feature_dim 0) so a training pipeline can
@@ -96,9 +106,41 @@ object Multimodal {
           case "bmp" => decodeBmp(payload)
           case "wav" => decodeWav(payload)
           case "png" => decodePng(payload)
+          case "jpeg" | "jpg" => decodeJpeg(payload)
           case _     => fallback.decode(payload, format)
         }
       } catch { case _: Exception => Array.emptyFloatArray }
+
+    /** Baseline grayscale JPEG ([[graft.ops.Jpeg]]) mapped onto the shared
+      * 12-dim image layout with B=G=R=gray, so downstream queries are
+      * container-independent across BMP/PNG/JPEG. */
+    private def decodeJpeg(bytes: Array[Byte]): Array[Float] = {
+      val (width, height, gray) = Jpeg.decodeGray(bytes)
+      var sum = 0.0
+      var nz = 0L
+      val quadrant = new Array[Double](4)
+      val quadrantN = new Array[Long](4)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = gray(y * width + x)
+          sum += g
+          if (g > 127) nz += 1
+          val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
+          quadrant(q) += g
+          quadrantN(q) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = width.toLong * height
+      val mean = (sum / n).toFloat
+      Array(width.toFloat, height.toFloat, mean, mean, mean,
+        qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
+        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3),
+        nz.toFloat, nz.toFloat, nz.toFloat)
+    }
 
     private def decodeBmp(bytes: Array[Byte]): Array[Float] = {
       val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -120,6 +162,7 @@ object Multimodal {
       require(bytes.length >= dataOffset + rowBytes.toLong * height, "truncated pixel data")
 
       var sumB, sumG, sumR = 0.0
+      var nzB, nzG, nzR = 0L // bright-pixel (> 127) counts, integer-exact
       val quadrant = new Array[Double](4) // gray sums: [top-left, top-right, bottom-left, bottom-right]
       val quadrantN = new Array[Long](4)
       var y = 0
@@ -133,6 +176,9 @@ object Multimodal {
           val gr = bytes(px + 1) & 0xff
           val rd = bytes(px + 2) & 0xff
           sumB += bl; sumG += gr; sumR += rd
+          if (bl > 127) nzB += 1
+          if (gr > 127) nzG += 1
+          if (rd > 127) nzR += 1
           val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
           quadrant(q) += (bl + gr + rd) / 3.0
           quadrantN(q) += 1
@@ -144,7 +190,8 @@ object Multimodal {
       Array(width.toFloat, height.toFloat,
         (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
         qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
-        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3))
+        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3),
+        nzB.toFloat, nzG.toFloat, nzR.toFloat)
     }
 
     private def qMean(sum: Array[Double], cnt: Array[Long], i: Int): Float =
@@ -229,6 +276,9 @@ object Multimodal {
         require(crc.getValue.toInt == b.getInt(off + 8 + len), "chunk CRC mismatch")
         b.getInt(off + 4) match {
           case 0x49484452 => // IHDR
+            // a CRC-consistent chunk with a short declared length would
+            // otherwise read CRC/next-chunk bytes as width/height
+            require(len == 13, s"IHDR length $len != 13")
             width = b.getInt(off + 8)
             height = b.getInt(off + 12)
             require(bytes(off + 16) == 8, "unsupported bit depth")
@@ -290,6 +340,7 @@ object Multimodal {
       // same stats and feature ORDER as decodeBmp (PNG stores RGB(A); BMP
       // stores BGR) so image features are container-independent
       var sumB, sumG, sumR = 0.0
+      var nzB, nzG, nzR = 0L
       val quadrant = new Array[Double](4)
       val quadrantN = new Array[Long](4)
       y = 0
@@ -301,6 +352,9 @@ object Multimodal {
           val gr = recon(px + 1) & 0xff
           val bl = recon(px + 2) & 0xff
           sumB += bl; sumG += gr; sumR += rd
+          if (bl > 127) nzB += 1
+          if (gr > 127) nzG += 1
+          if (rd > 127) nzR += 1
           val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
           quadrant(q) += (bl + gr + rd) / 3.0
           quadrantN(q) += 1
@@ -312,7 +366,8 @@ object Multimodal {
       Array(width.toFloat, height.toFloat,
         (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
         qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
-        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3))
+        qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3),
+        nzB.toFloat, nzG.toFloat, nzR.toFloat)
     }
   }
 

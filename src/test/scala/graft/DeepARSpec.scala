@@ -148,8 +148,8 @@ class DeepARSpec extends SparkSpec {
       Seq((7L, bmp)).toDF("id", "data"), "id", "data", "image", "bmp")
     val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
       .select("feature_dim", "features").as[(Int, Array[Float])].head()
-    assert(f._1 === 9)
-    val Array(w, h, mb, mg, mr, q0, q1, q2, q3) = f._2
+    assert(f._1 === 12)
+    val Array(w, h, mb, mg, mr, q0, q1, q2, q3, nzB, nzG, nzR) = f._2
     assert(w === 3f && h === 2f)
     // channel means over all 6 px: B=(0+0+255+255+0+64)/6, G=(0+255+0+255+0+64)/6, R=(255+0+0+255+0+64)/6
     assert(math.abs(mb - 574f / 6) < 1e-3 && math.abs(mg - 574f / 6) < 1e-3 &&
@@ -160,6 +160,9 @@ class DeepARSpec extends SparkSpec {
     assert(math.abs(q1 - 85f) < 1e-3 && math.abs(q2 - 127.5f) < 1e-3)
     // q3 = bottom-right (gray 64)
     assert(math.abs(q3 - 64f) < 1e-3)
+    // exact bright-pixel (> 127) counts: each channel is 255 in exactly its
+    // own primary pixel + white; gray(64) is never bright
+    assert(nzB === 2f && nzG === 2f && nzR === 2f)
   }
 
   test("multimodal: encodeBmp24 round-trips through BuiltinDecoder with row padding") {
@@ -172,12 +175,14 @@ class DeepARSpec extends SparkSpec {
       Seq((11L, bmp)).toDF("id", "data"), "id", "data", "image", "bmp")
     val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
       .select("feature_dim", "features").as[(Int, Array[Float])].head()
-    assert(f._1 === 9)
-    val Array(w, h, mb, mg, mr, _, _, _, _) = f._2
+    assert(f._1 === 12)
+    val Array(w, h, mb, mg, mr, _, _, _, _, nzB, nzG, nzR) = f._2
     assert(w === 2f && h === 3f)
     // channel sums over 6 px (pad contributes 0): B = 255+0+0+255+64 = 574,
     // G = 0+255+0+255+64 = 574, R = 0+0+255+255+64 = 574
     Seq(mb, mg, mr).foreach(m => assert(math.abs(m - 574f / 6) < 1e-3))
+    // bright counts: primary + white per channel; pad and gray(64) excluded
+    assert(nzB === 2f && nzG === 2f && nzR === 2f)
   }
 
   test("multimodal: encodePng round-trips through BuiltinDecoder, all five filters") {
@@ -198,9 +203,60 @@ class DeepARSpec extends SparkSpec {
     val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
       .select("content_id", "feature_dim", "features")
       .as[(Long, Int, Array[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(f(21L)._1 === 9 && f(22L)._1 === 9)
+    assert(f(21L)._1 === 12 && f(22L)._1 === 12)
     assert(f(21L)._2.toSeq === f(22L)._2.toSeq)
     assert(f(21L)._2(0) === 3f && f(21L)._2(1) === 6f)
+  }
+
+  test("multimodal: uniform-block JPEG round-trips EXACTLY through BuiltinDecoder") {
+    implicit val s = spark
+    // 7 values at width 5 blocks → 40×16 px, 3 black pad blocks; uniform
+    // blocks are stored lossless by the all-ones-quant baseline codec
+    val vals = Array(255, 0, 200, 17, 255, 128, 64)
+    val jpg = graft.ops.Jpeg.encodeGrayBlocks(vals, widthBlocks = 5)
+    // decode side first: exact pixel recovery
+    val (w, h, gray) = graft.ops.Jpeg.decodeGray(jpg)
+    assert(w === 40 && h === 16)
+    for (i <- vals.indices; y <- 0 until 8; x <- 0 until 8)
+      assert(gray((i / 5 * 8 + y) * w + i % 5 * 8 + x) === vals(i),
+        s"block $i pixel ($x,$y) not exact")
+    // feature side: 12-dim image layout, exact bright counts — four vals
+    // exceed 127 (255, 200, 255, 128; the boundary 128 IS bright)
+    val media = Multimodal.asMediaFrame(
+      Seq((41L, jpg)).toDF("id", "data"), "id", "data", "image", "jpeg")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 12)
+    assert(f._2(0) === 40f && f._2(1) === 16f)
+    assert(f._2(9) === 4 * 64f && f._2(10) === 4 * 64f && f._2(11) === 4 * 64f)
+    // mean over all 640 px: (255+0+200+17+255+128+64)·64 / 640
+    assert(math.abs(f._2(2) - (vals.sum * 64f / 640)) < 1e-3)
+  }
+
+  test("multimodal: arbitrary-pixel JPEG round-trips within quantization error") {
+    // non-uniform blocks exercise the full AC path (ZRL, EOB, many
+    // run/size symbols) and the DC-diff chain across 12 blocks; quality-100
+    // baseline is lossy only through per-coefficient rounding (≤ 0.5 each)
+    val w = 24; val h = 32
+    val gray = Array.tabulate(w * h)(i => (i * 37 + (i * i) % 91 + i / w * 13) % 256)
+    val jpg = graft.ops.Jpeg.encodeGray(gray, w)
+    val (dw, dh, out) = graft.ops.Jpeg.decodeGray(jpg)
+    assert(dw === w && dh === h)
+    val maxErr = gray.indices.map(i => math.abs(gray(i) - out(i))).max
+    assert(maxErr <= 3, s"max pixel error $maxErr exceeds quantization bound")
+  }
+
+  test("multimodal: corrupted JPEG payloads yield empty features") {
+    implicit val s = spark
+    val jpg = graft.ops.Jpeg.encodeGrayBlocks(Array(255, 0, 128), widthBlocks = 2)
+    val truncated = jpg.take(jpg.length / 2)
+    val noSoi = jpg.clone(); noSoi(1) = 0x00
+    val media = Multimodal.asMediaFrame(
+      Seq((51L, truncated), (52L, noSoi)).toDF("id", "data"),
+      "id", "data", "image", "jpeg")
+    val dims = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim").as[Int].collect()
+    assert(dims.toSeq === Seq(0, 0))
   }
 
   test("multimodal: corrupted PNG (bad CRC / truncated IDAT) yields empty features") {

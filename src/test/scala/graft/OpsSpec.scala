@@ -79,6 +79,32 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.count() === 1)
   }
 
+  test("composed cleaner stays bounded on a 10k-identical-docs corpus") {
+    // the c1 composition (shared signature relation → CAPPED LSH pairs →
+    // exact-fingerprint canon → anti-join) on a degenerate corpus: the cap
+    // drops the mass-duplicate buckets BEFORE the quadratic self-join, and
+    // the exact-dedup stage still collapses those docs to one canonical —
+    // capping loses no cleaning power where it fires
+    val degenerate = spark.range(10000)
+      .select(col("id").as("doc_id"), lit("spam spam spam spam spam ham").as("text"))
+    val legit = Seq((100001L, "a b c d e f g h"), (100002L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val d = degenerate.unionAll(legit)
+    val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+    try {
+      val dupIds = DedupOps.pairsFromSignatures(sigs, 16, 4, maxBucketSize = 100)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      val canon = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val cleaned = kept.join(canon, Seq("fp", "doc_id"))
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select("doc_id").as[Long].collect().toSet
+      // one canonical per identical-content group, nothing else survives
+      assert(cleaned === Set(0L, 100001L))
+    } finally sigs.unpersist()
+  }
+
   test("global running sum and sequence packing slice the token stream exactly") {
     import graft.ops.{Packing, Ranking}
     val df = Seq((1L, 100L), (2L, 500L), (3L, 0L), (4L, 30L))
