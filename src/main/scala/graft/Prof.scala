@@ -4,18 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{DedupOps, TextOps}
 
-/** Temporary micro-profiler for the round-7 sf2.6 flags (c1, d6b) — not part
-  * of the library surface. Interleaves shots of the flagged queries (and a
-  * cache-vs-materialize A/B of c1's signature relation) across scale factors,
-  * logging load1 before each shot so ambient-spike-polluted readings are
-  * identifiable; the per-variant MIN across shots is the plan-cost estimator
+/** Temporary micro-profiler — not part of the library surface. Current
+  * target: why does the bucket-cap guard cost c1 ~5x at sf1? Interleaves
+  * capped vs uncapped builds of the c1 composition in one JVM, plus a
+  * stage-by-stage split of the capped path. Min across shots = plan cost
   * (methodology: docs/PLANS.md round-7 sweep section).
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDirs = if (args.nonEmpty) args.toSeq
-      else Seq("/tmp/graft-testdata/sf1", "/tmp/graft-testdata/sf2.6")
-    val shots = sys.env.getOrElse("SPARK_GRAFT_SHOTS", "5").toInt
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft-testdata/sf1"
+    val shots = sys.env.getOrElse("SPARK_GRAFT_SHOTS", "3").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -24,18 +22,14 @@ object Prof {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // c1 variant: signature relation MATERIALIZED as parquet (d2b shape)
-    // instead of .cache() — the round-7 open question for c1 at 26x
-    def c1Materialized(s: SparkSession, dir: String): DataFrame = {
+    def c1(cap: Int): DataFrame = {
       val d = spark.read.parquet(s"$dir/documents.parquet")
-      val sigs = DedupOps.materializeSignatures(d, "doc_id", "text",
-        "/tmp/prof_c1_sigs", 16)
-      val dupIds = DedupOps.pairsFromSignatures(sigs, 16, 4)
+      val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+      val dupIds = DedupOps.pairsFromSignatures(sigs, 16, 4, cap)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_b").as("doc_id")).distinct()
       val kept = d.select(col("doc_id"),
@@ -52,37 +46,37 @@ object Prof {
           graft.ops.Exact.fmt(col("quality"), 4).as("quality_r"))
     }
 
-    for (dir <- sfDirs) {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      println(s"== $dir: ${docs.count()} docs ==")
-      // one-time: which per-row text op dominates the kept scan?
-      for ((nm, c) <- Seq(
-        "tokenCount" -> TextOps.tokenCount(col("text")),
-        "quality" -> TextOps.qualityScore(col("text")),
-        "langid" -> TextOps.langIdHeuristic(col("text")),
-        "fingerprint" -> TextOps.fingerprint(col("text")))) {
-        val t = timed(docs.select(c.as("x")).agg(count(col("x"))).collect())
-        println(f"  textop $nm%-12s ${t}%6.2f s  load1=${osBean.getSystemLoadAverage}%.1f")
-      }
-      val variants: Seq[(String, () => Unit)] = Seq(
-        "c1_cache" -> (() => {
-          SparkEntry.queries("c1_corpus_clean")(spark, dir).count(); ()
-        }),
-        "c1_mat" -> (() => { c1Materialized(spark, dir).count(); () }),
-        "d6b" -> (() => {
-          SparkEntry.queries("d6b_clusters_alternating")(spark, dir).count()
-          println(s"    (d6b rounds: ${DedupOps.lastCcRounds})")
-        }))
-      val mins = collection.mutable.Map[String, Double]().withDefaultValue(1e9)
-      for (shot <- 1 to shots; (nm, f) <- variants) {
-        val load = osBean.getSystemLoadAverage
-        val t = timed { f(); spark.catalog.clearCache() }
-        mins(nm) = math.min(mins(nm), t)
-        println(f"  $nm%-10s shot $shot: ${t}%6.2f s  load1(before)=$load%.1f")
-      }
-      println(s"  MIN: " + variants.map { case (nm, _) =>
-        f"$nm=${mins(nm)}%.2f" }.mkString("  "))
+    // stage split of the capped path, one pass
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val sigs0 = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+    println(f"sig cache fill: ${timed(sigs0.count())}%.2f s")
+    println(f"banded count agg (narrow): ${timed {
+      DedupOps.bandedSignatures(sigs0, 16, 4).select(col("band"), col("band_sig"))
+        .groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > DedupOps.DefaultBucketCap).count()
+    }}%.2f s")
+    println(f"pairs uncapped from cache: ${timed {
+      DedupOps.pairsFromSignatures(sigs0, 16, 4).filter(col("est_jaccard") >= 0.5)
+        .select(col("id_b")).distinct().count()
+    }}%.2f s")
+    println(f"pairs capped from cache: ${timed {
+      DedupOps.pairsFromSignatures(sigs0, 16, 4, DedupOps.DefaultBucketCap)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_b")).distinct().count()
+    }}%.2f s")
+    spark.catalog.clearCache()
+
+    val variants: Seq[(String, () => Unit)] = Seq(
+      "c1_capped" -> (() => { c1(DedupOps.DefaultBucketCap).count(); () }),
+      "c1_uncapped" -> (() => { c1(Int.MaxValue).count(); () }))
+    val mins = collection.mutable.Map[String, Double]().withDefaultValue(1e9)
+    for (shot <- 1 to shots; (nm, f) <- variants) {
+      val load = osBean.getSystemLoadAverage
+      val t = timed { f(); spark.catalog.clearCache() }
+      mins(nm) = math.min(mins(nm), t)
+      println(f"$nm%-12s shot $shot: ${t}%6.2f s  load1(before)=$load%.1f")
     }
+    println("MIN: " + variants.map { case (nm, _) => f"$nm=${mins(nm)}%.2f" }.mkString("  "))
     spark.stop()
   }
 }

@@ -119,10 +119,15 @@ object DedupOps {
     * what was dropped. Recall note: docs in an over-cap bucket are that
     * similar to thousands of others — exact dedup ([[exactDupGroups]] /
     * fingerprint groupBy) is the right operator for them, and capped LSH
-    * still pairs them through any other under-cap band. The bucket-size
-    * count shuffles on the same (band, band_sig) key the join itself needs,
-    * so the guard adds no new exchange shape — one window pass, linear in
-    * the bucket, where the join would have been quadratic. */
+    * still pairs them through any other under-cap band. Guard cost: bucket
+    * sizes come from a partial-aggregated groupBy COUNT over the NARROW
+    * (band, band_sig) projection — never a window over the wide banded rows
+    * — and the over-cap bucket set (empty on a healthy corpus, few rows on
+    * a degenerate one) broadcast-anti-joins against the banded relation, so
+    * the join's own exchange shape is unchanged. The drop count rides the
+    * main action as an [[org.apache.spark.sql.Observation]] and is logged
+    * when the query runs — silent truncation would read as "covered
+    * everything", and an eager counting job would cost an extra action. */
   def pairsFromSignatures(sigArr: DataFrame, numHashes: Int = 16,
                           rowsPerBand: Int = 4,
                           maxBucketSize: Int = Int.MaxValue): DataFrame = {
@@ -130,20 +135,30 @@ object DedupOps {
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
       else {
-        import org.apache.spark.sql.expressions.Window
-        val sized = banded0.withColumn("__bn", count(lit(1))
-          .over(Window.partitionBy(col("band"), col("band_sig"))))
-        // guard path is opt-in: one extra small agg job to surface the drop
-        // count — silent truncation would read as "covered everything"
-        val drops = sized.filter(col("__bn") > maxBucketSize)
-          .agg(coalesce(count(lit(1)), lit(0L)),
-            coalesce(countDistinct(col("band"), col("band_sig")), lit(0L)))
-          .head()
-        if (drops.getLong(0) > 0)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"pairsFromSignatures: dropped ${drops.getLong(0)} banded rows in " +
-              s"${drops.getLong(1)} over-cap buckets (maxBucketSize=$maxBucketSize)")
-        sized.filter(col("__bn") <= maxBucketSize).drop("__bn")
+        val over = banded0.select(col("band"), col("band_sig"))
+          .groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") > maxBucketSize)
+        // drop count surfaced WITHOUT an eager extra action (an extra job
+        // per call measured +4-6 s cold at bench scale): an Observation on
+        // the over-cap subtree pipes the metrics out of the main action;
+        // the daemon logging future resolves iff the query executes.
+        val obs = org.apache.spark.sql.Observation(
+          s"lsh-bucket-guard-${java.util.UUID.randomUUID()}")
+        val observed = over.observe(obs,
+          coalesce(sum(col("__bn")), lit(0L)).as("dropped_rows"),
+          count(lit(1)).as("buckets"))
+        import scala.concurrent.ExecutionContext.Implicits.global
+        scala.concurrent.Future {
+          val m = obs.get // Map[String, Any], blocks until the first action
+          val dropped = m("dropped_rows").asInstanceOf[Long]
+          if (dropped > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"pairsFromSignatures: dropped $dropped banded rows in " +
+                s"${m("buckets")} over-cap buckets (maxBucketSize=$maxBucketSize)")
+        }
+        banded0.join(broadcast(observed.select(col("band"), col("band_sig"))),
+          Seq("band", "band_sig"), "left_anti")
       }
     val a = banded.select(col("band"), col("band_sig"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"), col("sig").as("sig_b"))

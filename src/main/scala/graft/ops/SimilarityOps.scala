@@ -104,7 +104,15 @@ object SimilarityOps {
   }
 
   /** Assign each corpus vector to its nearest centroid (cosine). Centroid set
-    * must be broadcast-small (IVF nlist ~ sqrt(corpus)). */
+    * must be broadcast-small (IVF nlist ~ sqrt(corpus)).
+    *
+    * Argmax by AGGREGATION, not window-top-1: a window over the exploded
+    * N×nlist relation shuffles every scored row still carrying both vectors
+    * (~KB each — at 100k×49 that is a multi-GB exchange, the most
+    * spike-sensitive plan in the sf5 sweep), while the aggregate partial-
+    * combines map-side so the exchange carries ONE narrow row per vector.
+    * Tie-break matches the window form exactly: best csim, then smallest
+    * centroid_id (the struct max sees the negated id). */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
@@ -112,11 +120,13 @@ object SimilarityOps {
     val cent = centroids.select(col("centroid_id"),
       col("centroid_vec").cast("array<double>").as("cent_v"))
       .filter(nonZero(col("cent_v")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("centroid_id"))
     c.crossJoin(broadcast(cent))
-      .withColumn("csim", cosine(col("__v"), col("cent_v")))
-      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .select(col(idCol), col(vecCol),
+        struct(cosine(col("__v"), col("cent_v")).as("csim"),
+          (-col("centroid_id")).as("nid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), max(col("__s")).as("__m"))
+      .select(col(idCol), col(vecCol), (-col("__m.nid")).as("centroid_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
