@@ -1,11 +1,12 @@
 package graft.ops
 
-/** Baseline sequential JPEG (ITU-T T.81), grayscale, pure JVM, zero deps —
-  * the encode/decode pair for the most common real multimodal container.
-  * Spec scope: 8-bit precision, single component (no chroma subsampling to
-  * get wrong), standard Annex K luminance Huffman tables (carried in-file
-  * via DHT, as required), byte-stuffed entropy coding, full run-length /
-  * EOB / ZRL AC coding, naive separable double-precision DCT.
+/** Baseline sequential JPEG (ITU-T T.81), pure JVM, zero deps — the
+  * encode/decode pair for the most common real multimodal container.
+  * Spec scope: 8-bit precision, grayscale and 3-component YCbCr 4:4:4
+  * (interleaved MCUs, no chroma subsampling), standard Annex K luminance
+  * Huffman tables (carried in-file via DHT, as required), byte-stuffed
+  * entropy coding, full run-length / EOB / ZRL AC coding, naive separable
+  * double-precision DCT.
   *
   * Exactness contract for the oracle fixtures: with the all-ones
   * quantization table this codec round-trips any image whose 8×8 blocks are
@@ -190,13 +191,68 @@ object Jpeg {
   private def u16(hi: Int, lo: Int): Array[Byte] = Array(hi.toByte, lo.toByte)
   private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, (v & 0xff).toByte)
 
-  /** Encode an 8-bit grayscale image as baseline JPEG with an all-ones
-    * quantization table (quality-lossless coefficient storage). Image dims
-    * need not be block-aligned; partial edge blocks are zero-padded (those
-    * blocks then round-trip approximately — see class doc). */
-  def encodeGray(gray: Array[Int], width: Int): Array[Byte] = {
-    require(width > 0 && gray.nonEmpty, "empty image")
-    val height = (gray.length + width - 1) / width
+  /** Entropy-encode one level-shifted block: FDCT, quantize (q=1), zigzag,
+    * DC-diff + AC run-length Huffman. Returns the block's DC for the next
+    * block's predictor. */
+  private def writeBlock(bw: BitWriter, block: Array[Double], prevDc: Int,
+                         dcCodes: Array[(Int, Int)], acCodes: Array[(Int, Int)]): Int = {
+    val coef = fdct(block)
+    // quantize (q=1) in zigzag order; AC magnitudes clamp at the standard
+    // table's size-10 ceiling (reachable only by adversarial ±128
+    // checkerboards — the same bound real quality-100 encoders hit)
+    val zz = Array.tabulate(64)(i => {
+      val q = math.round(coef(Zigzag(i))).toInt
+      if (i == 0) q else math.max(-1023, math.min(1023, q))
+    })
+    val diff = zz(0) - prevDc
+    val dcCat = category(diff)
+    val (dcode, dlen) = dcCodes(dcCat)
+    bw.put(dcode, dlen)
+    if (dcCat > 0)
+      bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      if (zz(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 // ZRL
+        }
+        val size = category(zz(k))
+        val (c, l) = acCodes((run << 4) | size)
+        bw.put(c, l)
+        bw.put(if (zz(k) < 0) zz(k) + (1 << size) - 1 else zz(k), size)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+    zz(0)
+  }
+
+  /** Copy the 8×8 block at (bx, by) of a full-res plane into `block`,
+    * level-shifted; out-of-image positions are zero-padded. */
+  private def fillBlock(plane: Array[Double], width: Int, height: Int,
+                        bx: Int, by: Int, block: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val px = bx * 8 + x; val py = by * 8 + y
+        block(y * 8 + x) =
+          if (px < width && py < height) plane(py * width + px) - 128.0 else -128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Shared headers + interleaved-MCU entropy coding for 1 (gray) or 3
+    * (YCbCr 4:4:4) full-resolution planes, all using the standard luminance
+    * tables and the all-ones quant table. */
+  private def encodePlanes(planes: Seq[Array[Double]], width: Int, height: Int): Array[Byte] = {
+    val nComp = planes.length
+    require(nComp == 1 || nComp == 3, "1 or 3 components")
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Byte]): Unit = {
       out.write(u16(0xff, marker), 0, 2)
@@ -205,68 +261,67 @@ object Jpeg {
     }
     out.write(u16(0xff, 0xd8), 0, 2) // SOI
     seg(0xdb, 0x00.toByte +: Array.fill(64)(1.toByte)) // DQT: Pq=0,Tq=0, q=1
-    seg(0xc0, Array[Byte](8) ++ be16(height) ++ be16(width) ++
-      Array[Byte](1, 1, 0x11, 0)) // SOF0: 1 comp, 1x1 sampling, Tq=0
+    val sofComps = (1 to nComp).flatMap(id => Seq(id.toByte, 0x11.toByte, 0.toByte))
+    seg(0xc0, (Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array(nComp.toByte)) ++ sofComps) // SOF0: 1x1 sampling, Tq=0 for all
     seg(0xc4, 0x00.toByte +: (DcBits.map(_.toByte) ++ DcVals.map(_.toByte)))
     seg(0xc4, 0x10.toByte +: (AcBits.map(_.toByte) ++ AcVals.map(_.toByte)))
-    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    val sosComps = (1 to nComp).flatMap(id => Seq(id.toByte, 0x00.toByte))
+    seg(0xda, (Array(nComp.toByte) ++ sosComps) ++ Array[Byte](0, 63, 0)) // SOS
 
     val dcCodes = encodeTable(DcBits, DcVals)
     val acCodes = encodeTable(AcBits, AcVals)
     val bw = new BitWriter(out)
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
-    var prevDc = 0
+    val prevDc = new Array[Int](nComp) // per-component DC predictors
     val block = new Array[Double](64)
-    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val px = bx * 8 + x; val py = by * 8 + y
-          val idx = py * width + px
-          val v = if (px < width && py < height && idx < gray.length) gray(idx) & 0xff else 0
-          block(y * 8 + x) = v - 128.0
-          x += 1
-        }
-        y += 1
-      }
-      val coef = fdct(block)
-      // quantize (q=1) in zigzag order; AC magnitudes clamp at the standard
-      // table's size-10 ceiling (reachable only by adversarial ±128
-      // checkerboards — the same bound real quality-100 encoders hit)
-      val zz = Array.tabulate(64)(i => {
-        val q = math.round(coef(Zigzag(i))).toInt
-        if (i == 0) q else math.max(-1023, math.min(1023, q))
-      })
-      val diff = zz(0) - prevDc
-      prevDc = zz(0)
-      val dcCat = category(diff)
-      val (dcode, dlen) = dcCodes(dcCat)
-      bw.put(dcode, dlen)
-      if (dcCat > 0)
-        bw.put(if (diff < 0) diff + (1 << dcCat) - 1 else diff, dcCat)
-      var k = 1
-      var run = 0
-      while (k < 64) {
-        if (zz(k) == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (zc, zl) = acCodes(0xf0); bw.put(zc, zl); run -= 16 // ZRL
-          }
-          val size = category(zz(k))
-          val (c, l) = acCodes((run << 4) | size)
-          bw.put(c, l)
-          bw.put(if (zz(k) < 0) zz(k) + (1 << size) - 1 else zz(k), size)
-          run = 0
-        }
-        k += 1
-      }
-      if (run > 0) { val (c, l) = acCodes(0x00); bw.put(c, l) } // EOB
+    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until nComp) {
+      fillBlock(planes(c), width, height, bx, by, block)
+      prevDc(c) = writeBlock(bw, block, prevDc(c), dcCodes, acCodes)
     }
     bw.flush()
     out.write(u16(0xff, 0xd9), 0, 2) // EOI
     out.toByteArray
+  }
+
+  /** Encode an 8-bit grayscale image as baseline JPEG with an all-ones
+    * quantization table (quality-lossless coefficient storage). Image dims
+    * need not be block-aligned; partial edge blocks are zero-padded (those
+    * blocks then round-trip approximately — see class doc). */
+  def encodeGray(gray: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && gray.nonEmpty, "empty image")
+    val height = (gray.length + width - 1) / width
+    val plane = new Array[Double](width * height)
+    var i = 0
+    while (i < plane.length) {
+      plane(i) = if (i < gray.length) (gray(i) & 0xff).toDouble else 0.0
+      i += 1
+    }
+    encodePlanes(Seq(plane), width, height)
+  }
+
+  /** Encode packed 0xRRGGBB pixels as a baseline COLOR JPEG (YCbCr 4:4:4,
+    * no chroma subsampling). The JFIF color transform rounds through
+    * doubles, so color round-trips are near-exact (±2/channel), never
+    * bit-exact — use the grayscale path where an exact oracle is needed. */
+  def encodeColor(rgb: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && rgb.nonEmpty, "empty image")
+    val height = (rgb.length + width - 1) / width
+    val n = width * height
+    val yP = new Array[Double](n)
+    val cbP = new Array[Double](n)
+    val crP = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val p = if (i < rgb.length) rgb(i) else 0
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      yP(i) = 0.299 * r + 0.587 * g + 0.114 * b
+      cbP(i) = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+      crP(i) = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+      i += 1
+    }
+    encodePlanes(Seq(yP, cbP, crP), width, height)
   }
 
   /** One uniform 8×8 block per input value (the oracle-exact fixture shape):
@@ -287,17 +342,21 @@ object Jpeg {
     encodeGray(gray, w)
   }
 
-  /** Decode a baseline grayscale JPEG: (width, height, row-major pixels). */
-  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+  /** Decoded full-resolution component planes plus dimensions. */
+  private final case class Decoded(width: Int, height: Int, planes: Seq[Array[Int]])
+
+  /** Parse + entropy-decode a baseline JPEG: 8-bit, 1 or 3 components, all
+    * 1x1 sampling (4:4:4), interleaved MCUs, no restart intervals. */
+  private def decodePlanes(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
     var pos = 2
     var width = 0; var height = 0
-    var quant: Array[Int] = null // zigzag order
-    var compTq = -1
-    var dcTable: DecodeTable = null
-    var acTable: DecodeTable = null
-    var dcTableId = -1; var acTableId = -1
+    // per-component (in SOF order): id and quant-table id; scan tables by id
+    var compIds: Array[Int] = null
+    var compTq: Array[Int] = null
+    var scanDcId: Array[Int] = null
+    var scanAcId: Array[Int] = null
     val dhtTables = scala.collection.mutable.Map[Int, DecodeTable]()
     val dqtTables = scala.collection.mutable.Map[Int, Array[Int]]()
 
@@ -316,9 +375,15 @@ object Jpeg {
           val len = u16at(pos)
           require(u8(pos + 2) == 8, "only 8-bit precision")
           height = u16at(pos + 3); width = u16at(pos + 5)
-          require(u8(pos + 7) == 1, "only single-component (grayscale) JPEG")
-          require(u8(pos + 9) == 0x11, "subsampling must be 1x1")
-          compTq = u8(pos + 10)
+          val nComp = u8(pos + 7)
+          require(nComp == 1 || nComp == 3, s"unsupported component count $nComp")
+          compIds = new Array[Int](nComp)
+          compTq = new Array[Int](nComp)
+          for (c <- 0 until nComp) {
+            compIds(c) = u8(pos + 8 + 3 * c)
+            require(u8(pos + 9 + 3 * c) == 0x11, "subsampling must be 1x1 (4:4:4)")
+            compTq(c) = u8(pos + 10 + 3 * c)
+          }
           pos += len
         case 0xc4 => // DHT (possibly several tables in one segment)
           val len = u16at(pos)
@@ -344,9 +409,18 @@ object Jpeg {
           pos += len
         case 0xda => // SOS
           val len = u16at(pos)
-          require(u8(pos + 2) == 1, "single-component scan expected")
-          dcTableId = u8(pos + 4) >> 4
-          acTableId = u8(pos + 4) & 0x0f
+          val ns = u8(pos + 2)
+          require(compIds != null && ns == compIds.length,
+            "scan must cover all SOF components (interleaved baseline)")
+          scanDcId = new Array[Int](ns)
+          scanAcId = new Array[Int](ns)
+          for (c <- 0 until ns) {
+            val sid = u8(pos + 3 + 2 * c)
+            val ci = compIds.indexOf(sid)
+            require(ci >= 0, s"scan component $sid not in SOF")
+            scanDcId(ci) = u8(pos + 4 + 2 * c) >> 4
+            scanAcId(ci) = u8(pos + 4 + 2 * c) & 0x0f
+          }
           pos += len
           inScan = true
         case 0xdd => // DRI
@@ -357,26 +431,28 @@ object Jpeg {
       }
     }
     require(width > 0 && height > 0, "missing SOF0")
-    quant = dqtTables.getOrElse(compTq, throw new IllegalArgumentException("missing DQT"))
-    dcTable = dhtTables.getOrElse(dcTableId,
-      throw new IllegalArgumentException("missing DC DHT"))
-    acTable = dhtTables.getOrElse(4 + acTableId,
-      throw new IllegalArgumentException("missing AC DHT"))
+    val nComp = compIds.length
+    val quants = compTq.map(tq => dqtTables.getOrElse(tq,
+      throw new IllegalArgumentException("missing DQT")))
+    val dcTabs = scanDcId.map(id => dhtTables.getOrElse(id,
+      throw new IllegalArgumentException("missing DC DHT")))
+    val acTabs = scanAcId.map(id => dhtTables.getOrElse(4 + id,
+      throw new IllegalArgumentException("missing AC DHT")))
 
     val br = new BitReader(bytes, pos)
     val blocksX = (width + 7) / 8
     val blocksY = (height + 7) / 8
-    val gray = new Array[Int](width * height)
-    var prevDc = 0
-    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+    val planes = Array.fill(nComp)(new Array[Int](width * height))
+    val prevDc = new Array[Int](nComp)
+    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until nComp) {
       val zz = new Array[Int](64)
-      val dcCat = dcTable.decode(br)
-      prevDc += extend(br.receive(dcCat), dcCat)
-      zz(0) = prevDc
+      val dcCat = dcTabs(c).decode(br)
+      prevDc(c) += extend(br.receive(dcCat), dcCat)
+      zz(0) = prevDc(c)
       var k = 1
       var eob = false
       while (k < 64 && !eob) {
-        val sym = acTable.decode(br)
+        val sym = acTabs(c).decode(br)
         if (sym == 0x00) eob = true
         else if (sym == 0xf0) k += 16
         else {
@@ -388,7 +464,7 @@ object Jpeg {
       }
       val coef = new Array[Double](64)
       var i = 0
-      while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * quant(i); i += 1 }
+      while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * quants(c)(i); i += 1 }
       val px = idct(coef)
       var y = 0
       while (y < 8) {
@@ -397,13 +473,45 @@ object Jpeg {
           val ix = bx * 8 + x; val iy = by * 8 + y
           if (ix < width && iy < height) {
             val v = math.round(px(y * 8 + x) + 128.0).toInt
-            gray(iy * width + ix) = math.max(0, math.min(255, v))
+            planes(c)(iy * width + ix) = math.max(0, math.min(255, v))
           }
           x += 1
         }
         y += 1
       }
     }
-    (width, height, gray)
+    Decoded(width, height, planes.toSeq)
+  }
+
+  /** Decode a baseline grayscale JPEG: (width, height, row-major pixels). */
+  def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decodePlanes(bytes)
+    require(d.planes.length == 1, "not a grayscale JPEG")
+    (d.width, d.height, d.planes.head)
+  }
+
+  /** Decode a baseline 1- or 3-component JPEG to packed 0xRRGGBB pixels
+    * (gray replicated across channels; YCbCr 4:4:4 converted per JFIF). */
+  def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decodePlanes(bytes)
+    val out = new Array[Int](d.width * d.height)
+    if (d.planes.length == 1) {
+      val g = d.planes.head
+      var i = 0
+      while (i < out.length) { out(i) = (g(i) << 16) | (g(i) << 8) | g(i); i += 1 }
+    } else {
+      val Seq(yP, cbP, crP) = d.planes
+      var i = 0
+      while (i < out.length) {
+        val y = yP(i).toDouble; val cb = cbP(i) - 128.0; val cr = crP(i) - 128.0
+        def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+        val r = clamp(y + 1.402 * cr)
+        val g = clamp(y - 0.344136 * cb - 0.714136 * cr)
+        val b = clamp(y + 1.772 * cb)
+        out(i) = (r << 16) | (g << 8) | b
+        i += 1
+      }
+    }
+    (d.width, d.height, out)
   }
 }

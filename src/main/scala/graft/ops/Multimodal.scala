@@ -111,35 +111,38 @@ object Multimodal {
         }
       } catch { case _: Exception => Array.emptyFloatArray }
 
-    /** Baseline grayscale JPEG ([[graft.ops.Jpeg]]) mapped onto the shared
-      * 12-dim image layout with B=G=R=gray, so downstream queries are
-      * container-independent across BMP/PNG/JPEG. */
+    /** Baseline JPEG ([[graft.ops.Jpeg]], grayscale or YCbCr 4:4:4) mapped
+      * onto the shared 12-dim image layout (gray replicates across B/G/R),
+      * so downstream queries are container-independent across BMP/PNG/JPEG. */
     private def decodeJpeg(bytes: Array[Byte]): Array[Float] = {
-      val (width, height, gray) = Jpeg.decodeGray(bytes)
-      var sum = 0.0
-      var nz = 0L
+      val (width, height, rgb) = Jpeg.decodeRgb(bytes)
+      var sumB, sumG, sumR = 0.0
+      var nzB, nzG, nzR = 0L
       val quadrant = new Array[Double](4)
       val quadrantN = new Array[Long](4)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          val g = gray(y * width + x)
-          sum += g
-          if (g > 127) nz += 1
+          val p = rgb(y * width + x)
+          val rd = (p >> 16) & 0xff; val gr = (p >> 8) & 0xff; val bl = p & 0xff
+          sumB += bl; sumG += gr; sumR += rd
+          if (bl > 127) nzB += 1
+          if (gr > 127) nzG += 1
+          if (rd > 127) nzR += 1
           val q = (if (y * 2 >= height) 2 else 0) + (if (x * 2 >= width) 1 else 0)
-          quadrant(q) += g
+          quadrant(q) += (bl + gr + rd) / 3.0
           quadrantN(q) += 1
           x += 1
         }
         y += 1
       }
       val n = width.toLong * height
-      val mean = (sum / n).toFloat
-      Array(width.toFloat, height.toFloat, mean, mean, mean,
+      Array(width.toFloat, height.toFloat,
+        (sumB / n).toFloat, (sumG / n).toFloat, (sumR / n).toFloat,
         qMean(quadrant, quadrantN, 0), qMean(quadrant, quadrantN, 1),
         qMean(quadrant, quadrantN, 2), qMean(quadrant, quadrantN, 3),
-        nz.toFloat, nz.toFloat, nz.toFloat)
+        nzB.toFloat, nzG.toFloat, nzR.toFloat)
     }
 
     private def decodeBmp(bytes: Array[Byte]): Array[Float] = {

@@ -246,6 +246,40 @@ class DeepARSpec extends SparkSpec {
     assert(maxErr <= 3, s"max pixel error $maxErr exceeds quantization bound")
   }
 
+  test("multimodal: color JPEG (YCbCr 4:4:4) round-trips within transform error") {
+    implicit val s = spark
+    // varied colors over 4 MCUs: error budget = per-coefficient rounding
+    // (<=0.5 each in the YCbCr domain) amplified by the JFIF color transform
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h)(i =>
+      (((i * 37) % 256) << 16) | (((i * 91 + 17) % 256) << 8) | ((i * 53 + 101) % 256))
+    val jpg = graft.ops.Jpeg.encodeColor(rgb, w)
+    val (dw, dh, out) = graft.ops.Jpeg.decodeRgb(jpg)
+    assert(dw === w && dh === h)
+    def chans(p: Int) = Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    val maxErr = (0 until w * h)
+      .flatMap(i => chans(rgb(i)).zip(chans(out(i))).map(t => math.abs(t._1 - t._2))).max
+    assert(maxErr <= 5, s"max channel error $maxErr exceeds transform budget")
+
+    // uniform-color image: DC-only planes, error only from the color
+    // transform round-trip itself (<=1 per channel)
+    val solid = Array.fill(64)(0xc83214)
+    val (_, _, outS) = graft.ops.Jpeg.decodeRgb(graft.ops.Jpeg.encodeColor(solid, 8))
+    val errS = outS.flatMap(p => chans(p).zip(chans(0xc83214)).map(t => math.abs(t._1 - t._2))).max
+    assert(errS <= 1, s"solid-color error $errS")
+
+    // color payloads flow through BuiltinDecoder's shared 12-dim layout
+    val media = Multimodal.asMediaFrame(
+      Seq((61L, jpg)).toDF("id", "data"), "id", "data", "image", "jpg")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 12)
+    assert(f._2(0) === 16f && f._2(1) === 16f)
+    // bright counts match a direct count over the DECODED pixels exactly
+    val nzExpected = Seq(16, 8, 0).map(sh => out.count(p => ((p >> sh) & 0xff) > 127))
+    assert(Seq(f._2(11), f._2(10), f._2(9)).map(_.toInt) === nzExpected)
+  }
+
   test("multimodal: corrupted JPEG payloads yield empty features") {
     implicit val s = spark
     val jpg = graft.ops.Jpeg.encodeGrayBlocks(Array(255, 0, 128), widthBlocks = 2)
