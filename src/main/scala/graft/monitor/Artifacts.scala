@@ -1,7 +1,6 @@
 package graft.monitor
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
 import java.time.format.DateTimeFormatter
 import java.time.{Instant, ZoneOffset}
 import java.util.UUID
@@ -111,18 +110,29 @@ object MonitoringCapture {
     *                 (monitoring_data_collection.py:204-207)
     * @param truth    observed value per step (ground-truth record payload)
     * @param uploadTime fixes both the path prefix and inferenceTime
+    * @param conf     Hadoop configuration resolving `outDir`'s filesystem —
+    *                 like [[EvaluationReport]], everything goes through the
+    *                 Hadoop FS so a non-local outDir (s3a/hdfs) works
     * @return the shared eventId per step, in step order */
   def write(start: String, history: Seq[Double], midPreds: Seq[Double],
-            truth: Seq[Double], outDir: String, uploadTime: Instant): Seq[String] = {
+            truth: Seq[Double], outDir: String, uploadTime: Instant,
+            conf: org.apache.hadoop.conf.Configuration =
+              new org.apache.hadoop.conf.Configuration()): Seq[String] = {
     require(midPreds.length == truth.length, "one prediction per ground-truth step")
     val hourDir = dirFmt.format(uploadTime)
     val infTime = tsFmt.format(uploadTime)
     val instances =
       s"""{"instances" : [{"start": "${esc(start)}", "target": [${history.mkString(", ")}]}] }"""
-    val predDir = Paths.get(outDir, "predictions", hourDir)
-    val truthDir = Paths.get(outDir, "ground-truth", hourDir)
-    Files.createDirectories(predDir)
-    Files.createDirectories(truthDir)
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(conf)
+    val predDir = new Path(base, s"predictions/$hourDir")
+    val truthDir = new Path(base, s"ground-truth/$hourDir")
+    fs.mkdirs(predDir)
+    fs.mkdirs(truthDir)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes(UTF_8)) finally o.close()
+    }
     truth.indices.map { i =>
       val eventId = UUID.nameUUIDFromBytes(s"$start/$hourDir/$i".getBytes(UTF_8)).toString
       val pred =
@@ -135,8 +145,8 @@ object MonitoringCapture {
       val gt =
         s"""{"groundTruthData": {"data": "${truth(i)}", "encoding": "CSV"}, """ +
           s""""eventMetadata": {"eventId": "$eventId"}, "eventVersion": "0"}"""
-      Files.writeString(predDir.resolve(s"record_$i.jsonl"), pred)
-      Files.writeString(truthDir.resolve(s"record_$i.jsonl"), gt)
+      put(new Path(predDir, s"record_$i.jsonl"), pred)
+      put(new Path(truthDir, s"record_$i.jsonl"), gt)
       eventId
     }
   }

@@ -67,7 +67,8 @@ object MonitoringJob {
       artifactDir.foreach { dir =>
         EvaluationReport.write(aligned, "__pos", dir, lowQ, upQ, rmse, meanWql)
         MonitoringCapture.write(hist.start, hist.target.toSeq,
-          qPreds(0.5).toSeq, truth.toSeq, dir, uploadTime)
+          qPreds(0.5).toSeq, truth.toSeq, dir, uploadTime,
+          aligned.sparkSession.sparkContext.hadoopConfiguration)
       }
       Metrics(rmse, perQ, meanWql, truth.length, threshold, meanWql >= threshold)
     } finally idx.unpersist()

@@ -111,8 +111,14 @@ object SimilarityOps {
     * (~KB each — at 100k×49 that is a multi-GB exchange, the most
     * spike-sensitive plan in the sf5 sweep), while the aggregate partial-
     * combines map-side so the exchange carries ONE narrow row per vector.
-    * Tie-break matches the window form exactly: best csim, then smallest
-    * centroid_id (the struct max sees the negated id). */
+    * The struct ordering key and the array-typed `first` buffer make this a
+    * SortAggregate — acceptable: the crossJoin emits each vector's nlist
+    * scored rows CONSECUTIVELY, so the partial agg's sort sees pre-sorted
+    * runs (near-linear), and the property that matters at scale — a narrow
+    * exchange — still holds. Tie-break matches the window form exactly:
+    * best csim, then smallest centroid_id (the ordering key sees the
+    * negated id; unique ids make it total, so the result is
+    * deterministic). */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol),
@@ -122,11 +128,13 @@ object SimilarityOps {
       .filter(nonZero(col("cent_v")))
     c.crossJoin(broadcast(cent))
       .select(col(idCol), col(vecCol),
+        col("centroid_id"),
         struct(cosine(col("__v"), col("cent_v")).as("csim"),
           (-col("centroid_id")).as("nid")).as("__s"))
       .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol), max(col("__s")).as("__m"))
-      .select(col(idCol), col(vecCol), (-col("__m.nid")).as("centroid_id"))
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("centroid_id"), col("__s")).as("centroid_id"))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
