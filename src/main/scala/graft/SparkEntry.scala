@@ -1092,6 +1092,44 @@ object SparkEntry {
           element_at(col("features"), 10).cast("long").as("n_bright"))
     }),
 
+    // M5 — multimodal VIDEO through a real container: per-user 4-frame
+    // Motion-JPEG AVI (RIFF avih/strl/movi/idx1, each frame an independent
+    // baseline JPEG keyframe), frame f holding that user's events with
+    // event_id ≡ f (mod 4) as uniform 8×8 blocks (255 where event_id ≡ 0
+    // mod 3 — a residue system NOT aligned with the frame split, so
+    // per-frame bright mass varies). The decoder samples every 2nd frame
+    // (0 and 2) — MJPEG keyframe independence means unsampled frames are
+    // never entropy-decoded. Uniform blocks round-trip the lossy codec
+    // exactly (m4), so every feature is an exact relational recompute:
+    // empty frames carry one black placeholder block; pad blocks black.
+    "m5_video_features" -> ((s, dir) => {
+      import s.implicits._
+      val wBlocks = 6; val nFrames = 4
+      val px = ev(s, dir).select(col("user_id"), col("event_id"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(collect_list(col("event_id")).as("ids"))
+        .as[(Long, Array[Long])]
+        .map { case (uid, ids) =>
+          val frames = (0 until nFrames).map { f =>
+            val vals = ids.filter(_ % nFrames == f)
+              .map(id => if (id % 3 == 0) 255 else 0)
+            graft.ops.Jpeg.encodeGrayBlocks(if (vals.isEmpty) Array(0) else vals, wBlocks)
+          }
+          val rows0 = (math.max(ids.count(_ % nFrames == 0), 1) + wBlocks - 1) / wBlocks
+          (uid, graft.ops.Avi.encodeMjpeg(frames, wBlocks * 8, rows0 * 8, fps = 10))
+        }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "video", "avi")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).cast("long").as("n_sampled"),
+          element_at(col("features"), 5).cast("long").as("n_px"),
+          element_at(col("features"), 6).cast("long").as("n_bright"))
+    }),
+
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
     // quietly returns duplicate minutes, one per upsert version
     // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
@@ -1992,6 +2030,23 @@ object SparkEntry {
         |  CAST(48 AS BIGINT) AS width,
         |  CAST(8 * CEIL(COUNT(*) / 6.0) AS BIGINT) AS height,
         |  CAST(64 * COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_bright
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The AVI container round-trips each frame's JPEG bytes losslessly and
+    // the uniform-block frames make the JPEG layer exact, so every video
+    // feature is relational: frame f holds the events with event_id ≡ f
+    // (mod 4) (one 64-px block each, 255 iff event_id ≡ 0 mod 3), frames
+    // 0 and 2 are sampled (stride 2), empty frames carry one black
+    // placeholder block, pad blocks are black, header height = frame 0's.
+    "m5_video_features" ->
+      """SELECT user_id AS content_id,
+        |  CAST(48 AS BIGINT) AS width,
+        |  CAST(8 * CEIL(GREATEST(COUNT(*) FILTER (WHERE event_id % 4 = 0), 1) / 6.0) AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS n_frames,
+        |  CAST(2 AS BIGINT) AS n_sampled,
+        |  CAST(384 * (CEIL(GREATEST(COUNT(*) FILTER (WHERE event_id % 4 = 0), 1) / 6.0)
+        |            + CEIL(GREATEST(COUNT(*) FILTER (WHERE event_id % 4 = 2), 1) / 6.0)) AS BIGINT) AS n_px,
+        |  CAST(64 * COUNT(*) FILTER (WHERE event_id % 4 IN (0, 2) AND event_id % 3 = 0) AS BIGINT) AS n_bright
         |FROM events GROUP BY 1""".stripMargin,
 
     // Versioned-store contract: minutes upserted twice (days 1-15) surface

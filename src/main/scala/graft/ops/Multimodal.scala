@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   * codec state is initialized once per task, not once per row.
   *
   * Codecs behind [[Decoder]]: [[BuiltinDecoder]] is a REAL pure-JVM decoder
-  * for three containers — BMP (BITMAPINFOHEADER, 24/32-bit BGR), WAV (RIFF,
-  * 16-bit PCM) and PNG (critical-chunk subset: IHDR/IDAT/IEND, 8-bit
+  * for five containers — BMP (BITMAPINFOHEADER, 24/32-bit BGR), WAV (RIFF,
+  * 16-bit PCM), PNG (critical-chunk subset: IHDR/IDAT/IEND, 8-bit
   * truecolor ± alpha, all five scanline filters, zlib via
-  * `java.util.zip.Inflater`) — no external media libraries needed. Other
-  * compressed formats (jpeg/mp3/h264, whose codecs this environment doesn't
-  * ship) fall back to the deterministic [[FakeDecoder]] hash features; a
-  * production deployment swaps in a JNI/JavaCV-backed `Decoder` without
-  * touching the pipeline.
+  * `java.util.zip.Inflater`), baseline JPEG ([[graft.ops.Jpeg]]) and
+  * Motion-JPEG AVI video ([[graft.ops.Avi]], frame-sampled) — no external
+  * media libraries needed. Other compressed formats (mp3/h264, whose
+  * codecs this environment doesn't ship) fall back to the deterministic
+  * [[FakeDecoder]] hash features; a production deployment swaps in a
+  * JNI/JavaCV-backed `Decoder` without touching the pipeline.
   *
   * Scale notes: payloads stay in the `binary` column end-to-end — no
   * base64 inflation, no driver collection. `decodeFeatures` is a
@@ -94,10 +95,21 @@ object Multimodal {
     * decode, double-precision IDCT); features use the shared 12-dim image
     * layout with B=G=R=gray.
     *
+    * AVI (format "avi"): Motion-JPEG video via [[graft.ops.Avi]] — every
+    * frame an independent baseline JPEG keyframe. Decodes every
+    * `videoStride`-th frame starting at 0 (MJPEG needs no inter-frame
+    * state, so sampling skips the entropy decode of unsampled frames
+    * entirely). Features (dim 9):
+    * `[nominal width, nominal height, n_frames, n_sampled,
+    * n_px_sampled, bright-pixel count over sampled frames
+    * (R+G+B > 3·127, integer-exact in Float32 to 2^24), mean luma over
+    * sampled frames, fps, stride]`.
+    *
     * Unknown formats hash through [[FakeDecoder]]; malformed payloads yield
     * an EMPTY feature vector (feature_dim 0) so a training pipeline can
     * filter them relationally instead of dying mid-task. */
-  class BuiltinDecoder(fallback: Decoder = new FakeDecoder()) extends Decoder {
+  class BuiltinDecoder(fallback: Decoder = new FakeDecoder(),
+                       videoStride: Int = 2) extends Decoder {
     import java.nio.{ByteBuffer, ByteOrder}
 
     override def decode(payload: Array[Byte], format: String): Array[Float] =
@@ -107,9 +119,38 @@ object Multimodal {
           case "wav" => decodeWav(payload)
           case "png" => decodePng(payload)
           case "jpeg" | "jpg" => decodeJpeg(payload)
+          case "avi" => decodeAvi(payload)
           case _     => fallback.decode(payload, format)
         }
       } catch { case _: Exception => Array.emptyFloatArray }
+
+    /** MJPEG AVI → per-clip features over the sampled frames. Per-frame
+      * pixel counts use each frame's own decoded dims (heights may vary
+      * across frames; the header dims are nominal). */
+    private def decodeAvi(bytes: Array[Byte]): Array[Float] = {
+      val v = Avi.decodeMjpeg(bytes)
+      val stride = math.max(1, videoStride)
+      var nPx = 0L; var nBright = 0L; var lumaSum = 0.0; var nSampled = 0
+      var i = 0
+      while (i < v.frames.length) {
+        val (w, h, rgb) = Jpeg.decodeRgb(v.frames(i))
+        var j = 0
+        while (j < rgb.length) {
+          val p = rgb(j)
+          val s = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          if (s > 3 * 127) nBright += 1
+          lumaSum += s / 3.0
+          j += 1
+        }
+        nPx += w.toLong * h
+        nSampled += 1
+        i += stride
+      }
+      Array(v.width.toFloat, v.height.toFloat,
+        v.frames.length.toFloat, nSampled.toFloat, nPx.toFloat, nBright.toFloat,
+        if (nPx == 0) 0f else (lumaSum / nPx).toFloat, v.fps.toFloat,
+        stride.toFloat)
+    }
 
     /** Baseline JPEG ([[graft.ops.Jpeg]], grayscale or YCbCr 4:4:4) mapped
       * onto the shared 12-dim image layout (gray replicates across B/G/R),

@@ -371,4 +371,60 @@ class DeepARSpec extends SparkSpec {
       .select("frame_idx", "frame_ms").as[(Long, Long)].collect().sorted
     assert(frames.toSeq === Seq((0L, 0L), (1L, 1000L)))
   }
+
+  test("avi: container round-trips frame payloads byte-losslessly") {
+    // container-level contract only: payloads are opaque (odd lengths
+    // exercise the RIFF even-padding rule)
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](9), Array.fill(10)(7.toByte))
+    val avi = graft.ops.Avi.encodeMjpeg(frames, 48, 16, fps = 25)
+    val v = graft.ops.Avi.decodeMjpeg(avi)
+    assert(v.width === 48 && v.height === 16)
+    assert(math.abs(v.fps - 25.0) < 1e-9)
+    assert(v.frames.length === 3)
+    v.frames.zip(frames).foreach { case (got, want) => assert(got.toSeq === want.toSeq) }
+  }
+
+  test("multimodal: MJPEG AVI features sample every 2nd frame exactly") {
+    implicit val s = spark
+    // four uniform-block frames; stride 2 samples frames 0 and 2
+    //   f0: [255, 0]      → 2 blocks, 1 row, 128 px, 64 bright
+    //   f1: [255]×7       → would add 448 bright px — MUST be skipped
+    //   f2: [0, 255, 255] → 3 blocks, 1 row, 192 px, 128 bright
+    //   f3: [255]         → skipped
+    val mk = (vals: Array[Int]) => graft.ops.Jpeg.encodeGrayBlocks(vals, widthBlocks = 6)
+    val avi = graft.ops.Avi.encodeMjpeg(
+      Seq(mk(Array(255, 0)), mk(Array.fill(7)(255)), mk(Array(0, 255, 255)), mk(Array(255))),
+      48, 8, fps = 10)
+    val media = Multimodal.asMediaFrame(
+      Seq((7L, avi)).toDF("id", "data"), "id", "data", "video", "avi")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 9)
+    assert(f._2(0) === 48f && f._2(1) === 8f)                 // nominal dims
+    assert(f._2(2) === 4f && f._2(3) === 2f)                  // frames, sampled
+    // f0 is 2 blocks padded to 6-wide ⇒ 384 px; f2 likewise ⇒ 384
+    assert(f._2(4) === 768f)
+    assert(f._2(5) === (1 + 2) * 64f)                         // bright blocks of f0+f2
+    assert(f._2(7) === 10f && f._2(8) === 2f)                 // fps, stride
+  }
+
+  test("avi: malformed containers are rejected (and yield empty features)") {
+    implicit val s = spark
+    val good = graft.ops.Avi.encodeMjpeg(
+      Seq(graft.ops.Jpeg.encodeGrayBlocks(Array(255), 1)), 8, 8)
+    // header claims one more frame than movi carries
+    val badCount = good.clone()
+    badCount(48) = 2 // avih dwTotalFrames (RIFF 12 + LIST 12 + avih 8 + 16)
+    // truncation, wrong magic, frame-count lie: all must reject
+    val bads = Seq(good.take(10), "RIFX".getBytes ++ good.drop(4), badCount)
+    bads.foreach { b =>
+      intercept[IllegalArgumentException](graft.ops.Avi.decodeMjpeg(b))
+    }
+    val media = Multimodal.asMediaFrame(
+      bads.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "data"),
+      "id", "data", "video", "avi")
+    val dims = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim").as[Int].collect()
+    assert(dims.toSeq === Seq(0, 0, 0))
+  }
 }
