@@ -161,32 +161,62 @@ object Jpeg {
   private val CosT = Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
   private def cN(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
 
-  /** Forward DCT, natural-order in/out, block indexed [y*8+x] / [v*8+u]. */
-  private def fdct(f: Array[Double]): Array[Double] =
-    Array.tabulate(64) { i =>
-      val u = i % 8; val v = i / 8
-      var s = 0.0
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) { s += f(y * 8 + x) * CosT(u)(x) * CosT(v)(y); x += 1 }
-        y += 1
+  /** Forward DCT, natural-order in/out, block indexed [y*8+x] / [v*8+u].
+    * Separable row-column form: 2·8·64 multiplies per block instead of the
+    * direct form's 64·64 — this is the per-pixel hot loop of every JPEG
+    * encode and (via [[idct]]) decode. */
+  private def fdct(f: Array[Double]): Array[Double] = {
+    val rowT = new Array[Double](64) // rowT(y*8+u) = Σ_x f(y,x)·cos_u(x)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += f(y * 8 + x) * CosT(u)(x); x += 1 }
+        rowT(y * 8 + u) = s; u += 1
       }
-      0.25 * cN(u) * cN(v) * s
+      y += 1
     }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += rowT(yy * 8 + u) * CosT(v)(yy); yy += 1 }
+        out(v * 8 + u) = 0.25 * cN(u) * cN(v) * s; u += 1
+      }
+      v += 1
+    }
+    out
+  }
 
-  private def idct(coef: Array[Double]): Array[Double] =
-    Array.tabulate(64) { i =>
-      val x = i % 8; val y = i / 8
-      var s = 0.0
-      var v = 0
-      while (v < 8) {
-        var u = 0
-        while (u < 8) { s += cN(u) * cN(v) * coef(v * 8 + u) * CosT(u)(x) * CosT(v)(y); u += 1 }
-        v += 1
+  /** Inverse DCT, separable like [[fdct]]. */
+  private def idct(coef: Array[Double]): Array[Double] = {
+    val rowT = new Array[Double](64) // rowT(v*8+x) = Σ_u c(u)·F(v,u)·cos_u(x)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += cN(u) * coef(v * 8 + u) * CosT(u)(x); u += 1 }
+        rowT(v * 8 + x) = s; x += 1
       }
-      0.25 * s
+      v += 1
     }
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += cN(vv) * rowT(vv * 8 + x) * CosT(vv)(y); vv += 1 }
+        out(y * 8 + x) = 0.25 * s; x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   private def u16(hi: Int, lo: Int): Array[Byte] = Array(hi.toByte, lo.toByte)
   private def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, (v & 0xff).toByte)
