@@ -28,8 +28,14 @@ object Avi {
   /** A decoded MJPEG AVI: nominal dims/fps from `avih`, one JPEG payload
     * per frame in stream order. */
   final case class MjpegAvi(width: Int, height: Int, microSecPerFrame: Int,
-                            frames: IndexedSeq[Array[Byte]]) {
-    def fps: Double = if (microSecPerFrame <= 0) 0.0 else 1e6 / microSecPerFrame
+                            frames: IndexedSeq[Array[Byte]],
+                            rate: Int = 0, scale: Int = 0) {
+    /** Exact `dwRate/dwScale` from `strh` when present, else the avih
+      * reciprocal — 1e6/fps rarely divides evenly, so the reciprocal alone
+      * round-trips 30 fps as 30.00003. */
+    def fps: Double =
+      if (rate > 0 && scale > 0) rate.toDouble / scale
+      else if (microSecPerFrame <= 0) 0.0 else 1e6 / microSecPerFrame
   }
 
   private val AVIF_HASINDEX = 0x10
@@ -58,7 +64,13 @@ object Avi {
 
     bb.putInt(fourcc("LIST")).putInt(hdrlSize).putInt(fourcc("hdrl"))
     bb.putInt(fourcc("avih")).putInt(56)
-    val usPerFrame = 1000000 / fps
+    // rcFrame carries dims as int16; the avih field is advisory but a
+    // wrapped short would mislead readers, so bound dims here.
+    require(width >= 1 && width <= 32767 && height >= 1 && height <= 32767,
+      s"AVI dimensions must be in [1, 32767], got ${width}x$height")
+    // Rounded, not truncated: 1e6/30 = 33333.33 — truncation round-trips
+    // as fps 30.00003. strh's exact dwScale/dwRate remains authoritative.
+    val usPerFrame = ((1000000L + fps / 2) / fps).toInt
     bb.putInt(usPerFrame)                     // dwMicroSecPerFrame
       .putInt(0)                              // dwMaxBytesPerSec (advisory)
       .putInt(0)                              // dwPaddingGranularity
@@ -125,6 +137,7 @@ object Avi {
     require(bb.getInt(8) == fourcc("AVI "), "RIFF is not AVI")
 
     var width = 0; var height = 0; var usPerFrame = 0; var totalFrames = -1
+    var rateScale = (0, 0)
     var handlerOk = false
     var idxCount = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
@@ -151,6 +164,7 @@ object Avi {
           if (bb.getInt(pos + 8) == fourcc("vids")) {
             require(bb.getInt(pos + 12) == fourcc("MJPG"), "video stream is not MJPG")
             handlerOk = true
+            rateScale = (bb.getInt(pos + 32), bb.getInt(pos + 28)) // dwRate, dwScale
           }
         } else if (id == fourcc("idx1")) {
           require(len % 16 == 0, s"idx1 length $len not a multiple of 16")
@@ -172,6 +186,7 @@ object Avi {
       s"avih declares $totalFrames frames, movi carries ${frames.length}")
     require(idxCount < 0 || idxCount == frames.length,
       s"idx1 has $idxCount entries for ${frames.length} frames")
-    MjpegAvi(width, height, usPerFrame, frames.toIndexedSeq)
+    MjpegAvi(width, height, usPerFrame, frames.toIndexedSeq,
+      rate = rateScale._1, scale = rateScale._2)
   }
 }

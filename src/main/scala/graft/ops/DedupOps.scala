@@ -148,15 +148,27 @@ object DedupOps {
         val observed = over.observe(obs,
           coalesce(sum(col("__bn")), lit(0L)).as("dropped_rows"),
           count(lit(1)).as("buckets"))
-        import scala.concurrent.ExecutionContext.Implicits.global
-        scala.concurrent.Future {
+        // A dedicated daemon thread per call, NOT ExecutionContext.global:
+        // obs.get blocks until the first action, and a plan that is built
+        // but never executed (explain-only, abandoned) would otherwise park
+        // a global-pool worker forever — enough of those starves every
+        // other global-EC user. A parked daemon thread costs one stack and
+        // never blocks JVM exit.
+        val logThread = new Thread(() => {
           val m = obs.get // Map[String, Any], blocks until the first action
-          val dropped = m("dropped_rows").asInstanceOf[Long]
+          // AQE can prune the whole guard subtree (an empty over-cap set
+          // propagates EmptyRelation through the anti-join), leaving the
+          // observed metrics row EMPTY — an absent key means zero drops,
+          // not an error.
+          val dropped = m.getOrElse("dropped_rows", 0L).asInstanceOf[Long]
           if (dropped > 0)
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"pairsFromSignatures: dropped $dropped banded rows in " +
-                s"${m("buckets")} over-cap buckets (maxBucketSize=$maxBucketSize)")
-        }
+                s"${m.getOrElse("buckets", -1L)} over-cap buckets " +
+                s"(maxBucketSize=$maxBucketSize)")
+        }, s"lsh-bucket-guard-log-${obs.name}")
+        logThread.setDaemon(true)
+        logThread.start()
         banded0.join(broadcast(observed.select(col("band"), col("band_sig"))),
           Seq("band", "band_sig"), "left_anti")
       }

@@ -283,6 +283,10 @@ object Jpeg {
   private def encodePlanes(planes: Seq[Array[Double]], width: Int, height: Int): Array[Byte] = {
     val nComp = planes.length
     require(nComp == 1 || nComp == 3, "1 or 3 components")
+    // SOF dimensions are 16-bit fields; larger dims would silently
+    // truncate mod 65536 into a structurally valid but wrong JPEG.
+    require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
+      s"JPEG dimensions must be in [1, 65535], got ${width}x$height")
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Byte]): Unit = {
       out.write(u16(0xff, marker), 0, 2)

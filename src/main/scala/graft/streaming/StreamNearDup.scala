@@ -179,6 +179,12 @@ object StreamNearDup {
               .join(newIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
               .join(newIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
               .count()
+            // At-least-once caveat: a RETRIED batch re-adds here and the
+            // epoch dir may hold the prior attempt's files, so crossAcc can
+            // over-count under failure/retry. It only feeds the >0 sanity
+            // gate below — the pair OUTPUT stays correct (epoch overwrite +
+            // distinct); an exact count would need per-batch new-id sets
+            // persisted keyed by batchId and overwritten on retry.
             crossAcc.add(written.count() - bothNew)
           }
           // compaction cadence: consolidate the accumulated signature table

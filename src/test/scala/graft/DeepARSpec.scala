@@ -427,4 +427,62 @@ class DeepARSpec extends SparkSpec {
       .select("feature_dim").as[Int].collect()
     assert(dims.toSeq === Seq(0, 0, 0))
   }
+
+  test("avi: fuzz corpus — malformed rejects cleanly, odd-but-legal tolerated") {
+    // Hand-assembled RIFF variants: every malformed container must raise
+    // IllegalArgumentException (never crash, hang, or mis-decode), while
+    // structurally odd but legal containers (unknown LISTs, zero-size JUNK,
+    // missing idx1) must decode. The hdrl section is reused verbatim from a
+    // known-good 2-frame encode so only the spliced region varies.
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(i: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(i).array
+    def cc(s: String): Array[Byte] = s.getBytes("ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      cc(id) ++ le(body.length) ++ body ++
+        (if ((body.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le(body.length + 4) ++ cc(typ) ++ body
+    def riff(body: Array[Byte]): Array[Byte] =
+      cc("RIFF") ++ le(body.length + 4) ++ cc("AVI ") ++ body
+
+    val frame = graft.ops.Jpeg.encodeGrayBlocks(Array(255), 1)
+    val good = graft.ops.Avi.encodeMjpeg(Seq(frame, frame), 8, 8)
+    val hdrlSize = ByteBuffer.wrap(good, 16, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+    val hdrl = good.slice(12, 12 + 8 + hdrlSize) // LIST..hdrl section, self-contained
+    val movi2 = list("movi", chunk("00dc", frame) ++ chunk("00dc", frame))
+
+    // -- legal-but-odd: all must decode to exactly the two frames --
+    val tolerated = Seq(
+      "no idx1" -> riff(hdrl ++ movi2),
+      "unknown INFO list + JUNK" -> riff(hdrl ++
+        list("INFO", chunk("ISFT", cc("graft"))) ++ movi2 ++ chunk("JUNK", Array.emptyByteArray)),
+      "zero-size JUNK inside movi" -> riff(hdrl ++ list("movi",
+        chunk("00dc", frame) ++ chunk("JUNK", Array.emptyByteArray) ++ chunk("00dc", frame))))
+    tolerated.foreach { case (name, bytes) =>
+      val v = graft.ops.Avi.decodeMjpeg(bytes)
+      assert(v.frames.length === 2, name)
+      assert(v.frames.forall(_.sameElements(frame)), name)
+    }
+
+    // -- malformed: all must reject with IllegalArgumentException --
+    val rejected = Seq(
+      "truncated header" -> good.take(20),
+      "truncated movi (chunk len overruns list)" -> riff(hdrl ++
+        list("movi", cc("00dc") ++ le(frame.length + 1000) ++ frame)),
+      "negative chunk length" -> riff(hdrl ++
+        list("movi", cc("00dc") ++ le(-8) ++ frame)),
+      "zero-size 00dc as extra frame (count lie)" -> riff(hdrl ++ list("movi",
+        chunk("00dc", frame) ++ chunk("00dc", frame) ++ chunk("00dc", Array.emptyByteArray))),
+      "idx1 length not multiple of 16" -> riff(hdrl ++ movi2 ++
+        chunk("idx1", Array.fill[Byte](10)(0))),
+      "LIST too short for type fourcc" -> riff(hdrl ++
+        cc("LIST") ++ le(2) ++ Array[Byte](0, 0) ++ movi2),
+      "empty movi (no frames)" -> riff(hdrl ++ list("movi", Array.emptyByteArray)))
+    rejected.foreach { case (name, bytes) =>
+      withClue(name) {
+        intercept[IllegalArgumentException](graft.ops.Avi.decodeMjpeg(bytes))
+      }
+    }
+  }
 }
