@@ -105,6 +105,24 @@ object SparkEntry {
         .mkString("CASE ", " ", " ELSE 32 END")
   }
 
+  /** The (centroids, topCentroids) pair for the tiered IVF rows: centroids
+    * at `stride`, top level at 8·stride — nlist1 = ceil(nlist/8) ∈ (4,8]
+    * top cells for the ladder's nlist ∈ (32,64]. The top set is a subset of
+    * the centroid set by construction (vec_id ≡ offset mod 8·stride ⇒
+    * ≡ offset mod stride), satisfying the groupCentroidsByTop contract. The
+    * 8× ratio is the bench-scale stand-in for sqrt(nlist): what matters is
+    * that BOTH tiers stay broadcast-small while the full centroid relation
+    * flows through the shuffle join (see graft.AssignSweep for the
+    * cost-vs-nlist evidence). */
+  private def ivfCentroidSets(e: DataFrame, stride: Long,
+                              offset: Long = 0L): (DataFrame, DataFrame) = {
+    val cent = e.filter(col("vec_id") % stride === offset)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val top = e.filter(col("vec_id") % (stride * 8) === offset)
+      .select(col("vec_id").as("top_id"), col("embedding").as("top_vec"))
+    (cent, top)
+  }
+
   /** lag-1 prediction frame used by the evaluation queries (a5/a6/a7): the
     * previous value of the same user is the "forecast" — deterministic and
     * oracle-expressible, standing in for the external DeepAR model the
@@ -603,6 +621,30 @@ object SparkEntry {
       val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
       SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S2b — the TWO-TIER coarse quantizer under its own exact oracle. The
+    // scale story: nlist must grow ~sqrt(N) past broadcast size, so the
+    // full centroid set is grouped by broadcast-small top cells and
+    // shuffle-joined (SimilarityOps two-tier section). Tiering is
+    // APPROXIMATE by construction — a vector's candidates are the
+    // centroids of its probeTop nearest top cells — and on this corpus
+    // (synthetic near-random embeddings, no cluster structure) the tiered
+    // assignment measurably diverges from flat (242/500 vectors at
+    // probeTop=2, still 137/500 at probeTop=4, sf0.01), so it CANNOT sit
+    // behind the flat-IVF oracle; instead the oracle SQL mirrors the
+    // two-tier semantics exactly — routing, candidate pruning, argmax and
+    // probe, with identical tie-breaks — making every stage of the tiered
+    // path hash-checked rather than luck-checked.
+    "s2b_ann_ivf_tiered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (centroids, top) = ivfCentroidSets(e, Adaptive.centroidStride(e.count()))
+      val assigned = SimilarityOps.assignToCentroidsTiered(
+        e, centroids, top, "vec_id", "embedding", probeTop = 2)
+      SimilarityOps.ivfTopKTiered(assigned, centroids, top, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2, probeTop = 2)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
@@ -1386,6 +1428,59 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** Exact oracle for the TWO-TIER IVF path (s2b): mirrors every stage of
+    * the tiered computation — top-cell routing (probeTop=2), centroid
+    * grouping with top centroids pinned to their own cell, candidate-pruned
+    * argmax assign, candidate-pruned query probe (nprobe=2) — with the same
+    * (csim DESC, id ASC) tie-break at every step. The tiered path is
+    * approximate RELATIVE TO FLAT IVF but fully deterministic, so it gets
+    * a bit-exact oracle of its own semantics rather than a luck-dependent
+    * match against the flat one. */
+  private def ivfTieredOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+       |         WHERE vec_id % (SELECT stride FROM params) = 0),
+       |tp AS (SELECT vec_id AS tid, ve AS tv, nrm AS tnrm FROM n
+       |       WHERE vec_id % (8 * (SELECT stride FROM params)) = 0),
+       |crouted AS (
+       |  SELECT cid, cv, cnrm, cid AS tid FROM cent WHERE cid IN (SELECT tid FROM tp)
+       |  UNION ALL
+       |  SELECT cid, cv, cnrm, tid FROM (
+       |    SELECT c.cid, c.cv, c.cnrm, t.tid, row_number() OVER (PARTITION BY c.cid
+       |      ORDER BY list_inner_product(c.cv, t.tv) / (c.cnrm * t.tnrm) DESC, t.tid) AS rn
+       |    FROM cent c CROSS JOIN tp t
+       |    WHERE c.cid NOT IN (SELECT tid FROM tp)) WHERE rn = 1),
+       |vrouted AS (SELECT vec_id, tid FROM (
+       |  SELECT a.vec_id, t.tid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, t.tv) / (a.nrm * t.tnrm) DESC, t.tid) AS rn
+       |  FROM n a CROSS JOIN tp t) WHERE rn <= 2),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n a JOIN vrouted r ON r.vec_id = a.vec_id
+       |  JOIN crouted c ON c.tid = r.tid) WHERE rn = 1),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n q JOIN vrouted r ON r.vec_id = q.vec_id
+       |  JOIN crouted c ON c.tid = r.tid
+       |  WHERE q.vec_id < 5) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+       |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+       |  FROM probes p
+       |  JOIN assign s ON s.cid = p.cid
+       |  JOIN n x ON x.vec_id = s.vec_id
+       |  JOIN n q ON q.vec_id = p.qid
+       |  WHERE x.vec_id <> p.qid)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -1688,6 +1783,7 @@ object SparkEntry {
     "s1_ann_topk" -> annOracle,
 
     "s2_ann_ivf" -> ivfOracle,
+    "s2b_ann_ivf_tiered" -> ivfTieredOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

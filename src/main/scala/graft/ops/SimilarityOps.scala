@@ -137,6 +137,129 @@ object SimilarityOps {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  // ---- two-tier coarse quantizer ----------------------------------------
+  //
+  // [[assignToCentroids]] requires the centroid set to be broadcast-small —
+  // fine for nlist <= 64, but real IVF wants nlist ~ sqrt(N), which at
+  // 100 TB is 10^5..10^6 centroids: megabytes-to-gigabytes of vectors that
+  // must NOT broadcast, and a per-row assign cost (N·nlist) that must not
+  // grow linearly with nlist. The two-tier quantizer lifts both limits:
+  //
+  //   tier 1: `topCentroids` (~sqrt(nlist), pinned broadcast-small) route
+  //           each vector to its `probeTop` nearest top cells — same
+  //           narrow-exchange aggregation shape as the flat argmax;
+  //   tier 2: the FULL centroid set is grouped by top cell and
+  //           shuffle-joined (salted) against the routed vectors — the
+  //           centroid relation flows through an exchange like any other
+  //           table, never through a broadcast.
+  //
+  // Per-row cost: nlist1 + probeTop·(nlist/nlist1) ≈ 2·sqrt(nlist) instead
+  // of nlist — FLAT in nlist for fixed nlist1 ratio (sweep-verified, see
+  // graft.AssignSweep). Approximation contract: a vector's candidate set is
+  // the centroids of its probeTop nearest top cells; with probeTop = nlist1
+  // the candidate set is every centroid and the result is IDENTICAL to the
+  // flat assign (same tie-break). With probeTop < nlist1 a vector whose
+  // true nearest centroid lives outside its probed top cells may assign
+  // differently — standard hierarchical-IVF recall behavior.
+
+  /** Route each row of `rows` to its `probeTop` nearest top-level cells:
+    * (idCol, vecCol, __v, top_id), probeTop rows per input row.
+    *
+    * Top-P by AGGREGATION, not window (the r8 lesson): collect_list gathers
+    * the nlist1 per-row (csim, top_id) structs — map-side-complete because
+    * the crossJoin emits them consecutively — so the exchange carries ONE
+    * row per vector with a <= nlist1-element array of 16-byte structs, never
+    * nlist1 wide vector-carrying rows. Tie-break matches the flat assign:
+    * best csim, then smallest top_id. */
+  private def routeToTop(rows: DataFrame, topCentroids: DataFrame,
+                         idCol: String, vecCol: String, probeTop: Int): DataFrame = {
+    val r = rows.select(col(idCol), col(vecCol),
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+    val top = topCentroids.select(col("top_id"),
+      col("top_vec").cast("array<double>").as("__tv")).filter(nonZero(col("__tv")))
+    r.crossJoin(broadcast(top))
+      .select(col(idCol), col(vecCol), col("__v"),
+        struct(cosine(col("__v"), col("__tv")).as("csim"),
+          (-col("top_id")).as("nid"), col("top_id").as("tid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), first(col("__v")).as("__v"),
+        slice(reverse(array_sort(collect_list(col("__s")))), 1, probeTop).as("__probes"))
+      .select(col(idCol), col(vecCol), col("__v"), explode(col("__probes")).as("__p"))
+      .select(col(idCol), col(vecCol), col("__v"), col("__p.tid").as("top_id"))
+  }
+
+  /** Group the full centroid set by top cell: (centroid_id, centroid_vec,
+    * top_id). Contract: `topCentroids` must be a subset of `centroids` by
+    * id — each top centroid is PINNED to its own cell (not re-routed), so
+    * every top cell holds at least one centroid and the tiered assign can
+    * never drop a vector the flat assign would keep. */
+  def groupCentroidsByTop(centroids: DataFrame, topCentroids: DataFrame): DataFrame = {
+    val topIds = topCentroids.select(col("top_id").as("centroid_id"))
+    val nonTop = centroids.join(broadcast(topIds), Seq("centroid_id"), "left_anti")
+    routeToTop(nonTop.select(col("centroid_id"), col("centroid_vec")),
+        topCentroids, "centroid_id", "centroid_vec", probeTop = 1)
+      .select(col("centroid_id"), col("centroid_vec"), col("top_id"))
+      .unionByName(topCentroids.select(col("top_id").as("centroid_id"),
+        col("top_vec").as("centroid_vec"), col("top_id")))
+  }
+
+  /** Two-tier nearest-centroid assign — the scale form of
+    * [[assignToCentroids]] (same output schema, same tie-break). The
+    * second-level join is salted `saltFactor` ways (the tiny centroid side
+    * is exploded, each vector picks one deterministic salt) so parallelism
+    * is nlist1·saltFactor, not capped at the nlist1 distinct join keys. */
+  def assignToCentroidsTiered(corpus: DataFrame, centroids: DataFrame,
+                              topCentroids: DataFrame, idCol: String, vecCol: String,
+                              probeTop: Int = 2, saltFactor: Int = 8): DataFrame = {
+    val centByTop = groupCentroidsByTop(centroids, topCentroids)
+      .select(col("centroid_id"), col("centroid_vec").cast("array<double>").as("cent_v"),
+        col("top_id"))
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    val routed = routeToTop(corpus, topCentroids, idCol, vecCol, probeTop)
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(saltFactor)).cast("int"))
+    routed.join(centByTop, Seq("top_id", "__salt"))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        struct(cosine(col("__v"), col("cent_v")).as("csim"),
+          (-col("centroid_id")).as("nid")).as("__s"))
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("centroid_id"), col("__s")).as("centroid_id"))
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Two-tier query probe — the scale form of [[probeCells]]: candidates
+    * come from the query's `probeTop` nearest top cells via the grouped
+    * centroid relation (shuffle join), never a broadcast of the full
+    * centroid set. Same output schema and tie-break as [[probeCells]]. */
+  def probeCellsTiered(queries: DataFrame, centroids: DataFrame, topCentroids: DataFrame,
+                       idCol: String, vecCol: String, nprobe: Int,
+                       probeTop: Int = 2): DataFrame = {
+    val centByTop = groupCentroidsByTop(centroids, topCentroids)
+      .select(col("centroid_id"), col("centroid_vec").cast("array<double>").as("cent_v"),
+        col("top_id"))
+    val routed = routeToTop(queries, topCentroids, idCol, vecCol, probeTop)
+      .select(col(idCol).as("query_id"), col("__v").as("qv"), col("top_id"))
+    routed.join(centByTop, Seq("top_id"))
+      .select(col("query_id"), col("qv"),
+        struct(cosine(col("qv"), col("cent_v")).as("csim"),
+          (-col("centroid_id")).as("nid"), col("centroid_id").as("cid")).as("__s"))
+      .groupBy(col("query_id"))
+      .agg(first(col("qv")).as("qv"),
+        slice(reverse(array_sort(collect_list(col("__s")))), 1, nprobe).as("__probes"))
+      .select(col("query_id"), col("qv"), explode(col("__probes")).as("__p"))
+      .select(col("query_id"), col("qv"), col("__p.cid").as("centroid_id"))
+  }
+
+  /** IVF top-k with the two-tier quantizer on the probe side; scoring is the
+    * unchanged [[scoreProbedCells]] partition-pruned scan. */
+  def ivfTopKTiered(corpusAssigned: DataFrame, centroids: DataFrame,
+                    topCentroids: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nprobe: Int,
+                    probeTop: Int = 2): DataFrame =
+    scoreProbedCells(corpusAssigned,
+      probeCellsTiered(queries, centroids, topCentroids, idCol, vecCol, nprobe, probeTop),
+      idCol, vecCol, k)
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by SimHash-of-embedding-signs (random-hyperplane LSH without
     * randomness: the sign pattern of selected dimensions is the bucket key,

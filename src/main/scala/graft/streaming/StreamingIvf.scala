@@ -29,7 +29,8 @@ import graft.ops.SimilarityOps
   * contract); on drift, [[reassign]] re-clusters the stored table against a
   * new centroid set in one batch pass.
   */
-class IvfIndex(val path: String, val centroids: DataFrame) extends Serializable {
+class IvfIndex(val path: String, val centroids: DataFrame,
+               val topCentroids: Option[DataFrame] = None) extends Serializable {
 
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -48,11 +49,20 @@ class IvfIndex(val path: String, val centroids: DataFrame) extends Serializable 
   private def nextMaintenanceEpoch(spark: SparkSession): Long =
     math.min(-1L, epochDirs(spark).map(epochOf).foldLeft(0L)(math.min) - 1L)
 
-  /** Assign a (micro-)batch to cells and append it under `epoch`. */
-  def append(batch: DataFrame, idCol: String, vecCol: String, epoch: Long = 0L): Unit =
-    SimilarityOps.assignToCentroids(batch, centroids, idCol, vecCol)
+  /** Assign a (micro-)batch to cells and append it under `epoch`. With
+    * `topCentroids` set, assignment rides the two-tier quantizer — the full
+    * centroid set is shuffle-joined by top cell, never broadcast, so nlist
+    * can grow ~sqrt(corpus) past broadcast size. */
+  def append(batch: DataFrame, idCol: String, vecCol: String, epoch: Long = 0L): Unit = {
+    val assigned = topCentroids match {
+      case Some(top) =>
+        SimilarityOps.assignToCentroidsTiered(batch, centroids, top, idCol, vecCol)
+      case None => SimilarityOps.assignToCentroids(batch, centroids, idCol, vecCol)
+    }
+    assigned
       .withColumn("__b", lit(epoch))
       .write.mode(SaveMode.Append).partitionBy("__b", "centroid_id").parquet(path)
+  }
 
   /** Idempotent per-epoch write: replaces any previous content of `epoch`
     * (a partial write from a failed attempt, or the complete output of a
@@ -84,7 +94,11 @@ class IvfIndex(val path: String, val centroids: DataFrame) extends Serializable 
     * unread cells are never listed, opened, or scored. */
   def search(spark: SparkSession, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val probes = SimilarityOps.probeCells(queries, centroids, idCol, vecCol, nprobe)
+    val probes = topCentroids match {
+      case Some(top) =>
+        SimilarityOps.probeCellsTiered(queries, centroids, top, idCol, vecCol, nprobe)
+      case None => SimilarityOps.probeCells(queries, centroids, idCol, vecCol, nprobe)
+    }
     val cells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.get(0)) // metadata-sized: #queries × nprobe ids
     val corpus = spark.read.parquet(path)
@@ -140,9 +154,10 @@ class IvfIndex(val path: String, val centroids: DataFrame) extends Serializable 
     * searches with the new centroid set. Same concurrency contract as
     * [[compactCells]]. */
   def reassign(spark: SparkSession, newCentroids: DataFrame,
-               idCol: String, vecCol: String): IvfIndex = {
+               idCol: String, vecCol: String,
+               newTopCentroids: Option[DataFrame] = None): IvfIndex = {
     val dirs = epochDirs(spark)
-    val next = new IvfIndex(path, newCentroids)
+    val next = new IvfIndex(path, newCentroids, newTopCentroids)
     if (dirs.isEmpty) return next
     val epoch = nextMaintenanceEpoch(spark)
     val vectors = spark.read.parquet(path).select(col(idCol), col(vecCol))

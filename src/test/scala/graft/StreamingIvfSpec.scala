@@ -71,4 +71,65 @@ class StreamingIvfSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nprobe = 2)
     assert(reSearch.except(reBatch).isEmpty && reBatch.except(reSearch).isEmpty)
   }
+
+  test("two-tier quantizer: exact at probeTop=nlist1, structurally valid at probeTop=2") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    // top level: every 8th centroid — a SUBSET by id, per the
+    // groupCentroidsByTop contract
+    val top = emb.filter(col("vec_id") % 320 === 0)
+      .select(col("vec_id").as("top_id"), col("embedding").as("top_vec"))
+    val nlist1 = top.count().toInt
+    assert(nlist1 > 1, "need at least two top cells for the test to mean anything")
+
+    val flat = SimilarityOps.assignToCentroids(emb, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+
+    // probeTop = nlist1 probes every top cell: the candidate set is every
+    // centroid, so the result must be IDENTICAL to the flat assign —
+    // structural equality, not luck.
+    val full = SimilarityOps.assignToCentroidsTiered(emb, centroids, top,
+        "vec_id", "embedding", probeTop = nlist1)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(full.except(flat).isEmpty && flat.except(full).isEmpty,
+      "probeTop=all tiered assign must equal the flat assign exactly")
+
+    // the production setting (probeTop=2): the RESULT may legitimately
+    // differ from flat (candidate pruning is approximate on unclustered
+    // data — the s2b oracle pins its exact semantics), but two structural
+    // invariants must hold regardless of data: no vector is ever dropped,
+    // and every assignment lands inside the vector's probed top cells.
+    val tiered = SimilarityOps.assignToCentroidsTiered(emb, centroids, top,
+        "vec_id", "embedding", probeTop = 2)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(tiered.count() === flat.count(), "tiered assign must never drop a vector")
+    val routedPairs = SimilarityOps.probeCellsTiered(emb, centroids, top,
+        "vec_id", "embedding", nprobe = centroids.count().toInt, probeTop = 2)
+      .select(col("query_id").as("vec_id"), col("centroid_id"))
+    assert(tiered.join(routedPairs, Seq("vec_id", "centroid_id"), "left_anti").isEmpty,
+      "an assignment escaped the vector's probed top cells")
+
+    // probe side: tiered query probe at probeTop=all equals the flat probe
+    val queries = emb.filter(col("vec_id") < 3)
+    val flatProbe = SimilarityOps.probeCells(queries, centroids,
+        "vec_id", "embedding", nprobe = 2)
+      .select(col("query_id"), col("centroid_id"))
+    val tieredProbe = SimilarityOps.probeCellsTiered(queries, centroids, top,
+        "vec_id", "embedding", nprobe = 2, probeTop = nlist1)
+      .select(col("query_id"), col("centroid_id"))
+    assert(tieredProbe.except(flatProbe).isEmpty && flatProbe.except(tieredProbe).isEmpty,
+      "probeTop=all tiered probe must equal the flat probe exactly")
+
+    // e2e: a tiered-quantizer INDEX serves exactly what the tiered BATCH
+    // plan computes — on-disk layout and partition-pruned search introduce
+    // no divergence from the in-memory form
+    val index = new IvfIndex(tmpDir("ivf-tiered"), centroids, Some(top))
+    index.writeEpoch(emb, "vec_id", "embedding", epoch = 0L)
+    val searched = index.search(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    val batch = SimilarityOps.ivfTopKTiered(
+      SimilarityOps.assignToCentroidsTiered(emb, centroids, top, "vec_id", "embedding"),
+      centroids, top, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(searched.except(batch).isEmpty && batch.except(searched).isEmpty)
+  }
 }
