@@ -62,21 +62,47 @@ object Bench {
       val spread = if (med > 0) (times.max - times.min) / med else -1.0
       (name, med, spread)
     }
+    // The skip set above is excluded from query THROUGHPUT, but those
+    // replay/maintenance round trips (streaming pipeline, on-disk IVF index,
+    // store compaction) previously had NO regression tracking at all — a 5x
+    // slowdown in StreamNearDup or IvfIndex.search was invisible to the
+    // driver (r8 verdict gap 1). Time each ONCE (they are dominated by fixed
+    // trigger/checkpoint/FS overhead, so rep-median adds minutes for little
+    // signal) and report them under a separate "maintenance" key so the
+    // round-over-round query total stays comparable. Skipped during
+    // SPARK_GRAFT_ONLY local iteration.
+    val maintenance =
+      if (only.isDefined) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).filter(q => skip(q._1)).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] maintenance $name FAILED: ${e.getMessage}")
+              false
+          }
+          val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          spark.catalog.clearCache()
+          (name, elapsed)
+      }
     // r7 postmortem: the single JSON line outgrew the driver's tail-capture
     // window (full-precision doubles + spread/load fields) and the head —
     // "metric":"total" — was cut, leaving BENCH_r07 parsed:null. Contract fix:
     // verbose diagnostics go on their OWN line first; the driver-parsed
     // summary line is compact (3-decimal medians) and printed LAST so any
-    // tail capture always contains it whole.
+    // tail capture always contains it whole. The maintenance map (7 keys)
+    // rides the summary line so it lands in the parsed artifact.
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, s) => s"\"" + k + "\":" + r3(s) }
       .mkString("{", ",", "}")
+    val maint = maintenance.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val loadAfter = osBean.getSystemLoadAverage
     println(s"""{"metric":"bench_detail","spread":$spreads,"load1_before":${r3(loadBefore)},"load1_after":${r3(loadAfter)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"maintenance":$maint,"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }
