@@ -1134,6 +1134,39 @@ object SparkEntry {
           element_at(col("features"), 10).cast("long").as("n_bright"))
     }),
 
+    // M4b — the 4:2:0 CHROMA-SUBSAMPLED color JPEG path (the sampling real
+    // corpora overwhelmingly use) under an exact oracle. Each event renders
+    // one uniform 16×16 MCU colored white/red/blue/black by event_id % 4:
+    // black/white are bit-exact through the subsampled pipeline (integer
+    // YCbCr, uniform blocks in both tiers after the chroma box average) and
+    // red/blue decode with >100 margin to the 127 channel threshold, so the
+    // decoder's nz channel counts are integer-exact and relational
+    // (n_white = nzG; red contributes only to nzR, blue only to nzB).
+    "m4b_jpeg420_features" -> ((s, dir) => {
+      import s.implicits._
+      val wMcus = 3
+      val px = ev(s, dir).select(col("user_id"),
+        when(pmod(col("event_id"), lit(4)) === 0, lit(0xffffff))
+          .when(pmod(col("event_id"), lit(4)) === 1, lit(0xff0000))
+          .when(pmod(col("event_id"), lit(4)) === 2, lit(0x0000ff))
+          .otherwise(lit(0x000000)).as("c"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(collect_list(col("c")).as("cs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, cs) => (uid, graft.ops.Jpeg.encodeColorMcus(cs, wMcus)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "jpeg")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 11).cast("long").as("n_white_px"),
+          (element_at(col("features"), 12) - element_at(col("features"), 11))
+            .cast("long").as("n_red_px"),
+          (element_at(col("features"), 10) - element_at(col("features"), 11))
+            .cast("long").as("n_blue_px"))
+    }),
+
     // M5 — multimodal VIDEO through a real container: per-user 4-frame
     // Motion-JPEG AVI (RIFF avih/strl/movi/idx1, each frame an independent
     // baseline JPEG keyframe), frame f holding that user's events with
@@ -2126,6 +2159,19 @@ object SparkEntry {
         |  CAST(48 AS BIGINT) AS width,
         |  CAST(8 * CEIL(COUNT(*) / 6.0) AS BIGINT) AS height,
         |  CAST(64 * COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_bright
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // 4:2:0 color fixture: one 16×16 MCU (256 px) per event, 3 MCUs wide
+    // ⇒ 48 px; white MCUs light all three channels, red only R, blue only
+    // B, black/pad none — so the channel-count differences isolate each
+    // color exactly.
+    "m4b_jpeg420_features" ->
+      """SELECT user_id AS content_id,
+        |  CAST(48 AS BIGINT) AS width,
+        |  CAST(16 * CEIL(COUNT(*) / 3.0) AS BIGINT) AS height,
+        |  CAST(256 * COUNT(*) FILTER (WHERE event_id % 4 = 0) AS BIGINT) AS n_white_px,
+        |  CAST(256 * COUNT(*) FILTER (WHERE event_id % 4 = 1) AS BIGINT) AS n_red_px,
+        |  CAST(256 * COUNT(*) FILTER (WHERE event_id % 4 = 2) AS BIGINT) AS n_blue_px
         |FROM events GROUP BY 1""".stripMargin,
 
     // The AVI container round-trips each frame's JPEG bytes losslessly and

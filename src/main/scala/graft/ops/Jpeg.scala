@@ -2,11 +2,12 @@ package graft.ops
 
 /** Baseline sequential JPEG (ITU-T T.81), pure JVM, zero deps — the
   * encode/decode pair for the most common real multimodal container.
-  * Spec scope: 8-bit precision, grayscale and 3-component YCbCr 4:4:4
-  * (interleaved MCUs, no chroma subsampling), standard Annex K luminance
+  * Spec scope: 8-bit precision, grayscale and 3-component YCbCr with
+  * arbitrary baseline sampling factors 1..4 on decode (4:4:4 and the
+  * dominant 4:2:0 on encode), interleaved MCUs, standard Annex K luminance
   * Huffman tables (carried in-file via DHT, as required), byte-stuffed
   * entropy coding, full run-length / EOB / ZRL AC coding, naive separable
-  * double-precision DCT.
+  * double-precision DCT. Subsampled components upsample by replication.
   *
   * Exactness contract for the oracle fixtures: with the all-ones
   * quantization table this codec round-trips any image whose 8×8 blocks are
@@ -278,15 +279,28 @@ object Jpeg {
   }
 
   /** Shared headers + interleaved-MCU entropy coding for 1 (gray) or 3
-    * (YCbCr 4:4:4) full-resolution planes, all using the standard luminance
-    * tables and the all-ones quant table. */
-  private def encodePlanes(planes: Seq[Array[Double]], width: Int, height: Int): Array[Byte] = {
+    * (YCbCr) planes, all using the standard luminance tables and the
+    * all-ones quant table. `sampling(c) = (h_c, v_c)`; `planes(c)` holds the
+    * component at its OWN resolution ceil(width·h_c/hMax) ×
+    * ceil(height·v_c/vMax) per T.81 A.1.1 (full-res for 4:4:4, half-res
+    * chroma for 4:2:0). Blocks are written in MCU order: per MCU, each
+    * component's v_c×h_c blocks in raster order. */
+  private def encodePlanes(planes: Seq[Array[Double]], width: Int, height: Int,
+                           sampling: Seq[(Int, Int)]): Array[Byte] = {
     val nComp = planes.length
     require(nComp == 1 || nComp == 3, "1 or 3 components")
+    require(sampling.length == nComp && sampling.forall { case (h, v) =>
+      h >= 1 && h <= 4 && v >= 1 && v <= 4 }, "sampling factors must be 1..4")
     // SOF dimensions are 16-bit fields; larger dims would silently
     // truncate mod 65536 into a structurally valid but wrong JPEG.
     require(width >= 1 && width <= 65535 && height >= 1 && height <= 65535,
       s"JPEG dimensions must be in [1, 65535], got ${width}x$height")
+    val hMax = sampling.map(_._1).max
+    val vMax = sampling.map(_._2).max
+    def cw(c: Int): Int = (width * sampling(c)._1 + hMax - 1) / hMax
+    def ch(c: Int): Int = (height * sampling(c)._2 + vMax - 1) / vMax
+    (0 until nComp).foreach(c => require(planes(c).length == cw(c) * ch(c),
+      s"component $c plane must be ${cw(c)}x${ch(c)}"))
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Byte]): Unit = {
       out.write(u16(0xff, marker), 0, 2)
@@ -295,9 +309,10 @@ object Jpeg {
     }
     out.write(u16(0xff, 0xd8), 0, 2) // SOI
     seg(0xdb, 0x00.toByte +: Array.fill(64)(1.toByte)) // DQT: Pq=0,Tq=0, q=1
-    val sofComps = (1 to nComp).flatMap(id => Seq(id.toByte, 0x11.toByte, 0.toByte))
+    val sofComps = (0 until nComp).flatMap(c => Seq((c + 1).toByte,
+      ((sampling(c)._1 << 4) | sampling(c)._2).toByte, 0.toByte))
     seg(0xc0, (Array[Byte](8) ++ be16(height) ++ be16(width) ++
-      Array(nComp.toByte)) ++ sofComps) // SOF0: 1x1 sampling, Tq=0 for all
+      Array(nComp.toByte)) ++ sofComps) // SOF0, Tq=0 for all
     seg(0xc4, 0x00.toByte +: (DcBits.map(_.toByte) ++ DcVals.map(_.toByte)))
     seg(0xc4, 0x10.toByte +: (AcBits.map(_.toByte) ++ AcVals.map(_.toByte)))
     val sosComps = (1 to nComp).flatMap(id => Seq(id.toByte, 0x00.toByte))
@@ -306,18 +321,24 @@ object Jpeg {
     val dcCodes = encodeTable(DcBits, DcVals)
     val acCodes = encodeTable(AcBits, AcVals)
     val bw = new BitWriter(out)
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
     val prevDc = new Array[Int](nComp) // per-component DC predictors
     val block = new Array[Double](64)
-    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until nComp) {
-      fillBlock(planes(c), width, height, bx, by, block)
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
+         bv <- 0 until sampling(c)._2; bh <- 0 until sampling(c)._1) {
+      fillBlock(planes(c), cw(c), ch(c),
+        mx * sampling(c)._1 + bh, my * sampling(c)._2 + bv, block)
       prevDc(c) = writeBlock(bw, block, prevDc(c), dcCodes, acCodes)
     }
     bw.flush()
     out.write(u16(0xff, 0xd9), 0, 2) // EOI
     out.toByteArray
   }
+
+  /** All-components-full-resolution form (grayscale / YCbCr 4:4:4). */
+  private def encodePlanes(planes: Seq[Array[Double]], width: Int, height: Int): Array[Byte] =
+    encodePlanes(planes, width, height, planes.map(_ => (1, 1)))
 
   /** Encode an 8-bit grayscale image as baseline JPEG with an all-ones
     * quantization table (quality-lossless coefficient storage). Image dims
@@ -358,6 +379,59 @@ object Jpeg {
     encodePlanes(Seq(yP, cbP, crP), width, height)
   }
 
+  /** Encode packed 0xRRGGBB pixels as baseline YCbCr **4:2:0** — 2×2 chroma
+    * subsampling, the dominant sampling of real multimodal corpora. Chroma
+    * is box-averaged over each 2×2 cell (edge cells average the pixels they
+    * cover), so an image uniform per 16×16 MCU loses nothing to
+    * subsampling and round-trips through [[decodeRgb]]'s replication
+    * upsample the way the 4:4:4 uniform-block fixtures do. */
+  def encodeColor420(rgb: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0 && rgb.nonEmpty, "empty image")
+    val height = (rgb.length + width - 1) / width
+    val n = width * height
+    val yP = new Array[Double](n)
+    val cwHalf = (width + 1) / 2
+    val chHalf = (height + 1) / 2
+    val cbSum = new Array[Double](cwHalf * chHalf)
+    val crSum = new Array[Double](cwHalf * chHalf)
+    val cnt = new Array[Int](cwHalf * chHalf)
+    var i = 0
+    while (i < n) {
+      val p = if (i < rgb.length) rgb(i) else 0
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      yP(i) = 0.299 * r + 0.587 * g + 0.114 * b
+      val ci = (i / width / 2) * cwHalf + (i % width / 2)
+      cbSum(ci) += -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+      crSum(ci) += 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+      cnt(ci) += 1
+      i += 1
+    }
+    val cbP = Array.tabulate(cwHalf * chHalf)(j => cbSum(j) / cnt(j))
+    val crP = Array.tabulate(cwHalf * chHalf)(j => crSum(j) / cnt(j))
+    encodePlanes(Seq(yP, cbP, crP), width, height, Seq((2, 2), (1, 1), (1, 1)))
+  }
+
+  /** One uniform 16×16 MCU per input 0xRRGGBB value (the 4:2:0 oracle-exact
+    * fixture shape, the color analog of [[encodeGrayBlocks]]): image width
+    * 16·widthMcus, trailing MCUs of the last row black. Uniform MCUs keep
+    * every block in BOTH tiers uniform after the chroma box average, so
+    * primary-color content decodes with exact channel counts. */
+  def encodeColorMcus(colors: Array[Int], widthMcus: Int): Array[Byte] = {
+    val rows = (colors.length + widthMcus - 1) / widthMcus
+    val w = widthMcus * 16
+    val rgb = new Array[Int](w * rows * 16)
+    colors.indices.foreach { i =>
+      val mx = i % widthMcus; val my = i / widthMcus
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { rgb((my * 16 + y) * w + mx * 16 + x) = colors(i); x += 1 }
+        y += 1
+      }
+    }
+    encodeColor420(rgb, w)
+  }
+
   /** One uniform 8×8 block per input value (the oracle-exact fixture shape):
     * image width 8·widthBlocks, trailing blocks of the last row black. */
   def encodeGrayBlocks(vals: Array[Int], widthBlocks: Int): Array[Byte] = {
@@ -379,15 +453,20 @@ object Jpeg {
   /** Decoded full-resolution component planes plus dimensions. */
   private final case class Decoded(width: Int, height: Int, planes: Seq[Array[Int]])
 
-  /** Parse + entropy-decode a baseline JPEG: 8-bit, 1 or 3 components, all
-    * 1x1 sampling (4:4:4), interleaved MCUs, no restart intervals. */
+  /** Parse + entropy-decode a baseline JPEG: 8-bit, 1 or 3 components,
+    * sampling factors 1..4 (4:4:4, 4:2:0, 4:2:2, ...), interleaved MCUs,
+    * no restart intervals. Returns full-resolution planes (subsampled
+    * components upsampled by replication). */
   private def decodePlanes(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
     var pos = 2
     var width = 0; var height = 0
-    // per-component (in SOF order): id and quant-table id; scan tables by id
+    // per-component (in SOF order): id, sampling factors, quant-table id;
+    // scan tables by id
     var compIds: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
     var compTq: Array[Int] = null
     var scanDcId: Array[Int] = null
     var scanAcId: Array[Int] = null
@@ -412,10 +491,15 @@ object Jpeg {
           val nComp = u8(pos + 7)
           require(nComp == 1 || nComp == 3, s"unsupported component count $nComp")
           compIds = new Array[Int](nComp)
+          compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp)
           compTq = new Array[Int](nComp)
           for (c <- 0 until nComp) {
             compIds(c) = u8(pos + 8 + 3 * c)
-            require(u8(pos + 9 + 3 * c) == 0x11, "subsampling must be 1x1 (4:4:4)")
+            val hv = u8(pos + 9 + 3 * c)
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 4 && compV(c) >= 1 && compV(c) <= 4,
+              f"sampling factors must be 1..4, got $hv%02x")
             compTq(c) = u8(pos + 10 + 3 * c)
           }
           pos += len
@@ -474,11 +558,18 @@ object Jpeg {
       throw new IllegalArgumentException("missing AC DHT")))
 
     val br = new BitReader(bytes, pos)
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](width * height))
+    val hMax = compH.max
+    val vMax = compV.max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component MCU-padded planes at the component's OWN resolution
+    // (T.81 A.1.1); 1×1 chroma under a 2×2 luma is half-res — 4:2:0
+    val subW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val subH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val sub = Array.tabulate(nComp)(c => new Array[Int](subW(c) * subH(c)))
     val prevDc = new Array[Int](nComp)
-    for (by <- 0 until blocksY; bx <- 0 until blocksX; c <- 0 until nComp) {
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp;
+         bv <- 0 until compV(c); bh <- 0 until compH(c)) {
       val zz = new Array[Int](64)
       val dcCat = dcTabs(c).decode(br)
       prevDc(c) += extend(br.receive(dcCat), dcCat)
@@ -500,19 +591,34 @@ object Jpeg {
       var i = 0
       while (i < 64) { coef(Zigzag(i)) = zz(i).toDouble * quants(c)(i); i += 1 }
       val px = idct(coef)
+      val ox = (mx * compH(c) + bh) * 8; val oy = (my * compV(c) + bv) * 8
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
-          val ix = bx * 8 + x; val iy = by * 8 + y
-          if (ix < width && iy < height) {
-            val v = math.round(px(y * 8 + x) + 128.0).toInt
-            planes(c)(iy * width + ix) = math.max(0, math.min(255, v))
-          }
+          val v = math.round(px(y * 8 + x) + 128.0).toInt
+          sub(c)((oy + y) * subW(c) + (ox + x)) = math.max(0, math.min(255, v))
           x += 1
         }
         y += 1
       }
+    }
+    // crop + upsample every component to full resolution by replication
+    // (nearest-neighbor — the inverse of encodeColor420's box average on
+    // cell-uniform content); full-res components just crop the MCU pad
+    val planes = Array.tabulate(nComp) { c =>
+      val p = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        val sy = y * compV(c) / vMax
+        var x = 0
+        while (x < width) {
+          p(y * width + x) = sub(c)(sy * subW(c) + x * compH(c) / hMax)
+          x += 1
+        }
+        y += 1
+      }
+      p
     }
     Decoded(width, height, planes.toSeq)
   }
@@ -525,7 +631,8 @@ object Jpeg {
   }
 
   /** Decode a baseline 1- or 3-component JPEG to packed 0xRRGGBB pixels
-    * (gray replicated across channels; YCbCr 4:4:4 converted per JFIF). */
+    * (gray replicated across channels; YCbCr converted per JFIF after
+    * upsampling any subsampled component to full resolution). */
   def decodeRgb(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
     val d = decodePlanes(bytes)
     val out = new Array[Int](d.width * d.height)

@@ -280,6 +280,67 @@ class DeepARSpec extends SparkSpec {
     assert(Seq(f._2(11), f._2(10), f._2(9)).map(_.toInt) === nzExpected)
   }
 
+  test("multimodal: color JPEG 4:2:0 — cell-uniform within budget, MCU-uniform b/w exact") {
+    implicit val s = spark
+    // image uniform per 2x2 cell: the box average loses nothing, so the
+    // round trip stays within the same transform budget as 4:4:4
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h) { i =>
+      val cell = (i / w / 2) * 8 + (i % w / 2)
+      (((cell * 37) % 256) << 16) | (((cell * 91 + 17) % 256) << 8) | ((cell * 53 + 101) % 256)
+    }
+    val jpg = graft.ops.Jpeg.encodeColor420(rgb, w)
+    val (dw, dh, out) = graft.ops.Jpeg.decodeRgb(jpg)
+    assert(dw === w && dh === h)
+    def chans(p: Int) = Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    val maxErr = (0 until w * h)
+      .flatMap(i => chans(rgb(i)).zip(chans(out(i))).map(t => math.abs(t._1 - t._2))).max
+    assert(maxErr <= 5, s"max channel error $maxErr exceeds transform budget")
+
+    // black/white MCUs have integer YCbCr (Y 0/255, Cb=Cr=128), uniform
+    // blocks in BOTH tiers after the box average — bit-exact round trip
+    val w2 = 32; val h2 = 16
+    val bw2 = Array.tabulate(w2 * h2)(i =>
+      if ((i % w2) / 16 == 0) 0xffffff else 0x000000)
+    val (_, _, outBw) = graft.ops.Jpeg.decodeRgb(graft.ops.Jpeg.encodeColor420(bw2, w2))
+    assert(outBw.toSeq === bw2.toSeq, "MCU-uniform black/white must be bit-exact in 4:2:0")
+
+    // non-MCU-aligned dims: edge cells average only covered pixels; the
+    // replication upsample restores them — cell-uniform content stays exact
+    val w3 = 18; val h3 = 10
+    val oddRgb = Array.tabulate(w3 * h3)(i =>
+      if (((i / w3 / 2) + (i % w3 / 2)) % 2 == 0) 0xffffff else 0x000000)
+    val (dw3, dh3, out3) = graft.ops.Jpeg.decodeRgb(graft.ops.Jpeg.encodeColor420(oddRgb, w3))
+    assert(dw3 === w3 && dh3 === h3)
+    assert(out3.toSeq === oddRgb.toSeq, "cell-uniform b/w at odd dims must be exact")
+  }
+
+  test("multimodal: 4:2:0 primary-color MCUs give exact channel counts (m4b contract)") {
+    implicit val s = spark
+    // palette per 16x16 MCU: white, red, blue, black — the m4b oracle reads
+    // n_white/n_red/n_blue off the decoder's nz channel counts, which must
+    // be EXACT because primary colors decode with >100 margin to the 127
+    // threshold (white/black are bit-exact; red/blue within +-3)
+    val mcusX = 2; val mcusY = 2
+    val w = mcusX * 16; val h = mcusY * 16
+    val palette = Array(0xffffff, 0xff0000, 0x0000ff, 0x000000)
+    val rgb = Array.tabulate(w * h) { i =>
+      val m = (i / w / 16) * mcusX + (i % w / 16)
+      palette(m % 4)
+    }
+    val jpg = graft.ops.Jpeg.encodeColor420(rgb, w)
+    val media = Multimodal.asMediaFrame(
+      Seq((71L, jpg)).toDF("id", "data"), "id", "data", "image", "jpeg")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("feature_dim", "features").as[(Int, Array[Float])].head()
+    assert(f._1 === 12)
+    assert(f._2(0) === w.toFloat && f._2(1) === h.toFloat)
+    // one MCU of each color: nzR = white+red, nzG = white, nzB = white+blue
+    assert(f._2(11) === 512f, s"nzR ${f._2(11)}")
+    assert(f._2(10) === 256f, s"nzG ${f._2(10)}")
+    assert(f._2(9) === 512f, s"nzB ${f._2(9)}")
+  }
+
   test("multimodal: corrupted JPEG payloads yield empty features") {
     implicit val s = spark
     val jpg = graft.ops.Jpeg.encodeGrayBlocks(Array(255, 0, 128), widthBlocks = 2)
