@@ -308,7 +308,7 @@ object Multimodal {
       require(bytes.length >= 45, "truncated PNG")
       require(b.getLong(0) == 0x89504e470d0a1a0aL, "not a PNG")
       var off = 8
-      var width = 0; var height = 0; var colorType = -1
+      var width = 0; var height = 0; var colorType = -1; var interlace = 0
       val idat = new java.io.ByteArrayOutputStream()
       var seenEnd = false
       val crc = new java.util.zip.CRC32()
@@ -328,8 +328,10 @@ object Multimodal {
             require(bytes(off + 16) == 8, "unsupported bit depth")
             colorType = bytes(off + 17) & 0xff
             require(colorType == 2 || colorType == 6, s"unsupported color type $colorType")
-            require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
-              "unsupported compression/filter/interlace")
+            require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+              "unsupported compression/filter method")
+            interlace = bytes(off + 20) & 0xff
+            require(interlace == 0 || interlace == 1, s"unknown interlace method $interlace")
           case 0x49444154 => idat.write(bytes, off + 8, len) // IDAT
           case 0x49454e44 => seenEnd = true                  // IEND
           case _ => // ancillary chunk (tEXt, pHYs, ...) — skip
@@ -339,8 +341,22 @@ object Multimodal {
       require(seenEnd && width > 0 && height > 0 && colorType >= 0, "missing IHDR/IEND")
       val bpp = if (colorType == 6) 4 else 3
       val stride = width * bpp
+      // Adam7 pass grid (x0, y0, dx, dy): pass p covers pixels
+      // (x0 + i·dx, y0 + j·dy); non-interlaced is the single pass (0,0,1,1)
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1))
+        else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      // per-pass sub-image dims; an EMPTY pass contributes no scanlines
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        (math.max(0, (width - x0 + dx - 1) / dx),
+          math.max(0, (height - y0 + dy - 1) / dy))
+      }
+      val rawLen = passDims.map { case (pw, ph) =>
+        if (pw == 0 || ph == 0) 0L else (1L + pw.toLong * bpp) * ph }.sum
+      require(rawLen <= Int.MaxValue, "filtered stream too large")
       // inflate the concatenated IDAT zlib stream into filtered scanlines
-      val raw = new Array[Byte]((1 + stride) * height)
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
       inf.setInput(idat.toByteArray)
       var got = 0
@@ -351,35 +367,55 @@ object Multimodal {
       }
       inf.end()
       require(got == raw.length, s"inflated $got of ${raw.length} filtered bytes")
-      // undo per-scanline filters (each row declares its own filter byte;
-      // reconstruction reads the already-recon'd previous row/pixel)
+      // undo per-scanline filters pass by pass (each row declares its own
+      // filter byte; reconstruction reads the already-recon'd previous
+      // row/pixel OF THE SAME PASS), then scatter pass pixels into place —
+      // for the single non-interlaced pass the scatter is a straight copy
       val recon = new Array[Byte](stride * height)
-      var y = 0
-      while (y < height) {
-        val f = raw(y * (1 + stride)) & 0xff
-        val src = y * (1 + stride) + 1
-        val dst = y * stride
-        var i = 0
-        while (i < stride) {
-          val x = raw(src + i) & 0xff
-          val a = if (i >= bpp) recon(dst + i - bpp) & 0xff else 0
-          val up = if (y > 0) recon(dst - stride + i) & 0xff else 0
-          val c = if (y > 0 && i >= bpp) recon(dst - stride + i - bpp) & 0xff else 0
-          val v = f match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + up
-            case 3 => x + ((a + up) >> 1)
-            case 4 =>
-              val p = a + up - c
-              val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-            case other => throw new IllegalArgumentException(s"unknown filter $other")
+      var rawOff = 0
+      passes.zip(passDims).foreach { case ((x0, y0, dx, dy), (pw, ph)) =>
+        if (pw > 0 && ph > 0) {
+          val pStride = pw * bpp
+          val pRecon = new Array[Byte](pStride * ph)
+          var y = 0
+          while (y < ph) {
+            val f = raw(rawOff + y * (1 + pStride)) & 0xff
+            val src = rawOff + y * (1 + pStride) + 1
+            val dst = y * pStride
+            var i = 0
+            while (i < pStride) {
+              val x = raw(src + i) & 0xff
+              val a = if (i >= bpp) pRecon(dst + i - bpp) & 0xff else 0
+              val up = if (y > 0) pRecon(dst - pStride + i) & 0xff else 0
+              val c = if (y > 0 && i >= bpp) pRecon(dst - pStride + i - bpp) & 0xff else 0
+              val v = f match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + up
+                case 3 => x + ((a + up) >> 1)
+                case 4 =>
+                  val p = a + up - c
+                  val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                  x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+                case other => throw new IllegalArgumentException(s"unknown filter $other")
+              }
+              pRecon(dst + i) = (v & 0xff).toByte
+              i += 1
+            }
+            y += 1
           }
-          recon(dst + i) = (v & 0xff).toByte
-          i += 1
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              System.arraycopy(pRecon, (j * pw + i) * bpp,
+                recon, ((y0 + j * dy) * width + (x0 + i * dx)) * bpp, bpp)
+              i += 1
+            }
+            j += 1
+          }
+          rawOff += (1 + pStride) * ph
         }
-        y += 1
       }
       // same stats and feature ORDER as decodeBmp (PNG stores RGB(A); BMP
       // stores BGR) so image features are container-independent
@@ -387,7 +423,7 @@ object Multimodal {
       var nzB, nzG, nzR = 0L
       val quadrant = new Array[Double](4)
       val quadrantN = new Array[Long](4)
-      y = 0
+      var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
@@ -498,9 +534,54 @@ object Multimodal {
       }
       y += 1
     }
-    // filter each row (filter byte + filtered bytes)
+    assemblePng(width, height, interlace = 0, filterScanlines(recon, width, height))
+  }
+
+  /** Encode packed 0xRRGGBB pixels as an **Adam7-interlaced** 8-bit
+    * truecolor PNG — the interlaced twin of [[encodePng]], exercising the
+    * decoder's per-pass reconstruction (filters reference the previous
+    * scanline of the same pass, empty passes emit nothing). Pixel content
+    * is identical to the non-interlaced encode, so features must match
+    * exactly. */
+  def encodePngAdam7(pixels: Array[Int], width: Int): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val height = math.max(1, (pixels.length + width - 1) / width)
+    val raw = new java.io.ByteArrayOutputStream()
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (width - x0 + dx - 1) / dx)
+      val ph = math.max(0, (height - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val pRecon = new Array[Byte](pw * ph * 3)
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val src = (y0 + j * dy) * width + (x0 + i * dx)
+            val px = if (src < pixels.length) pixels(src) else 0
+            val o = (j * pw + i) * 3
+            pRecon(o) = ((px >> 16) & 0xff).toByte
+            pRecon(o + 1) = ((px >> 8) & 0xff).toByte
+            pRecon(o + 2) = (px & 0xff).toByte
+            i += 1
+          }
+          j += 1
+        }
+        val filtered = filterScanlines(pRecon, pw, ph)
+        raw.write(filtered, 0, filtered.length)
+      }
+    }
+    assemblePng(width, height, interlace = 1, raw.toByteArray)
+  }
+
+  /** Filter RGB scanlines for PNG storage (filter byte + filtered bytes per
+    * row). The filter type ROTATES per row (None/Sub/Up/Average/Paeth,
+    * `y % 5`) so a round-trip exercises every filter's reconstruction. */
+  private def filterScanlines(recon: Array[Byte], widthPx: Int, height: Int): Array[Byte] = {
+    val stride = widthPx * 3
     val raw = new Array[Byte]((1 + stride) * height)
-    y = 0
+    var y = 0
     while (y < height) {
       val f = y % 5
       raw(y * (1 + stride)) = f.toByte
@@ -525,7 +606,13 @@ object Multimodal {
       }
       y += 1
     }
-    // zlib-deflate the scanlines, then assemble signature + chunks
+    raw
+  }
+
+  /** zlib-deflate filtered scanlines and assemble signature + chunks. */
+  private def assemblePng(width: Int, height: Int, interlace: Int,
+                          raw: Array[Byte]): Array[Byte] = {
+    import java.nio.ByteBuffer
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zOut = new java.io.ByteArrayOutputStream()
@@ -546,7 +633,7 @@ object Multimodal {
     ihdr.putInt(width).putInt(height)
       .put(8.toByte)  // bit depth
       .put(2.toByte)  // color type: truecolor RGB
-      .put(0.toByte).put(0.toByte).put(0.toByte) // compression, filter, interlace
+      .put(0.toByte).put(0.toByte).put(interlace.toByte) // compression, filter, interlace
     chunk("IHDR", ihdr.array())
     chunk("IDAT", zOut.toByteArray)
     chunk("IEND", Array.emptyByteArray)

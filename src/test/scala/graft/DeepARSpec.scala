@@ -208,6 +208,31 @@ class DeepARSpec extends SparkSpec {
     assert(f(21L)._2(0) === 3f && f(21L)._2(1) === 6f)
   }
 
+  test("multimodal: Adam7-interlaced PNG decodes identically to non-interlaced") {
+    implicit val s = spark
+    // dims chosen so passes are non-trivial: 13x11 covers all 7 passes with
+    // different sub-image sizes AND partial pass rows; 3x2 leaves passes
+    // 1-only/sparse (passes 2,4 empty at width 3? no — pass 2 starts at
+    // x=4 > 2, so it IS empty: the empty-pass path is exercised); 1x1 is
+    // the degenerate single-pixel image (only pass 1 non-empty)
+    for ((w, n) <- Seq((13, 13 * 11), (3, 6), (1, 1), (8, 8 * 8), (17, 17 * 5))) {
+      val pixels = Array.tabulate(n)(i => ((i * 37 + 11) % 256 << 16) |
+        ((i * 101 + 7) % 256 << 8) | ((i * 53 + 3) % 256))
+      val plain = Multimodal.encodePng(pixels, w)
+      val adam7 = Multimodal.encodePngAdam7(pixels, w)
+      val media = Multimodal.asMediaFrame(
+        Seq((31L, plain)).toDF("id", "data"), "id", "data", "image", "png")
+        .union(Multimodal.asMediaFrame(
+          Seq((32L, adam7)).toDF("id", "data"), "id", "data", "image", "png"))
+      val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+        .select("content_id", "feature_dim", "features")
+        .as[(Long, Int, Array[Float])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(f(32L)._1 === 12, s"interlaced decode failed at ${w}x${n / w}")
+      assert(f(32L)._2.toSeq === f(31L)._2.toSeq,
+        s"interlaced features diverge from non-interlaced at width $w")
+    }
+  }
+
   test("multimodal: uniform-block JPEG round-trips EXACTLY through BuiltinDecoder") {
     implicit val s = spark
     // 7 values at width 5 blocks → 40×16 px, 3 black pad blocks; uniform
