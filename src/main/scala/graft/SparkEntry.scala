@@ -782,6 +782,25 @@ object SparkEntry {
           .as("qvec"))
     }),
 
+    // S7 — product-quantized ANN (the compression half of IVF-PQ): encode
+    // every corpus vector as 4 codes against per-subspace codebooks (seeds =
+    // a 4·stride id slice, (8,16] codewords — the adaptive-nlist pattern),
+    // then answer the s1 query set by Asymmetric Distance Computation over
+    // the codes alone. The corpus vectors are read once (encode) and never
+    // touched at query time — the property that makes a billion-vector
+    // index fit in memory at 100 TB. Stage-exact oracle mirrors encode
+    // argmin, decimal ADC sums, and tie-breaks.
+    "s7_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val seeds = e.filter(col("vec_id") % (4 * Adaptive.centroidStride(e.count())) === 0)
+      val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding", m = 4, subDim = 16)
+      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", m = 4, subDim = 16)
+      SimilarityOps.pqTopK(codes, cb, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, m = 4, subDim = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // P7 — NaN encoding for model input (utils.py:124-125).
     "p7_nan_encode" -> ((s, dir) =>
       ev(s, dir).select(col("event_id"),
@@ -1514,6 +1533,48 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** Stage-exact oracle for PQ/ADC (s7): mirrors the seed slice, the
+    * per-subspace argmin (via argmax of ip − ‖c‖²/2 — inner products only,
+    * so DuckDB's list_inner_product is the single float primitive), the
+    * DECIMAL-exact ADC sums, and the (sim DESC, id ASC) tie-breaks. */
+  private def pqOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve FROM v WHERE list_inner_product(ve, ve) > 0),
+       |cb AS (
+       |  SELECT vec_id AS code_id, s.sub,
+       |         list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16) AS cw,
+       |         list_inner_product(list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16),
+       |                            list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16)) AS cwip
+       |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(sub)
+       |  WHERE vec_id % (4 * (SELECT stride FROM params)) = 0),
+       |enc AS (SELECT vec_id, sub, code_id FROM (
+       |  SELECT a.vec_id, c.sub, c.code_id, row_number() OVER (
+       |    PARTITION BY a.vec_id, c.sub
+       |    ORDER BY list_inner_product(list_slice(a.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |                                c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
+       |  FROM n a CROSS JOIN cb c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, ve, sqrt(list_inner_product(ve, ve)) AS qnrm
+       |      FROM n WHERE vec_id < 5),
+       |qd AS (SELECT q.qid, c.sub, c.code_id,
+       |         list_inner_product(list_slice(q.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |                            c.cw) AS ipq,
+       |         c.cwip
+       |       FROM q CROSS JOIN cb c),
+       |sc AS (SELECT d.qid AS query_id, e.vec_id AS neighbor_id,
+       |         CAST(SUM(CAST(d.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
+       |         CAST(SUM(CAST(d.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
+       |       FROM enc e JOIN qd d ON d.sub = e.sub AND d.code_id = e.code_id
+       |       WHERE e.vec_id <> d.qid
+       |       GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         s.aip / (q.qnrm * sqrt(s.an2)) AS sim,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+       |  FROM sc s JOIN q ON q.qid = s.query_id
+       |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -1817,6 +1878,7 @@ object SparkEntry {
 
     "s2_ann_ivf" -> ivfOracle,
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
+    "s7_pq_ann" -> pqOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

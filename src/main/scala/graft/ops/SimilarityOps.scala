@@ -299,4 +299,112 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---- product quantization (the compression half of IVF-PQ) -------------
+  //
+  // At 100 TB, full float32 vectors dominate the ANN working set: 100k-dim
+  // corpora aside, even 64-dim float32 is 256 B/row — PQ replaces that with
+  // `m` small codes (here 4), a 10-60× compression that is what lets a
+  // billion-vector index fit in cluster memory. The classic decomposition:
+  // split each vector into `m` subvectors, quantize each against a per-
+  // subspace codebook, and answer queries with Asymmetric Distance
+  // Computation — the query stays exact, each corpus vector is represented
+  // by its codewords, and per-corpus-row scoring is `m` table lookups
+  // instead of a d-dim dot product.
+  //
+  // Spark-first shape, mirrored by a stage-exact DuckDB oracle (SparkEntry
+  // `s7_pq_ann`):
+  //   - the codebook is a tiny relation (m·k rows), always broadcast;
+  //   - codes live LONG-FORM (id, sub, code_id) — one narrow row per
+  //     (vector, subspace), never a rebuilt array, so encode's argmin is the
+  //     same narrow-exchange aggregation as the IVF assign;
+  //   - ADC is a broadcast join of the codes against the per-query lookup
+  //     table (q × m·k rows) followed by a decimal-exact partial-aggregated
+  //     sum — the only shuffle carries one narrow row per (query, vector).
+  //
+  // Determinism contract: argmin ties break toward the smallest code id;
+  // the ADC sum routes through an exact DECIMAL accumulator (order-free at
+  // any parallelism); subvector scores use the established left-fold dot.
+  // The L2 argmin is expressed through inner products only —
+  // argmin_j ||a−c_j||² = argmax_j (a·c_j − ||c_j||²/2) — so the oracle
+  // reuses DuckDB's list_inner_product, the one float primitive already
+  // proven bit-identical to [[dot]].
+
+  /** One row per (codebook entry, subspace): (code_id, sub, cw, cwip) where
+    * `cw` is the seed's sub-th subvector and `cwip` its self inner product.
+    * `seeds` must be broadcast-small (k vectors, e.g. a deterministic id
+    * stride of the corpus); zero-norm seeds are dropped like every other
+    * scoring entry point. */
+  def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
+                 m: Int, subDim: Int): DataFrame = {
+    val s = seeds.select(col(idCol).as("code_id"),
+      col(vecCol).cast("array<double>").as("cv")).filter(nonZero(col("cv")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("cv"), i * subDim + 1, subDim).as("cw")))
+    s.select(col("code_id"), explode(array(subs: _*)).as("s"))
+      .select(col("code_id"), col("s.sub").as("sub"), col("s.cw").as("cw"),
+        dot(col("s.cw"), col("s.cw")).as("cwip"))
+  }
+
+  /** Encode the corpus: (idCol, sub, code_id), the nearest codeword of each
+    * subvector under L2 — m narrow rows per vector. Same aggregation-argmax
+    * shape as [[assignToCentroids]]: the broadcast join emits each
+    * subvector's k scored rows consecutively, the partial agg combines
+    * map-side, and the exchange carries one 3-int row per (vector, sub). */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+               idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
+    c.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col(idCol), col("sub"), col("code_id"),
+        struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
+          (-col("code_id")).as("nid")).as("__s"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("code_id"), col("__s")).as("code_id"))
+  }
+
+  /** ADC top-k over PQ codes: approximate cosine between each query and
+    * every encoded corpus vector, using only the codes and the codebook —
+    * the corpus vectors themselves are never touched.
+    *
+    *   approx_ip(q, a)  = Σ_m  q_sub[m] · cw[m][code_a[m]]
+    *   approx_norm(a)   = sqrt(Σ_m ||cw[m][code_a[m]]||²)
+    *   sim              = approx_ip / (||q|| · approx_norm)
+    *
+    * Both sums route through [[Exact.sumD]] so the reduction is
+    * order-independent. Vectors whose reconstruction is all-zero codewords
+    * are dropped (their approximate norm is 0 — the cosine is undefined,
+    * exactly the [[nonZero]] rule applied to the reconstruction).
+    *
+    * @return (query_id, rank, neighbor_id, sim) — ties broken by neighbor id.
+    */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("qv"), i * subDim + 1, subDim).as("qsv")))
+    val qdist = q.select(col("query_id"), explode(array(subs: _*)).as("s"))
+      .select(col("query_id"), col("s.sub").as("sub"), col("s.qsv").as("qsv"))
+      .join(codebook, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code_id"),
+        dot(col("qsv"), col("cw")).as("ipq"), col("cwip"))
+    val qnorm = q.select(col("query_id"), norm(col("qv")).as("qnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    codes.select(col(idCol).as("neighbor_id"), col("sub"), col("code_id"))
+      .join(broadcast(qdist), Seq("sub", "code_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(Exact.sumD(col("ipq"), 10).as("aip"), Exact.sumD(col("cwip"), 10).as("an2"))
+      .filter(col("an2") > 0)
+      .join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("aip") / (col("qnrm") * sqrt(col("an2")))).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

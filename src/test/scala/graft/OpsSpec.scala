@@ -237,6 +237,45 @@ class OpsSpec extends SparkSpec {
     assert(out === Set(1L), "zero vector must be filtered, not ranked #1 via NaN")
   }
 
+  test("PQ: full-span codebook reconstructs exactly — pqTopK == bruteForceTopK") {
+    // When every corpus vector is a codebook seed, each subvector's nearest
+    // codeword is ITSELF (argmax of ip − ‖c‖²/2 = −‖a−c‖²/2 peaks at c = a),
+    // so ADC degenerates to the exact cosine and the ranking must match
+    // brute force row for row (sims differ only by the decimal-sum rounding
+    // of the 4 partial dots vs one 8-dim fold).
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebook(vecs, "vec_id", "embedding", m = 4, subDim = 2)
+    val codes = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+    val queries = vecs.filter($"vec_id" < 3)
+    val pq = SimilarityOps.pqTopK(codes, cb, queries, "vec_id", "embedding", 5, m = 4, subDim = 2)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(pq.map(r => (r._1, r._2, r._3)).toSeq === bf.map(r => (r._1, r._2, r._3)).toSeq)
+    pq.zip(bf).foreach { case (p, b) =>
+      assert(math.abs(p._4 - b._4) < 1e-9, s"sim drift at ${p._1}/${p._2}") }
+  }
+
+  test("PQ: every vector gets exactly m in-dictionary codes; encode is deterministic") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val seeds = vecs.filter($"vec_id" % 5 === 0)
+    val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding", m = 4, subDim = 2)
+    val codes = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+      .select("vec_id", "sub", "code_id").as[(Long, Int, Long)].collect()
+    assert(codes.length === 40 * 4, "one code per (vector, subspace)")
+    assert(codes.map(c => (c._1, c._2)).distinct.length === 40 * 4)
+    assert(codes.forall(_._3 % 5 == 0), "codes must come from the seed dictionary")
+    val again = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+      .select("vec_id", "sub", "code_id").as[(Long, Int, Long)].collect()
+    assert(codes.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
