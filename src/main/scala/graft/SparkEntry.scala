@@ -801,6 +801,28 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S7b — IVF-PQ, the composed production design: IVF cell pruning picks
+    // WHICH codes to read (~nprobe/nlist of the table — the codes are
+    // encoded WITH their cell so a stored table is partition-pruned), PQ/ADC
+    // makes each read row m ints instead of a float vector. Candidates =
+    // vectors whose cell is probed; scoring identical to s7 within them.
+    "s7b_pq_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val stride = Adaptive.centroidStride(e.count())
+      val centroids = e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      val cb = SimilarityOps.pqCodebook(e.filter(col("vec_id") % (4 * stride) === 0),
+        "vec_id", "embedding", m = 4, subDim = 16)
+      val codes = SimilarityOps.pqEncode(assigned, cb, "vec_id", "embedding",
+        m = 4, subDim = 16, carry = Seq("centroid_id"))
+      val probes = SimilarityOps.probeCells(e.filter(col("vec_id") < 5), centroids,
+        "vec_id", "embedding", nprobe = 2)
+      SimilarityOps.pqTopKProbed(codes, cb, probes, "vec_id", k = 5, m = 4, subDim = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // P7 — NaN encoding for model input (utils.py:124-125).
     "p7_nan_encode" -> ((s, dir) =>
       ev(s, dir).select(col("event_id"),
@@ -1575,6 +1597,62 @@ object SparkEntry {
        |  FROM sc s JOIN q ON q.qid = s.query_id
        |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
 
+  /** Stage-exact oracle for IVF-PQ (s7b): the flat-IVF assign/probe stages
+    * (cosine argmax, tie-break smallest centroid id) restrict the ADC
+    * candidate set to the probed cells; the PQ stages are identical to
+    * [[pqOracle]]. A vector appears through exactly one cell (assign is
+    * argmax-unique), so the candidate join cannot double-count. */
+  private def pqIvfOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+       |         WHERE vec_id % (SELECT stride FROM params) = 0),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT qid, cid FROM (
+       |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+       |cb AS (
+       |  SELECT vec_id AS code_id, s.sub,
+       |         list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16) AS cw,
+       |         list_inner_product(list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16),
+       |                            list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16)) AS cwip
+       |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(sub)
+       |  WHERE vec_id % (4 * (SELECT stride FROM params)) = 0),
+       |enc AS (SELECT vec_id, sub, code_id FROM (
+       |  SELECT a.vec_id, c.sub, c.code_id, row_number() OVER (
+       |    PARTITION BY a.vec_id, c.sub
+       |    ORDER BY list_inner_product(list_slice(a.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |                                c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
+       |  FROM n a CROSS JOIN cb c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, ve, nrm AS qnrm FROM n WHERE vec_id < 5),
+       |qd AS (SELECT q.qid, c.sub, c.code_id,
+       |         list_inner_product(list_slice(q.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |                            c.cw) AS ipq,
+       |         c.cwip
+       |       FROM q CROSS JOIN cb c),
+       |sc AS (SELECT d.qid AS query_id, e.vec_id AS neighbor_id,
+       |         CAST(SUM(CAST(d.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
+       |         CAST(SUM(CAST(d.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
+       |       FROM enc e
+       |       JOIN assign s ON s.vec_id = e.vec_id
+       |       JOIN probes p ON p.cid = s.cid
+       |       JOIN qd d ON d.qid = p.qid AND d.sub = e.sub AND d.code_id = e.code_id
+       |       WHERE e.vec_id <> p.qid
+       |       GROUP BY 1, 2)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         s.aip / (q.qnrm * sqrt(s.an2)) AS sim,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |           ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+       |  FROM sc s JOIN q ON q.qid = s.query_id
+       |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -1879,6 +1957,7 @@ object SparkEntry {
     "s2_ann_ivf" -> ivfOracle,
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
     "s7_pq_ann" -> pqOracle,
+    "s7b_pq_ivf" -> pqIvfOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

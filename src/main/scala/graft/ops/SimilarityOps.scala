@@ -352,18 +352,23 @@ object SimilarityOps {
     * subvector's k scored rows consecutively, the partial agg combines
     * map-side, and the exchange carries one 3-int row per (vector, sub). */
   def pqEncode(corpus: DataFrame, codebook: DataFrame,
-               idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame = {
-    val c = corpus.select(col(idCol),
-      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+               idCol: String, vecCol: String, m: Int, subDim: Int,
+               carry: Seq[String] = Nil): DataFrame = {
+    val keep = (idCol +: carry).map(col)
+    val c = corpus.select(keep :+
+      col(vecCol).cast("array<double>").as("__v"): _*).filter(nonZero(col("__v")))
     val subs = (0 until m).map(i =>
       struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
-    c.select(col(idCol), explode(array(subs: _*)).as("s"))
-      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    c.select(keep :+ explode(array(subs: _*)).as("s"): _*)
+      .select(keep ++ Seq(col("s.sub").as("sub"), col("s.sv").as("sv")): _*)
       .join(broadcast(codebook), Seq("sub"))
-      .select(col(idCol), col("sub"), col("code_id"),
+      .select(keep ++ Seq(col("sub"), col("code_id"),
         struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
-          (-col("code_id")).as("nid")).as("__s"))
-      .groupBy(col(idCol), col("sub"))
+          (-col("code_id")).as("nid")).as("__s")): _*)
+      // `carry` columns are functionally dependent on idCol (e.g. the
+      // vector's IVF cell) — adding them to the keys is free and keeps the
+      // exchange narrow without a post-hoc join back to the assignment
+      .groupBy(keep :+ col("sub"): _*)
       .agg(max_by(col("code_id"), col("__s")).as("code_id"))
   }
 
@@ -386,18 +391,50 @@ object SimilarityOps {
              idCol: String, vecCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    adcTopK(codes.select(col(idCol).as("neighbor_id"), col("sub"), col("code_id"))
+        .join(broadcast(pqQueryTable(q, codebook, m, subDim)), Seq("sub", "code_id")),
+      q, k)
+  }
+
+  /** IVF-PQ: ADC restricted to the probed cells. `codes` must carry the
+    * vector's `centroid_id` (pqEncode with carry — at 100 TB the codes table
+    * is WRITTEN partitioned by cell, so the probe join IS partition
+    * pruning); `probes` comes from [[probeCells]]/[[probeCellsTiered]] and
+    * supplies both the cell fan-out and the query vectors. Composes the two
+    * scale halves of the ANN story: IVF reads ~nprobe/nlist of the codes,
+    * PQ makes each read row m ints instead of a float vector. */
+  def pqTopKProbed(codes: DataFrame, codebook: DataFrame, probes: DataFrame,
+                   idCol: String, k: Int, m: Int, subDim: Int): DataFrame = {
+    val q = probes.select(col("query_id"), col("qv")).distinct()
+    adcTopK(codes.select(col(idCol).as("neighbor_id"), col("centroid_id"),
+          col("sub"), col("code_id"))
+        .join(broadcast(probes.select(col("query_id"), col("centroid_id"))),
+          Seq("centroid_id"))
+        .join(broadcast(pqQueryTable(q, codebook, m, subDim)),
+          Seq("query_id", "sub", "code_id")),
+      q, k)
+  }
+
+  /** Per-query ADC lookup table: (query_id, sub, code_id, ipq, cwip) —
+    * q × m·k rows, always broadcast. */
+  private def pqQueryTable(q: DataFrame, codebook: DataFrame,
+                           m: Int, subDim: Int): DataFrame = {
     val subs = (0 until m).map(i =>
       struct(lit(i).as("sub"), slice(col("qv"), i * subDim + 1, subDim).as("qsv")))
-    val qdist = q.select(col("query_id"), explode(array(subs: _*)).as("s"))
+    q.select(col("query_id"), explode(array(subs: _*)).as("s"))
       .select(col("query_id"), col("s.sub").as("sub"), col("s.qsv").as("qsv"))
       .join(codebook, Seq("sub"))
       .select(col("query_id"), col("sub"), col("code_id"),
         dot(col("qsv"), col("cw")).as("ipq"), col("cwip"))
+  }
+
+  /** The ADC reduction + top-k tail shared by the flat and probed forms:
+    * decimal-exact sums (order-free), zero-reconstruction drop, per-query
+    * windowed top-k. `pairs` rows: (query_id, neighbor_id, ipq, cwip). */
+  private def adcTopK(pairs: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val qnorm = q.select(col("query_id"), norm(col("qv")).as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    codes.select(col(idCol).as("neighbor_id"), col("sub"), col("code_id"))
-      .join(broadcast(qdist), Seq("sub", "code_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    pairs.filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(Exact.sumD(col("ipq"), 10).as("aip"), Exact.sumD(col("cwip"), 10).as("an2"))
       .filter(col("an2") > 0)

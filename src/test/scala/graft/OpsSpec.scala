@@ -276,6 +276,31 @@ class OpsSpec extends SparkSpec {
     assert(codes.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("PQ: IVF-PQ with every cell probed equals the flat ADC exactly") {
+    // With nprobe = nlist the probed candidate set is every assigned vector,
+    // so cell pruning changes nothing and the composed path must reproduce
+    // pqTopK bit for bit (same decimal sums, same tie-breaks).
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" % 6 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val assigned = SimilarityOps.assignToCentroids(vecs, centroids, "vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebook(vecs.filter($"vec_id" % 5 === 0),
+      "vec_id", "embedding", m = 4, subDim = 2)
+    val codes = SimilarityOps.pqEncode(assigned, cb, "vec_id", "embedding",
+      m = 4, subDim = 2, carry = Seq("centroid_id"))
+    val queries = vecs.filter($"vec_id" < 3)
+    val probes = SimilarityOps.probeCells(queries, centroids, "vec_id", "embedding", nprobe = 5)
+    val probed = SimilarityOps.pqTopKProbed(codes, cb, probes, "vec_id", 5, m = 4, subDim = 2)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val flat = SimilarityOps.pqTopK(codes, cb, queries, "vec_id", "embedding", 5, m = 4, subDim = 2)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(probed === flat)
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
