@@ -31,7 +31,7 @@ object Bench {
     // e2e_stream_agg.
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
       "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign",
-      "e2e_neardup")
+      "e2e_neardup", "s7d_pq_index_search")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -90,7 +90,7 @@ object Bench {
     // "metric":"total" — was cut, leaving BENCH_r07 parsed:null. Contract fix:
     // verbose diagnostics go on their OWN line first; the driver-parsed
     // summary line is compact (3-decimal medians) and printed LAST so any
-    // tail capture always contains it whole. The maintenance map (7 keys)
+    // tail capture always contains it whole. The maintenance map (8 keys)
     // rides the summary line so it lands in the parsed artifact.
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }

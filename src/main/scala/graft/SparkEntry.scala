@@ -824,6 +824,30 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S7d — the PERSISTED IVF-PQ index: codes encoded at append time in the
+    // same single aggregation that writes the row (no join-back), search
+    // served from the stored codes alone — partition-pruned to the probed
+    // cells AND column-pruned past the vector column. Same oracle as s7b:
+    // storage, compaction, and the array round trip must not change a
+    // neighbor (the s4 contract, applied to the compressed index).
+    "s7d_pq_index_search" -> ((s, dir) => {
+      val work = scratch("s7d")
+      val e = emb(s, dir)
+      val stride = Adaptive.centroidStride(e.count())
+      val centroids = e.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val cb = SimilarityOps.pqCodebook(e.filter(col("vec_id") % stride === 0),
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      val index = new graft.streaming.IvfIndex(s"$work/index", centroids,
+        pq = Some(graft.streaming.IvfIndex.PqConfig(cb, PqM, PqSubDim)))
+      index.writeEpoch(e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", epoch = 0L)
+      index.writeEpoch(e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", epoch = 1L)
+      index.compactCells(s, targetFileBytes = Long.MaxValue)
+      index.searchAdc(s, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S7c — PQ recall@5 vs exact brute force (the s6 contract for the
     // compressed index): how many of the true top-5 the PqM-code
     // representation keeps — the quality number a pipeline tunes m/k
@@ -2008,6 +2032,11 @@ object SparkEntry {
     "s7_pq_ann" -> pqOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
     "s7c_pq_recall" -> pqRecallOracle,
+
+    // The on-disk PQ index — including compaction and the code-array round
+    // trip — must return the identical neighbor set the in-memory IVF-PQ
+    // plan does (the s4 contract for the compressed index).
+    "s7d_pq_index_search" -> pqIvfOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

@@ -372,6 +372,39 @@ object SimilarityOps {
       .agg(max_by(col("code_id"), col("__s")).as("code_id"))
   }
 
+  /** Array-form encode for STORAGE: one row per vector with
+    * `codes` (code ids by subspace position), plus any `keep` columns
+    * carried through the aggregation as first() — the assignToCentroids
+    * pattern for wide payloads (the vector itself, the IVF cell), so an
+    * index build needs NO join-back: the single exchange already carries
+    * exactly the row that gets written. Per-sub argmax via null-masked
+    * max_by (rows of other subspaces contribute null ordering keys, which
+    * max_by ignores); [[pqEncode]] long-form is the reference — the two are
+    * proven equal in the spec. */
+  def pqEncodeArray(corpus: DataFrame, codebook: DataFrame,
+                    idCol: String, vecCol: String, m: Int, subDim: Int,
+                    keep: Seq[String] = Nil): DataFrame = {
+    val keepCols = (vecCol +: keep).distinct
+    val c = corpus.select(col(idCol) +: keepCols.map(col) :+
+      col(vecCol).cast("array<double>").as("__v"): _*).filter(nonZero(col("__v")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
+    val scored = c.select(col(idCol) +: keepCols.map(col) :+
+        explode(array(subs: _*)).as("s"): _*)
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(
+        col("s.sub").as("sub"), col("s.sv").as("sv")): _*)
+      .join(broadcast(codebook), Seq("sub"))
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("sub"), col("code_id"),
+        struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
+          (-col("code_id")).as("nid")).as("__s")): _*)
+    scored.groupBy(col(idCol))
+      .agg(first(col(keepCols.head)).as(keepCols.head),
+        keepCols.tail.map(kc => first(col(kc)).as(kc)) ++ Seq(
+          array((0 until m).map(s =>
+            max_by(when(col("sub") === s, col("code_id")),
+              when(col("sub") === s, col("__s")))): _*).as("codes")): _*)
+  }
+
   /** ADC top-k over PQ codes: approximate cosine between each query and
     * every encoded corpus vector, using only the codes and the codebook —
     * the corpus vectors themselves are never touched.

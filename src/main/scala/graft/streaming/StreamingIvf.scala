@@ -30,7 +30,8 @@ import graft.ops.SimilarityOps
   * new centroid set in one batch pass.
   */
 class IvfIndex(val path: String, val centroids: DataFrame,
-               val topCentroids: Option[DataFrame] = None) extends Serializable {
+               val topCentroids: Option[DataFrame] = None,
+               val pq: Option[IvfIndex.PqConfig] = None) extends Serializable {
 
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -59,7 +60,15 @@ class IvfIndex(val path: String, val centroids: DataFrame,
         SimilarityOps.assignToCentroidsTiered(batch, centroids, top, idCol, vecCol)
       case None => SimilarityOps.assignToCentroids(batch, centroids, idCol, vecCol)
     }
-    assigned
+    // With PQ configured, each row also stores its code array — encoded in
+    // the same single aggregation that carries the vector and cell (no
+    // join-back), so the ADC search path never has to touch the vectors.
+    val stored = pq match {
+      case Some(c) => SimilarityOps.pqEncodeArray(assigned, c.codebook, idCol, vecCol,
+        c.m, c.subDim, keep = Seq("centroid_id"))
+      case None => assigned
+    }
+    stored
       .withColumn("__b", lit(epoch))
       .write.mode(SaveMode.Append).partitionBy("__b", "centroid_id").parquet(path)
   }
@@ -107,6 +116,29 @@ class IvfIndex(val path: String, val centroids: DataFrame,
       // over the PRUNED cells only, never the whole corpus
       .dropDuplicates(idCol)
     SimilarityOps.scoreProbedCells(corpus, probes, idCol, vecCol, k)
+  }
+
+  /** ADC top-k from the stored PQ codes alone (requires `pq`): the probed
+    * cells become the same static partition filter as [[search]], but the
+    * scan reads ONLY (id, codes, centroid_id) — column pruning never
+    * touches the vector column, so at 100 TB a query reads nprobe/nlist of
+    * the files AND ~1/40th of the bytes within them. */
+  def searchAdc(spark: SparkSession, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val c = pq.getOrElse(throw new IllegalStateException("index has no PQ config"))
+    val probes = topCentroids match {
+      case Some(top) =>
+        SimilarityOps.probeCellsTiered(queries, centroids, top, idCol, vecCol, nprobe)
+      case None => SimilarityOps.probeCells(queries, centroids, idCol, vecCol, nprobe)
+    }
+    val cells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    val codes = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+      .dropDuplicates(idCol)
+      .select(col(idCol), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("sub", "code_id")))
+    SimilarityOps.pqTopKProbed(codes, c.codebook, probes, idCol, k, c.m, c.subDim)
   }
 
   /** Per-cell small-file compaction: streaming appends accumulate one file
@@ -157,7 +189,10 @@ class IvfIndex(val path: String, val centroids: DataFrame,
                idCol: String, vecCol: String,
                newTopCentroids: Option[DataFrame] = None): IvfIndex = {
     val dirs = epochDirs(spark)
-    val next = new IvfIndex(path, newCentroids, newTopCentroids)
+    // the PQ codebook is frozen like the centroid set; re-appending through
+    // `next` re-encodes (codes are a pure function of vector + codebook,
+    // so re-encoding with the same codebook reproduces them)
+    val next = new IvfIndex(path, newCentroids, newTopCentroids, pq)
     if (dirs.isEmpty) return next
     val epoch = nextMaintenanceEpoch(spark)
     val vectors = spark.read.parquet(path).select(col(idCol), col(vecCol))
@@ -180,4 +215,12 @@ class IvfIndex(val path: String, val centroids: DataFrame,
         }
     }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2).sum) }
   }
+}
+
+object IvfIndex {
+  /** Product-quantization shape for an index that stores code arrays
+    * alongside (or, at scale, instead of) the raw vectors: the per-subspace
+    * codebook relation (broadcast-small) and the (m, subDim) split it was
+    * built with. */
+  case class PqConfig(codebook: DataFrame, m: Int, subDim: Int)
 }

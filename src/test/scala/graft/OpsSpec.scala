@@ -301,6 +301,23 @@ class OpsSpec extends SparkSpec {
     assert(probed === flat)
   }
 
+  test("PQ: array-form encode equals the long-form reference") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 35L).map(i =>
+      (i, i % 7, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "cell", "embedding")
+    val cb = SimilarityOps.pqCodebook(vecs.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", m = 4, subDim = 2)
+    val long = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+      .select("vec_id", "sub", "code_id").as[(Long, Int, Long)].collect().toSet
+    val arr = SimilarityOps.pqEncodeArray(vecs, cb, "vec_id", "embedding",
+      m = 4, subDim = 2, keep = Seq("cell"))
+    // the keep column survives with its original value
+    assert(arr.filter($"cell" =!= $"vec_id" % 7).isEmpty)
+    val exploded = arr.select($"vec_id", posexplode($"codes").as(Seq("sub", "code_id")))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(exploded === long)
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),

@@ -132,4 +132,38 @@ class StreamingIvfSpec extends SparkSpec {
       centroids, top, queries, "vec_id", "embedding", k = 5, nprobe = 2)
     assert(searched.except(batch).isEmpty && batch.except(searched).isEmpty)
   }
+
+  test("PQ index: stored-code ADC search equals the in-memory IVF-PQ plan " +
+      "across compaction and reassign") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val cb = SimilarityOps.pqCodebook(emb.filter(col("vec_id") % 40 === 0),
+      "vec_id", "embedding", m = 8, subDim = 8)
+    val index = new IvfIndex(tmpDir("ivf-pq"), centroids,
+      pq = Some(IvfIndex.PqConfig(cb, m = 8, subDim = 8)))
+    index.writeEpoch(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", 0L)
+    index.writeEpoch(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", 1L)
+
+    // in-memory reference: same assignment, long-form encode, probed ADC
+    val queries = emb.filter(col("vec_id") < 3)
+    val assigned = SimilarityOps.assignToCentroids(emb, centroids, "vec_id", "embedding")
+    val codes = SimilarityOps.pqEncode(assigned, cb, "vec_id", "embedding",
+      m = 8, subDim = 8, carry = Seq("centroid_id"))
+    val probes = SimilarityOps.probeCells(queries, centroids, "vec_id", "embedding", 2)
+    val batch = SimilarityOps.pqTopKProbed(codes, cb, probes, "vec_id", 5, m = 8, subDim = 8)
+
+    val fromDisk = index.searchAdc(spark, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(fromDisk.except(batch).isEmpty && batch.except(fromDisk).isEmpty,
+      "stored-code ADC diverged from the in-memory plan")
+
+    // maintenance must not change a neighbor: compaction rewrites files,
+    // reassign re-encodes against the same frozen codebook
+    index.compactCells(spark, targetFileBytes = Long.MaxValue)
+    val afterCompact = index.searchAdc(spark, queries, "vec_id", "embedding", 5, 2)
+    assert(afterCompact.except(batch).isEmpty && batch.except(afterCompact).isEmpty)
+    val re = index.reassign(spark, centroids, "vec_id", "embedding")
+    val afterReassign = re.searchAdc(spark, queries, "vec_id", "embedding", 5, 2)
+    assert(afterReassign.except(batch).isEmpty && batch.except(afterReassign).isEmpty)
+  }
 }
