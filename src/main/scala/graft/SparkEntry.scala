@@ -848,6 +848,21 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S8 — k-means (Lloyd) centroid training, 2 iterations from the
+    // deterministic seed slice: the clustering step every IVF/PQ structure
+    // above takes as input, as a first-class op. Decimal-exact per-element
+    // means make every iteration bit-reproducible and oracle-mirrorable
+    // (the SQL unrolls one assign/mean CTE pair per iteration).
+    "s8_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val init = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding", iters = 2)
+        .select(col("centroid_id"), col("n"),
+          concat_ws(",", transform(col("centroid_vec"),
+            x => format_string("%.4f", x))).as("centroid_enc"))
+    }),
+
     // S7c — PQ recall@5 vs exact brute force (the s6 contract for the
     // compressed index): how many of the true top-5 the PqM-code
     // representation keeps — the quality number a pipeline tunes m/k
@@ -1726,6 +1741,38 @@ object SparkEntry {
        |       GROUP BY 1, 2)
        |$pqTopSelect""".stripMargin
 
+  /** Oracle for k-means refinement (s8): one assign/mean CTE pair per
+    * Lloyd iteration, unrolled. Mirrors [[SimilarityOps.kmeansRefine]]
+    * stage for stage — cosine argmax assignment with the (csim DESC,
+    * cid ASC) tie-break, per-element DECIMAL-exact means, zero-norm
+    * centroid guard on every iteration's candidate set. */
+  private def kmeansOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_inner_product(a.ve, c.cv) /
+         |             (a.nrm * sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rn
+         |  FROM n a CROSS JOIN (SELECT * FROM c${i - 1}
+         |                       WHERE list_inner_product(cv, cv) > 0) c) WHERE rn = 1),
+         |s$i AS (SELECT x.cid, x.dim,
+         |         CAST(SUM(CAST(x.val AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS m,
+         |         COUNT(*) AS n
+         |       FROM (SELECT a$i.cid, unnest(nn.ve) AS val,
+         |                    generate_subscripts(nn.ve, 1) AS dim
+         |             FROM a$i JOIN n nn ON nn.vec_id = a$i.vec_id) x
+         |       GROUP BY x.cid, x.dim),
+         |c$i AS (SELECT cid, list(m ORDER BY dim) AS cv, min(n) AS n
+         |        FROM s$i GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqPrefixCtes,
+       |c0 AS (SELECT vec_id AS cid, ve AS cv FROM n
+       |       WHERE vec_id % (SELECT stride FROM params) = 0),
+       |$iterCtes
+       |SELECT cid AS centroid_id, CAST(n AS BIGINT) AS n,
+       |  array_to_string(list_transform(cv, x -> printf('%.4f', x)), ',') AS centroid_enc
+       |FROM c$iters""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -2037,6 +2084,7 @@ object SparkEntry {
     // trip — must return the identical neighbor set the in-memory IVF-PQ
     // plan does (the s4 contract for the compressed index).
     "s7d_pq_index_search" -> pqIvfOracle,
+    "s8_kmeans" -> kmeansOracle(2),
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

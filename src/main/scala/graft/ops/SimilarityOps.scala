@@ -300,6 +300,51 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
   }
 
+  // ---- k-means (Lloyd) centroid training ---------------------------------
+
+  /** Refine a centroid set by `iters` Lloyd iterations under the engine's
+    * cosine metric (spherical k-means without the normalization step —
+    * cosine is scale-invariant, so normalizing the means would change
+    * nothing downstream): assign every vector to its nearest centroid (the
+    * narrow-exchange argmax), then replace each centroid with the
+    * element-wise MEAN of its assigned vectors. Cells that attract no
+    * vectors are dropped (their centroid has no defined update); a mean
+    * that cancels to the zero vector is dropped by the next iteration's
+    * nonZero guard like any other degenerate centroid.
+    *
+    * Determinism contract: the per-element sums route through the exact
+    * DECIMAL accumulator, so the means — and therefore every subsequent
+    * assignment — are bit-reproducible at any parallelism and mirrorable
+    * in oracle SQL (unrolled one CTE pair per iteration). Per iteration the
+    * plan is the assign exchange plus two narrow aggregations (cells × dims
+    * rows, then cells rows) — corpus-sized data crosses one exchange per
+    * iteration, the k-means lower bound.
+    *
+    * @return (centroid_id, centroid_vec, n) — surviving cells, their
+    *         refined mean vector, and the size of the cluster that
+    *         produced it. */
+  def kmeansRefine(corpus: DataFrame, init: DataFrame,
+                   idCol: String, vecCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    var cent = init.select(col("centroid_id"), col("centroid_vec"))
+    var out: DataFrame = null
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(corpus, cent, idCol, vecCol)
+      val dimSums = assigned
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(Exact.sumD(col("x"), 10).as("sx"), count(lit(1)).as("n"))
+      out = dimSums.groupBy(col("centroid_id"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m")))),
+            s => s("m")).as("centroid_vec"),
+          first(col("n")).as("n"))
+      cent = out.select(col("centroid_id"), col("centroid_vec"))
+    }
+    out
+  }
+
   // ---- product quantization (the compression half of IVF-PQ) -------------
   //
   // At 100 TB, full float32 vectors dominate the ANN working set: 100k-dim

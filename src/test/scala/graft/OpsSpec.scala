@@ -318,6 +318,45 @@ class OpsSpec extends SparkSpec {
     assert(exploded === long)
   }
 
+  test("kmeans: converges to exact cluster means and is a fixed point on separated data") {
+    // three tight direction-clusters in 4d; seeds = one member of each.
+    // After one Lloyd iteration the centroids are the exact element-wise
+    // cluster means; on separated data the assignment then no longer
+    // changes, so a second iteration must reproduce the same centroids.
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val a = Array(10f, 0f, 0f, 0f); val b = Array(0f, 10f, 0f, 0f); val c = Array(0f, 0f, 10f, 0f)
+    val vecs = Seq(
+      (0L, a), (1L, mk(a, 1f)), (2L, mk(a, 2f)),
+      (10L, b), (11L, mk(b, 1f)),
+      (20L, c), (21L, mk(c, 1f)), (22L, mk(c, 2f)), (23L, mk(c, 3f))
+    ).toDF("vec_id", "embedding")
+    val init = vecs.filter($"vec_id".isin(0L, 10L, 20L))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val one = SimilarityOps.kmeansRefine(vecs, init, "vec_id", "embedding", iters = 1)
+    val r1 = one.select("centroid_id", "n").as[(Long, Long)].collect().toMap
+    assert(r1 === Map(0L -> 3L, 10L -> 2L, 20L -> 4L))
+    val c0 = one.filter($"centroid_id" === 0L)
+      .select("centroid_vec").as[Seq[Double]].head()
+    assert(c0.head === (10.0 + 11.0 + 12.0) / 3 && c0(1) === 0.0)
+    val two = SimilarityOps.kmeansRefine(vecs, init, "vec_id", "embedding", iters = 2)
+    assert(two.except(one).isEmpty && one.except(two).isEmpty,
+      "second iteration must be a fixed point on separated clusters")
+  }
+
+  test("kmeans: cluster sizes sum to the corpus; unvisited centroids drop") {
+    val rng = new scala.util.Random(23)
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() + 0.1f))).toDF("vec_id", "embedding")
+    // an all-negative seed is never the cosine-nearest for all-positive data
+    val farSeed = Seq((99L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val init = vecs.filter($"vec_id" % 10 === 0).union(farSeed)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val out = SimilarityOps.kmeansRefine(vecs, init, "vec_id", "embedding", iters = 2)
+    assert(out.agg(sum($"n")).as[Long].head() === 50L)
+    assert(out.filter($"centroid_id" === 99L).isEmpty, "empty cell must drop")
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
