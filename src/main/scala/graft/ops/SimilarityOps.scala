@@ -328,7 +328,11 @@ object SimilarityOps {
     require(iters >= 1, "at least one Lloyd iteration")
     var cent = init.select(col("centroid_id"), col("centroid_vec"))
     var out: DataFrame = null
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
+      // lineage cut between iterations (the d6 CC pattern): the centroid
+      // relation is cells-sized, so the checkpoint is cheap, and without it
+      // iteration i re-derives every earlier assign inside one deep plan
+      if (i > 0) cent = cent.localCheckpoint()
       val assigned = assignToCentroids(corpus, cent, idCol, vecCol)
       val dimSums = assigned
         .select(col("centroid_id"),
