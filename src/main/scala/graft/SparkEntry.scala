@@ -848,6 +848,22 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // O11 — HyperLogLog distinct sketch (deterministic md5 HLL, b=12): the
+    // scale path for COUNT(DISTINCT) — one narrow groupBy(bucket) MIN
+    // instead of shuffling every distinct key; ~1.6% error at m=4096. The
+    // exact count rides along so the error is part of the checked output.
+    // Every register stays an exact integer (Σ 2^(33−reg) ≤ 2^45), so the
+    // oracle reproduces the estimate digit for digit.
+    "o11_hll_distinct" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sk = graft.ops.Sketches.hllDistinct(e, col("user_id"), b = 12)
+      sk.crossJoin(e.agg(countDistinct(col("user_id")).as("n_exact")))
+        .select(col("n_exact"), col("nonzero_buckets"),
+          Exact.fmt(col("n_hll"), 4).as("n_hll_r"),
+          Exact.fmt((col("n_hll") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4).as("rel_err_r"))
+    }),
+
     // S8 — k-means (Lloyd) centroid training, 2 iterations from the
     // deterministic seed slice: the clustering step every IVF/PQ structure
     // above takes as input, as a first-class op. Decimal-exact per-element
@@ -1773,6 +1789,39 @@ object SparkEntry {
        |FROM c$iters""".stripMargin
   }
 
+  /** Oracle for the HLL sketch (o11): hex-digit integer arithmetic for the
+    * bucket and 32-bit window, the [[graft.ops.Sketches.termSql]] ladder
+    * (generated from the same loop as the Column form), exact-integer
+    * register sums, and the double formulas mirrored operation for
+    * operation (DuckDB ln = Spark log, both natural). */
+  private def hllOracle: String = {
+    def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+    val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
+      .mkString(" + ")
+    val w = (0 until 8).map(i => s"${hexDigit(4 + i)} * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val m = "CAST('4096.0' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $m)"
+    s"""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |d AS (SELECT $bucket AS bucket, $w AS w FROM h),
+       |t AS (SELECT bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+       |      FROM d GROUP BY bucket),
+       |a AS (SELECT SUM(t) AS present_sum, COUNT(*) AS nonzero_buckets FROM t),
+       |s AS (SELECT CAST(present_sum + (4096 - nonzero_buckets) * ${1L << 33} AS BIGINT)
+       |        AS sum_int, nonzero_buckets FROM a),
+       |r AS (SELECT sum_int, nonzero_buckets,
+       |        $alpha * $m * $m / (CAST(sum_int AS DOUBLE) / CAST('8589934592.0' AS DOUBLE)) AS raw,
+       |        CAST(4096 - nonzero_buckets AS DOUBLE) AS zeros FROM s),
+       |f AS (SELECT nonzero_buckets,
+       |        CASE WHEN raw <= CAST('2.5' AS DOUBLE) * $m AND zeros > 0
+       |             THEN $m * ln($m / zeros) ELSE raw END AS n_hll FROM r)
+       |SELECT e.n_exact, CAST(f.nonzero_buckets AS BIGINT) AS nonzero_buckets,
+       |  printf('%.4f', f.n_hll) AS n_hll_r,
+       |  printf('%.4f', (f.n_hll - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE))
+       |    AS rel_err_r
+       |FROM f CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) e""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -2085,6 +2134,7 @@ object SparkEntry {
     // plan does (the s4 contract for the compressed index).
     "s7d_pq_index_search" -> pqIvfOracle,
     "s8_kmeans" -> kmeansOracle(2),
+    "o11_hll_distinct" -> hllOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketches.
+  *
+  * The classic 100 TB problem: COUNT(DISTINCT key) forces a full shuffle of
+  * every distinct key; a HyperLogLog sketch answers the same question from
+  * ONE narrow aggregation (m registers, kilobytes) with ~1.04/√m relative
+  * error. Spark ships approx_count_distinct (HLL++), but its binary sketch
+  * format is engine-private — useless for an engine-parity contract. This is
+  * a from-scratch, DETERMINISTIC HLL on md5: every intermediate is either an
+  * exact integer or an IEEE-basic-op double, so an independent engine (the
+  * DuckDB oracle) reproduces the estimate bit for bit — the same
+  * cross-engine-reproducibility property the rest of the suite builds on.
+  *
+  * Register arithmetic stays in exact integers: rank terms are
+  * 2^(33−rho) ∈ {2^0..2^32} (w is a 32-bit hash window; rho = leading
+  * zeros + 1, so the per-bucket register max is the term MINIMUM), empty
+  * buckets contribute 2^33 (register 0), and the total Σ 2^(33−reg) ≤
+  * m·2^33 = 2^45 fits a BIGINT exactly — the only roundings are the final
+  * divisions and the small-range ln() correction.
+  */
+object Sketches {
+
+  /** Number of hash buckets for precision `b` (register index = first `b`
+    * bits of the md5; `b` must be a multiple of 4 so the bucket is a whole
+    * hex prefix, expressible identically in both engines). */
+  def buckets(b: Int): Int = { require(b % 4 == 0 && b > 0 && b <= 16); 1 << b }
+
+  /** 2^(33−rho) for the 32-bit hash window `w`, as a first-match-wins
+    * ladder over the leading-zero count (w = 0 → rho 33 → term 1).
+    * [[termSql]] generates the identical ladder for the oracle. */
+  def termColumn(w: Column): Column = {
+    val first = when(w >= (1L << 31), lit(1L << 32))
+    val chain = (1 to 31).foldLeft(first) { (c, k) =>
+      c.when(w >= (1L << (31 - k)), lit(1L << (32 - k)))
+    }
+    coalesce(chain, lit(1L))
+  }
+
+  /** SQL mirror of [[termColumn]] — same branches, same order. */
+  def termSql(wExpr: String): String =
+    (0 to 31).map(k => s"WHEN $wExpr >= ${1L << (31 - k)} THEN ${1L << (32 - k)}")
+      .mkString("CASE ", " ", " ELSE 1 END")
+
+  /** HLL distinct-count estimate of `keyCol` over `df`: one row
+    * (sum_int, nonzero_buckets, n_hll).
+    *
+    * Plan shape: per-row hash arithmetic → groupBy(bucket) MIN (partial
+    * map-side, the exchange carries ≤ m narrow rows per partition) → a
+    * single global row. No distinct, no wide shuffle — the property that
+    * makes this the scale path for cardinality over 100 TB.
+    *
+    * Estimator: standard HLL with the small-range linear-counting branch
+    * (raw ≤ 2.5m with empty buckets → m·ln(m/zeros)); the 64-bit
+    * large-range correction is out of scope for a 32-bit hash window and
+    * documented as such. */
+  def hllDistinct(df: DataFrame, keyCol: Column, b: Int = 12): DataFrame = {
+    val m = buckets(b)
+    val hexChars = b / 4
+    val hex = md5(keyCol.cast("string"))
+    val bucket = conv(substring(hex, 1, hexChars), 16, 10).cast("long")
+    val w = conv(substring(hex, hexChars + 1, 8), 16, 10).cast("long")
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    df.select(bucket.as("bucket"), termColumn(w).as("term"))
+      .groupBy(col("bucket")).agg(min(col("term")).as("t"))
+      .agg(sum(col("t")).as("present_sum"), count(lit(1)).as("nonzero_buckets"))
+      .select(
+        (col("present_sum") + (lit(m.toLong) - col("nonzero_buckets")) * lit(1L << 33))
+          .as("sum_int"),
+        col("nonzero_buckets"))
+      .select(col("sum_int"), col("nonzero_buckets"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_int").cast("double") / lit((1L << 33).toDouble))).as("raw"),
+        (lit(m.toLong) - col("nonzero_buckets")).cast("double").as("zeros"))
+      .select(col("sum_int"), col("nonzero_buckets"),
+        when(col("raw") <= lit(2.5) * lit(m.toDouble) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_hll"))
+  }
+}

@@ -357,6 +357,29 @@ class OpsSpec extends SparkSpec {
     assert(out.filter($"centroid_id" === 99L).isEmpty, "empty cell must drop")
   }
 
+  test("HLL sketch: estimate tracks true cardinality across two decades") {
+    // md5 is a good hash, so the standard error bound (~1.04/sqrt(m) at
+    // m=4096, linear-counting regime even tighter) should hold with slack
+    // at every tested cardinality; the estimate must also be insensitive
+    // to duplication (10 copies of each key change nothing).
+    for (n <- Seq(50, 500, 5000)) {
+      val keys = (0 until n).flatMap(k => Seq.fill(10)(s"user_$k")).toDF("k")
+      val est = graft.ops.Sketches.hllDistinct(keys, $"k", b = 12)
+        .select("n_hll").as[Double].head()
+      assert(math.abs(est - n) / n < 0.05, s"n=$n est=$est off by >5%")
+    }
+  }
+
+  test("HLL sketch: deterministic and permutation-invariant") {
+    val keys = (0 until 777).map(k => s"id_$k").toDF("k")
+    val shuffled = keys.orderBy(md5($"k"))
+    val a = graft.ops.Sketches.hllDistinct(keys, $"k").select("sum_int", "n_hll")
+      .as[(Long, Double)].head()
+    val b = graft.ops.Sketches.hllDistinct(shuffled, $"k").select("sum_int", "n_hll")
+      .as[(Long, Double)].head()
+    assert(a === b, "HLL must not depend on row order or partitioning")
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
