@@ -29,9 +29,11 @@ object Bench {
     // index-construction round trips, not query throughput; s2 benches the
     // IVF query plan itself); e2e_neardup is a streaming replay like
     // e2e_stream_agg.
+    // j8_bucketed_join likewise: it rewrites both sides as bucketed tables
+    // before the (shuffle-free) join — a write-once round trip, not a query.
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "o6_compact_files",
       "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign",
-      "e2e_neardup", "s7d_pq_index_search")
+      "e2e_neardup", "s7d_pq_index_search", "j8_bucketed_join")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -102,7 +104,12 @@ object Bench {
     val total = results.map(_._2).sum
     val loadAfter = osBean.getSystemLoadAverage
     println(s"""{"metric":"bench_detail","spread":$spreads,"load1_before":${r3(loadBefore)},"load1_after":${r3(loadAfter)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"maintenance":$maint,"sf":"$sfDir","reps":$reps}""")
+    // load1 + worst per-query spread ALSO ride the parsed summary line (r9
+    // verdict 4): the bench_detail line above is dropped by the driver's tail
+    // capture, which made ambient-load inflation indistinguishable from plan
+    // regressions. Three compact fields keep the line well inside the window.
+    val spreadMax = results.map(_._3).foldLeft(-1.0)(math.max)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"maintenance":$maint,"load1_before":${r3(loadBefore)},"load1_after":${r3(loadAfter)},"spread_max":${r3(spreadMax)},"sf":"$sfDir","reps":$reps}""")
     spark.stop()
   }
 }

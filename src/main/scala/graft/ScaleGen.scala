@@ -51,8 +51,9 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS) — read it as a raw long and write it back
-    // as plain INT64 nanos; Tables.events handles both (`ts div 1000` → µs)
+    // events.ts encoding varies across testdata generations (TIMESTAMP(NANOS),
+    // timestamp[us] NTZ/UTC). Surface legacy nanos as a raw long and copy
+    // whatever we read verbatim; Tables.events adapts to all three on read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")

@@ -429,6 +429,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice"), 2).as("revenue"))
     }),
 
+    // J7 — salted skew join (ops/Skew.saltedJoin): fact×dim where the fact's
+    // key distribution may be heavy-tailed. Salting spreads each hot key over
+    // n tasks; the oracle is the PLAIN join — salting must be semantically
+    // invisible. Dim side replicated n×, still broadcast-small.
+    "j7_skew_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.ops.Skew.saltedJoin(l, p, "partkey", n = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), Exact.sumD(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // J8 — co-located (bucketed) join: both sides written bucketed by the
+    // join key with the same bucket count, then joined with NO Exchange over
+    // either scan (plan asserted in BucketingSpec; result asserted here
+    // against the plain-join oracle). The 100 TB pattern: pay the shuffle at
+    // write time once, join co-located forever after.
+    "j8_bucketed_join" -> ((s, dir) => {
+      // a prior JVM's managed-table dir survives the in-memory catalog;
+      // clear both catalog entry and orphan dir or saveAsTable throws
+      // LOCATION_ALREADY_EXISTS
+      Seq("j8_orders_bkt", "j8_customer_bkt").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      graft.store.Bucketing.writeBucketed(o, "j8_orders_bkt", "custkey", 8)
+      graft.store.Bucketing.writeBucketed(c, "j8_customer_bkt", "custkey", 8)
+      graft.store.Bucketing.colocatedJoin(s, "j8_orders_bkt", "j8_customer_bkt", "custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), Exact.sumD(col("o_totalprice"), 2).as("revenue"))
+    }),
+
     // Semi join (EXISTS): orders having at least one high-quantity item,
     // counted per priority (TPC-H Q4 shape).
     "q4_semi_join" -> ((s, dir) =>
@@ -2016,6 +2059,18 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "j7_skew_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+
+    "j8_bucketed_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q4_semi_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders

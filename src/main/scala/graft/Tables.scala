@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (see /root/repo/TESTDATA.md).
   *
@@ -25,14 +26,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to microseconds (`div` =
-    * integer division — ns epochs exceed double's exact range, so a fp
-    * division would corrupt them). Matches DuckDB's ns→us cast semantics. */
+  /** events.parquet's `ts` physical encoding has changed across testdata
+    * regenerations (TIMESTAMP(NANOS) → timestamp[us]); adapt to whatever the
+    * file actually stores instead of assuming one writer forever:
+    *   - LongType (TIMESTAMP(NANOS) surfaced via `nanosAsLong`): truncate
+    *     nanos→micros with integer `div` — ns epochs exceed double's exact
+    *     range, so fp division would corrupt them. Matches DuckDB ns→us cast.
+    *   - TimestampNTZType (timestamp[us], no UTC flag): cast once to
+    *     session-TZ TimestampType. All engine sessions pin
+    *     spark.sql.session.timeZone=UTC, so the cast is micros-identity and
+    *     matches the NTZ-native DuckDB oracle.
+    *   - TimestampType (timestamp[us], adjusted to UTC): use directly.
+    * Anything else is a loud error, not a 39-query silent blackout. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"$dir/events.parquet: unsupported physical type for ts: $other " +
+            "(expected TIMESTAMP(NANOS)-as-long, timestamp[us] NTZ, or timestamp[us] UTC)")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
