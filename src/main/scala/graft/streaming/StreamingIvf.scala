@@ -25,6 +25,21 @@ import graft.ops.SimilarityOps
   * crashed between its commit and the cleanup of the dirs it consumed,
   * [[search]] collapses duplicate vector ids before scoring.
   *
+  * Writer/maintenance concurrency is epoch-FENCED: maintenance bumps a
+  * generation token (`__fence=<g>` marker files — underscore-prefixed so
+  * Spark's file discovery ignores them; max over markers = current gen,
+  * created atomically so there is no read-torn state) BEFORE snapshotting
+  * the epoch dirs it will consume, consumes exactly that snapshot, and
+  * deletes exactly that snapshot. A writer stamps its batch into epoch
+  * `gen·2^40 + batchId` and re-reads the fence AFTER its write commits: if
+  * the generation moved, its directory may sit in a snapshot already
+  * consumed (or about to be deleted), so it re-lands the batch under the
+  * new generation's namespace — which post-dates every snapshot — and
+  * retires its doomed attempt. A batch can thus appear at worst twice
+  * (folded into the maintenance epoch AND re-landed); never zero times.
+  * The duplicate collapses at [[search]]'s id guard and at the next
+  * compaction.
+  *
   * The centroid set is frozen at index-build time (the standard IVF
   * contract); on drift, [[reassign]] re-clusters the stored table against a
   * new centroid set in one batch pass.
@@ -49,6 +64,35 @@ class IvfIndex(val path: String, val centroids: DataFrame,
   /** Next maintenance epoch: below every existing epoch and always < 0. */
   private def nextMaintenanceEpoch(spark: SparkSession): Long =
     math.min(-1L, epochDirs(spark).map(epochOf).foldLeft(0L)(math.min) - 1L)
+
+  /** Writer epochs live at `gen · 2^40 + batchId`: generations never
+    * collide for any realistic batch count, and gen 0 keeps the historical
+    * plain-batchId layout. */
+  private def fencedEpoch(gen: Long, epoch: Long): Long =
+    gen * IvfIndex.FenceStride + epoch
+
+  /** Current fence generation = max over `__fence=<g>` markers (0 if none). */
+  private[graft] def fenceGen(spark: SparkSession): Long = {
+    val root = new Path(path)
+    val f = fs(spark)
+    if (!f.exists(root)) 0L
+    else f.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("__fence="))
+      .map(_.getPath.getName.stripPrefix("__fence=").toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Advance the fence before consuming epochs: any writer that commits
+    * after this lands (or re-lands) outside every dir the caller is about
+    * to consume. Marker creation is atomic — readers see the old gen or the
+    * new one, never a torn value. */
+  private def bumpFence(spark: SparkSession): Long = {
+    val g = fenceGen(spark) + 1
+    val f = fs(spark)
+    f.mkdirs(new Path(path))
+    f.create(new Path(path, s"__fence=$g"), false).close()
+    g
+  }
 
   /** Assign a (micro-)batch to cells and append it under `epoch`. With
     * `topCentroids` set, assignment rides the two-tier quantizer — the full
@@ -75,12 +119,34 @@ class IvfIndex(val path: String, val centroids: DataFrame,
 
   /** Idempotent per-epoch write: replaces any previous content of `epoch`
     * (a partial write from a failed attempt, or the complete output of a
-    * replayed batch) instead of appending alongside it. */
+    * replayed batch) instead of appending alongside it. Fenced against
+    * concurrent maintenance — see the class doc. */
   def writeEpoch(batch: DataFrame, idCol: String, vecCol: String, epoch: Long): Unit = {
-    val dir = new Path(path, s"__b=$epoch")
+    require(epoch >= 0, s"writer epochs are non-negative batchIds, got $epoch")
+    writeEpochFrom(batch, idCol, vecCol, epoch, fenceGen(batch.sparkSession))
+  }
+
+  /** [[writeEpoch]] with the fence read the writer STARTED from made
+    * explicit (the spec uses it to replay the torn interleaving
+    * deterministically). Post-commit fence re-check: while maintenance has
+    * moved the generation since `startGen`, the just-written dir may be in
+    * a consumed snapshot — retire it and re-land under the current
+    * generation. The loop terminates when a write commits with the fence
+    * unmoved; each iteration re-executes `batch`'s plan, acceptable for the
+    * rare write×maintenance race. */
+  private[graft] def writeEpochFrom(batch: DataFrame, idCol: String, vecCol: String,
+                                        epoch: Long, startGen: Long): Unit = {
     val f = fs(batch.sparkSession)
-    if (f.exists(dir)) f.delete(dir, true)
-    append(batch, idCol, vecCol, epoch)
+    var gen = startGen
+    var committed = false
+    while (!committed) {
+      val dir = new Path(path, s"__b=${fencedEpoch(gen, epoch)}")
+      if (f.exists(dir)) f.delete(dir, true)
+      append(batch, idCol, vecCol, fencedEpoch(gen, epoch))
+      val now = fenceGen(batch.sparkSession)
+      if (now == gen) committed = true
+      else { f.delete(dir, true); gen = now }
+    }
   }
 
   /** Streaming sink maintaining the index. Exactly-once per batch: the
@@ -149,6 +215,9 @@ class IvfIndex(val path: String, val centroids: DataFrame,
     * the streaming writer (the writer would append to an epoch this pass has
     * already scanned). */
   def compactCells(spark: SparkSession, targetFileBytes: Long = 512L * 1024 * 1024): Unit = {
+    // fence FIRST, then snapshot: every writer committing after the bump
+    // re-lands outside the dirs this pass consumes and deletes
+    bumpFence(spark)
     val dirs = epochDirs(spark)
     if (dirs.isEmpty) return
     val f = fs(spark)
@@ -168,7 +237,11 @@ class IvfIndex(val path: String, val centroids: DataFrame,
     if (cellBytes.isEmpty) return
     val epoch = nextMaintenanceEpoch(spark)
     val planDf = spark.createDataFrame(cellBytes).toDF("__cell", "__n")
-    val all = spark.read.parquet(path).drop("__b")
+    // read EXACTLY the snapshot (basePath recovers the partition columns):
+    // consume-what-you-delete, so a dir landing mid-pass is neither folded
+    // in nor removed
+    val all = spark.read.option("basePath", path)
+      .parquet(dirs.map(_.toString): _*).drop("__b")
       .withColumn("__cell", col("centroid_id").cast("string"))
       .join(broadcast(planDf), Seq("__cell"))
     all
@@ -177,6 +250,7 @@ class IvfIndex(val path: String, val centroids: DataFrame,
       .drop("__cell", "__n", "__salt")
       .withColumn("__b", lit(epoch))
       .write.mode(SaveMode.Append).partitionBy("__b", "centroid_id").parquet(path)
+    IvfIndex.beforeConsumedDelete()
     dirs.foreach(d => f.delete(d, true))
   }
 
@@ -188,6 +262,7 @@ class IvfIndex(val path: String, val centroids: DataFrame,
   def reassign(spark: SparkSession, newCentroids: DataFrame,
                idCol: String, vecCol: String,
                newTopCentroids: Option[DataFrame] = None): IvfIndex = {
+    bumpFence(spark)
     val dirs = epochDirs(spark)
     // the PQ codebook is frozen like the centroid set; re-appending through
     // `next` re-encodes (codes are a pure function of vector + codebook,
@@ -195,10 +270,12 @@ class IvfIndex(val path: String, val centroids: DataFrame,
     val next = new IvfIndex(path, newCentroids, newTopCentroids, pq)
     if (dirs.isEmpty) return next
     val epoch = nextMaintenanceEpoch(spark)
-    val vectors = spark.read.parquet(path).select(col(idCol), col(vecCol))
+    val vectors = spark.read.option("basePath", path)
+      .parquet(dirs.map(_.toString): _*).select(col(idCol), col(vecCol))
       .dropDuplicates(idCol)
     next.append(vectors, idCol, vecCol, epoch)
     val f = fs(spark)
+    IvfIndex.beforeConsumedDelete()
     dirs.foreach(d => f.delete(d, true))
     next
   }
@@ -223,4 +300,13 @@ object IvfIndex {
     * codebook relation (broadcast-small) and the (m, subDim) split it was
     * built with. */
   case class PqConfig(codebook: DataFrame, m: Int, subDim: Int)
+
+  /** Writer-epoch namespace width per fence generation (gen · 2^40 +
+    * batchId): a stream would need a trillion micro-batches to collide. */
+  private[graft] val FenceStride: Long = 1L << 40
+
+  /** Test seam: runs after a maintenance pass commits its rewrite, before
+    * it deletes the consumed epoch dirs — the window the fence protects.
+    * No-op in production. */
+  private[graft] var beforeConsumedDelete: () => Unit = () => ()
 }

@@ -166,4 +166,49 @@ class StreamingIvfSpec extends SparkSpec {
     val afterReassign = re.searchAdc(spark, queries, "vec_id", "embedding", 5, 2)
     assert(afterReassign.except(batch).isEmpty && batch.except(afterReassign).isEmpty)
   }
+
+  test("epoch fence: a writer replaying a consumed epoch mid-compaction loses no vectors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+    val index = new IvfIndex(tmpDir("ivf-fence"), centroids)
+
+    // batch 0 committed; batch 1's FIRST attempt wrote only half its rows
+    // (torn write — the stream will replay batchId 1)
+    val batch0 = emb.filter(col("vec_id") % 2 === 0)
+    val batch1 = emb.filter(col("vec_id") % 2 === 1)
+    val batch1Partial = batch1.filter(col("vec_id") % 4 === 1)
+    index.writeEpoch(batch0, "vec_id", "embedding", epoch = 0L)
+    index.writeEpoch(batch1Partial, "vec_id", "embedding", epoch = 1L)
+
+    // the replay of batch 1 lands INSIDE compaction's commit→delete window,
+    // carrying the fence generation it read BEFORE compaction bumped it —
+    // the exact interleaving that silently lost (batch1 \ partial) before
+    // fencing: compaction consumed the partial attempt, then deleted the
+    // full rewrite along with its snapshot.
+    IvfIndex.beforeConsumedDelete = () =>
+      index.writeEpochFrom(batch1, "vec_id", "embedding", epoch = 1L, startGen = 0L)
+    try index.compactCells(spark, targetFileBytes = Long.MaxValue)
+    finally IvfIndex.beforeConsumedDelete = () => ()
+
+    // every vector of both batches present exactly once after the id guard
+    val stored = spark.read.parquet(index.path).select(col("vec_id")).dropDuplicates("vec_id")
+    val expected = batch0.select(col("vec_id")).union(batch1.select(col("vec_id")))
+    assert(stored.except(expected).isEmpty && expected.except(stored).isEmpty,
+      "fence failed: vectors lost or invented across the write x compact race")
+
+    // the re-landed epoch lives in the new generation's namespace, above
+    // every epoch the compaction pass consumed
+    assert(index.fenceGen(spark) === 1L)
+    val search = index.search(spark, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(search.count() > 0)
+
+    // a second compaction folds the duplicate rows of the partial batch
+    // into one epoch; the id set is unchanged
+    index.compactCells(spark, targetFileBytes = Long.MaxValue)
+    val after = spark.read.parquet(index.path).select(col("vec_id")).dropDuplicates("vec_id")
+    assert(after.except(expected).isEmpty && expected.except(after).isEmpty)
+    assert(index.fenceGen(spark) === 2L)
+  }
 }
