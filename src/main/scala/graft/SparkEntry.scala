@@ -922,6 +922,20 @@ object SparkEntry {
             x => format_string("%.4f", x))).as("centroid_enc"))
     }),
 
+    // SD1 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means cluster
+    // the embeddings (the s8 training, same deterministic seed slice), then
+    // prune same-cluster pairs at cosine >= 0.35, lowest id canonical. The
+    // pairwise compare is quadratic per CELL, linear in corpus when k grows
+    // with N — the published recipe's scale contract (ops/SimilarityOps).
+    "sd1_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val init = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val trained = SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding", iters = 2)
+        .select(col("centroid_id"), col("centroid_vec"))
+      SimilarityOps.semDedup(e, trained, "vec_id", "embedding", tau = 0.35)
+    }),
+
     // S7c — PQ recall@5 vs exact brute force (the s6 contract for the
     // compressed index): how many of the true top-5 the PqM-code
     // representation keeps — the quality number a pipeline tunes m/k
@@ -1075,6 +1089,22 @@ object SparkEntry {
           "doc_id", "text", 4)
         .select(col("id").as("doc_id"), col("n_shared_grams"))
     }),
+
+    // X5 — stable train/validation/test split: membership is a pure
+    // function of the salted doc_id hash, so no row migrates between train
+    // and holdout across reruns, appends, or engines — the leakage mode
+    // this op prevents. Codegen'd CASE, no shuffle.
+    "x5_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(docs(s, dir), col("doc_id"), SparkEntry.splitFractions)
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    // X6 — deterministic global shuffle (training-data ordering): rows
+    // ranked by salted hash via the two-pass range-partitioned rank (never
+    // a single-partition window), sharded for parallel write.
+    "x6_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicShuffle(
+          docs(s, dir).select(col("doc_id")), col("doc_id"), shards = 8)
+        .select(col("doc_id"), col("pos"), col("shard"))),
 
     // J6 — range (interval) join at scale: events matched to irregular
     // quadratic value bands [i², (i+1)²) via RangeJoin.viaBins — bands
@@ -1557,6 +1587,11 @@ object SparkEntry {
   private[graft] val mixtureRates: Map[String, Double] =
     Map("en" -> 0.9, "zh" -> 0.5, "es" -> 0.5, "de" -> 0.25, "fr" -> 0.1)
 
+  /** Split fractions for x5; oracle CASE ladder generated from the same
+    * boundary list ([[graft.ops.Sampling.splitBoundaries]]). */
+  private[graft] val splitFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+
   /** Recursive-transitive-closure component labeling of the thresholded
     * LSH pair graph (shared by d6 and d6b — same contract, two algorithms). */
   private def clusterOracle: String = {
@@ -1830,6 +1865,32 @@ object SparkEntry {
        |SELECT cid AS centroid_id, CAST(n AS BIGINT) AS n,
        |  array_to_string(list_transform(cv, x -> printf('%.4f', x)), ',') AS centroid_enc
        |FROM c$iters""".stripMargin
+  }
+
+  /** Oracle for sd1: the [[kmeansOracle]] CTE chain (2 Lloyd iterations),
+    * one more assignment pass against the trained c2, then the SemDeDup
+    * prune — same-cluster pairs at cosine ≥ τ drop the higher id. Mirrors
+    * [[graft.ops.SimilarityOps.semDedup]] stage for stage. */
+  private def semDedupOracle(iters: Int, tau: String): String = {
+    val base = kmeansOracle(iters)
+    // reuse everything up to the final SELECT; the chain's last CTE needs a
+    // trailing comma before the appended ones
+    val chain = base.substring(0, base.lastIndexOf("SELECT cid AS centroid_id")).trim
+    s"""$chain,
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, c.cv) /
+       |             (a.nrm * sqrt(list_inner_product(c.cv, c.cv))) DESC, c.cid) AS rn
+       |  FROM n a CROSS JOIN (SELECT * FROM c$iters
+       |                       WHERE list_inner_product(cv, cv) > 0) c) WHERE rn = 1),
+       |drp AS (SELECT DISTINCT b.vec_id FROM af a
+       |        JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |        JOIN n na ON na.vec_id = a.vec_id
+       |        JOIN n nb ON nb.vec_id = b.vec_id
+       |        WHERE list_inner_product(na.ve, nb.ve) / (na.nrm * nb.nrm)
+       |              >= CAST('$tau' AS DOUBLE))
+       |SELECT af.vec_id, af.cid AS centroid_id FROM af
+       |WHERE af.vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin
   }
 
   /** Oracle for the HLL sketch (o11): hex-digit integer arithmetic for the
@@ -2189,6 +2250,7 @@ object SparkEntry {
     // plan does (the s4 contract for the compressed index).
     "s7d_pq_index_search" -> pqIvfOracle,
     "s8_kmeans" -> kmeansOracle(2),
+    "sd1_semdedup" -> semDedupOracle(2, "0.35"),
     "o11_hll_distinct" -> hllOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —
@@ -2358,6 +2420,26 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0)
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM sh JOIN bench USING (gram) WHERE doc_id % 17 <> 0 GROUP BY 1""".stripMargin,
+
+    "x5_hash_split" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+        .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, CASE $ladder END AS split FROM documents""".stripMargin
+    },
+
+    "x6_shuffle" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""SELECT doc_id,
+         |  row_number() OVER (ORDER BY ($hexVal), doc_id) AS pos,
+         |  CAST(($hexVal) % 8 AS INTEGER) AS shard
+         |FROM documents""".stripMargin
+    },
 
     "j6_range_join" ->
       """WITH bands AS (SELECT i AS band_id, CAST(i * i AS DOUBLE) AS lo,

@@ -56,4 +56,43 @@ object Sampling {
     }
     df.filter(hash32(key, salt) < thr)
   }
+
+  /** Cumulative hash-range boundaries for [[hashSplit]]: split i owns
+    * [boundary(i-1), boundary(i)) of the 2^32 hash space, the LAST split
+    * catching the rounding remainder so every row lands somewhere. */
+  def splitBoundaries(fractions: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cums = fractions.scanLeft(0L) { case (acc, (_, f)) => acc + threshold(f) }.tail
+    fractions.map(_._1).zip(cums.init :+ (Two32.toLong))
+  }
+
+  /** Stable train/validation/test assignment: each row's split is a pure
+    * function of its salted key-hash, so membership survives reruns,
+    * repartitions, appends, and engine swaps — no row ever migrates between
+    * train and holdout when the corpus grows (the leakage mode this op
+    * exists to prevent). One codegen'd CASE per row; no shuffle. */
+  def hashSplit(df: DataFrame, key: Column, fractions: Seq[(String, Double)],
+                salt: String = "split", out: String = "split"): DataFrame = {
+    val h = hash32(key, salt)
+    val assign = splitBoundaries(fractions).foldRight(lit(null): Column) {
+      case ((name, bound), acc) => when(h < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn(out, assign)
+  }
+
+  /** Deterministic global shuffle for training-data ordering: rows ranked
+    * by (salted key-hash, key) — a reproducible random permutation — with a
+    * shard id for file-level parallel write. The global position rides the
+    * two-pass range-partitioned rank ([[Ranking.globalRowNumber]]), never a
+    * single-partition window; the hash order is data-independent, so range
+    * boundaries stay balanced at any corpus size. */
+  def deterministicShuffle(df: DataFrame, key: Column, shards: Int,
+                           salt: String = "shuffle"): DataFrame = {
+    require(shards > 0)
+    val hashed = df.withColumn("__h", hash32(key, salt))
+    Ranking.globalRowNumber(hashed, Seq(col("__h"), key), "pos")
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .drop("__h")
+  }
 }

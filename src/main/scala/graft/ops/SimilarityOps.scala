@@ -349,6 +349,40 @@ object SimilarityOps {
     out
   }
 
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the corpus, then prune near-duplicates WITHIN each cluster —
+    * for every same-cluster pair with cosine ≥ `tau`, the higher id drops
+    * and the lowest id of each near-dup set survives as canonical.
+    *
+    * The within-cluster pairwise compare is quadratic in CELL population,
+    * not corpus size — that is the published recipe's scale contract: grow
+    * the cluster count with the corpus (k ≈ N/⟨cell⟩) so cells stay at a
+    * bounded ⟨cell⟩ and total compare work stays ~N·⟨cell⟩, linear in N.
+    * The cell join shuffles one narrow (cell, id, vec) row per vector;
+    * cross-cluster near-dups are deliberately NOT examined (the recipe's
+    * approximation — [[embeddingNearDupPairs]] is the LSH alternative when
+    * cross-cluster recall matters more than the cluster structure).
+    *
+    * @param centroids trained (centroid_id, centroid_vec) — e.g. the
+    *                  [[kmeansRefine]] output
+    * @return (idCol, centroid_id) of SURVIVING rows (zero-norm vectors are
+    *         excluded by the assignment, as everywhere in this module)
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String, tau: Double): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("va"), col("vb")) >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
+
   // ---- product quantization (the compression half of IVF-PQ) -------------
   //
   // At 100 TB, full float32 vectors dominate the ANN working set: 100k-dim

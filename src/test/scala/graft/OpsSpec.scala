@@ -344,6 +344,74 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("hashSplit: total, stable under repartition/append, roughly proportional") {
+    import graft.ops.Sampling
+    val fr = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val ids = (0L until 2000L).toDF("id")
+    val split = Sampling.hashSplit(ids, $"id", fr).as[(Long, String)].collect().toMap
+    assert(split.size === 2000, "every row must land in a split")
+    val byName = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 1500 && byName("train") < 1700, s"train share off: $byName")
+    assert(byName("validation") > 130 && byName("validation") < 270, s"val share off: $byName")
+    // membership is a pure per-row function: physical layout cannot move a
+    // row, and appending data cannot re-assign existing rows
+    val shuffled = Sampling.hashSplit(ids.repartition(13), $"id", fr)
+      .as[(Long, String)].collect().toMap
+    assert(shuffled === split)
+    val grown = Sampling.hashSplit((0L until 4000L).toDF("id"), $"id", fr)
+      .as[(Long, String)].collect().toMap
+    assert(split.forall { case (k, v) => grown(k) == v },
+      "appending rows must never migrate an existing row between splits")
+    // degenerate fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.splitBoundaries(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("deterministicShuffle: a stable permutation, independent of layout") {
+    import graft.ops.Sampling
+    val ids = (0L until 500L).toDF("id")
+    val s1 = Sampling.deterministicShuffle(ids, $"id", shards = 8)
+      .select("id", "pos", "shard").as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(s1.map(_._2).sorted.toSeq === (1L to 500L), "pos must be a 1..n permutation")
+    assert(s1.forall(r => r._3 >= 0 && r._3 < 8))
+    // hash order, not input order: the identity permutation would mean the
+    // "shuffle" did nothing
+    assert(s1.map(_._2).toSeq !== (1L to 500L), "must not preserve input order")
+    val s2 = Sampling.deterministicShuffle(ids.repartition(7), $"id", shards = 8)
+      .select("id", "pos", "shard").as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(s2.toSeq === s1.toSeq, "permutation must not depend on physical layout")
+  }
+
+  test("semDedup: same-cluster near-dups drop to the lowest id; distant pairs survive") {
+    // two separated direction-clusters; ids 1/2 are near-copies of 0 (cosine
+    // ~1 > tau), id 3 is same-cluster but off-axis enough to stay below tau;
+    // cluster B has no internal dups. Zero vector must vanish silently.
+    val vecs = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)),
+      (1L, Array(10f, 0.1f, 0f, 0f)),   // near-dup of 0 -> dropped
+      (2L, Array(10f, 0f, 0.1f, 0f)),   // near-dup of 0 -> dropped
+      (3L, Array(7f, 7f, 0f, 0f)),      // same cluster, cos(0,3)=0.707 < tau
+      (10L, Array(0f, 0f, 10f, 0f)),
+      (11L, Array(0f, 0f, 0f, 10f)),    // cos=0 to everything in its cluster
+      (99L, Array(0f, 0f, 0f, 0f))      // zero vector: excluded, not crashed
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Array(1f, 0.05f, 0f, 0f)),
+      (200L, Array(0f, 0f, 1f, 1f))
+    ).toDF("centroid_id", "centroid_vec")
+    val kept = SimilarityOps.semDedup(vecs, cents, "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(kept.keySet === Set(0L, 3L, 10L, 11L),
+      s"expected near-dups 1,2 dropped and zero vector excluded, got $kept")
+    assert(kept(0L) === 100L && kept(3L) === 100L)
+    assert(kept(10L) === 200L && kept(11L) === 200L)
+
+    // tau above every similarity keeps everything (nothing to prune)
+    val all = SimilarityOps.semDedup(vecs, cents, "vec_id", "embedding", tau = 1.1)
+    assert(all.count() === 6, "no pair reaches tau=1.1; only the zero vector drops")
+  }
+
   test("kmeans: cluster sizes sum to the corpus; unvisited centroids drop") {
     val rng = new scala.util.Random(23)
     val vecs = (0L until 50L).map(i =>
