@@ -1106,6 +1106,18 @@ object SparkEntry {
           docs(s, dir).select(col("doc_id")), col("doc_id"), shards = 8)
         .select(col("doc_id"), col("pos"), col("shard"))),
 
+    // D7 — cross-document duplicated n-gram fractions (span-dedup signal,
+    // Lee et al. 2022): distinct 4-grams per doc that occur in >= 2 docs.
+    // Both exchanges key on the gram hash; skew lands in one count row.
+    // The fraction rides as integer basis points (n_dup·10⁴ div n): a
+    // formatted double ties at exact binary fractions like 2/64, where Java
+    // %.4f rounds half-up and C printf half-even — integer div is exact on
+    // both engines.
+    "d7_dup_ngrams" -> ((s, dir) =>
+      DedupOps.crossDocGramStats(docs(s, dir), "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_dup_grams"),
+          expr("(n_dup_grams * 10000) div n_grams").as("dup_bp"))),
+
     // J6 — range (interval) join at scale: events matched to irregular
     // quadratic value bands [i², (i+1)²) via RangeJoin.viaBins — bands
     // expand to width-8 bins, the join is a plain equi-join on the bin
@@ -2440,6 +2452,22 @@ object SparkEntry {
          |  CAST(($hexVal) % 8 AS INTEGER) AS shard
          |FROM documents""".stripMargin
     },
+
+    "d7_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 3),
+        |                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gram
+        |  FROM t),
+        |g AS (SELECT gram, COUNT(*) AS nd FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  COUNT(*) FILTER (WHERE nd >= 2) AS n_dup_grams,
+        |  (COUNT(*) FILTER (WHERE nd >= 2)) * 10000 // COUNT(*) AS dup_bp
+        |FROM sh JOIN g USING (gram) GROUP BY 1""".stripMargin,
 
     "j6_range_join" ->
       """WITH bands AS (SELECT i AS band_id, CAST(i * i AS DOUBLE) AS lo,

@@ -321,6 +321,32 @@ object DedupOps {
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Cross-document duplicated n-gram statistics (the span-dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): per document, how many of its DISTINCT word n-grams occur in
+    * at least one OTHER document. High dup fractions mark boilerplate and
+    * templated text that survives document-level dedup.
+    *
+    * Scale shape: the gram relation is one narrow (id, md5) row per
+    * distinct gram per doc (~tokens-sized); the per-gram doc count and the
+    * join back both key on the gram hash, so the two exchanges share a key
+    * and partial-aggregate map-side; the final per-doc rollup is narrow.
+    * Nothing is ever quadratic — the gram-frequency skew (a stop-gram in
+    * every doc) lands in ONE count row, not an all-pairs blowup. */
+  def crossDocGramStats(corpus: DataFrame, idCol: String, textCol: String,
+                        gramSize: Int = 13): DataFrame = {
+    val pairs = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(graft.expressions.MinHashExpressions
+        .wordGrams(col(textCol), gramSize))).as("gram"))
+      .select(col("id"), md5(col("gram")).as("gh"))
+    // distinct docs per gram: `pairs` is already distinct per (id, gram)
+    val counts = pairs.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+    pairs.join(counts, "gh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") >= 2, lit(1))).as("n_dup_grams"))
+  }
+
   /** Connected components over an undirected pair relation — the clustering
     * step a production near-dup pipeline runs on LSH pair output. Dropping
     * `id_b` of every pair over-deletes on chains (A~B, B~C kills B and C,

@@ -344,6 +344,30 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("crossDocGramStats: counts grams shared across docs, not within one") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "a b c d e"), // grams: "a b c d", "b c d e" — first shared with doc 2
+      (2L, "a b c d x"), // grams: "a b c d", "b c d x"
+      (3L, "p q r s t"), // no overlap with anyone
+      (4L, "u v"),       // < gramSize: whole text is the gram
+      (5L, "u v")        // exact short dup of 4 -> both fully duplicated
+    ).toDF("doc_id", "text")
+    val out = DedupOps.crossDocGramStats(docs, "doc_id", "text", 4)
+      .select("id", "n_grams", "n_dup_grams").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((2L, 1L)) && out(2L) === ((2L, 1L)))
+    assert(out(3L) === ((2L, 0L)), "unique doc must report zero dup grams")
+    assert(out(4L) === ((1L, 1L)) && out(5L) === ((1L, 1L)),
+      "short exact dups are fully duplicated")
+    // a gram repeated only WITHIN one doc is not a cross-doc dup: distinct
+    // grams per doc collapse the repeat before counting
+    val solo = Seq((9L, "m n o p m n o p")).toDF("doc_id", "text")
+    val s = DedupOps.crossDocGramStats(solo, "doc_id", "text", 4)
+      .select("n_dup_grams").as[Long].head()
+    assert(s === 0L, "within-doc repetition must not count as cross-doc duplication")
+  }
+
   test("hashSplit: total, stable under repartition/append, roughly proportional") {
     import graft.ops.Sampling
     val fr = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
