@@ -1077,6 +1077,16 @@ object SparkEntry {
         md5(TextOps.redactPii(col("t"))).as("red_fp"))
     }),
 
+    // T9 — bigram LM quality score (CCNet/KenLM-style perplexity proxy,
+    // model trained on the corpus itself): per doc, mean ln P(w2|w1) from
+    // global bigram/context counts. Each log term truncates to
+    // DECIMAL(30,10) before the exact sum, so the mean is order-independent
+    // and digit-mirrorable.
+    "t9_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          Exact.fmt(col("mean_logp"), 4).as("mean_logp_r"))),
+
     // X4 — benchmark decontamination: train docs sharing a word 4-gram with
     // the held-out set (doc_id % 17 == 0). 4-grams because the synthetic
     // vocabulary is ~40 words (a real pipeline uses 13-grams; the op is
@@ -2400,6 +2410,26 @@ object SparkEntry {
         |  CASE WHEN n < 2 THEN CAST('0.0' AS DOUBLE)
         |       ELSE CAST(top AS DOUBLE) / (n - 1) END AS top_2gram_frac
         |FROM s LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "t9_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |                               i -> array_to_string(toks[i:i+1], ' ')) END) AS gram
+        |  FROM t),
+        |b2 AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS ctx FROM bg),
+        |cb AS (SELECT gram, COUNT(*) AS nb FROM b2 GROUP BY 1),
+        |cc AS (SELECT ctx, COUNT(*) AS nc FROM b2 GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  printf('%.4f',
+        |    CAST(SUM(CAST(ln(CAST(nb AS DOUBLE) / CAST(nc AS DOUBLE)) AS DECIMAL(30,10)))
+        |         AS DOUBLE) / COUNT(*)) AS mean_logp_r
+        |FROM b2 JOIN cb USING (gram) JOIN cc USING (ctx)
+        |GROUP BY 1""".stripMargin,
 
     "t8_pii_redact" ->
       """WITH aug AS (

@@ -154,4 +154,34 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
+
+  /** Corpus-trained bigram language-model score (the CCNet/KenLM-style
+    * perplexity-proxy quality filter, trained on the corpus itself): per
+    * document, the mean log P(w2|w1) over its bigram occurrences, with
+    * P(w2|w1) = C(w1 w2) / C(w1 ·) from global counts. Low (very negative)
+    * means = improbable token sequences → filter candidates; high means =
+    * repetitive/templated text.
+    *
+    * Scale shape: the bigram relation is one narrow (id, gram) row per
+    * token; the model "training" is two grouped counts over it and the
+    * scoring joins key on the same gram/context values (vocabulary-sized
+    * build sides, corpus-sized probe — plain shuffled hash joins). Each
+    * log term is truncated to DECIMAL(30,10) before the exact sum, so the
+    * per-doc mean is order-independent at any parallelism and the oracle
+    * reproduces it digit for digit.
+    *
+    * @return (id, n_bigrams, mean_logp)
+    */
+  def bigramLmScore(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = corpus.select(col(idCol).as("id"),
+      explode(graft.expressions.MinHashExpressions.wordGrams(col(textCol), 2)).as("gram"))
+      .withColumn("ctx", split(col("gram"), " ").getItem(0))
+    val cntB = bg.groupBy(col("gram")).agg(count(lit(1)).as("nb"))
+    val cntC = bg.groupBy(col("ctx")).agg(count(lit(1)).as("nc"))
+    bg.join(cntB, "gram").join(cntC, "ctx")
+      .withColumn("logp", log(col("nb").cast("double") / col("nc").cast("double")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), Exact.avgD(col("logp"), 10).as("mean_logp"))
+  }
 }

@@ -344,6 +344,23 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("bigramLmScore: mean log P(w2|w1) from corpus counts, exact on known corpus") {
+    // corpus bigrams: "a b" x2, "a c" x1 -> C(a .) = 3
+    // P(b|a) = 2/3, P(c|a) = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .select("id", "n_bigrams", "mean_logp").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log(2.0 / 3.0)) < 1e-9)
+    assert(math.abs(out(2L)._2 - math.log(1.0 / 3.0)) < 1e-9)
+    assert(out(1L)._2 > out(2L)._2, "the common bigram must score higher")
+    // order-independence: physical layout cannot change the decimal-summed mean
+    val shuffled = TextOps.bigramLmScore(docs.repartition(5), "doc_id", "text")
+      .select("id", "mean_logp").as[(Long, Double)].collect().toMap
+    assert(shuffled(1L) === out(1L)._2 && shuffled(2L) === out(2L)._2)
+  }
+
   test("crossDocGramStats: counts grams shared across docs, not within one") {
     import graft.ops.DedupOps
     val docs = Seq(
