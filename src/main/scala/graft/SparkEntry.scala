@@ -907,6 +907,23 @@ object SparkEntry {
             col("n_exact").cast("double"), 4).as("rel_err_r"))
     }),
 
+    // O12 — Count-Min heavy-hitter estimates: frequency questions without
+    // shuffling every distinct key (the exchange carries <= d·w cells per
+    // partition, constant in corpus size and cardinality). Integer-exact
+    // end to end, so n_cms matches the oracle digit for digit; n_cms >=
+    // n_exact by construction and the compare pins both.
+    "o12_cms_heavy" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val sk = graft.ops.Sketches.cmsBuild(e, col("user_id"))
+      val probes = e.filter(col("user_id") < 25).select(col("user_id")).distinct()
+      val est = graft.ops.Sketches.cmsEstimate(sk, probes, col("user_id"))
+        .withColumnRenamed("key", "user_id")
+      e.filter(col("user_id") < 25).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(est, "user_id")
+        .select(col("user_id"), col("n_exact"), col("n_cms"))
+    }),
+
     // S8 — k-means (Lloyd) centroid training, 2 iterations from the
     // deterministic seed slice: the clustering step every IVF/PQ structure
     // above takes as input, as a first-class op. Decimal-exact per-element
@@ -1948,6 +1965,28 @@ object SparkEntry {
        |FROM f CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) e""".stripMargin
   }
 
+  /** Oracle for o12: the same d×w md5-bucket cells ([[graft.ops.Sketches
+    * .cmsBucketSql]] — generated from the same code as the Column form),
+    * grouped counts, min-over-rows estimate. Pure integer arithmetic. */
+  private def cmsOracle: String = {
+    val d = 4; val w = 512
+    def cellsFor(src: String, keyExpr: String, carry: String): String =
+      (0 until d).map(i =>
+        s"SELECT $carry$i AS row, ${graft.ops.Sketches.cmsBucketSql(keyExpr, i, w)} AS bucket FROM $src")
+        .mkString("\n  UNION ALL ")
+    s"""WITH cells AS (
+       |  ${cellsFor("events", "user_id", "")}),
+       |sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+       |pc AS (
+       |  ${cellsFor("probes", "user_id", "user_id, ")}),
+       |est AS (SELECT user_id, MIN(cnt) AS n_cms
+       |        FROM pc JOIN sk USING (row, bucket) GROUP BY 1),
+       |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+       |       WHERE user_id < 25 GROUP BY 1)
+       |SELECT ex.user_id, n_exact, n_cms FROM ex JOIN est USING (user_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -2273,6 +2312,7 @@ object SparkEntry {
     "s7d_pq_index_search" -> pqIvfOracle,
     "s8_kmeans" -> kmeansOracle(2),
     "sd1_semdedup" -> semDedupOracle(2, "0.35"),
+    "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
 
     // The on-disk epoch-partitioned index — including a compaction pass —

@@ -80,4 +80,50 @@ object Sketches {
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")).as("n_hll"))
   }
+
+  // ---- Count-Min sketch (heavy hitters without a per-key shuffle) --------
+
+  /** Salted 32-bit row hash → bucket for CMS row `i`: integer value of the
+    * first 8 md5 hex chars of "i:key", mod `w`. Pure integer arithmetic, so
+    * the oracle reproduces every cell exactly. */
+  private def cmsBucket(key: Column, i: Int, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$i:"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(w.toLong))
+
+  /** Build a d×w Count-Min sketch of `keyCol` occurrences: one row per
+    * non-empty cell (row, bucket, cnt).
+    *
+    * The 100 TB shape: frequency questions without shuffling every distinct
+    * key — the exchange carries at most d·w narrow cells per partition
+    * (map-side partial COUNT), constant in both corpus size and key
+    * cardinality. Point estimates then read d cells per key and take the
+    * MIN (over-count only, never under: each cell is a superset sum). */
+  def cmsBuild(df: DataFrame, keyCol: Column, d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2)
+    val cells = explode(array((0 until d).map(i =>
+      struct(lit(i).as("row"), cmsBucket(keyCol, i, w).as("bucket"))): _*))
+    df.select(cells.as("c"))
+      .select(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for `keys`: min over the d cells each key hashes
+    * to. `sketch` is [[cmsBuild]] output (broadcast-small: ≤ d·w rows). */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: Column,
+                  d: Int = 4, w: Int = 512): DataFrame = {
+    val probes = keys.select(keyCol.as("key"),
+      explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"), cmsBucket(keyCol, i, w).as("bucket"))): _*)).as("c"))
+      .select(col("key"), col("c.row").as("row"), col("c.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("key")).agg(min(col("cnt")).as("n_cms"))
+  }
+
+  /** SQL mirror of [[cmsBucket]] for the oracle (same md5-prefix integer). */
+  def cmsBucketSql(keyExpr: String, i: Int, w: Int): String = {
+    val hexVal = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5('$i:' || CAST($keyExpr AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    s"(($hexVal) % $w)"
+  }
 }

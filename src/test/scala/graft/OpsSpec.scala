@@ -344,6 +344,28 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("CMS: never under-counts, exact at low load, bounded sketch size") {
+    import graft.ops.Sketches
+    // 100 keys with key k occurring k+1 times
+    val rows = (0 until 100).flatMap(k => Seq.fill(k + 1)(k.toLong)).toDF("k")
+    val sk = Sketches.cmsBuild(rows, $"k", d = 4, w = 512)
+    assert(sk.count() <= 4 * 512, "sketch must stay within d*w cells")
+    val probes = (0 until 100).map(_.toLong).toDF("k")
+    val est = Sketches.cmsEstimate(sk, probes, $"k", d = 4, w = 512)
+      .as[(Long, Long)].collect().toMap
+    (0 until 100).foreach { k =>
+      assert(est(k.toLong) >= k + 1, s"CMS under-counted key $k: ${est(k.toLong)} < ${k + 1}")
+    }
+    // at 100 keys over 4x512 cells, collisions across ALL 4 rows are
+    // overwhelmingly unlikely — the min should be exact here
+    assert((0 until 100).count(k => est(k.toLong) == k + 1) == 100,
+      "expected exact estimates at this load factor")
+    // unseen keys: every cell they hash to may still carry other keys'
+    // counts, but an empty cell (absent row) means the join drops them —
+    // estimate present keys only, by contract
+    assert(est.size === 100)
+  }
+
   test("bigramLmScore: mean log P(w2|w1) from corpus counts, exact on known corpus") {
     // corpus bigrams: "a b" x2, "a c" x1 -> C(a .) = 3
     // P(b|a) = 2/3, P(c|a) = 1/3
