@@ -1094,6 +1094,13 @@ object SparkEntry {
         md5(TextOps.redactPii(col("t"))).as("red_fp"))
     }),
 
+    // T10 — frequency-ranked vocabulary (tokenizer-training lite): term →
+    // count + dense id, count-desc/term-asc deterministic ids. The window
+    // ranks the VOCABULARY (distinct terms), not the corpus.
+    "t10_vocab" -> ((s, dir) =>
+      TextOps.vocabulary(docs(s, dir), "text", topK = 50)
+        .select(col("term"), col("n_occ"), col("vocab_id"))),
+
     // T9 — bigram LM quality score (CCNet/KenLM-style perplexity proxy,
     // model trained on the corpus itself): per doc, mean ln P(w2|w1) from
     // global bigram/context counts. Each log term truncates to
@@ -2450,6 +2457,15 @@ object SparkEntry {
         |  CASE WHEN n < 2 THEN CAST('0.0' AS DOUBLE)
         |       ELSE CAST(top AS DOUBLE) / (n - 1) END AS top_2gram_frac
         |FROM s LEFT JOIN m USING (doc_id)""".stripMargin,
+
+    "t10_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, COUNT(*) AS n_occ FROM t WHERE term <> '' GROUP BY 1)
+        |SELECT term, n_occ,
+        |  row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vocab_id
+        |FROM c QUALIFY vocab_id < 50""".stripMargin,
 
     "t9_lm_score" ->
       """WITH t AS (

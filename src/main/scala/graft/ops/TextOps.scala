@@ -172,6 +172,27 @@ object TextOps {
     *
     * @return (id, n_bigrams, mean_logp)
     */
+  /** Frequency-ranked vocabulary over the corpus (tokenizer-training lite):
+    * term → (occurrence count, dense id), ids assigned by count descending
+    * with ties broken by term — fully deterministic, so two engines (or two
+    * runs over different partitionings) emit the identical id mapping.
+    *
+    * Scale shape: one narrow (term) row per token occurrence into a
+    * partial-aggregated count; the ranking windows over the VOCABULARY
+    * (distinct terms — orders of magnitude smaller than the corpus), and
+    * `topK` bounds the output. For vocabularies past single-node window
+    * size, rank via Ranking.globalRowNumber on the count relation. */
+  def vocabulary(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                 topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = corpus.select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n_occ"))
+    val w = Window.orderBy(col("n_occ").desc, col("term"))
+    counts.withColumn("vocab_id", row_number().over(w).cast("long") - 1L)
+      .filter(col("vocab_id") < topK)
+  }
+
   def bigramLmScore(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val bg = corpus.select(col(idCol).as("id"),

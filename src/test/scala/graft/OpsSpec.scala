@@ -344,6 +344,26 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("vocabulary: deterministic count-desc/term-asc ids, layout-independent") {
+    val docs = Seq((1L, "b a a"), (2L, "c a b"), (3L, "  ")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; blank doc contributes nothing
+    val v = TextOps.vocabulary(docs, "text", topK = 10)
+      .select("term", "n_occ", "vocab_id").as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(v.toSeq === Seq(("a", 3L, 0L), ("b", 2L, 1L), ("c", 1L, 2L)))
+    // tie-break by term: equal counts order alphabetically
+    val tied = TextOps.vocabulary(Seq((1L, "z y")).toDF("doc_id", "text"), "text", 10)
+      .select("term", "vocab_id").as[(String, Long)].collect().toMap
+    assert(tied("y") === 0L && tied("z") === 1L)
+    // identical mapping from any physical layout
+    val re = TextOps.vocabulary(docs.repartition(7), "text", topK = 10)
+      .select("term", "vocab_id").as[(String, Long)].collect().toMap
+    assert(re === v.map(r => r._1 -> r._3).toMap)
+    // topK truncates by id
+    val top2 = TextOps.vocabulary(docs, "text", topK = 2)
+      .select("term").as[String].collect().toSet
+    assert(top2 === Set("a", "b"))
+  }
+
   test("CMS: never under-counts, exact at low load, bounded sketch size") {
     import graft.ops.Sketches
     // 100 keys with key k occurring k+1 times

@@ -51,6 +51,24 @@ object PropertySpec extends Properties("graft") {
         ThresholdUpdate.next(thr, thr) == thr
     }
 
+  property("splitBoundariesPartitionHashSpace") =
+    forAll(Gen.choose(2, 6).flatMap(k => Gen.listOfN(k, Gen.choose(1, 100)))) { ws =>
+      val tot = ws.sum.toDouble
+      val fr = ws.zipWithIndex.map { case (w, i) => (s"s$i", w / tot) }
+      val bounds = graft.ops.Sampling.splitBoundaries(fr)
+      // bands cover [0, 2^32) exactly, in declaration order, each width
+      // within 1 of fraction * 2^32 (rounding), so every 32-bit hash lands
+      // in exactly one split
+      bounds.map(_._1) == fr.map(_._1) &&
+        bounds.last._2 == 4294967296L &&
+        bounds.map(_._2) == bounds.map(_._2).sorted &&
+        bounds.zip(0L +: bounds.map(_._2).init).forall { case ((name, hi), lo) =>
+          val width = hi - lo
+          val want = fr.find(_._1 == name).get._2 * 4294967296.0
+          math.abs(width - want) <= fr.length + 1.0
+        }
+    }
+
   property("envelopeBatcherCapsAndContent") = {
     val genTx = Gen.choose(1, 400).map("x" * _)
     forAll(Gen.listOf(genTx), Gen.choose(50, 600)) { (txs, payloadCap) =>
