@@ -924,6 +924,30 @@ object SparkEntry {
         .select(col("user_id"), col("n_exact"), col("n_cms"))
     }),
 
+    // O13 — Bloom-filter semi-join reduction (explicit runtime filter): the
+    // classic 100 TB join move. A semi join whose probe side is the fact
+    // table shuffles every probe row before most are discarded; instead,
+    // broadcast a kilobyte bitset of the (filtered) build keys and drop
+    // non-matching probe rows AT THE SCAN, before any exchange. Bloom has
+    // no false negatives, so the exact semi join on the survivors gives the
+    // exact answer while the shuffle carries only ~hit-rate of the input —
+    // the oracle is the PLAIN semi join, which is the point: correctness is
+    // unconditional on the sketch. (OpsSpec pins the pruning itself:
+    // superset, no false negatives, and a real selectivity win.)
+    "o13_bloom_semi" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = graft.ops.Sketches.bloomBuild(urgent, col("o_orderkey"))
+      val pruned = graft.ops.Sketches.bloomPrune(
+        Tables.lineitem(s, dir), col("l_orderkey"), bloom)
+      pruned.join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+          Seq("l_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumD(col("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // S8 — k-means (Lloyd) centroid training, 2 iterations from the
     // deterministic seed slice: the clustering step every IVF/PQ structure
     // above takes as input, as a first-class op. Decimal-exact per-element
@@ -1100,6 +1124,18 @@ object SparkEntry {
     "t10_vocab" -> ((s, dir) =>
       TextOps.vocabulary(docs(s, dir), "text", topK = 50)
         .select(col("term"), col("n_occ"), col("vocab_id"))),
+
+    // T11 — BM25 keyword relevance against a fixed query-term set (the
+    // lexical retrieval scorer behind Lucene/Elasticsearch; Lucene-form
+    // always-positive idf). k1=1.2 / b=0.75 live as source literals
+    // mirrored by the oracle's CAST('…' AS DOUBLE) parses — deriving k1+1
+    // or 1−b arithmetically could land 1 ULP off the other engine. Per-doc
+    // sum routes through DECIMAL(30,10) (the t9 contract), so the score is
+    // order-independent and the ln's libm skew stays behind %.4f.
+    "t11_bm25" -> ((s, dir) =>
+      TextOps.bm25(docs(s, dir), "doc_id", "text", Seq("spark", "query", "window"))
+        .select(col("id").as("doc_id"), col("n_hit"),
+          Exact.fmt(col("bm25"), 4).as("bm25_r"))),
 
     // T9 — bigram LM quality score (CCNet/KenLM-style perplexity proxy,
     // model trained on the corpus itself): per doc, mean ln P(w2|w1) from
@@ -2322,6 +2358,17 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
 
+    // Bloom pruning has no false negatives and is followed by the exact
+    // semi join, so the oracle is the PLAIN semi join — correctness of o13
+    // is unconditional on the sketch contents.
+    "o13_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
+
     // The on-disk epoch-partitioned index — including a compaction pass —
     // must return the identical neighbor set the in-memory IVF plan does.
     "s4_ivf_index_search" -> ivfOracle,
@@ -2466,6 +2513,30 @@ object SparkEntry {
         |SELECT term, n_occ,
         |  row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vocab_id
         |FROM c QUALIFY vocab_id < 50""".stripMargin,
+
+    // Mirrors TextOps.bm25 expression-for-expression: every step except ln
+    // is an exactly rounded IEEE op on identical operands, the constants
+    // are the same parsed doubles, and the per-doc sum is an exact
+    // DECIMAL(30,10) accumulate on both engines.
+    "t11_bm25" ->
+      raw"""WITH tok AS (SELECT doc_id,
+           |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+           |st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           |       WHERE term IN ('spark', 'query', 'window') GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |c AS (SELECT tf.doc_id,
+           |        ln((st.n - dfq.df + CAST('0.5' AS DOUBLE)) / (dfq.df + CAST('0.5' AS DOUBLE))
+           |           + CAST('1.0' AS DOUBLE))
+           |        * ((tf.tf * CAST('2.2' AS DOUBLE)) /
+           |           (tf.tf + CAST('1.2' AS DOUBLE) *
+           |            (CAST('0.25' AS DOUBLE) + CAST('0.75' AS DOUBLE) * dl.dl / st.avgdl))) AS contrib
+           |      FROM tf JOIN dl USING (doc_id) CROSS JOIN st JOIN dfq ON tf.term = dfq.term)
+           |SELECT doc_id, COUNT(*) AS n_hit,
+           |  printf('%.4f', CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE)) AS bm25_r
+           |FROM c GROUP BY doc_id""".stripMargin,
 
     "t9_lm_score" ->
       """WITH t AS (

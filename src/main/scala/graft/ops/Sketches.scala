@@ -126,4 +126,75 @@ object Sketches {
       .mkString(" + ")
     s"(($hexVal) % $w)"
   }
+
+  // ---- Bloom filter (runtime semi-join reduction) ------------------------
+
+  /** Bit position of hash function `i` for `key` in an `mBits`-bit Bloom
+    * filter: integer value of the first 8 md5 hex chars of "i:key", mod
+    * mBits — the same salted md5 family as [[cmsBucket]], pure integer
+    * arithmetic, engine-reproducible. */
+  private def bloomPos(key: Column, i: Int, mBits: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"b$i:"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(mBits.toLong))
+
+  /** Build an `mBits`-bit Bloom filter of `keyCol` as ONE row holding a
+    * dense array<bigint> of mBits/64 words.
+    *
+    * Why this exists: the classic 100 TB join-reduction move. A semi join
+    * whose probe side is the 100 TB fact table shuffles every probe row to
+    * its key's reducer before most of them are discarded. A Bloom filter of
+    * the (small, filtered) build side is kilobytes; broadcast it and drop
+    * the non-matching probe rows AT THE SCAN, before the exchange — no
+    * false negatives, so a cheap exact join on the survivors gives the
+    * exact answer while the shuffle carries only ~hit-rate of the input.
+    * (Spark's own runtime row-group Bloom pruning can't be steered
+    * per-query from the API; this is the explicit, plan-visible form.)
+    *
+    * Plan shape: build rows → k narrow (word, mask) cells → groupBy(word)
+    * BIT_OR (map-side partial; exchange carries ≤ mBits/64 rows per
+    * partition, constant in build size) → dense-array assembly against
+    * `spark.range(mBits/64)` so absent words are explicit zeros and the
+    * array index is positional. Everything stays in DataFrame land — no
+    * driver-side bitset, no UDF. */
+  def bloomBuild(df: DataFrame, keyCol: Column, mBits: Int = 1 << 16,
+                 k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && mBits >= 64 && k >= 1 && k <= 16)
+    val nWords = mBits / 64
+    val cells = explode(array((0 until k).map(i => bloomPos(keyCol, i, mBits)): _*))
+    val words = df.select(cells.as("pos"))
+      .select((col("pos") / 64).cast("long").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy(col("word_idx")).agg(expr("bit_or(mask)").as("word"))
+    words.sparkSession.range(nWords).toDF("word_idx")
+      .join(words, Seq("word_idx"), "left")
+      .select(col("word_idx"), coalesce(col("word"), lit(0L)).as("word"))
+      .agg(sort_array(collect_list(struct(col("word_idx"), col("word")))).as("ws"))
+      .select(transform(col("ws"), s => s.getField("word")).as("words"))
+  }
+
+  /** Prune `probe` rows whose `probeKey` is certainly absent from the
+    * filter: crossJoin the 1-row words relation (broadcast nested-loop over
+    * a single row — free) and keep rows with all k bits set. Output is an
+    * exact SUPERSET of the true matches (no false negatives) — compose with
+    * a real join on the survivors for exact semantics.
+    *
+    * Bit test per hash row i: helper column __bpI holds the bit position;
+    * word lookup is positional element_at (1-based), the mask is a variable
+    * shift (SQL shiftleft takes expressions, the Scala builder doesn't).
+    * All codegen'd integer ops — the probe side stays one WholeStageCodegen
+    * span over the scan. */
+  def bloomPrune(probe: DataFrame, probeKey: Column, bloom: DataFrame,
+                 mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0 && k >= 1 && k <= 16)
+    val withPos = (0 until k).foldLeft(
+      probe.crossJoin(broadcast(bloom.select(col("words").as("__bloom_words__"))))) {
+      (d, i) => d.withColumn(s"__bp$i", bloomPos(probeKey, i, mBits))
+    }
+    val allSet = (0 until k).map { i =>
+      element_at(col("__bloom_words__"), (col(s"__bp$i") / 64).cast("int") + 1)
+        .bitwiseAND(expr(s"shiftleft(1L, cast(__bp$i % 64 as int))")) =!= 0L
+    }.reduce(_ && _)
+    withPos.filter(allSet)
+      .drop("__bloom_words__" +: (0 until k).map(i => s"__bp$i"): _*)
+  }
 }

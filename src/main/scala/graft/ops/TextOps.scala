@@ -205,4 +205,48 @@ object TextOps {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), Exact.avgD(col("logp"), 10).as("mean_logp"))
   }
+
+  /** BM25 keyword relevance of every document against a fixed query-term
+    * set (Robertson/Sparck-Jones probabilistic ranking, the function behind
+    * Lucene/Elasticsearch scoring and the lexical half of every
+    * training-data quality/retrieval mix). Constants are the universal
+    * defaults k1=1.2, b=0.75, baked in as source literals so the Spark side
+    * and a SQL oracle parse the IDENTICAL doubles (deriving 1−b or k1+1
+    * arithmetically could land 1 ULP off the other engine's parse).
+    *
+    * idf is the Lucene form ln((N − df + 0.5)/(df + 0.5) + 1) — always
+    * positive, so a term in >half the corpus degrades smoothly instead of
+    * flipping negative. Every arithmetic step except ln is an exactly
+    * rounded IEEE op mirrored expression-for-expression in the oracle; the
+    * ln lives per (doc × query-term) row and the per-doc sum routes through
+    * an exact DECIMAL(30,10) accumulator (Exact.sumD), so the score is
+    * order-independent at any parallelism and 1-ULP libm skew stays behind
+    * the 4-decimal output rounding (the t9 contract).
+    *
+    * Scale shape: token-sized narrow relation → per-doc length rollup; the
+    * scoring relation is only (docs containing a query term) × |terms|;
+    * corpus stats (N, avgdl) are ONE broadcast row; df is |terms| rows.
+    * No shuffle carries anything wider than (id, term, count).
+    *
+    * @return (id, n_hit = matched query terms, bm25 = summed score)
+    */
+  def bm25(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, queryTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty)
+    val toks = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val norm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(dl, "id").crossJoin(broadcast(st)).join(broadcast(dfq), "term")
+      .withColumn("contrib", idf * norm)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hit"), Exact.sumD(col("contrib"), 10).as("bm25"))
+  }
 }

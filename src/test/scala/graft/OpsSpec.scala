@@ -540,4 +540,54 @@ class OpsSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L)))
   }
+
+  test("Bloom prune: dense word array, no false negatives, real pruning") {
+    val mBits = 1 << 12; val k = 5
+    val build = (0 until 200).map(i => i * 7L).toDF("key")
+    val bloom = graft.ops.Sketches.bloomBuild(build, $"key", mBits, k)
+    val words = bloom.select("words").as[Seq[Long]].head()
+    assert(words.length === mBits / 64, "positional array covers every word, absent words explicit zeros")
+    assert(words.exists(_ != 0L))
+
+    val probe = (0 until 5000).map(_.toLong).toDF("key")
+    val kept = graft.ops.Sketches.bloomPrune(probe, $"key", bloom, mBits, k)
+      .as[Long].collect().toSet
+    val members = (0 until 200).map(i => i * 7L).toSet
+    // Bloom contract: every inserted key survives (no false negatives)...
+    assert(members.subsetOf(kept))
+    // ...and the prefilter does real work: at this load factor
+    // (200·5/4096 ≈ 0.24 bits set) the false-positive rate is ~(1-e^-0.24)^5
+    // ≈ 0.05%, so nearly all of the 4800 non-members must be dropped.
+    assert(kept.size < members.size + 100,
+      s"pruning too weak: kept ${kept.size} of 5000 probes for 200 members")
+    // prune + exact join == exact join without the sketch (unconditional
+    // correctness — the o13 oracle relies on exactly this identity).
+    val exact = probe.join(build.withColumnRenamed("key", "k2"),
+      $"key" === $"k2", "left_semi").as[Long].collect().toSet
+    val prunedExact = graft.ops.Sketches.bloomPrune(probe, $"key", bloom, mBits, k)
+      .join(build.withColumnRenamed("key", "k2"), $"key" === $"k2", "left_semi")
+      .as[Long].collect().toSet
+    assert(prunedExact === exact)
+  }
+
+  test("BM25: hand computation, doc-length normalization, miss exclusion") {
+    val corpus = Seq(
+      (1L, "spark query spark"),
+      (2L, "spark the the the the the"),
+      (3L, "nothing here"),
+      (4L, "query")).toDF("doc_id", "text")
+    val out = TextOps.bm25(corpus, "doc_id", "text", Seq("spark", "query"))
+      .select($"id", $"n_hit", $"bm25").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 3 matches no query term — absent, not zero-scored
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L)._1 === 2 && out(2L)._1 === 1 && out(4L)._1 === 1)
+    // hand check doc 1: N=4, avgdl=(3+6+2+1)/4=3, df(spark)=df(query)=2 so
+    // idf=ln((4-2+0.5)/2.5+1)=ln 2; spark tf=2,dl=3 → norm=4.4/3.2; query
+    // tf=1 → norm=2.2/2.2=1. Score = ln2·(4.4/3.2 + 1).
+    val expected1 = math.log(2.0) * (4.4 / 3.2) + math.log(2.0)
+    assert(math.abs(out(1L)._2 - expected1) < 1e-9, s"doc1=${out(1L)._2} expected=$expected1")
+    // same tf and idf, longer doc → lower score (the b·dl/avgdl penalty)
+    assert(out(4L)._2 > out(2L)._2, "length normalization must penalize doc 2")
+  }
 }
