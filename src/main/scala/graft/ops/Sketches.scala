@@ -172,29 +172,44 @@ object Sketches {
       .select(transform(col("ws"), s => s.getField("word")).as("words"))
   }
 
+  /** All-k-bits-set membership predicate: word lookup is positional
+    * element_at (1-based), the mask a variable shift (the Scala shiftleft
+    * builder only takes a literal count — call_function routes to the SQL
+    * form that shifts by an expression). Codegen'd integer ops throughout;
+    * the per-hash-row md5 appears twice (word index + bit) and codegen's
+    * common-subexpression elimination collapses the pair. */
+  def bloomMightContain(key: Column, words: Column, mBits: Int, k: Int): Column =
+    (0 until k).map { i =>
+      val pos = bloomPos(key, i, mBits)
+      element_at(words, (pos / 64).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+
   /** Prune `probe` rows whose `probeKey` is certainly absent from the
-    * filter: crossJoin the 1-row words relation (broadcast nested-loop over
-    * a single row — free) and keep rows with all k bits set. Output is an
-    * exact SUPERSET of the true matches (no false negatives) — compose with
-    * a real join on the survivors for exact semantics.
+    * filter, as a PURE SCAN PREDICATE: the words array is materialized
+    * (one metadata-sized action — mBits/64 longs, kilobytes regardless of
+    * build cardinality, the same driver-list budget as the IVF probed-cell
+    * set) and inlined as a literal, so the test is a plain filter on probe
+    * columns that PushPredicateThroughJoin drives below every downstream
+    * join, onto the scan. This is the shape of Spark's own injected
+    * runtime filters, made explicit and steerable.
     *
-    * Bit test per hash row i: helper column __bpI holds the bit position;
-    * word lookup is positional element_at (1-based), the mask is a variable
-    * shift (SQL shiftleft takes expressions, the Scala builder doesn't).
-    * All codegen'd integer ops — the probe side stays one WholeStageCodegen
-    * span over the scan. */
+    * Why not stay lazy with a broadcast crossJoin of the 1-row words
+    * relation? Measured on the o13 plan: the predicate then references the
+    * joined words column, so it CANNOT sink below the subsequent semi
+    * join — Catalyst broadcast the exact join first and the bloom test ran
+    * AFTER it, pure overhead. A runtime filter only pays when it reaches
+    * the scan side of the exchange; pinning that requires the predicate to
+    * be join-free.
+    *
+    * Output is an exact SUPERSET of the true matches (no false
+    * negatives) — compose with a real join on the survivors for exact
+    * semantics. */
   def bloomPrune(probe: DataFrame, probeKey: Column, bloom: DataFrame,
                  mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
     require(mBits % 64 == 0 && k >= 1 && k <= 16)
-    val withPos = (0 until k).foldLeft(
-      probe.crossJoin(broadcast(bloom.select(col("words").as("__bloom_words__"))))) {
-      (d, i) => d.withColumn(s"__bp$i", bloomPos(probeKey, i, mBits))
-    }
-    val allSet = (0 until k).map { i =>
-      element_at(col("__bloom_words__"), (col(s"__bp$i") / 64).cast("int") + 1)
-        .bitwiseAND(expr(s"shiftleft(1L, cast(__bp$i % 64 as int))")) =!= 0L
-    }.reduce(_ && _)
-    withPos.filter(allSet)
-      .drop("__bloom_words__" +: (0 until k).map(i => s"__bp$i"): _*)
+    val words = bloom.select(col("words")).head().getSeq[Long](0).toArray
+    probe.filter(bloomMightContain(probeKey, lit(words), mBits, k))
   }
 }
