@@ -130,12 +130,14 @@ object Sketches {
   // ---- Bloom filter (runtime semi-join reduction) ------------------------
 
   /** Bit position of hash function `i` for `key` in an `mBits`-bit Bloom
-    * filter: integer value of the first 8 md5 hex chars of "i:key", mod
-    * mBits — the same salted md5 family as [[cmsBucket]], pure integer
-    * arithmetic, engine-reproducible. */
+    * filter: salted xxhash64 mod mBits. Deliberately NOT the md5 family the
+    * oracle-mirrored sketches use: a Bloom prune needs no cross-engine
+    * reproducibility (its correctness contract is only no-false-negatives —
+    * the exact join downstream owes the oracle answer), and xxhash64 is a
+    * codegen'd native hash, ~10x cheaper than md5's string-convert +
+    * digest + hex-parse on the per-row hot path the prune lives in. */
   private def bloomPos(key: Column, i: Int, mBits: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"b$i:"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(mBits.toLong))
+    pmod(xxhash64(lit(i), key), lit(mBits.toLong))
 
   /** Build an `mBits`-bit Bloom filter of `keyCol` as ONE row holding a
     * dense array<bigint> of mBits/64 words.
