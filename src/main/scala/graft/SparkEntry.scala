@@ -924,6 +924,20 @@ object SparkEntry {
         .select(col("user_id"), col("n_exact"), col("n_cms"))
     }),
 
+    // O14 — histogram quantiles: percentiles without a global sort. Exact
+    // quantiles need a full-data range exchange; the histogram needs one
+    // narrow groupBy(bin) COUNT (≤ nBins integer cells per partition
+    // through the exchange, constant in data size) plus a min/max pre-scan.
+    // Bin ids/counts are exact integers from exactly rounded IEEE ops, the
+    // cumulative walk is over the ≤1024-row bounded bin relation, and the
+    // interpolation mirrors the oracle expression-for-expression — digit
+    // exact, with a14_percentiles as the exact-sort counterpart.
+    "o14_hist_quantile" -> ((s, dir) =>
+      graft.ops.Sketches.histQuantiles(ev(s, dir), col("value"), 1024,
+        Seq("0.5", "0.95", "0.99"))
+        .select(col("q_str"), col("rnk"), col("bin"),
+          Exact.fmt(col("est"), 4).as("est_r"))),
+
     // O13 — Bloom-filter semi-join reduction (explicit runtime filter): the
     // classic 100 TB join move. A semi join whose probe side is the fact
     // table shuffles every probe row before most are discarded; instead,
@@ -1512,6 +1526,17 @@ object SparkEntry {
     "e2e_stream_agg" -> ((s, dir) => {
       val work = scratch("e2e")
       graft.streaming.EndToEnd.run(s, ev(s, dir), work, withAuxSinks = true)
+    }),
+
+    // E2E stream-stream interval join (§2.8): two event-bus subscriptions
+    // of one firehose (the reference's one-bus/per-consumer-rule pattern)
+    // joined per user on a bounded event-time interval, watermarks on both
+    // sides, append sink. Ordered day-chunked replay ⇒ eviction cannot
+    // race arrival (streaming/StreamJoin.scala doc), so the sink holds
+    // exactly the batch join the oracle recomputes.
+    "e2e_stream_join" -> ((s, dir) => {
+      val work = scratch("e2ej")
+      graft.streaming.StreamJoin.run(s, ev(s, dir), work)
     }),
 
     // Watermark DISCARD semantics (the reference's core lateness contract,
@@ -2358,6 +2383,28 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
 
+    // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
+    // (floor of exactly rounded IEEE ops → exact integer bins/counts), same
+    // ORDER BY bin cumulative frame, same rank + interpolation expressions,
+    // quantile fractions parsed from the same literal strings.
+    "o14_hist_quantile" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+        |b AS (SELECT CASE WHEN st.hi = st.lo THEN 0
+        |        ELSE LEAST(CAST(floor((value - st.lo) / ((st.hi - st.lo) / 1024)) AS BIGINT), 1023) END AS bin
+        |      FROM events CROSS JOIN st),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |cc AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM c),
+        |qs AS (SELECT unnest(['0.5', '0.95', '0.99']) AS q_str),
+        |r AS (SELECT q_str,
+        |        GREATEST(1, CAST(ceil(CAST(q_str AS DOUBLE) * st.n) AS BIGINT)) AS rnk,
+        |        st.lo, st.hi
+        |      FROM qs CROSS JOIN st)
+        |SELECT q_str, rnk, bin,
+        |  printf('%.4f', CASE WHEN hi = lo THEN lo
+        |    ELSE lo + (hi - lo) / 1024 *
+        |         (bin + CAST(rnk - (cum - cnt) AS DOUBLE) / cnt) END) AS est_r
+        |FROM r JOIN cc ON cc.cum >= r.rnk AND cc.cum - cc.cnt < r.rnk""".stripMargin,
+
     // Bloom pruning has no false negatives and is followed by the exact
     // semi join, so the oracle is the PLAIN semi join — correctness of o13
     // is unconditional on the sketch contents.
@@ -2850,6 +2897,18 @@ object SparkEntry {
         |  CAST(SUM(event_id % 10000) AS BIGINT) AS total_fee_1min,
         |  CAST(SUM(event_id % 10000) AS DOUBLE) / COUNT(*) AS avg_fee_1min
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The stream-stream join sink must hold exactly the batch interval
+    // join (every qualifying pair matched once, none evicted early).
+    "e2e_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_t_us,
+        |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS err_t_us,
+        |  c.value AS click_value
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND c.event_type = 'click' AND e.event_type = 'error'
+        | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts""".stripMargin,
 
     // Clean recomputation EXCLUDING exactly the deterministically-delayed
     // subset (event_id % 13 = 0, not an overlap-dup candidate, outside the

@@ -214,4 +214,53 @@ object Sketches {
     val words = bloom.select(col("words")).head().getSeq[Long](0).toArray
     probe.filter(bloomMightContain(probeKey, lit(words), mBits, k))
   }
+
+  // ---- Histogram quantiles (percentiles without a global sort) -----------
+
+  /** Quantile estimates of `valueCol` from a fixed-bin histogram: per
+    * requested quantile one row (q_str, rnk, bin, est).
+    *
+    * The 100 TB shape for percentiles: an exact quantile needs a global
+    * sort (full-data range exchange); a histogram needs ONE narrow
+    * groupBy(bin) COUNT — the exchange carries ≤ nBins integer cells per
+    * partition, constant in data size — plus a min/max pre-pass that is
+    * itself a partial-aggregated scan. Estimate error is bounded by the
+    * bin width (hi−lo)/nBins.
+    *
+    * Determinism inventory: bin ids and counts are exact integers from
+    * exactly rounded IEEE arithmetic on (value, lo, hi) — identical on any
+    * engine; the cumulative walk is an ORDER BY bin window over ≤ nBins
+    * rows (bounded relation — a single-partition window here is by
+    * construction metadata-sized, not a scale smell); rank and the final
+    * interpolation are mirrored expression-for-expression in the oracle,
+    * with quantile fractions passed as shared literal STRINGS so both
+    * engines parse the identical double. `qs` entries must be decimal
+    * literals in (0,1]. */
+  def histQuantiles(df: DataFrame, valueCol: Column, nBins: Int,
+                    qs: Seq[String]): DataFrame = {
+    require(nBins >= 2 && qs.nonEmpty)
+    val st = df.agg(min(valueCol).as("lo"), max(valueCol).as("hi"),
+      count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / lit(nBins)
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((valueCol - col("lo")) / width), lit(nBins - 1L)))
+    val counts = df.crossJoin(broadcast(st)).select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("bin"))))
+    val qRows = qs.map(q =>
+      s"SELECT '$q' AS q_str, CAST('$q' AS DOUBLE) AS q").mkString(" UNION ALL ")
+    val ranks = df.sparkSession.sql(qRows).crossJoin(broadcast(st))
+      .select(col("q_str"),
+        greatest(lit(1L), ceil(col("q") * col("n")).cast("long")).as("rnk"),
+        col("lo"), col("hi"))
+    ranks.join(cum,
+        col("cum") >= col("rnk") && col("cum") - col("cnt") < col("rnk"))
+      .select(col("q_str"), col("rnk"), col("bin"),
+        when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + (col("hi") - col("lo")) / lit(nBins) *
+            (col("bin") + (col("rnk") - (col("cum") - col("cnt"))).cast("double") / col("cnt")))
+          .as("est"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval join, replayed end to end (the §2.8 companion of
+  * EndToEnd's windowed-aggregation replay): clicks and errors are two
+  * event-bus subscriptions of the same firehose (the reference's
+  * EventBridge pattern — one bus, per-consumer filter rules), joined per
+  * user on a bounded event-time interval with watermarks on both sides.
+  *
+  * Correctness contract: with fixtures replayed in event-time order
+  * (day-chunked files, ascending modification times — the EndToEnd
+  * discipline), every qualifying pair is matched before state eviction and
+  * the append-mode sink holds EXACTLY the batch join's row set, which is
+  * what the DuckDB oracle recomputes. Why eviction can't race arrival: the
+  * interval condition bounds err_ts in BOTH directions relative to
+  * click_ts, so Spark derives a state TTL for each side; the global
+  * watermark lags one batch behind the ordered replay, so when a click at
+  * t_c arrives the watermark is ≤ t_c − 60 s, strictly before the eviction
+  * point t_e + window ≥ t_c of any error it may still match.
+  *
+  * Scale shape: the join itself is a keyed-state symmetric hash join —
+  * both sides shuffle once on user_id, per-key state is bounded by the
+  * interval width × per-user rate, and eviction is watermark-driven. At
+  * 100 TB/day this is the shape that works: no unbounded state, no
+  * re-scan, one exchange per side.
+  */
+object StreamJoin {
+
+  /** Render `df` into day-chunked parquet fixture files under `dir/data`
+    * with ascending modification times (file source replays oldest-first —
+    * arrival order tracks event time, the watermark-safety precondition).
+    * Returns the chunk count. */
+  def writeDayChunkedParquet(spark: SparkSession, df: DataFrame, dir: String,
+                             tsCol: String): Int = {
+    val stage = new Path(dir, "_stage")
+    df.withColumn("chunk", expr(s"unix_timestamp($tsCol) div 86400"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").parquet(stage.toString)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = new Path(dir, "data")
+    fs.mkdirs(data)
+    val chunks = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.startsWith("chunk="))
+      .sortBy(p => p.getName.stripPrefix("chunk=").toLong)
+    chunks.zipWithIndex.foreach { case (cdir, i) =>
+      fs.listStatus(cdir).map(_.getPath).filter(_.getName.startsWith("part-"))
+        .zipWithIndex.foreach { case (part, j) =>
+          val dest = new Path(data, f"chunk-$i%05d-$j.parquet")
+          fs.rename(part, dest)
+          fs.setTimes(dest, 1600000000000L + i * 60000L, -1)
+        }
+    }
+    fs.delete(stage, true)
+    chunks.length
+  }
+
+  /** Replay `events` through the two-subscription interval join and return
+    * the sink's final row set: for each click, every error of the same
+    * user in the `windowSeconds` before it (inclusive).
+    *
+    * Two independent readStreams over the same fixture dir — the
+    * event-bus-with-two-rules topology, and also the robust Spark form (a
+    * filtered self-join of one source shares one set of file offsets;
+    * separate sources keep per-side progress independent). */
+  def run(spark: SparkSession, events: DataFrame, workDir: String,
+          windowSeconds: Long = 21600L,
+          maxFilesPerTrigger: Int = 4): DataFrame = {
+    writeDayChunkedParquet(spark, events, workDir, "ts")
+    val schema = events.schema
+    def source() = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema).parquet(s"$workDir/data")
+    val clicks = source().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "60 seconds")
+    val errors = source().filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "60 seconds")
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user_id") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("err_ts") <= col("click_ts"))
+    val q = joined
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        unix_micros(col("click_ts")).as("click_t_us"),
+        unix_micros(col("err_ts")).as("err_t_us"), col("click_value"))
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/sink")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/sink")
+  }
+}

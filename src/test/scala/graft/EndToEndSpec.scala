@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ops.DedupOps
-import graft.streaming.{EndToEnd, StreamNearDup}
+import graft.streaming.{EndToEnd, StreamJoin, StreamNearDup}
 
 /** Oracle-shaped check of the full streaming replay at sf0.001: the final
   * keyed-table state must equal an independent batch recomputation over the
@@ -24,6 +24,28 @@ class EndToEndSpec extends SparkSpec {
         avg(pmod(col("event_id"), lit(10000)).cast("int")).as("avg_fee_1min"))
 
     assert(streamed.count() === expected.count())
+    assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
+  }
+
+  test("stream-stream interval join replay equals the batch join (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, dir)
+    val streamed = StreamJoin.run(spark, events, tmpDir("e2ej"))
+      .select(col("click_id"), col("err_id"))
+
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val e = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("event_id").as("err_id"), col("ts").as("ets"))
+    val expected = c.join(e,
+      col("user_id") === col("eu") &&
+        col("ets") >= col("cts") - expr("INTERVAL 21600 SECONDS") &&
+        col("ets") <= col("cts"))
+      .select(col("click_id"), col("err_id"))
+
+    assert(expected.count() > 0, "fixture must produce at least one pair")
+    assert(streamed.count() === expected.count(),
+      "append sink must hold each qualifying pair exactly once")
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
   }
 

@@ -570,6 +570,22 @@ class OpsSpec extends SparkSpec {
     assert(prunedExact === exact)
   }
 
+  test("histogram quantiles: bin-width error bound, monotone, degenerate") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = graft.ops.Sketches.histQuantiles(df, $"v", 10, Seq("0.5", "0.95", "0.99"))
+      .select($"q_str", $"est").as[(String, Double)].collect().toMap
+    // estimate error is bounded by one bin width ((100-1)/10 = 9.9)
+    assert(math.abs(out("0.5") - 50.0) <= 9.9, s"p50=${out("0.5")}")
+    assert(math.abs(out("0.95") - 95.0) <= 9.9, s"p95=${out("0.95")}")
+    assert(out("0.5") < out("0.95") && out("0.95") <= out("0.99"),
+      "estimates must be monotone in q")
+    // all-equal column: lo == hi → every quantile is that value
+    val flat = Seq.fill(7)(3.25).toDF("v")
+    val f = graft.ops.Sketches.histQuantiles(flat, $"v", 10, Seq("0.5"))
+      .select($"est").as[Double].head()
+    assert(f === 3.25)
+  }
+
   test("BM25: hand computation, doc-length normalization, miss exclusion") {
     val corpus = Seq(
       (1L, "spark query spark"),
