@@ -907,6 +907,26 @@ object SparkEntry {
             col("n_exact").cast("double"), 4).as("rel_err_r"))
     }),
 
+    // O15 — per-group HLL: distinct users per day from one narrow
+    // (grp, bucket) register exchange (≤ m register rows per group per
+    // partition) instead of shuffling every (day, user) pair — the grouped
+    // form of o11, same deterministic md5 registers, digit-exact vs the
+    // oracle's generated ladder. Exact per-day COUNT(DISTINCT) rides along
+    // for the error column (affordable at bench scale; at 100 TB you'd
+    // ship only the sketch).
+    "o15_hll_by_day" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val grp = date_format(col("ts"), "yyyy-MM-dd")
+      val sk = graft.ops.Sketches.hllDistinctBy(e, grp, col("user_id"), b = 12)
+      val exact = e.groupBy(grp.as("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(sk, "grp")
+        .select(col("grp").as("day"), col("n_exact"), col("nonzero_buckets"),
+          Exact.fmt(col("n_hll"), 4).as("n_hll_r"),
+          Exact.fmt((col("n_hll") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4).as("rel_err_r"))
+    }),
+
     // O12 — Count-Min heavy-hitter estimates: frequency questions without
     // shuffling every distinct key (the exchange carries <= d·w cells per
     // partition, constant in corpus size and cardinality). Integer-exact
@@ -2033,6 +2053,41 @@ object SparkEntry {
        |FROM f CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) e""".stripMargin
   }
 
+  /** Oracle for o15: [[hllOracle]] with the day group carried through every
+    * stage — same digit ladder, same estimator branches, per group. */
+  private def hllByOracle: String = {
+    def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+    val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
+      .mkString(" + ")
+    val w = (0 until 8).map(i => s"${hexDigit(4 + i)} * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val m = "CAST('4096.0' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $m)"
+    s"""WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS grp,
+       |             md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |d AS (SELECT grp, $bucket AS bucket, $w AS w FROM h),
+       |t AS (SELECT grp, bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+       |      FROM d GROUP BY grp, bucket),
+       |a AS (SELECT grp, SUM(t) AS present_sum, COUNT(*) AS nonzero_buckets
+       |      FROM t GROUP BY grp),
+       |s AS (SELECT grp, CAST(present_sum + (4096 - nonzero_buckets) * ${1L << 33} AS BIGINT)
+       |        AS sum_int, nonzero_buckets FROM a),
+       |r AS (SELECT grp, sum_int, nonzero_buckets,
+       |        $alpha * $m * $m / (CAST(sum_int AS DOUBLE) / CAST('8589934592.0' AS DOUBLE)) AS raw,
+       |        CAST(4096 - nonzero_buckets AS DOUBLE) AS zeros FROM s),
+       |f AS (SELECT grp, nonzero_buckets,
+       |        CASE WHEN raw <= CAST('2.5' AS DOUBLE) * $m AND zeros > 0
+       |             THEN $m * ln($m / zeros) ELSE raw END AS n_hll FROM r),
+       |ex AS (SELECT strftime(ts, '%Y-%m-%d') AS grp,
+       |         COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY grp)
+       |SELECT ex.grp AS day, ex.n_exact,
+       |  CAST(f.nonzero_buckets AS BIGINT) AS nonzero_buckets,
+       |  printf('%.4f', f.n_hll) AS n_hll_r,
+       |  printf('%.4f', (f.n_hll - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE))
+       |    AS rel_err_r
+       |FROM f JOIN ex USING (grp)""".stripMargin
+  }
+
   /** Oracle for o12: the same d×w md5-bucket cells ([[graft.ops.Sketches
     * .cmsBucketSql]] — generated from the same code as the Column form),
     * grouped counts, min-over-rows estimate. Pure integer arithmetic. */
@@ -2382,6 +2437,7 @@ object SparkEntry {
     "sd1_semdedup" -> semDedupOracle(2, "0.35"),
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
+    "o15_hll_by_day" -> hllByOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same

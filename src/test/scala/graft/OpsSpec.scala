@@ -531,6 +531,22 @@ class OpsSpec extends SparkSpec {
     assert(a === b, "HLL must not depend on row order or partitioning")
   }
 
+  test("grouped HLL: per-group estimate equals the single-group sketch") {
+    val df = (0 until 3).flatMap(g => (0 until (g + 1) * 300).map(k => (s"g$g", s"u${g}_$k")))
+      .toDF("g", "k")
+    val by = graft.ops.Sketches.hllDistinctBy(df, $"g", $"k")
+      .select($"grp", $"n_hll").as[(String, Double)].collect().toMap
+    for (g <- 0 until 3) {
+      val n = (g + 1) * 300
+      assert(math.abs(by(s"g$g") - n) / n < 0.05, s"group g$g est=${by(s"g$g")} n=$n")
+      // slicing to one group and sketching globally must give the identical
+      // estimate — grouping only partitions the register space
+      val single = graft.ops.Sketches.hllDistinct(df.filter($"g" === s"g$g"), $"k")
+        .select("n_hll").as[Double].head()
+      assert(by(s"g$g") === single)
+    }
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
