@@ -1159,6 +1159,16 @@ object SparkEntry {
       TextOps.vocabulary(docs(s, dir), "text", topK = 50)
         .select(col("term"), col("n_occ"), col("vocab_id"))),
 
+    // T12 — bigram PMI collocations (Church & Hanks): which adjacent word
+    // pairs co-occur far above chance — corpus analysis for tokenizer/
+    // quality work, the set-valued counterpart of t9's LM score. Output is
+    // the full ≥ minCount set (no ORDER BY on the double — membership is
+    // integer-determined, so libm ULP skew cannot change the row set).
+    "t12_pmi" -> ((s, dir) =>
+      TextOps.bigramPmi(docs(s, dir), "text", minCount = 20L)
+        .select(col("gram"), col("n_ab"), col("n_a"), col("n_b"),
+          Exact.fmt(col("pmi"), 4).as("pmi_r"))),
+
     // T11 — BM25 keyword relevance against a fixed query-term set (the
     // lexical retrieval scorer behind Lucene/Elasticsearch; Lucene-form
     // always-positive idf). k1=1.2 / b=0.75 live as source literals
@@ -2616,6 +2626,31 @@ object SparkEntry {
         |SELECT term, n_occ,
         |  row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vocab_id
         |FROM c QUALIFY vocab_id < 50""".stripMargin,
+
+    // Mirrors TextOps.bigramPmi: same ≥2-token doc filter on both counts,
+    // same integer counts, one mirrored IEEE chain inside the ln.
+    "t12_pmi" ->
+      raw"""WITH t AS (SELECT string_split_regex(trim(text, ' '), '\s+') AS toks
+           |          FROM documents),
+           |t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+           |uni AS (SELECT unnest(toks) AS w FROM t2),
+           |uc AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY 1),
+           |nt AS (SELECT COUNT(*) AS n_tok FROM uni),
+           |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+           |         i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM t2),
+           |nb AS (SELECT COUNT(*) AS n_bg FROM bg),
+           |bc AS (SELECT gram, COUNT(*) AS n_ab FROM bg GROUP BY 1
+           |       HAVING COUNT(*) >= 20),
+           |j AS (SELECT bc.gram, bc.n_ab, a.n_w AS n_a, b.n_w AS n_b,
+           |             nt.n_tok, nb.n_bg
+           |      FROM bc
+           |      JOIN uc a ON a.w = string_split(bc.gram, ' ')[1]
+           |      JOIN uc b ON b.w = string_split(bc.gram, ' ')[2]
+           |      CROSS JOIN nt CROSS JOIN nb)
+           |SELECT gram, n_ab, n_a, n_b,
+           |  printf('%.4f', ln(CAST(n_ab AS DOUBLE) * n_tok * n_tok /
+           |                    (CAST(n_a AS DOUBLE) * n_b * n_bg))) AS pmi_r
+           |FROM j""".stripMargin,
 
     // Mirrors TextOps.bm25 expression-for-expression: every step except ln
     // is an exactly rounded IEEE op on identical operands, the constants

@@ -206,6 +206,46 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), Exact.avgD(col("logp"), 10).as("mean_logp"))
   }
 
+  /** Bigram PMI collocation discovery: for every adjacent word pair seen at
+    * least `minCount` times, the pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) with P from corpus unigram/bigram counts — the
+    * classic collocation statistic (Church & Hanks 1990), the corpus-
+    * analysis counterpart of t9's conditional-probability LM score.
+    *
+    * Determinism: counts are exact integers; the PMI argument is one
+    * mirrored chain of exactly rounded IEEE ops (products may exceed 2^53 —
+    * still deterministic, identically rounded on both engines); the single
+    * ln's libm skew hides behind %.4f (the BM25 reasoning — transcendental
+    * outputs don't sit on format midpoints). No ORDER BY on the double:
+    * output is the full ≥ minCount SET, so a 1-ULP rank flip can't change
+    * membership.
+    *
+    * Scale shape: token-sized narrow unigram/bigram relations into partial-
+    * aggregated counts; the scoring joins are against the VOCABULARY
+    * (broadcast-small); totals are one broadcast row each. Docs with < 2
+    * tokens are excluded from BOTH counts (wordGrams degenerates there).
+    */
+  def bigramPmi(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                minCount: Long): org.apache.spark.sql.DataFrame = {
+    val t2 = corpus.filter(size(tokens(col(textCol))) >= 2)
+    val uni = t2.select(explode(tokens(col(textCol))).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val nt = uni.agg(count(lit(1)).as("n_tok"))
+    val bg = t2.select(
+      explode(graft.expressions.MinHashExpressions.wordGrams(col(textCol), 2)).as("gram"))
+    val nb = bg.agg(count(lit(1)).as("n_bg"))
+    val bc = bg.groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    bc.withColumn("wa", split(col("gram"), " ").getItem(0))
+      .withColumn("wb", split(col("gram"), " ").getItem(1))
+      .join(broadcast(uc.select(col("w").as("wa"), col("n_w").as("n_a"))), "wa")
+      .join(broadcast(uc.select(col("w").as("wb"), col("n_w").as("n_b"))), "wb")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("gram"), col("n_ab"), col("n_a"), col("n_b"),
+        log(col("n_ab").cast("double") * col("n_tok") * col("n_tok") /
+          (col("n_a").cast("double") * col("n_b") * col("n_bg"))).as("pmi"))
+  }
+
   /** BM25 keyword relevance of every document against a fixed query-term
     * set (Robertson/Sparck-Jones probabilistic ranking, the function behind
     * Lucene/Elasticsearch scoring and the lexical half of every

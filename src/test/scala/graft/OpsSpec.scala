@@ -602,6 +602,20 @@ class OpsSpec extends SparkSpec {
     assert(f === 3.25)
   }
 
+  test("bigram PMI: hand computation, short-doc exclusion, minCount membership") {
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramPmi(corpus, "text", 2L)
+      .select($"gram", $"n_ab", $"n_a", $"n_b", $"pmi")
+      .as[(String, Long, Long, Long, Double)].collect()
+    // "a b" x3; "b a" and "b c" fall under minCount=2
+    assert(out.map(_._1).toSet === Set("a b"))
+    val r = out.head
+    // doc 3 ("z", 1 token) excluded from BOTH counts: N_tok=7, N_bg=5
+    assert(r._2 === 3 && r._3 === 3 && r._4 === 3)
+    assert(math.abs(r._5 - math.log(3.0 * 7 * 7 / (3 * 3 * 5))) < 1e-12,
+      s"pmi=${r._5}")
+  }
+
   test("BM25: hand computation, doc-length normalization, miss exclusion") {
     val corpus = Seq(
       (1L, "spark query spark"),
