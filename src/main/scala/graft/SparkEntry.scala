@@ -927,6 +927,30 @@ object SparkEntry {
             col("n_exact").cast("double"), 4).as("rel_err_r"))
     }),
 
+    // O16 — sketch MERGE: per-day partial HLL register relations combined
+    // by register-wise MIN must equal the direct sketch over the union —
+    // exactly, not approximately (min is associative/commutative/
+    // idempotent; the estimator never sees which path made the registers).
+    // This is what makes the sketch a distributed data structure at 100 TB:
+    // kilobyte partials land per partition/day and any later rollup is
+    // answerable without re-reading the data. Both paths ship in the
+    // checked row; the oracle recomputes both independently.
+    "o16_hll_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val regs = graft.ops.Sketches.hllRegistersBy(e, day, col("user_id"), b = 12)
+      val merged = graft.ops.Sketches.hllMergeRegisters(
+        regs.select(col("bucket"), col("t")), b = 12)
+      val direct = graft.ops.Sketches.hllDistinct(e, col("user_id"), b = 12)
+        .select(col("n_hll").as("n_direct"))
+      val nParts = regs.select(col("part")).distinct()
+        .agg(count(lit(1)).as("n_parts"))
+      merged.crossJoin(direct).crossJoin(nParts)
+        .select(col("n_parts"), col("sum_int"), col("nonzero_buckets"),
+          Exact.fmt(col("n_hll"), 4).as("n_merged_r"),
+          Exact.fmt(col("n_direct"), 4).as("n_direct_r"))
+    }),
+
     // O12 — Count-Min heavy-hitter estimates: frequency questions without
     // shuffling every distinct key (the exchange carries <= d·w cells per
     // partition, constant in corpus size and cardinality). Integer-exact
@@ -1231,6 +1255,27 @@ object SparkEntry {
       DedupOps.crossDocGramStats(docs(s, dir), "doc_id", "text", 4)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_dup_grams"),
           expr("(n_dup_grams * 10000) div n_grams").as("dup_bp"))),
+
+    // D8 — span-level scrub (the removal step d7's statistics motivate):
+    // tokens covered by any word 8-gram occurring in ≥2 distinct docs are
+    // deleted, survivors re-join in order. All heavy relations token-sized
+    // and keyed on the uniform gram hash or doc id; the cleaned text ships
+    // as its md5 so the compare stays fixed-width. n_tokens/n_kept are
+    // exact integers.
+    "d8_span_scrub" -> ((s, dir) =>
+      DedupOps.spanScrub(docs(s, dir), "doc_id", "text", gramSize = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("cleaned")).as("scrub_fp"))),
+
+    // T13 — inverted index build: term → document frequency + the 10
+    // lowest doc ids as a deterministic posting sample (distinct'd,
+    // numerically sorted, sliced, stringified — physical layout cannot
+    // reorder it). Stop-term skew lands in single grouped rows; full
+    // posting lists would shard by (term, bucket) at 100 TB (see
+    // TextOps.invertedIndex doc).
+    "t13_inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir), "doc_id", "text", topDocs = 10)
+        .select(col("term"), col("df"), col("postings_head"))),
 
     // J6 — range (interval) join at scale: events matched to irregular
     // quadratic value bands [i², (i+1)²) via RangeJoin.viaBins — bands
@@ -2098,6 +2143,45 @@ object SparkEntry {
        |FROM f JOIN ex USING (grp)""".stripMargin
   }
 
+  /** Oracle for o16: BOTH paths recomputed independently — per-day register
+    * mins merged by register-wise MIN, and the direct global registers —
+    * through the same estimator tail. Same digit ladder as [[hllOracle]]. */
+  private def hllMergeOracle: String = {
+    def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+    val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
+      .mkString(" + ")
+    val w = (0 until 8).map(i => s"${hexDigit(4 + i)} * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val m = "CAST('4096.0' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $m)"
+    def tail(regs: String, out: String) =
+      s"""${out}a AS (SELECT SUM(t) AS present_sum, COUNT(*) AS nonzero_buckets FROM $regs),
+         |${out}s AS (SELECT CAST(present_sum + (4096 - nonzero_buckets) * ${1L << 33} AS BIGINT)
+         |        AS sum_int, nonzero_buckets FROM ${out}a),
+         |${out}r AS (SELECT sum_int, nonzero_buckets,
+         |        $alpha * $m * $m / (CAST(sum_int AS DOUBLE) / CAST('8589934592.0' AS DOUBLE)) AS raw,
+         |        CAST(4096 - nonzero_buckets AS DOUBLE) AS zeros FROM ${out}s),
+         |${out}f AS (SELECT sum_int, nonzero_buckets,
+         |        CASE WHEN raw <= CAST('2.5' AS DOUBLE) * $m AND zeros > 0
+         |             THEN $m * ln($m / zeros) ELSE raw END AS n_hll FROM ${out}r)""".stripMargin
+    s"""WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS grp,
+       |             md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |d AS (SELECT grp, $bucket AS bucket, $w AS w FROM h),
+       |tday AS (SELECT grp, bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+       |      FROM d GROUP BY grp, bucket),
+       |tm AS (SELECT bucket, MIN(t) AS t FROM tday GROUP BY bucket),
+       |td AS (SELECT bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+       |      FROM d GROUP BY bucket),
+       |${tail("tm", "m")},
+       |${tail("td", "d")},
+       |np AS (SELECT COUNT(DISTINCT grp) AS n_parts FROM h)
+       |SELECT np.n_parts, mf.sum_int,
+       |  CAST(mf.nonzero_buckets AS BIGINT) AS nonzero_buckets,
+       |  printf('%.4f', mf.n_hll) AS n_merged_r,
+       |  printf('%.4f', df.n_hll) AS n_direct_r
+       |FROM mf CROSS JOIN df CROSS JOIN np""".stripMargin
+  }
+
   /** Oracle for o12: the same d×w md5-bucket cells ([[graft.ops.Sketches
     * .cmsBucketSql]] — generated from the same code as the Column form),
     * grouped counts, min-over-rows estimate. Pure integer arithmetic. */
@@ -2448,6 +2532,7 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
     "o15_hll_by_day" -> hllByOracle,
+    "o16_hll_merge" -> hllMergeOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same
@@ -2763,6 +2848,42 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE nd >= 2) AS n_dup_grams,
         |  (COUNT(*) FILTER (WHERE nd >= 2)) * 10000 // COUNT(*) AS dup_bp
         |FROM sh JOIN g USING (gram) GROUP BY 1""".stripMargin,
+
+    // Mirrors DedupOps.spanScrub: same tokenization, 1-based positions,
+    // cross-doc distinct-doc counts, inclusive 8-token cover windows.
+    "d8_span_scrub" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text, ' ')) > 0),
+           |occ AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+           |  FROM d WHERE len(toks) >= 8),
+           |og AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram FROM occ),
+           |dup AS (SELECT gram FROM (
+           |        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM og GROUP BY 1)
+           |        WHERE nd >= 2),
+           |cov AS (SELECT DISTINCT doc_id, pos FROM (
+           |        SELECT og.doc_id, unnest(generate_series(og.i, og.i + 7)) AS pos
+           |        FROM og JOIN dup USING (gram))),
+           |tp AS (SELECT doc_id, unnest(toks) AS tok,
+           |              unnest(generate_series(1, len(toks))) AS pos FROM d),
+           |k AS (SELECT tp.doc_id AS kid, COUNT(*) AS n_kept,
+           |             array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS cleaned
+           |      FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+           |      WHERE cov.doc_id IS NULL GROUP BY 1)
+           |SELECT d.doc_id, len(d.toks) AS n_tokens,
+           |  COALESCE(k.n_kept, 0) AS n_kept,
+           |  md5(COALESCE(k.cleaned, '')) AS scrub_fp
+           |FROM d LEFT JOIN k ON d.doc_id = k.kid""".stripMargin,
+
+    "t13_inverted_index" ->
+      raw"""WITH tok AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
+           |  FROM documents WHERE length(trim(text, ' ')) > 0)
+           |SELECT term, COUNT(*) AS df,
+           |  array_to_string((list_sort(list(doc_id)))[1:10], ',') AS postings_head
+           |FROM tok WHERE term <> '' GROUP BY 1""".stripMargin,
 
     "j6_range_join" ->
       """WITH bands AS (SELECT i AS band_id, CAST(i * i AS DOUBLE) AS lo,

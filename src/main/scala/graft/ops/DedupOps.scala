@@ -347,6 +347,59 @@ object DedupOps {
         count(when(col("nd") >= 2, lit(1))).as("n_dup_grams"))
   }
 
+  /** Span-level scrub — the REMOVAL step d7's statistics motivate (Lee et
+    * al. 2022 dedup *the spans themselves*, not whole documents): every
+    * token covered by some word `gramSize`-gram occurring in ≥ `minDocs`
+    * DISTINCT documents is deleted; the survivors re-join (in order,
+    * single-spaced) into the cleaned text. Cross-doc only — a phrase
+    * repeated within one document is that document's own business.
+    *
+    * Returns one row per non-blank doc: (id, n_tokens, n_kept, cleaned) —
+    * docs whose every token is covered come back with n_kept=0 and
+    * cleaned=''.
+    *
+    * Scale shape: all heavy relations are token-sized and narrow, every
+    * exchange keys on either the uniform gram hash or the doc id — (1) gram
+    * occurrences (id, start, gh); (2) distinct-doc counts per gh (the
+    * boilerplate-gram skew lands in ONE count row); (3) occurrence⨝dup-gram
+    * hash join back on gh; (4) covered positions, ≤ gramSize× the dup
+    * occurrences, distinct'd on (id, pos); (5) a token-sized anti join plus
+    * one per-doc rollup whose collect_list is bounded by document length.
+    * Nothing quadratic, nothing driver-side. */
+  def spanScrub(corpus: DataFrame, idCol: String, textCol: String,
+                gramSize: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(gramSize >= 1 && minDocs >= 1)
+    val base = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        graft.ops.TextOps.tokens(col(textCol)).as("toks"))
+    // wordGrams falls back to one whole-doc gram for docs shorter than the
+    // window; those docs must contribute no occurrences (nothing to scrub).
+    val occ = base.filter(size(col("toks")) >= gramSize)
+      .select(col("id"), posexplode(graft.expressions.MinHashExpressions
+        .wordGrams(col("t"), gramSize)).as(Seq("i", "gram")))
+      .select(col("id"), col("i"), md5(col("gram")).as("gh"))
+    val dupGrams = occ.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gh"))
+    val covered = occ.join(dupGrams, "gh")
+      .select(col("id"),
+        explode(sequence(col("i"), col("i") + lit(gramSize - 1))).as("pos"))
+      .distinct()
+    val tokpos = base.select(col("id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokpos.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("cleaned"))
+    base.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Connected components over an undirected pair relation — the clustering
     * step a production near-dup pipeline runs on LSH pair output. Dropping
     * `id_b` of every pair over-deletes on chains (A~B, B~C kills B and C,

@@ -81,6 +81,50 @@ object Sketches {
           .otherwise(col("raw")).as("n_hll"))
   }
 
+  /** Mergeable partial sketches — THE property that makes a sketch a
+    * distributed data structure rather than a one-shot query: per `partCol`
+    * slice (a day, a shard, a landing batch), the register relation
+    * (part, bucket, t = min term). Partials merge by register-wise MIN, and
+    * because min is associative/commutative/idempotent the merged sketch
+    * equals the direct sketch over the union EXACTLY — same registers, same
+    * estimate, bit for bit (not approximately: the estimator never sees
+    * which path produced the registers). At 100 TB this is the shape that
+    * matters: per-partition sketches land incrementally (kilobytes each),
+    * and any subset/rollup of parts is answerable later without re-reading
+    * the data. */
+  def hllRegistersBy(df: DataFrame, partCol: Column, keyCol: Column,
+                     b: Int = 12): DataFrame = {
+    val hexChars = b / 4
+    val hex = md5(keyCol.cast("string"))
+    val bucket = conv(substring(hex, 1, hexChars), 16, 10).cast("long")
+    val w = conv(substring(hex, hexChars + 1, 8), 16, 10).cast("long")
+    df.select(partCol.as("part"), bucket.as("bucket"), termColumn(w).as("term"))
+      .groupBy(col("part"), col("bucket")).agg(min(col("term")).as("t"))
+  }
+
+  /** Merge partial register relations ([[hllRegistersBy]] output, or a
+    * union of several) into the single-row estimate — register-wise MIN
+    * then the standard estimator tail. Output row matches [[hllDistinct]]:
+    * (sum_int, nonzero_buckets, n_hll). */
+  def hllMergeRegisters(regs: DataFrame, b: Int = 12): DataFrame = {
+    val m = buckets(b)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(col("bucket")).agg(min(col("t")).as("t"))
+      .agg(sum(col("t")).as("present_sum"), count(lit(1)).as("nonzero_buckets"))
+      .select(
+        (col("present_sum") + (lit(m.toLong) - col("nonzero_buckets")) * lit(1L << 33))
+          .as("sum_int"),
+        col("nonzero_buckets"))
+      .select(col("sum_int"), col("nonzero_buckets"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_int").cast("double") / lit((1L << 33).toDouble))).as("raw"),
+        (lit(m.toLong) - col("nonzero_buckets")).cast("double").as("zeros"))
+      .select(col("sum_int"), col("nonzero_buckets"),
+        when(col("raw") <= lit(2.5) * lit(m.toDouble) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_hll"))
+  }
+
   /** Per-group HLL distinct estimates: [[hllDistinct]] with a group key
     * carried through both aggregations — the "distinct users per day"
     * question at 100 TB, where an exact per-group COUNT(DISTINCT) shuffles

@@ -246,6 +246,33 @@ object TextOps {
           (col("n_a").cast("double") * col("n_b") * col("n_bg"))).as("pmi"))
   }
 
+  /** Inverted index build — term → document frequency + a deterministic
+    * capped posting sample (the `topDocs` lowest doc ids, ascending): the
+    * retrieval-side data structure behind BM25/t11 and every
+    * keyword-filtered corpus slice. The sample is CAPPED on purpose: full
+    * posting lists for stop-terms are corpus-sized rows — the 100 TB shape
+    * shards each term's postings into bucketed, delta-encoded blocks keyed
+    * by (term, shard), and df comes from this same single groupBy; the
+    * capped array here is the driver-checkable head of that layout.
+    *
+    * Determinism: postings are distinct'd, numerically sorted, sliced, then
+    * stringified — physical layout cannot reorder them. All exchanges key
+    * on the term; the per-doc distinct is token-sized and narrow; the
+    * stop-term skew lands in single grouped rows (count + bounded list). */
+  def invertedIndex(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, topDocs: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(topDocs >= 1)
+    val tok = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("id"))), 1, topDocs),
+          d => d.cast("string"))).as("postings_head"))
+  }
+
   /** BM25 keyword relevance of every document against a fixed query-term
     * set (Robertson/Sparck-Jones probabilistic ranking, the function behind
     * Lucene/Elasticsearch scoring and the lexical half of every

@@ -386,6 +386,34 @@ class OpsSpec extends SparkSpec {
     assert(est.size === 100)
   }
 
+  test("HLL merge: merged partials equal the direct sketch exactly; merge is idempotent") {
+    import graft.ops.Sketches
+    // overlapping parts: part p holds keys [p*600, p*600 + 1000)
+    val rows = (0 until 4).flatMap(p =>
+      (p * 600 until p * 600 + 1000).map(k => (p.toLong, k.toLong)))
+      .toDF("part", "k")
+    val regs = Sketches.hllRegistersBy(rows, $"part", $"k", b = 8)
+    val merged = Sketches.hllMergeRegisters(regs, b = 8)
+      .as[(Long, Long, Double)].head()
+    val direct = Sketches.hllDistinct(rows.select($"k"), $"k", b = 8)
+      .select($"sum_int", $"nonzero_buckets", $"n_hll")
+      .as[(Long, Long, Double)].head()
+    assert(merged === direct,
+      "register-wise MIN merge must reproduce the direct sketch bit for bit")
+    // idempotence: feeding the same partials twice changes nothing
+    val twice = Sketches.hllMergeRegisters(regs.union(regs), b = 8)
+      .as[(Long, Long, Double)].head()
+    assert(twice === direct)
+    // a single part's registers alone estimate just that part
+    val solo = Sketches.hllMergeRegisters(regs.filter($"part" === 0), b = 8)
+      .as[(Long, Long, Double)].head()
+    val soloDirect = Sketches.hllDistinct(
+      rows.filter($"part" === 0).select($"k"), $"k", b = 8)
+      .select($"sum_int", $"nonzero_buckets", $"n_hll")
+      .as[(Long, Long, Double)].head()
+    assert(solo === soloDirect)
+  }
+
   test("bigramLmScore: mean log P(w2|w1) from corpus counts, exact on known corpus") {
     // corpus bigrams: "a b" x2, "a c" x1 -> C(a .) = 3
     // P(b|a) = 2/3, P(c|a) = 1/3
@@ -425,6 +453,64 @@ class OpsSpec extends SparkSpec {
     val s = DedupOps.crossDocGramStats(solo, "doc_id", "text", 4)
       .select("n_dup_grams").as[Long].head()
     assert(s === 0L, "within-doc repetition must not count as cross-doc duplication")
+  }
+
+  test("spanScrub: removes cross-doc duplicated spans, keeps order, spares within-doc repeats") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 tail1"),        // shares the 4-gram w1..w4 with doc 2
+      (2L, "pre w1 w2 w3 w4"),          // same span mid-doc
+      (3L, "c1 c2 c3 c4 c5"),           // unique — untouched
+      (4L, "w1 w2 w3 w4"),              // IS the shared span — fully scrubbed
+      (5L, "s t"),                      // shorter than the window — untouched
+      (6L, "m n o p m n o p")           // own repeat only — not cross-doc, untouched
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanScrub(docs, "doc_id", "text", gramSize = 4, minDocs = 2)
+      .select("id", "n_tokens", "n_kept", "cleaned")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((5L, 1L, "tail1")))
+    assert(out(2L) === ((5L, 1L, "pre")))
+    assert(out(3L) === ((5L, 5L, "c1 c2 c3 c4 c5")))
+    assert(out(4L) === ((4L, 0L, "")), "a doc that IS the shared span empties out")
+    assert(out(5L) === ((2L, 2L, "s t")), "short docs contribute no grams")
+    assert(out(6L) === ((8L, 8L, "m n o p m n o p")),
+      "within-doc repetition alone must not scrub")
+    // overlapping shared spans: covered positions union, survivors re-join
+    val tri = Seq((1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "z c d e f q")).toDF("doc_id", "text")
+    val t = DedupOps.spanScrub(tri, "doc_id", "text", gramSize = 4, minDocs = 2)
+      .select("id", "n_kept", "cleaned").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(t(1L) === ((0L, "")), "union of the two overlapping spans covers doc 1")
+    assert(t(2L) === ((2L, "x y")) && t(3L) === ((2L, "z q")))
+    // physical layout cannot change the result
+    val a = DedupOps.spanScrub(docs, "doc_id", "text", 4, 2)
+      .orderBy("id").collect().toSeq
+    val b = DedupOps.spanScrub(docs.repartition(7), "doc_id", "text", 4, 2)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("invertedIndex: df over distinct docs, numerically sorted capped postings") {
+    import graft.ops.TextOps
+    val docs = Seq(
+      (10L, "x x y"),   // within-doc repeat counts once
+      (2L, "x z"),
+      (7L, "y x"),
+      (5L, "   ")       // blank — excluded
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, "doc_id", "text", topDocs = 10)
+      .select("term", "df", "postings_head").as[(String, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet === Set("x", "y", "z"))
+    assert(out("x") === ((3L, "2,7,10")), "numeric sort, not lexicographic ('10'<'2')")
+    assert(out("y") === ((2L, "7,10")))
+    assert(out("z") === ((1L, "2")))
+    // the cap truncates the posting sample but not df
+    val many = (0L until 25L).map(i => (i, "common")).toDF("doc_id", "text")
+    val capped = TextOps.invertedIndex(many, "doc_id", "text", topDocs = 5)
+      .select("df", "postings_head").as[(Long, String)].head()
+    assert(capped === ((25L, "0,1,2,3,4")))
   }
 
   test("hashSplit: total, stable under repartition/append, roughly proportional") {
