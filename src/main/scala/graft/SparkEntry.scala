@@ -807,6 +807,26 @@ object SparkEntry {
           expr("percentile(value, 0.99)").as("p99"),
           count(lit(1)).as("n"))),
 
+    // A16 — gap fill / resample: the irregular event stream regularized
+    // onto a dense per-type minute spine with forward fill (the ffill step
+    // a fixed-frequency model like the reference's DeepAR requires), rolled
+    // up per day for the checked output. Observed minute sums and the daily
+    // rollup both route through the decimal accumulator, so every carried
+    // cell is pinned digit-exact through the day sums; n_observed vs
+    // n_carried split exposes which minutes were synthesized. The spine
+    // builds from a broadcast bounds row (never a per-event explode) and
+    // the fill window partitions by key — see SeriesETL.gapFillMinutes for
+    // the over-long-timeline two-pass variant.
+    "a16_gapfill" -> ((s, dir) =>
+      graft.batch.SeriesETL.gapFillMinutes(
+          ev(s, dir).select(col("event_type"), col("ts"), col("value")),
+          "ts", "event_type", "value", sumScale = 2)
+        .groupBy(col("event_type"), date_format(col("m"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_minutes"),
+          count(col("v")).as("n_observed"),
+          count(col("fv")).as("n_carried"),
+          Exact.sumD(col("fv"), 2).as("sum_filled"))),
+
     // S3 — symmetric int8 embedding quantization (training pipelines store
     // embeddings quantized 4x smaller; scale = max|x|/127 per vector,
     // q = trunc(x/scale) — trunc, because Spark's double→int cast truncates
@@ -2624,6 +2644,29 @@ object SparkEntry {
         |  quantile_cont(value, CAST('0.99' AS DOUBLE)) AS p99,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // Mirrors SeriesETL.gapFillMinutes + the daily rollup: same minute
+    // truncation, same decimal accumulators, same forward-fill window.
+    "a16_gapfill" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+        |                  date_trunc('minute', max(ts)) AS hi FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |spine AS (SELECT event_type,
+        |            unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+        |          FROM ty CROSS JOIN b),
+        |obs AS (SELECT event_type, date_trunc('minute', ts) AS m,
+        |          CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS v
+        |        FROM events GROUP BY 1, 2),
+        |f AS (SELECT s.event_type, s.m, o.v,
+        |        last_value(o.v IGNORE NULLS) OVER (
+        |          PARTITION BY s.event_type ORDER BY s.m
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |      FROM spine s LEFT JOIN obs o
+        |        ON s.event_type = o.event_type AND s.m = o.m)
+        |SELECT event_type, strftime(m, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_minutes, COUNT(v) AS n_observed, COUNT(fv) AS n_carried,
+        |  CAST(SUM(CAST(fv AS DECIMAL(30,2))) AS DOUBLE) AS sum_filled
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     "s3_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

@@ -93,6 +93,43 @@ object SeriesETL {
       .as[TimeSeries]
   }
 
+  /** Gap fill — regularize an irregular event stream onto a dense per-key
+    * minute spine with forward fill (the resample/ffill step every
+    * time-series ETL runs before a fixed-frequency model like the
+    * reference's DeepAR, which requires target values at every step).
+    *
+    * Returns one row per (key, minute) of the global [min, max] minute
+    * span: (`keyCol`, m, v, fv) where v is the observed per-minute decimal-
+    * exact sum of `valueCol` (null for empty minutes) and fv carries the
+    * last observed v forward (null only before the key's first
+    * observation — leading minutes have nothing to carry).
+    *
+    * Scale shape: the observed relation is one narrow groupBy; the spine is
+    * |keys| × span-minutes rows built from a broadcast bounds row (never a
+    * per-event explode); the fill window partitions BY KEY, so Spark
+    * shuffles each key's time-bounded spine to one task — the right unit of
+    * order. Keys whose spine outgrows a task get the two-pass variant:
+    * range-partition each key's timeline into buckets, carry each bucket's
+    * last observation into the next as a boundary row (the Ranking.scala
+    * prefix-sum discipline applied to "last value"). */
+  def gapFillMinutes(df: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, sumScale: Int = 2): DataFrame = {
+    val m = date_trunc("minute", col(tsCol))
+    val obs = df.groupBy(col(keyCol), m.as("m"))
+      .agg(graft.ops.Exact.sumD(col(valueCol), sumScale).as("v"))
+    val bounds = df.agg(
+      date_trunc("minute", min(col(tsCol))).as("lo"),
+      date_trunc("minute", max(col(tsCol))).as("hi"))
+    val spine = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("m"))
+    spine.join(obs, Seq(keyCol, "m"), "left")
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Full reference split: (train, validations, testInputs, testTargets). */
   def split(df: DataFrame, orderCol: String, predictionLength: Int = 5,
             numValidationWindows: Int = 4): (DataFrame, Seq[(Int, DataFrame)], DataFrame, DataFrame) = {

@@ -46,4 +46,36 @@ class SeriesETLSpec extends SparkSpec {
     assert(ts.head.start === "2024-01-01 00:01")
     assert(ts.head.target.toSeq === Seq(1.0, 2.0, 3.0))
   }
+
+  test("gapFillMinutes: dense spine, per-minute sums, forward fill, leading nulls") {
+    import org.apache.spark.sql.functions._
+    // key A observes minutes 0 (two events) and 3; key B only minute 2 —
+    // global span is minutes 0..4 (B's leading minutes have nothing to carry)
+    val df = Seq(
+      ("A", "2024-01-01 00:00:10", 1.5), ("A", "2024-01-01 00:00:40", 2.0),
+      ("A", "2024-01-01 00:03:05", 7.0),
+      ("B", "2024-01-01 00:02:30", 4.25), ("B", "2024-01-01 00:04:59", 0.75))
+      .toDF("k", "ts_s", "v").withColumn("ts", to_timestamp(col("ts_s")))
+    val out = SeriesETL.gapFillMinutes(df, "ts", "k", "v")
+      .select(col("k"), date_format(col("m"), "mm").cast("int").as("mi"),
+        col("v"), col("fv"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out.size === 10, "2 keys x 5 spine minutes")
+    assert(out(("A", 0)) === ((Some(3.5), Some(3.5))), "per-minute sum of both events")
+    assert(out(("A", 1)) === ((None, Some(3.5))) && out(("A", 2)) === ((None, Some(3.5))))
+    assert(out(("A", 3)) === ((Some(7.0), Some(7.0))))
+    assert(out(("A", 4)) === ((None, Some(7.0))), "carry past the last observation")
+    assert(out(("B", 0)) === ((None, None)) && out(("B", 1)) === ((None, None)),
+      "minutes before a key's first observation stay null")
+    assert(out(("B", 2)) === ((Some(4.25), Some(4.25))))
+    assert(out(("B", 3)) === ((None, Some(4.25))))
+    assert(out(("B", 4)) === ((Some(0.75), Some(0.75))))
+    // physical layout cannot change the fill
+    val re = SeriesETL.gapFillMinutes(df.repartition(7), "ts", "k", "v")
+      .orderBy("k", "m").collect().toSeq
+    val base = SeriesETL.gapFillMinutes(df, "ts", "k", "v")
+      .orderBy("k", "m").collect().toSeq
+    assert(re === base)
+  }
 }
