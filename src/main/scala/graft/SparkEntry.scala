@@ -1634,6 +1634,17 @@ object SparkEntry {
       graft.streaming.StreamJoin.run(s, ev(s, dir), work)
     }),
 
+    // E2E streaming session windows (§2.8): the one windowed aggregate
+    // whose state MERGES (a new event can fuse two open sessions). Ordered
+    // day-chunked replay ⇒ eviction cannot race a merge (gap in place of
+    // the join window — streaming/StreamSession.scala doc); a sentinel
+    // high-watermark event seals the trailing sessions so the append sink
+    // holds exactly the batch sessionization the oracle recomputes.
+    "e2e_session" -> ((s, dir) => {
+      val work = scratch("e2es")
+      graft.streaming.StreamSession.run(s, ev(s, dir), work)
+    }),
+
     // Watermark DISCARD semantics (the reference's core lateness contract,
     // resources/flink/main.py:77): a deterministic subset of events arrives
     // a full microbatch-group of files late, beyond the 60 s watermark; the
@@ -3164,6 +3175,21 @@ object SparkEntry {
         |  ON c.user_id = e.user_id
         | AND c.event_type = 'click' AND e.event_type = 'error'
         | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts""".stripMargin,
+
+    // Batch sessionization (a11's gap-split) + per-session decimal-exact
+    // value sums — the streaming replay's sink must reproduce it exactly.
+    "e2e_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value FROM events),
+        |f AS (SELECT user_id, t, value,
+        |        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |g AS (SELECT user_id, t, value,
+        |        sum(ns) OVER (PARTITION BY user_id ORDER BY t
+        |                      ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(t) AS session_start_us, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     // Clean recomputation EXCLUDING exactly the deterministically-delayed
     // subset (event_id % 13 = 0, not an overlap-dup candidate, outside the

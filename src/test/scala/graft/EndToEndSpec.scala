@@ -49,6 +49,33 @@ class EndToEndSpec extends SparkSpec {
     assert(streamed.except(expected).isEmpty && expected.except(streamed).isEmpty)
   }
 
+  test("session-window replay equals batch sessionization; boundary-spanning sessions merge") {
+    import spark.implicits._
+    // user 1: one session SPANNING the day-1/day-2 fixture boundary (last
+    // day-1 event 10 min before midnight, first day-2 event 10 min after —
+    // within the 30 min gap, so the day-2 batch must merge into the day-1
+    // session still held in state); plus a separate later session.
+    // user 2: single-event sessions far apart.
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-03-01 10:00:00"), 1.0), (1L, t("2024-03-01 23:50:00"), 2.0),
+      (1L, t("2024-03-02 00:10:00"), 4.0), (1L, t("2024-03-02 12:00:00"), 8.0),
+      (2L, t("2024-03-01 09:00:00"), 16.0), (2L, t("2024-03-03 09:00:00"), 32.0))
+      .toDF("user_id", "ts", "value")
+    val streamed = graft.streaming.StreamSession
+      .run(spark, events, tmpDir("e2es_spec"), maxFilesPerTrigger = 1)
+      .select($"user_id", $"session_start_us", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def us(s: String) = t(s).getTime * 1000L
+    assert(streamed === Set(
+      (1L, us("2024-03-01 10:00:00"), 1L, 1.0),
+      (1L, us("2024-03-01 23:50:00"), 2L, 6.0), // merged across the batch boundary
+      (1L, us("2024-03-02 12:00:00"), 1L, 8.0),
+      (2L, us("2024-03-01 09:00:00"), 1L, 16.0),
+      (2L, us("2024-03-03 09:00:00"), 1L, 32.0)),
+      "sink must hold exactly the batch sessionization, sentinel excluded")
+  }
+
   test("late arrivals beyond the 60s watermark are discarded (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)
