@@ -1459,6 +1459,41 @@ object SparkEntry {
           element_at(col("features"), 12).cast("long").as("n_red"))
     }),
 
+    // M6 — resize: nearest-neighbor ×2 downsample as a real binary→binary
+    // media transform (decode → integer-grid sample → re-encode), then
+    // features on the RESIZED payload. Pixel order now matters (sampling
+    // picks positions, not just counts), so the fixture pins it: pixels
+    // sort by event_id inside the array (sort_array of structs — exact,
+    // layout-independent), and the oracle replays the same rank arithmetic
+    // (row = rn div 8, col = rn mod 8, sampled iff both even). Black pad
+    // pixels on the trailing partial row are never bright, so sampled pads
+    // change no count.
+    "m6_resize_features" -> ((s, dir) => {
+      import s.implicits._
+      val bmpW = 8
+      val px = ev(s, dir).select(col("user_id"), col("event_id"),
+        (when(pmod(col("event_id"), lit(2)) === 0, 255).otherwise(0) +
+         when(pmod(col("event_id"), lit(3)) === 0, 255 * 256).otherwise(0) +
+         when(pmod(col("event_id"), lit(5)) === 0, 255 * 65536).otherwise(0))
+          .as("rgb"))
+      val payloads = px.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("rgb")))).as("pxs"))
+        .select(col("user_id"),
+          transform(col("pxs"), x => x.getField("rgb")).as("pxs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, pxs) =>
+          (uid, Multimodal.resizeBmpNearest(Multimodal.encodeBmp24(pxs, bmpW), 2)) }
+        .toDF("id", "data")
+      val media = Multimodal.asMediaFrame(payloads, "id", "data", "image", "bmp")
+      Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)(s)
+        .select(col("content_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 10).cast("long").as("n_blue"),
+          element_at(col("features"), 11).cast("long").as("n_green"),
+          element_at(col("features"), 12).cast("long").as("n_red"))
+    }),
+
     // M3 — multimodal image decode through the COMPRESSED container: the
     // same per-user pixel construction as M2 but encoded as a real PNG
     // (zlib IDAT, per-row rotating scanline filters) and decoded back
@@ -3091,6 +3126,24 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
         |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red
         |FROM events GROUP BY 1""".stripMargin,
+
+    // m6: the ×2 nearest-neighbor sample keeps the pixel at (row, col) iff
+    // both are even, where rn ranks event_id within user (0-based) and the
+    // original image is 8 wide. Resized dims: 4 × ceil(ceil(n/8)/2).
+    "m6_resize_features" ->
+      """WITH p AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, COUNT(*) AS cnt FROM p GROUP BY 1),
+        |s AS (SELECT user_id, event_id FROM p
+        |      WHERE (rn // 8) % 2 = 0 AND (rn % 8) % 2 = 0)
+        |SELECT n.user_id AS content_id,
+        |  CAST(4 AS BIGINT) AS width,
+        |  CAST(((cnt + 7) // 8 + 1) // 2 AS BIGINT) AS height,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT) AS n_blue,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_green,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 5 = 0) AS BIGINT) AS n_red
+        |FROM s JOIN n USING (user_id) GROUP BY 1, cnt""".stripMargin,
 
     // The PNG payload round-trips through a real zlib encode + filtered
     // decode; same relational recomputation as m2, 7-wide image.

@@ -506,6 +506,52 @@ object Multimodal {
     bb.array()
   }
 
+  /** Nearest-neighbor downsample of a BMP payload by integer `factor` —
+    * the resize step of the multimodal pipeline as a REAL binary→binary
+    * media transform (decode → sample pixel (y·f, x·f) → re-encode 24-bit),
+    * runnable per-partition over an opaque binary column like every other
+    * codec here. Output dims are ceil(w/f) × ceil(h/f); accepts the same
+    * 24/32-bit BI_RGB inputs as [[BuiltinDecoder]]'s "bmp" path, top-down
+    * or bottom-up. Deterministic by construction — pure integer sampling,
+    * no filtering arithmetic. */
+  def resizeBmpNearest(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+    val dataOffset = b.getInt(10)
+    require(b.getInt(14) >= 40, "unsupported DIB header")
+    val width = b.getInt(18)
+    val rawHeight = b.getInt(22)
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val bpp = b.getShort(28).toInt
+    require(bpp == 24 || bpp == 32, s"unsupported bit depth $bpp")
+    require(b.getInt(30) == 0, "compressed BMP unsupported")
+    require(width > 0 && height > 0, "empty image")
+    val bytesPerPx = bpp / 8
+    val rowBytes = (width * bytesPerPx + 3) / 4 * 4
+    require(bytes.length >= dataOffset + rowBytes.toLong * height, "truncated pixel data")
+    val outW = (width + factor - 1) / factor
+    val outH = (height + factor - 1) / factor
+    val out = new Array[Int](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val sy = oy * factor
+      val srcRow = if (bottomUp) height - 1 - sy else sy
+      val rowOff = dataOffset + srcRow * rowBytes
+      var ox = 0
+      while (ox < outW) {
+        val px = rowOff + (ox * factor) * bytesPerPx
+        out(oy * outW + ox) = ((bytes(px + 2) & 0xff) << 16) |
+          ((bytes(px + 1) & 0xff) << 8) | (bytes(px) & 0xff)
+        ox += 1
+      }
+      oy += 1
+    }
+    encodeBmp24(out, outW)
+  }
+
   /** Encode packed 0xRRGGBB pixels as an 8-bit truecolor PNG (color type 2,
     * no interlace; the write side of [[BuiltinDecoder]]'s "png" path and the
     * fixture synthesizer for the PNG oracle query). The scanline filter type

@@ -185,6 +185,35 @@ class DeepARSpec extends SparkSpec {
     assert(nzB === 2f && nzG === 2f && nzR === 2f)
   }
 
+  test("multimodal: resizeBmpNearest samples the integer grid, handles odd dims") {
+    implicit val s = spark
+    // 4x4 image, distinct pixel per cell: value = (row*4+col) in the blue
+    // channel scaled so sampled cells are recognizable
+    val px4 = Array.tabulate(16)(i => i * 0x10)
+    val bmp4 = Multimodal.resizeBmpNearest(Multimodal.encodeBmp24(px4, 4), 2)
+    val media = Multimodal.asMediaFrame(
+      Seq((1L, bmp4)).toDF("id", "data"), "id", "data", "image", "bmp")
+    val f = Multimodal.decodeFeatures(media, new Multimodal.BuiltinDecoder)
+      .select("features").as[Array[Float]].head()
+    assert(f(0) === 2f && f(1) === 2f, "4x4 / 2 = 2x2")
+    // sampled cells (0,0),(0,2),(2,0),(2,2) → blue values 0x00,0x20,0x80,0xA0
+    // mean blue = (0 + 32 + 128 + 160) / 4 = 80
+    assert(math.abs(f(2) - 80f) < 1e-3)
+    // odd dims: 5 px wide, 3 rows (ceil(15/5)) → out 3x2
+    val px15 = Array.fill(15)(0xffffff)
+    val bmpOdd = Multimodal.resizeBmpNearest(Multimodal.encodeBmp24(px15, 5), 2)
+    val mOdd = Multimodal.asMediaFrame(
+      Seq((2L, bmpOdd)).toDF("id", "data"), "id", "data", "image", "bmp")
+    val fo = Multimodal.decodeFeatures(mOdd, new Multimodal.BuiltinDecoder)
+      .select("features").as[Array[Float]].head()
+    assert(fo(0) === 3f && fo(1) === 2f, "ceil(5/2) x ceil(3/2)")
+    assert(fo(9) === 6f && fo(10) === 6f && fo(11) === 6f,
+      "all-white input stays all-bright after sampling")
+    // factor 1 is the identity on pixels (re-encode changes no value)
+    val id1 = Multimodal.resizeBmpNearest(Multimodal.encodeBmp24(px4, 4), 1)
+    assert(java.util.Arrays.equals(id1, Multimodal.encodeBmp24(px4, 4)))
+  }
+
   test("multimodal: encodePng round-trips through BuiltinDecoder, all five filters") {
     implicit val s = spark
     // 17 px at width 3 → height 6: rows exercise filters 0,1,2,3,4,0 and the
