@@ -620,6 +620,29 @@ object SparkEntry {
           Exact.fmt(col("quality"), 4).as("quality_r"))
     }),
 
+    // C2 — the span-level composed cleaner (c1's document-level chain, one
+    // rung deeper): quality gate → cross-doc span scrub (d8) on the
+    // SURVIVORS → drop docs that lost ≥ half their tokens to shared
+    // boilerplate → exact dedup of the SCRUBBED text (two docs differing
+    // only in duplicated spans collapse to one canonical). Retention is an
+    // exact-integer comparison (2·n_kept ≥ n_tokens) and membership never
+    // touches a double, so the row set is layout- and libm-independent.
+    "c2_clean_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val q = d.select(col("doc_id"), col("text"),
+          TextOps.tokenCount(col("text")).as("nt"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .filter(col("nt") >= 5 && col("quality") >= 0.5)
+      val scrubbed = DedupOps.spanScrub(
+        q.select(col("doc_id"), col("text")), "doc_id", "text", 8, 2)
+      val kept = scrubbed.filter(col("n_kept") * 2 >= col("n_tokens"))
+        .withColumn("sfp", md5(col("cleaned")))
+      val canon = kept.groupBy(col("sfp")).agg(min(col("id")).as("id"))
+      kept.join(canon, Seq("sfp", "id"))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          expr("(n_kept * 10000) div n_tokens").as("kept_bp"), col("sfp"))
+    }),
+
     // T1 — token counting.
     "t1_token_stats" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -2540,6 +2563,52 @@ object SparkEntry {
     "d4_ngram_jaccard" -> blockedJaccardOracle,
 
     "c1_corpus_clean" -> corpusCleanOracle,
+
+    // c2: t2's quality expression gates the corpus, then the d8 scrub CTEs
+    // run over the SURVIVORS (dup-gram counts see only quality-passing
+    // docs — order of composition matters and both engines share it),
+    // then retention + exact dedup of the scrubbed text.
+    "c2_clean_spans" ->
+      raw"""WITH qb AS (SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+           |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |         ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+           |              / length(text) END AS praw
+           |  FROM documents),
+           |q AS (SELECT doc_id, text FROM qb
+           |      WHERE ntok >= 5 AND
+           |        (least(length(text) / 500.0, 1.0)
+           |         + (1.0 - least(praw * 5.0, 1.0))
+           |         + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+           |        ) / 3.0 >= CAST('0.5' AS DOUBLE)),
+           |d AS (SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |      FROM q WHERE length(trim(text, ' ')) > 0),
+           |occ AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+           |        FROM d WHERE len(toks) >= 8),
+           |og AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram FROM occ),
+           |dup AS (SELECT gram FROM (
+           |        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM og GROUP BY 1)
+           |        WHERE nd >= 2),
+           |cov AS (SELECT DISTINCT doc_id, pos FROM (
+           |        SELECT og.doc_id, unnest(generate_series(og.i, og.i + 7)) AS pos
+           |        FROM og JOIN dup USING (gram))),
+           |tp AS (SELECT doc_id, unnest(toks) AS tok,
+           |              unnest(generate_series(1, len(toks))) AS pos FROM d),
+           |k AS (SELECT tp.doc_id AS kid, COUNT(*) AS n_kept,
+           |             array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS cleaned
+           |      FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+           |      WHERE cov.doc_id IS NULL GROUP BY 1),
+           |sc AS (SELECT d.doc_id, len(d.toks) AS n_tokens,
+           |         COALESCE(k.n_kept, 0) AS n_kept,
+           |         md5(COALESCE(k.cleaned, '')) AS sfp
+           |       FROM d LEFT JOIN k ON d.doc_id = k.kid),
+           |kept AS (SELECT * FROM sc WHERE n_kept * 2 >= n_tokens),
+           |canon AS (SELECT sfp, MIN(doc_id) AS doc_id FROM kept GROUP BY 1)
+           |SELECT kept.doc_id, n_tokens, n_kept,
+           |  (n_kept * 10000) // n_tokens AS kept_bp, kept.sfp
+           |FROM kept JOIN canon ON kept.sfp = canon.sfp AND kept.doc_id = canon.doc_id""".stripMargin,
 
     "t1_token_stats" ->
       s"""SELECT doc_id,
