@@ -850,6 +850,24 @@ object SparkEntry {
           count(col("fv")).as("n_carried"),
           Exact.sumD(col("fv"), 2).as("sum_filled"))),
 
+    // S9 — embedding preprocessing: corpus-mean centering + L2
+    // normalization (the standard step before cosine ANN/clustering; the
+    // d-row mean relation broadcasts back onto one narrow (id, dim, x)
+    // explode — two corpus-sized keyed exchanges total, the
+    // standardization lower bound). Means and squared-norm sums ride the
+    // decimal accumulator; every other step is an exactly rounded IEEE op
+    // mirrored by the oracle; components ship dim-ordered as %.4f strings.
+    "s9_center_normalize" -> ((s, dir) => {
+      val cn = graft.ops.SimilarityOps.centerNormalize(emb(s, dir), "vec_id", "embedding")
+      cn.groupBy(col("id").as("vec_id"))
+        .agg(count(lit(1)).as("n_dims"), max(col("nrm")).as("nrm"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("dim"), Exact.fmt(col("y"), 4).as("s")))),
+            x => x.getField("s"))).as("vec_r"))
+        .select(col("vec_id"), col("n_dims"),
+          Exact.fmt(col("nrm"), 4).as("nrm_r"), col("vec_r"))
+    }),
+
     // S3 — symmetric int8 embedding quantization (training pipelines store
     // embeddings quantized 4x smaller; scale = max|x|/127 per vector,
     // q = trunc(x/scale) — trunc, because Spark's double→int cast truncates
@@ -2782,6 +2800,27 @@ object SparkEntry {
         |  COUNT(*) AS n_minutes, COUNT(v) AS n_observed, COUNT(fv) AS n_carried,
         |  CAST(SUM(CAST(fv AS DECIMAL(30,2))) AS DOUBLE) AS sum_filled
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors SimilarityOps.centerNormalize: same decimal mean/norm
+    // accumulators, same exactly rounded centering/normalizing chain.
+    "s9_center_normalize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |p AS (SELECT vec_id, unnest(generate_series(1, len(ve))) AS dim,
+        |             unnest(ve) AS x FROM v),
+        |m AS (SELECT dim,
+        |        CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(x) AS mu
+        |      FROM p GROUP BY 1),
+        |c AS (SELECT vec_id, dim, x - mu AS c FROM p JOIN m USING (dim)),
+        |n AS (SELECT vec_id,
+        |        sqrt(CAST(SUM(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+        |      FROM c GROUP BY 1),
+        |y AS (SELECT c.vec_id, dim, nrm,
+        |        CASE WHEN nrm = 0.0 THEN 0.0 ELSE c / nrm END AS y
+        |      FROM c JOIN n USING (vec_id))
+        |SELECT vec_id, COUNT(*) AS n_dims,
+        |  printf('%.4f', MAX(nrm)) AS nrm_r,
+        |  array_to_string(list(printf('%.4f', y) ORDER BY dim), ',') AS vec_r
+        |FROM y GROUP BY 1""".stripMargin,
 
     "s3_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

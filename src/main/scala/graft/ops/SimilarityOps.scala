@@ -547,6 +547,40 @@ object SimilarityOps {
   /** The ADC reduction + top-k tail shared by the flat and probed forms:
     * decimal-exact sums (order-free), zero-reconstruction drop, per-query
     * windowed top-k. `pairs` rows: (query_id, neighbor_id, ipq, cwip). */
+  /** Embedding preprocessing — corpus-mean centering + L2 normalization,
+    * the standard step before cosine ANN / clustering (centering removes
+    * the corpus' common direction so cosine contrasts stay meaningful;
+    * normalizing makes dot product ≡ cosine). Returns the long-form
+    * (id, dim, y) relation of the transformed vectors.
+    *
+    * Determinism: per-dimension means go through the decimal accumulator
+    * (order-independent at any parallelism); subtraction, squaring, sqrt
+    * and the final division are exactly rounded IEEE ops mirrored by the
+    * oracle; the squared-norm sum is decimal again. Zero-norm vectors
+    * (every component at the corpus mean) map to the zero vector.
+    *
+    * Scale shape: one narrow (id, dim, x) explode; the mean reduction is a
+    * groupBy(dim) — d output rows, partial-aggregated map-side; the means
+    * join back as a broadcast d-row relation; the norm is a per-id rollup.
+    * Two corpus-sized narrow exchanges (dim-keyed, id-keyed) total — the
+    * lower bound for a cross-corpus standardization. */
+  def centerNormalize(emb: DataFrame, idCol: String, vecCol: String,
+                      scale: Int = 10): DataFrame = {
+    val pts = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("id"), col("dim"), col("xf").cast("double").as("x"))
+    val means = pts.groupBy(col("dim")).agg(Exact.avgD(col("x"), scale).as("mu"))
+    val centered = pts.join(broadcast(means), "dim")
+      .select(col("id"), col("dim"), (col("x") - col("mu")).as("c"))
+    val norms = centered.groupBy(col("id"))
+      .agg(sum((col("c") * col("c")).cast(s"decimal(38,$scale)"))
+        .cast("double").as("ss"))
+      .select(col("id"), sqrt(col("ss")).as("nrm"))
+    centered.join(norms, "id")
+      .select(col("id"), col("dim"), col("nrm"),
+        when(col("nrm") === 0.0, lit(0.0)).otherwise(col("c") / col("nrm")).as("y"))
+  }
+
   private def adcTopK(pairs: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val qnorm = q.select(col("query_id"), norm(col("qv")).as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

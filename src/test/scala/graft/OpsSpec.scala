@@ -386,6 +386,37 @@ class OpsSpec extends SparkSpec {
     assert(est.size === 100)
   }
 
+  test("centerNormalize: exact per-dim means, unit norms, zero-vector guard") {
+    // means: dim0 = (1+3)/2 = 2, dim1 = (2+6)/2 = 4
+    // centered: a = (-1, -2), b = (1, 2) → norms √5, unit-normalized
+    val emb = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 6f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.centerNormalize(emb, "vec_id", "embedding")
+      .select($"id", $"dim", $"nrm", $"y").as[(Long, Int, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val s5 = math.sqrt(5.0)
+    assert(math.abs(out((1L, 0))._1 - s5) < 1e-12)
+    assert(math.abs(out((1L, 0))._2 - (-1.0 / s5)) < 1e-12)
+    assert(math.abs(out((1L, 1))._2 - (-2.0 / s5)) < 1e-12)
+    assert(math.abs(out((2L, 0))._2 - (1.0 / s5)) < 1e-12)
+    // normalized vectors are unit length
+    val normSq = out.toSeq.groupBy(_._1._1)
+      .map { case (id, xs) => id -> xs.map(x => x._2._2 * x._2._2).sum }
+    normSq.values.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-12))
+    // identical vectors: every component AT the mean → zero vector out
+    val same = Seq((1L, Array(2f, 5f)), (2L, Array(2f, 5f))).toDF("vec_id", "embedding")
+    val z = SimilarityOps.centerNormalize(same, "vec_id", "embedding")
+      .select($"y").as[Double].collect()
+    assert(z.forall(_ === 0.0))
+    // layout independence (decimal accumulators)
+    val many = (0L until 64L).map(i => (i, Array(i.toFloat, (i % 7).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+    val a = SimilarityOps.centerNormalize(many, "vec_id", "embedding")
+      .orderBy("id", "dim").collect().toSeq
+    val b = SimilarityOps.centerNormalize(many.repartition(13), "vec_id", "embedding")
+      .orderBy("id", "dim").collect().toSeq
+    assert(a === b)
+  }
+
   test("HLL merge: merged partials equal the direct sketch exactly; merge is idempotent") {
     import graft.ops.Sketches
     // overlapping parts: part p holds keys [p*600, p*600 + 1000)
