@@ -304,6 +304,31 @@ object SparkEntry {
         (min(col("breached")).over(w) === 1 && count(lit(1)).over(w) === 3).cast("int"))
     }),
 
+    // MON2 — EWMA drift metric per user (the exponential smoothing a
+    // monitoring loop runs beside a9's threshold alarm): closed form of
+    // y_n = α·x_n + (1−α)·y_{n−1} with α = 0.5 — chosen deliberately so
+    // every coefficient is a power of two, EXACTLY representable, making
+    // pow() exactly rounded on both engines (no libm-ULP exposure, unlike
+    // a generic α). Per-term DECIMAL(30,10) truncation before the exact
+    // sum (t9 contract) makes the reduction order-independent; ordering
+    // ties break on event_id. Per-key windows are the bounded unit of
+    // order — the same shape as o9's ranking.
+    "mon2_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      ev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("coef",
+          when(col("rn") === 1, pow(lit(0.5), col("n") - 1))
+            .otherwise(lit(0.5) * pow(lit(0.5), col("n") - col("rn"))))
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          sum((col("coef") * col("value")).cast("decimal(30,10)"))
+            .cast("double").as("ewma"))
+        .select(col("user_id"), col("n_events"), Exact.fmt(col("ewma"), 4).as("ewma_r"))
+    }),
+
     // A10 — sliding (hopping) event-time window: 10-min windows every 5 min.
     "a10_sliding_window" -> ((s, dir) =>
       ev(s, dir)
@@ -2419,6 +2444,23 @@ object SparkEntry {
         |  CASE WHEN min(breached) OVER w = 1 AND count(*) OVER w = 3 THEN 1 ELSE 0 END AS alarm
         |FROM (SELECT *, CASE WHEN hourly_max >= 18.0 THEN 1 ELSE 0 END AS breached FROM hourly)
         |WINDOW w AS (ORDER BY hour_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // α=0.5 EWMA: power-of-two coefficients make pow exactly rounded on
+    // both engines; per-term decimal truncation (t9 contract) before the
+    // exact sum.
+    "mon2_ewma" ->
+      """WITH r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |t AS (SELECT user_id, n,
+        |    CASE WHEN rn = 1 THEN pow(CAST('0.5' AS DOUBLE), n - 1)
+        |         ELSE CAST('0.5' AS DOUBLE) * pow(CAST('0.5' AS DOUBLE), n - rn)
+        |    END * value AS term
+        |  FROM r)
+        |SELECT user_id, MAX(n) AS n_events,
+        |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
+        |FROM t GROUP BY 1""".stripMargin,
 
     // every event falls in exactly two 10-min/5-min hopping windows; window
     // starts computed in integer epoch-microseconds (Spark's origin is the
