@@ -441,6 +441,22 @@ object SparkEntry {
         rightTiebreak = Some("err_event_id"))
     }),
 
+    // J4b — FORWARD as-of join: for each click, the EARLIEST error of the
+    // same user at-or-after it (next-event lookup — time-to-next-error
+    // labels); j4's union-window composition traversed in reverse time
+    // order, same one-shuffle linear-per-key cost, no range explosion.
+    "j4b_asof_forward" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_t_us"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      graft.ops.AsOfJoin.forward(clicks, errors, Seq("user_id"),
+        "t_us", "err_t_us", Seq("err_event_id", "err_value"),
+        rightTiebreak = Some("err_event_id"))
+    }),
+
     // Multi-way dimension join + grouped revenue (broadcast the dims).
     "j5_region_revenue" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -2538,6 +2554,19 @@ object SparkEntry {
         |      WHERE rn = 1)
         |SELECT c.user_id, c.event_id, c.t_us, c.value, e.err_event_id, e.err_value
         |FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.t_us >= e.err_t_us""".stripMargin,
+
+    "j4b_asof_forward" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |           FROM events WHERE event_type = 'click'),
+        |e0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS err_t_us,
+        |              event_id AS err_event_id, value AS err_value
+        |       FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, err_t_us, err_event_id, err_value FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, err_t_us
+        |                                     ORDER BY err_event_id DESC) AS rn FROM e0)
+        |      WHERE rn = 1)
+        |SELECT c.user_id, c.event_id, c.t_us, c.value, e.err_event_id, e.err_value
+        |FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.t_us <= e.err_t_us""".stripMargin,
 
     "j5_region_revenue" ->
       """SELECT r_name, COUNT(*) AS n_orders,

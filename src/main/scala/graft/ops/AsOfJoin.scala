@@ -27,7 +27,29 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTime: String, rightTime: String, rightCols: Seq[String],
                rightTiebreak: Option[String] = None,
-               joinType: String = "inner"): DataFrame = {
+               joinType: String = "inner"): DataFrame =
+    asof(left, right, keyCols, leftTime, rightTime, rightCols, rightTiebreak,
+      joinType, forwardDir = false)
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `rightTime >= leftTime` in the same key group — the "next event"
+    * lookup (next price tick, next maintenance window, time-to-next-error
+    * labels). Same union-window composition as [[backward]] traversed in
+    * reverse time order; same cost profile (one shuffle on the key, linear
+    * per-key pass, no range-explosion). A right row at exactly leftTime is
+    * visible (>=); same-(key,time) right duplicates resolve by
+    * `rightTiebreak` (highest wins), matching backward. */
+  def forward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String, rightCols: Seq[String],
+              rightTiebreak: Option[String] = None,
+              joinType: String = "inner"): DataFrame =
+    asof(left, right, keyCols, leftTime, rightTime, rightCols, rightTiebreak,
+      joinType, forwardDir = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String, rightCols: Seq[String],
+                   rightTiebreak: Option[String],
+                   joinType: String, forwardDir: Boolean): DataFrame = {
     require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
     val leftOut = left.columns.toSeq
     val key = keyCols.map(col)
@@ -55,8 +77,11 @@ object AsOfJoin {
         lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
         rStructType.as("__r")): _*)
 
-    // right rows sort before left rows at equal time → <= visibility
-    val w = Window.partitionBy(key: _*).orderBy(col("__t"), col("__side"))
+    // right rows sort before left rows at equal time → <=/>= visibility;
+    // forward traverses time DESCENDING, so "last right seen" is the
+    // earliest right row at-or-after the left row
+    val timeOrder = if (forwardDir) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(key: _*).orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__last_r", last(col("__r"), ignoreNulls = true).over(w))

@@ -38,4 +38,20 @@ class AsOfJoinSpec extends SparkSpec {
       .select("rv").as[Int].collect()
     assert(out.toSeq === Seq(99), "highest tiebreak wins")
   }
+
+  test("forward: matches the smallest right time >= left time, per key") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "t", "lv", "rv").as[(Long, Long, String, Int)].collect().toSet
+    // (1,10)→15/200; (1,20)→20/400 (equal time visible); (2,5)→99/300;
+    // (3,7): no right rows for key 3 → dropped
+    assert(out === Set((1L, 10L, "a", 200), (1L, 20L, "b", 400), (2L, 5L, "c", 300)))
+  }
+
+  test("forward left: rows past the last right row survive with null payload") {
+    val lateLeft = Seq((1L, 25L, "z")).toDF("k", "t", "lv")
+    val out = AsOfJoin.forward(lateLeft, right, Seq("k"), "t", "rt", Seq("rv"),
+      joinType = "left").select("rv").collect()
+    assert(out.length === 1 && out.head.isNullAt(0),
+      "no right row at-or-after t=25 for key 1")
+  }
 }
