@@ -1229,6 +1229,24 @@ object SparkEntry {
           SparkEntry.mixtureRates)
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // X7 — token-budget mixture: x1 SAMPLES at given per-domain rates;
+    // x7 DERIVES the rates from a corpus-wide token budget (60% of total,
+    // split equally across sources; under-supplying sources keep all).
+    // Budget, share, and each keep-threshold are BIGINT arithmetic and
+    // membership is hash32 < thr — no double ever decides a row. Checked
+    // per source: domain tokens, derived threshold, selected count and
+    // selected token mass (pins both the derivation and the membership).
+    "x7_token_budget" -> ((s, dir) => {
+      val t = graft.ops.Sampling.tokenBudgetMixture(
+        docs(s, dir), col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")), 6, 10)
+      t.groupBy(col("dom").as("source"))
+        .agg(max(col("dom_tokens")).as("dom_tokens"),
+          max(col("thr")).as("thr"),
+          sum(col("selected")).cast("long").as("n_sel"),
+          sum(col("selected") * col("n_tok")).as("sel_tokens"))
+    }),
+
     // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
     // order, sliced into 512-token training sequences with docs splitting
     // at boundaries. The assignment is arithmetic over an exclusive global
@@ -3231,6 +3249,29 @@ object SparkEntry {
       }.mkString(" ")
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ($hexVal) < (CASE $thr ELSE 0 END)""".stripMargin
+    },
+
+    // x7: same digit-rebuilt hash (salt 'mixbudget'), same BIGINT
+    // budget/share/threshold chain; DuckDB integer SUMs come back as
+    // HUGEINT, so every aggregate casts to BIGINT.
+    "x7_token_budget" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('mixbudget:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      raw"""WITH d AS (SELECT doc_id, source,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tok,
+           |    ($hexVal) AS h
+           |  FROM documents),
+           |pd AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS dom_tokens FROM d GROUP BY 1),
+           |tt AS (SELECT CAST(SUM(dom_tokens) AS BIGINT) AS total_tokens,
+           |              COUNT(*) AS n_domains FROM pd),
+           |doms AS (SELECT source, dom_tokens,
+           |    CAST(least(4294967296, ((total_tokens * 6 // 10 // n_domains) * 4294967296) // dom_tokens) AS BIGINT) AS thr
+           |  FROM pd CROSS JOIN tt)
+           |SELECT d.source, MAX(dom_tokens) AS dom_tokens, MAX(thr) AS thr,
+           |  CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+           |  CAST(SUM(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT) AS sel_tokens
+           |FROM d JOIN doms USING (source) GROUP BY 1""".stripMargin
     },
 
     // Packing arithmetic: overhead 2 ("[" + "]"), tx width 15, separator 1

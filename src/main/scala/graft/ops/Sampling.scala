@@ -57,6 +57,46 @@ object Sampling {
     df.filter(hash32(key, salt) < thr)
   }
 
+  /** Token-budget mixture: DERIVE each domain's Bernoulli rate from a
+    * corpus-wide token budget instead of taking rates as given ([[
+    * mixtureSample]]'s contract) — the "balance k domains into B tokens"
+    * step a training-mix pipeline runs before sampling. Budget =
+    * total·budgetNum/budgetDen tokens, split equally across domains; a
+    * domain that under-supplies its share keeps everything (rate caps
+    * at 1).
+    *
+    * Everything is BIGINT: budget and share by integer division, each
+    * domain's keep-threshold = min(2^32, share·2^32 div domainTokens), and
+    * membership is `hash32 < thr` — no double ever decides a row, so the
+    * selection is bit-reproducible on any engine from md5 alone. (The
+    * share·2^32 product bounds the integer path at ~2^31 share tokens;
+    * past that, lift the same arithmetic into DECIMAL(38,0) — the
+    * thresholds stay exact.)
+    *
+    * Returns the doc relation tagged (id, dom, n_tok, h, dom_tokens, thr,
+    * selected) — callers filter or aggregate as needed. Scale shape: one
+    * narrow per-domain token sum (broadcast back), one codegen'd filter;
+    * no shuffle of the corpus itself. */
+  def tokenBudgetMixture(df: DataFrame, key: Column, domain: Column,
+                         tokens: Column, budgetNum: Long, budgetDen: Long,
+                         salt: String = "mixbudget"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0)
+    val perDom = df.groupBy(domain.as("dom"))
+      .agg(sum(tokens.cast("long")).as("dom_tokens"))
+    val totals = perDom.agg(sum(col("dom_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_domains"))
+    val doms = perDom.crossJoin(broadcast(totals))
+      .withColumn("share",
+        expr(s"total_tokens * $budgetNum div $budgetDen div n_domains"))
+      .withColumn("thr",
+        least(lit(1L << 32), expr("share * 4294967296 div dom_tokens")))
+      .select(col("dom"), col("dom_tokens"), col("thr"))
+    df.select(key.as("id"), domain.as("dom"), tokens.cast("long").as("n_tok"),
+        hash32(key, salt).as("h"))
+      .join(broadcast(doms), "dom")
+      .withColumn("selected", (col("h") < col("thr")).cast("int"))
+  }
+
   /** Cumulative hash-range boundaries for [[hashSplit]]: split i owns
     * [boundary(i-1), boundary(i)) of the 2^32 hash space, the LAST split
     * catching the rounding remainder so every row lands somewhere. */

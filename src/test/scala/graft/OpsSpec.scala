@@ -544,6 +544,29 @@ class OpsSpec extends SparkSpec {
     assert(capped === ((25L, "0,1,2,3,4")))
   }
 
+  test("tokenBudgetMixture: integer-derived thresholds, under-supplying domain keeps all") {
+    import graft.ops.Sampling
+    // A: 100 docs x 10 tok = 1000; B: 10 docs x 10 tok = 100; total 1100
+    // budget 60% = 660, share 330 each → A thr = 330·2^32/1000 (~33%),
+    // B needs 330 > 100 available → thr caps at 2^32, all of B kept
+    val df = ((0L until 100L).map(i => (i, "A", 10)) ++
+      (100L until 110L).map(i => (i, "B", 10))).toDF("id", "dom", "n_tok")
+    val out = Sampling.tokenBudgetMixture(df, $"id", $"dom", $"n_tok", 6, 10)
+    val doms = out.groupBy($"dom").agg(
+      max($"thr").as("thr"), sum($"selected").as("n_sel")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(doms("A")._1 === 330L * 4294967296L / 1000L)
+    assert(doms("B")._1 === 4294967296L && doms("B")._2 === 10L,
+      "under-supplying domain keeps everything")
+    assert(doms("A")._2 > 0 && doms("A")._2 < 100,
+      s"A must be subsampled, got ${doms("A")._2}")
+    // membership is a pure function of the key hash — layout cannot move it
+    val a = out.filter($"selected" === 1).select($"id").as[Long].collect().toSet
+    val b = Sampling.tokenBudgetMixture(df.repartition(7), $"id", $"dom", $"n_tok", 6, 10)
+      .filter($"selected" === 1).select($"id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("hashSplit: total, stable under repartition/append, roughly proportional") {
     import graft.ops.Sampling
     val fr = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
