@@ -1348,6 +1348,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_shared_grams"))
     }),
 
+    // X4b — span-level DECONTAMINATION: x4 counts eval-set overlap, x4b
+    // REMOVES it — every train token covered by a benchmark 4-gram is
+    // scrubbed and the doc kept (the leakage fix that doesn't throw the
+    // document away). d8's cover/reassemble machinery with the gram set
+    // from the bench relation.
+    "x4b_decontam_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.spanScrubAgainst(
+          d.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(17)) === 0),
+          "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("cleaned")).as("scrub_fp"))
+    }),
+
     // X5 — stable train/validation/test split: membership is a pure
     // function of the salted doc_id hash, so no row migrates between train
     // and holdout across reruns, appends, or engines — the leakage mode
@@ -3098,6 +3113,37 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0)
         |SELECT doc_id, count(*) AS n_shared_grams
         |FROM sh JOIN bench USING (gram) WHERE doc_id % 17 <> 0 GROUP BY 1""".stripMargin,
+
+    // x4b: d8's scrub CTEs with the gram set from the BENCH slice (bench
+    // fallback grams for <4-token docs are inert — different space count).
+    "x4b_decontam_scrub" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents
+           |  WHERE length(trim(text, ' ')) > 0 AND doc_id % 17 <> 0),
+           |bt AS (SELECT string_split_regex(trim(text, ' '), '\s+') AS toks
+           |       FROM documents WHERE doc_id % 17 = 0),
+           |bg AS (SELECT DISTINCT unnest(list_transform(
+           |         generate_series(1, len(toks) - 3),
+           |         i -> array_to_string(toks[i:i+3], ' '))) AS gram
+           |       FROM bt WHERE len(toks) >= 4),
+           |occ AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(toks) - 3)) AS i, toks
+           |  FROM d WHERE len(toks) >= 4),
+           |og AS (SELECT doc_id, i, array_to_string(toks[i:i+3], ' ') AS gram FROM occ),
+           |cov AS (SELECT DISTINCT doc_id, pos FROM (
+           |        SELECT og.doc_id, unnest(generate_series(og.i, og.i + 3)) AS pos
+           |        FROM og JOIN bg USING (gram))),
+           |tp AS (SELECT doc_id, unnest(toks) AS tok,
+           |              unnest(generate_series(1, len(toks))) AS pos FROM d),
+           |k AS (SELECT tp.doc_id AS kid, COUNT(*) AS n_kept,
+           |             array_to_string(list(tp.tok ORDER BY tp.pos), ' ') AS cleaned
+           |      FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+           |      WHERE cov.doc_id IS NULL GROUP BY 1)
+           |SELECT d.doc_id, len(d.toks) AS n_tokens,
+           |  COALESCE(k.n_kept, 0) AS n_kept,
+           |  md5(COALESCE(k.cleaned, '')) AS scrub_fp
+           |FROM d LEFT JOIN k ON d.doc_id = k.kid""".stripMargin,
 
     "x5_hash_split" -> {
       val hexVal = (1 to 8).map(j =>

@@ -369,19 +369,51 @@ object DedupOps {
   def spanScrub(corpus: DataFrame, idCol: String, textCol: String,
                 gramSize: Int = 8, minDocs: Int = 2): DataFrame = {
     require(gramSize >= 1 && minDocs >= 1)
-    val base = corpus.filter(length(trim(col(textCol))) > 0)
+    val base = scrubBase(corpus, idCol, textCol)
+    val dupGrams = scrubOcc(base, gramSize).select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gh"))
+    coverAndReassemble(base, dupGrams, gramSize)
+  }
+
+  /** Span-level DECONTAMINATION — [[spanScrub]]'s cover/reassemble
+    * machinery with the scrub-gram set taken from an EXTERNAL benchmark
+    * relation instead of cross-doc counts: every corpus token covered by a
+    * word `gramSize`-gram that occurs anywhere in `bench` is deleted
+    * (x4/contaminationCounts MEASURES the overlap; this REMOVES it — the
+    * eval-set leakage fix that keeps the document instead of dropping it).
+    * Bench-side grams are distinct-reduced to one narrow md5 relation
+    * before the join; everything else is the d8 scale shape. */
+  def spanScrubAgainst(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, gramSize: Int = 4): DataFrame = {
+    require(gramSize >= 1)
+    val base = scrubBase(corpus, idCol, textCol)
+    val benchGrams = bench.select(explode(array_distinct(
+        graft.expressions.MinHashExpressions.wordGrams(col(textCol), gramSize))).as("gram"))
+      .select(md5(col("gram")).as("gh")).distinct()
+    coverAndReassemble(base, benchGrams, gramSize)
+  }
+
+  private def scrubBase(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         graft.ops.TextOps.tokens(col(textCol)).as("toks"))
-    // wordGrams falls back to one whole-doc gram for docs shorter than the
-    // window; those docs must contribute no occurrences (nothing to scrub).
-    val occ = base.filter(size(col("toks")) >= gramSize)
+
+  /** Gram occurrences with 0-based start positions. wordGrams falls back to
+    * one whole-doc gram for docs shorter than the window; those docs must
+    * contribute no occurrences (nothing to scrub), hence the size filter.
+    * (A short doc's fallback gram also can never equal a true k-gram —
+    * different space count — so fallback grams on the BENCH side of
+    * [[spanScrubAgainst]] are inert by construction.) */
+  private def scrubOcc(base: DataFrame, gramSize: Int): DataFrame =
+    base.filter(size(col("toks")) >= gramSize)
       .select(col("id"), posexplode(graft.expressions.MinHashExpressions
         .wordGrams(col("t"), gramSize)).as(Seq("i", "gram")))
       .select(col("id"), col("i"), md5(col("gram")).as("gh"))
-    val dupGrams = occ.select(col("id"), col("gh")).distinct()
-      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("gh"))
-    val covered = occ.join(dupGrams, "gh")
+
+  private def coverAndReassemble(base: DataFrame, scrubGrams: DataFrame,
+                                 gramSize: Int): DataFrame = {
+    val covered = scrubOcc(base, gramSize).join(scrubGrams, "gh")
       .select(col("id"),
         explode(sequence(col("i"), col("i") + lit(gramSize - 1))).as("pos"))
       .distinct()

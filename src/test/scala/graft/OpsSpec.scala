@@ -522,6 +522,25 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("spanScrubAgainst: external bench grams scrub; corpus-internal dups don't") {
+    import graft.ops.DedupOps
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 tail"),  // contains the bench span → scrubbed
+      (2L, "p q r s t"),         // shares a span with doc 3 but NOT bench
+      (3L, "p q r s u")          // → cross-corpus dup must stay (external set only)
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx w1 w2 w3 w4 yy"), // carries the 4-gram w1..w4
+      (101L, "s t")                // short: fallback gram must be inert
+    ).toDF("doc_id", "text")
+    val out = DedupOps.spanScrubAgainst(corpus, bench, "doc_id", "text", 4)
+      .select("id", "n_kept", "cleaned").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((1L, "tail")), "bench span removed")
+    assert(out(2L) === ((5L, "p q r s t")) && out(3L) === ((5L, "p q r s u")),
+      "corpus-internal duplication is not the decontamination contract")
+  }
+
   test("invertedIndex: df over distinct docs, numerically sorted capped postings") {
     import graft.ops.TextOps
     val docs = Seq(
