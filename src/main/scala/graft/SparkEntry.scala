@@ -329,6 +329,42 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), Exact.fmt(col("ewma"), 4).as("ewma_r"))
     }),
 
+    // MON3 — per-user linear trend (OLS slope of value over days since the
+    // user's first event): the drift DIRECTION metric beside mon2's level.
+    // Regression as one grouped aggregation of five decimal-exact moment
+    // sums (ops/Stats) — trend over 100 TB costs one narrow exchange per
+    // key, the same shape as a COUNT. x centers at the per-user first
+    // observation so x² keeps decimal headroom.
+    "mon3_trend" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+      val mins = e.groupBy(col("user_id")).agg(min(col("t_us")).as("t0"))
+      val pts = e.join(mins, "user_id")
+        .select(col("user_id"),
+          ((col("t_us") - col("t0")).cast("double") / lit(86400000000.0)).as("x"),
+          col("value").as("y"))
+      graft.ops.Stats.olsByGroup(pts, col("user_id"), col("x"), col("y"))
+        .select(col("grp").as("user_id"), col("n"),
+          Exact.fmt(col("slope"), 6).as("slope_r"),
+          Exact.fmt(col("intercept"), 4).as("icept_r"))
+    }),
+
+    // T14 — Zipf exponent: OLS slope of ln(count) over ln(rank) across the
+    // vocabulary (the rank-frequency law every natural corpus follows —
+    // and a quality signal when a crawled slice doesn't). Same Stats core
+    // as mon3; ln sits per vocabulary row behind the decimal truncation
+    // (t9 contract).
+    "t14_zipf" -> ((s, dir) => {
+      val v = TextOps.vocabulary(docs(s, dir), "text", topK = 1000)
+      val pts = v.select(lit(1).as("g"),
+        log(col("vocab_id").cast("double") + lit(1.0)).as("x"),
+        log(col("n_occ").cast("double")).as("y"))
+      graft.ops.Stats.olsByGroup(pts, col("g"), col("x"), col("y"))
+        .select(col("n").as("n_terms"),
+          Exact.fmt(col("slope"), 4).as("slope_r"),
+          Exact.fmt(col("intercept"), 4).as("icept_r"))
+    }),
+
     // A10 — sliding (hopping) event-time window: 10-min windows every 5 min.
     "a10_sliding_window" -> ((s, dir) =>
       ev(s, dir)
@@ -2510,6 +2546,48 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    // mon3/t14: the five decimal-exact moment sums + the mirrored
+    // closed-form slope/intercept chain (intercept recomputes the slope
+    // expression inline — same doubles, same rounding).
+    "mon3_trend" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value FROM events),
+        |m0 AS (SELECT user_id, MIN(t_us) AS t0 FROM e GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |        CAST(e.t_us - t0 AS DOUBLE) / CAST('86400000000' AS DOUBLE) AS x,
+        |        value AS y
+        |      FROM e JOIN m0 USING (user_id)),
+        |mm AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY 1)
+        |SELECT user_id, n,
+        |  printf('%.6f', (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope_r,
+        |  printf('%.4f', (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) AS icept_r
+        |FROM mm""".stripMargin,
+
+    "t14_zipf" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, COUNT(*) AS n_occ FROM t WHERE term <> '' GROUP BY 1),
+        |v AS (SELECT term, n_occ,
+        |        row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vocab_id
+        |      FROM c QUALIFY vocab_id < 1000),
+        |p AS (SELECT ln(CAST(vocab_id AS DOUBLE) + CAST('1.0' AS DOUBLE)) AS x,
+        |             ln(CAST(n_occ AS DOUBLE)) AS y FROM v),
+        |mm AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        |  FROM p)
+        |SELECT n AS n_terms,
+        |  printf('%.4f', (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS slope_r,
+        |  printf('%.4f', (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) AS icept_r
+        |FROM mm""".stripMargin,
 
     // every event falls in exactly two 10-min/5-min hopping windows; window
     // starts computed in integer epoch-microseconds (Spark's origin is the

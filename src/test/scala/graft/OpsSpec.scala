@@ -386,6 +386,24 @@ class OpsSpec extends SparkSpec {
     assert(est.size === 100)
   }
 
+  test("olsByGroup: exact fit on a line, null slope on zero variance, layout-independent") {
+    import graft.ops.Stats
+    // group A: exact line y = 2x + 3; group B: all x equal → undefined slope
+    val pts = (Seq((0.0, 3.0), (1.0, 5.0), (2.0, 7.0), (3.0, 9.0)).map { case (x, y) => ("A", x, y) } ++
+      Seq(("B", 1.0, 10.0), ("B", 1.0, 20.0))).toDF("g", "x", "y")
+    val out = Stats.olsByGroup(pts, $"g", $"x", $"y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("A")._1 === 4L)
+    assert(math.abs(out("A")._2.get - 2.0) < 1e-9 && math.abs(out("A")._3.get - 3.0) < 1e-9)
+    assert(out("B")._2 === None && out("B")._3 === None,
+      "zero x-variance must surface as null, not a silent zero")
+    val re = Stats.olsByGroup(pts.repartition(5), $"g", $"x", $"y")
+      .orderBy("grp").collect().toSeq
+    assert(re === Stats.olsByGroup(pts, $"g", $"x", $"y").orderBy("grp").collect().toSeq)
+  }
+
   test("centerNormalize: exact per-dim means, unit norms, zero-vector guard") {
     // means: dim0 = (1+3)/2 = 2, dim1 = (2+6)/2 = 4
     // centered: a = (-1, -2), b = (1, 2) → norms √5, unit-normalized
