@@ -329,6 +329,47 @@ object SparkEntry {
         .select(col("user_id"), col("n_events"), Exact.fmt(col("ewma"), 4).as("ewma_r"))
     }),
 
+    // A18 — ordered funnel (view → click-after-view → purchase-after-
+    // click): the sequential pattern query of event analytics. Each stage
+    // is "min time of the next step STRICTLY AFTER the previous stage's
+    // time" — three user-keyed narrow joins/aggregations, no window, no
+    // per-row state; every comparison is integer micros. Users who never
+    // viewed report step 0 via the left-join spine over all users.
+    "a18_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val users = e.select(col("user_id")).distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("t") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("t") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+      users.join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0)).as("funnel_step"))
+    }),
+
+    // A19 — cohort retention: users bucketed by first-activity day, counted
+    // per (cohort, day-offset) — the warehouse retention matrix. Cohort
+    // assignment is one user-keyed min; offsets are integer day arithmetic;
+    // the matrix is one distinct + grouped count. Two narrow exchanges.
+    "a19_retention" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("c_day"), (col("day") - col("c_day")).as("day_offset"))
+        .distinct()
+        .groupBy(col("c_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // MON3 — per-user linear trend (OLS slope of value over days since the
     // user's first event): the drift DIRECTION metric beside mon2's level.
     // Regression as one grouped aggregation of five decimal-exact moment
@@ -2546,6 +2587,30 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    "a18_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(t) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(t) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t_click GROUP BY 1)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_step
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "a19_retention" ->
+      """WITH e AS (SELECT user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |ch AS (SELECT user_id, MIN(day) AS c_day FROM e GROUP BY 1),
+        |x AS (SELECT DISTINCT e.user_id, c_day, day - c_day AS day_offset
+        |      FROM e JOIN ch USING (user_id))
+        |SELECT c_day, day_offset, COUNT(*) AS n_users
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // mon3/t14: the five decimal-exact moment sums + the mirrored
     // closed-form slope/intercept chain (intercept recomputes the slope
