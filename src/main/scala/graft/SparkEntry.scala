@@ -1147,6 +1147,30 @@ object SparkEntry {
         .select(col("user_id"), col("n_exact"), col("n_cms"))
     }),
 
+    // O17 — CMS merge (the o16 move for the frequency sketch): per-day
+    // cell relations combined by cell-wise SUM must equal the direct
+    // sketch exactly when the parts partition the data — counts are
+    // associative/commutative (and deliberately NOT idempotent: replaying
+    // a partial double-counts, the correct multiset semantics; OpsSpec
+    // pins both properties). Both paths probe independently in the
+    // checked row.
+    "o17_cms_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val day = date_format(col("ts"), "yyyy-MM-dd")
+      val merged = graft.ops.Sketches.cmsMergeCells(
+        graft.ops.Sketches.cmsCellsBy(e, day, col("user_id"))
+          .select(col("row"), col("bucket"), col("cnt")))
+      val direct = graft.ops.Sketches.cmsBuild(e, col("user_id"))
+      val probes = e.filter(col("user_id") < 25).select(col("user_id")).distinct()
+      val estM = graft.ops.Sketches.cmsEstimate(merged, probes, col("user_id"))
+        .withColumnRenamed("key", "user_id").withColumnRenamed("n_cms", "n_merged")
+      val estD = graft.ops.Sketches.cmsEstimate(direct, probes, col("user_id"))
+        .withColumnRenamed("key", "user_id").withColumnRenamed("n_cms", "n_direct")
+      e.filter(col("user_id") < 25).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .join(estM, "user_id").join(estD, "user_id")
+    }),
+
     // O14 — histogram quantiles: percentiles without a global sort. Exact
     // quantiles need a full-data range exchange; the histogram needs one
     // narrow groupBy(bin) COUNT (≤ nBins integer cells per partition
@@ -2462,6 +2486,34 @@ object SparkEntry {
        |SELECT ex.user_id, n_exact, n_cms FROM ex JOIN est USING (user_id)""".stripMargin
   }
 
+  /** Oracle for o17: BOTH paths — per-day cells summed cell-wise, and the
+    * direct global cells — probed independently. Pure integer arithmetic. */
+  private def cmsMergeOracle: String = {
+    val d = 4; val w = 512
+    def cellsFor(src: String, keyExpr: String, carry: String): String =
+      (0 until d).map(i =>
+        s"SELECT $carry$i AS row, ${graft.ops.Sketches.cmsBucketSql(keyExpr, i, w)} AS bucket FROM $src")
+        .mkString("\n  UNION ALL ")
+    s"""WITH dcells AS (
+       |  ${cellsFor("events", "user_id", "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS part, ")}),
+       |pd AS (SELECT part, row, bucket, COUNT(*) AS cnt FROM dcells GROUP BY 1, 2, 3),
+       |mg AS (SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pd GROUP BY 1, 2),
+       |cells AS (
+       |  ${cellsFor("events", "user_id", "")}),
+       |sk AS (SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 25),
+       |pc AS (
+       |  ${cellsFor("probes", "user_id", "user_id, ")}),
+       |estm AS (SELECT user_id, MIN(cnt) AS n_merged
+       |         FROM pc JOIN mg USING (row, bucket) GROUP BY 1),
+       |estd AS (SELECT user_id, MIN(cnt) AS n_direct
+       |         FROM pc JOIN sk USING (row, bucket) GROUP BY 1),
+       |ex AS (SELECT user_id, COUNT(*) AS n_exact FROM events
+       |       WHERE user_id < 25 GROUP BY 1)
+       |SELECT ex.user_id, n_exact, n_merged, n_direct
+       |FROM ex JOIN estm USING (user_id) JOIN estd USING (user_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
@@ -2933,6 +2985,7 @@ object SparkEntry {
     "o11_hll_distinct" -> hllOracle,
     "o15_hll_by_day" -> hllByOracle,
     "o16_hll_merge" -> hllMergeOracle,
+    "o17_cms_merge" -> cmsMergeOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same

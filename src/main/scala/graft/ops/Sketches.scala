@@ -183,6 +183,29 @@ object Sketches {
       .groupBy(col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Per-part CMS cell relations — the mergeable partial form (HLL's
+    * [[hllRegistersBy]] counterpart): one (part, row, bucket, cnt) cell
+    * relation per `partCol` slice. CMS partials merge by cell-wise SUM —
+    * counts are associative/commutative, so the merged sketch equals the
+    * direct sketch over the union EXACTLY when parts partition the data
+    * (unlike min-merge HLL, CMS merge is NOT idempotent: feeding the same
+    * partial twice double-counts, which is the correct multiset
+    * semantics). */
+  def cmsCellsBy(df: DataFrame, partCol: Column, keyCol: Column,
+                 d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2)
+    val cells = explode(array((0 until d).map(i =>
+      struct(lit(i).as("row"), cmsBucket(keyCol, i, w).as("bucket"))): _*))
+    df.select(partCol.as("part"), cells.as("c"))
+      .select(col("part"), col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .groupBy(col("part"), col("row"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge partial CMS cell relations ([[cmsCellsBy]] output, or a union of
+    * several) by cell-wise SUM into one [[cmsBuild]]-shaped sketch. */
+  def cmsMergeCells(cells: DataFrame): DataFrame =
+    cells.groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
   /** CMS point estimates for `keys`: min over the d cells each key hashes
     * to. `sketch` is [[cmsBuild]] output (broadcast-small: ≤ d·w rows). */
   def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: Column,

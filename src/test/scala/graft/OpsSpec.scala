@@ -463,6 +463,22 @@ class OpsSpec extends SparkSpec {
     assert(solo === soloDirect)
   }
 
+  test("CMS merge: summed partials equal the direct sketch; replay double-counts") {
+    import graft.ops.Sketches
+    val rows = (0 until 4).flatMap(p =>
+      (0 until 50).map(k => (p.toLong, (p * 10 + k).toLong))).toDF("part", "k")
+    val cells = Sketches.cmsCellsBy(rows, $"part", $"k", d = 4, w = 128)
+    val merged = Sketches.cmsMergeCells(cells)
+      .orderBy("row", "bucket").as[(Int, Long, Long)].collect().toSeq
+    val direct = Sketches.cmsBuild(rows.select($"k"), $"k", d = 4, w = 128)
+      .orderBy("row", "bucket").as[(Int, Long, Long)].collect().toSeq
+    assert(merged === direct, "cell-wise SUM merge must reproduce the direct sketch")
+    // NOT idempotent, by design: replaying a partial double-counts
+    val doubled = Sketches.cmsMergeCells(cells.union(cells))
+      .agg(sum($"cnt")).as[Long].head()
+    assert(doubled === 2L * direct.map(_._3).sum)
+  }
+
   test("bigramLmScore: mean log P(w2|w1) from corpus counts, exact on known corpus") {
     // corpus bigrams: "a b" x2, "a c" x1 -> C(a .) = 3
     // P(b|a) = 2/3, P(c|a) = 1/3
