@@ -370,6 +370,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // A20 — rolling 7-day distinct actives (the WAU beside the DAU): count
+    // distinct over a sliding window has no direct aggregate, and the 100
+    // TB answer is NOT a window function — each distinct (user, day)
+    // membership explodes to the ≤7 windows it can serve, then one
+    // distinct + grouped count. The explode multiplies the (already
+    // day-deduped) membership relation by 7, far smaller than re-scanning
+    // events per window; exact integers throughout.
+    "a20_rolling_active" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      val du = e.distinct()
+      val bounds = du.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val daily = du.groupBy(col("day")).agg(count(lit(1)).as("n_active_1d"))
+      val weekly = du
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("hi")).select(col("user_id"), col("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("n_active_7d"))
+      daily.join(weekly, "day")
+        .select(col("day"), col("n_active_1d"), col("n_active_7d"))
+    }),
+
     // MON3 — per-user linear trend (OLS slope of value over days since the
     // user's first event): the drift DIRECTION metric beside mon2's level.
     // Regression as one grouped aggregation of five decimal-exact moment
@@ -2639,6 +2662,18 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    "a20_rolling_active" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |b AS (SELECT MAX(day) AS hi FROM e),
+        |daily AS (SELECT day, COUNT(*) AS n_active_1d FROM e GROUP BY 1),
+        |m AS (SELECT DISTINCT user_id, wday FROM (
+        |        SELECT user_id, unnest(generate_series(day, day + 6)) AS wday
+        |        FROM e) x CROSS JOIN b WHERE x.wday <= b.hi),
+        |weekly AS (SELECT wday AS day, COUNT(*) AS n_active_7d FROM m GROUP BY 1)
+        |SELECT day, n_active_1d, n_active_7d
+        |FROM daily JOIN weekly USING (day)""".stripMargin,
 
     "a18_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
