@@ -394,10 +394,17 @@ object DedupOps {
     coverAndReassemble(base, benchGrams, gramSize)
   }
 
+  /** Cached: the base relation feeds four scrub subtrees (gram occurrences
+    * twice, token positions, final token counts), and the upstream corpus
+    * may itself be expensive (c2 arrives here through a regex-heavy
+    * quality gate — uncached, that gate re-ran per subtree: measured 3.2 s
+    * → see PLANS.md round-10 c2 note). Callers release it via the bench/
+    * verify harnesses' clearCache(). */
   private def scrubBase(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         graft.ops.TextOps.tokens(col(textCol)).as("toks"))
+      .cache()
 
   /** Gram occurrences with 0-based start positions. wordGrams falls back to
     * one whole-doc gram for docs shorter than the window; those docs must
