@@ -413,6 +413,56 @@ object SparkEntry {
           Exact.fmt(col("intercept"), 4).as("icept_r"))
     }),
 
+    // O18 — SCD2 / change-data-capture interval build: collapse each
+    // (user, event_type) attribute stream to its CHANGE rows and attach
+    // validity intervals — the dimension-table compaction every warehouse
+    // runs on CDC feeds. Two per-key windows (lag for change detection,
+    // lead/row_number for interval close + version) over the same
+    // partitioning — ONE keyed exchange, the sort reused across all three
+    // window functions. Interval bounds are exact epoch micros; the open
+    // interval ships as null valid_to_us.
+    "o18_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("t"), col("event_id"))
+      val ch = e.withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNull || col("value") =!= col("prev"))
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("t"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      ch.select(col("user_id"), col("event_type"), col("value"),
+          col("t").as("valid_from_us"),
+          lead(col("t"), 1).over(w2).as("valid_to_us"),
+          row_number().over(w2).as("version"))
+    }),
+
+    // MON4 — CUSUM mean-shift statistic per user (Page 1954, the k=0
+    // one-sided form): S_i = cum_i − min_{j≤i} cum_j over deviations from
+    // the spec'd target level — the standard drift DETECTOR beside mon2's
+    // smoothed level and mon3's trend. The recursion max(0, S+dev) is not
+    // window-expressible, but its closed form (running sum minus running
+    // min) is — two frames over ONE per-key sort. Every term is
+    // DECIMAL(30,4)-exact, so the statistic is layout- and
+    // engine-independent; ordering ties break on event_id.
+    "mon4_cusum" -> ((s, dir) => {
+      val target = lit(BigDecimal("10.0")).cast("decimal(30,4)")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+          (col("value").cast("decimal(30,4)") - target).as("dev"))
+        .withColumn("cum", sum(col("dev")).over(w))
+        .withColumn("stat", col("cum") - min(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          Exact.fmt(max(col("stat")).cast("double"), 4).as("cusum_max_r"),
+          count(when(col("stat") > lit(BigDecimal("50.0")), lit(1)))
+            .as("n_breach"))
+    }),
+
     // T14 — Zipf exponent: OLS slope of ln(count) over ln(rank) across the
     // vocabulary (the rank-frequency law every natural corpus follows —
     // and a quality signal when a crawled slice doesn't). Same Stats core
@@ -1376,6 +1426,18 @@ object SparkEntry {
           sum(col("selected") * col("n_tok")).as("sel_tokens"))
     }),
 
+    // X8 — weighted sampling without replacement (A-Res): top-100 docs by
+    // ln(u)/weight with weight = n_chars — the quality/length-weighted
+    // draw a curriculum or mixture pipeline uses where x1's Bernoulli
+    // treats all rows equally. Membership is reproducible md5 arithmetic;
+    // the one ln sits behind a BIGINT truncation (t9 contract).
+    "x8_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedTopK(
+          docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("wkey"), col("wrank"))),
+
     // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
     // order, sliced into 512-token training sequences with docs splitting
     // at boundaries. The assignment is arithmetic over an exclusive global
@@ -1530,6 +1592,20 @@ object SparkEntry {
       DedupOps.spanScrub(docs(s, dir), "doc_id", "text", gramSize = 8, minDocs = 2)
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
           md5(col("cleaned")).as("scrub_fp"))),
+
+    // D9 — asymmetric containment (Broder's other similarity): a short doc
+    // quoted whole inside a long one has Jaccard |A|/|B| — arbitrarily low,
+    // so MinHash bands (collision P = J^r) structurally miss it; its
+    // containment is 1.0. Blocking is the rare-gram inverted-posting join
+    // (df ∈ [2, cap]): a contained doc shares ALL its grams with its
+    // container, so any sub-cap shared gram blocks the pair, and the cap
+    // bounds every posting's fan-out at cap² — no boilerplate quadratics.
+    // Exact shared-gram counts verify candidates only.
+    "d9_containment" -> ((s, dir) =>
+      DedupOps.containmentPairs(docs(s, dir), "doc_id", "text",
+          gramSize = 8, dfCap = 8)
+        .select(col("id_a"), col("id_b"), col("n_shared"),
+          Exact.fmt(col("containment"), 4).as("containment_r"))),
 
     // T13 — inverted index build: term → document frequency + the 10
     // lowest doc ids as a deterministic posting sample (distinct'd,
@@ -2668,6 +2744,38 @@ object SparkEntry {
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
 
+    // Mirrors o18_scd2: change rows via lag, intervals via lead/row_number,
+    // identical (t, event_id) ordering on both engines.
+    "o18_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
+        |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY t, event_id) AS prev FROM e),
+        |ch AS (SELECT user_id, event_type, value, t, event_id FROM c
+        |       WHERE prev IS NULL OR value <> prev)
+        |SELECT user_id, event_type, value, t AS valid_from_us,
+        |  lead(t) OVER w AS valid_to_us,
+        |  row_number() OVER w AS version
+        |FROM ch WINDOW w AS (PARTITION BY user_id, event_type
+        |                     ORDER BY t, event_id)""".stripMargin,
+
+    // CUSUM closed form: running sum − running min of DECIMAL(30,4)
+    // deviations; integer/decimal-exact until the final render.
+    "mon4_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id,
+        |    CAST(value AS DECIMAL(30,4)) - CAST('10.0' AS DECIMAL(30,4)) AS dev
+        |  FROM events),
+        |c AS (SELECT user_id, t, event_id, sum(dev) OVER w AS cum
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |s AS (SELECT user_id, cum - min(cum) OVER w2 AS stat
+        |  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id
+        |                       ROWS UNBOUNDED PRECEDING))
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  printf('%.4f', CAST(MAX(stat) AS DOUBLE)) AS cusum_max_r,
+        |  COUNT(*) FILTER (WHERE stat > CAST('50.0' AS DECIMAL(30,4))) AS n_breach
+        |FROM s GROUP BY 1""".stripMargin,
+
     "a20_rolling_active" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |       epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
@@ -3401,6 +3509,36 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
+    // Mirrors DedupOps.containmentPairs: same tokenization/short-doc
+    // fallback as d7 but 8-grams; rare-gram blocking df ∈ [2, 8]; exact
+    // shared counts; containment = shared / min side.
+    "d9_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |           ELSE list_transform(generate_series(1, len(toks) - 7),
+        |                               i -> array_to_string(toks[i:i+7], ' ')) END) AS gram
+        |  FROM t),
+        |sz AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY 1),
+        |g AS (SELECT gram, COUNT(*) AS nd FROM sh GROUP BY 1),
+        |rare AS (SELECT doc_id, gram FROM sh JOIN g USING (gram)
+        |         WHERE nd BETWEEN 2 AND 8),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM rare a JOIN rare b USING (gram) WHERE a.doc_id < b.doc_id),
+        |shr AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+        |        FROM cand c
+        |        JOIN sh a ON a.doc_id = c.id_a
+        |        JOIN sh b ON b.doc_id = c.id_b AND a.gram = b.gram
+        |        GROUP BY 1, 2)
+        |SELECT s.id_a, s.id_b, s.n_shared,
+        |  printf('%.4f', CAST(s.n_shared AS DOUBLE) / least(sa.n_grams, sb.n_grams))
+        |    AS containment_r
+        |FROM shr s JOIN sz sa ON s.id_a = sa.doc_id
+        |JOIN sz sb ON s.id_b = sb.doc_id""".stripMargin,
+
     "d7_dup_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
@@ -3554,6 +3692,22 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
            |  CAST(SUM(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT) AS sel_tokens
            |FROM d JOIN doms USING (source) GROUP BY 1""".stripMargin
+    },
+
+    // A-Res weighted sample: u = (h+1)/2^32 exact, rank key
+    // floor(ln(u)/max(w,1)·1e9) as BIGINT (t9 ln-truncation contract).
+    "x8_weighted_sample" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, source, n_chars,
+         |    CAST(floor(ln((($hexVal) + 1) / CAST('4294967296' AS DOUBLE))
+         |               / greatest(n_chars, 1) * 1e9) AS BIGINT) AS wkey
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (ORDER BY wkey DESC, doc_id) AS wrank
+         |      FROM d)
+         |SELECT doc_id, source, n_chars, wkey, wrank FROM r
+         |WHERE wrank <= 100""".stripMargin
     },
 
     // Packing arithmetic: overhead 2 ("[" + "]"), tx width 15, separator 1

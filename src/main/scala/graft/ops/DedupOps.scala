@@ -347,6 +347,57 @@ object DedupOps {
         count(when(col("nd") >= 2, lit(1))).as("n_dup_grams"))
   }
 
+  /** Asymmetric containment dedup: containment(A,B) =
+    * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) — the subset-
+    * duplicate detector (Broder 1997's *containment*, beside resemblance).
+    * A short document quoted whole inside a long one has Jaccard
+    * ≈ |A|/|B| — arbitrarily low — so MinHash banding (collision
+    * P = J^r) structurally misses it; containment scores such a pair 1.0.
+    *
+    * Blocking is the inverted-posting rare-gram join, not MinHash: a
+    * contained doc shares ALL its grams with its container, so any of its
+    * grams with document frequency in [2, dfCap] blocks the pair. The df
+    * cap keeps the posting self-join linear-ish — a gram in thousands of
+    * docs is boilerplate (d7/d8 territory), and blocking through it would
+    * make the join quadratic in that gram's posting list; capped grams
+    * bound each posting's pair fan-out at dfCap². Verification then counts
+    * shared grams EXACTLY over the full postings of candidate docs only —
+    * the candidate set is a small fraction of the corpus, so the
+    * verification join is narrow (one md5-keyed row per shared gram per
+    * pair).
+    *
+    * Returns (id_a, id_b, n_shared, containment) for all blocked pairs;
+    * id_a < id_b. All joins key on the fixed-width gram md5. */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+                       gramSize: Int = 8, dfCap: Int = 8): DataFrame = {
+    val postings = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(graft.expressions.MinHashExpressions
+        .wordGrams(col(textCol), gramSize))).as("gram"))
+      .select(col("id"), md5(col("gram")).as("gh"))
+    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val rareGh = postings.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd").between(2, dfCap)).select(col("gh"))
+    val rare = postings.join(rareGh, "gh")
+    val cand = rare.select(col("gh"), col("id").as("id_a"))
+      .join(rare.select(col("gh"), col("id").as("id_b")), "gh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val candDocs = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val p = postings.join(candDocs, "id")
+    val shared = p.select(col("gh"), col("id").as("id_a"))
+      .join(p.select(col("gh"), col("id").as("id_b")), "gh")
+      .filter(col("id_a") < col("id_b"))
+      .join(cand, Seq("id_a", "id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("ga")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("gb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") / least(col("ga"), col("gb")))
+          .as("containment"))
+  }
+
   /** Span-level scrub — the REMOVAL step d7's statistics motivate (Lee et
     * al. 2022 dedup *the spans themselves*, not whole documents): every
     * token covered by some word `gramSize`-gram occurring in ≥ `minDocs`

@@ -97,6 +97,34 @@ object Sampling {
       .withColumn("selected", (col("h") < col("thr")).cast("int"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-Res): each row draws u ∈ (0,1] from its salted key
+    * hash — u = (hash32 + 1) / 2^32, exact double arithmetic — and the
+    * top-k rows by ln(u)/weight are a weighted sample without
+    * replacement (P[selected] ∝ weight, marginally). The quality-weighted
+    * corpus subset every training-mix pipeline draws, reproducible on any
+    * engine because the draw is pure md5 arithmetic.
+    *
+    * The one transcendental, ln, sits behind a fixed 1e9 truncation (the
+    * t9 contract): the rank key floor(ln(u)/w · 1e9) is a BIGINT, so a
+    * 1-ULP libm difference between engines can only flip a key whose
+    * product lands within ~1e-7 of an integer — and ordering ties break
+    * on the key column regardless. Top-k compiles to WindowGroupLimit:
+    * bounded per-partition heaps, only k rows cross the exchange — never
+    * a global sort. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
+                   salt: String = "wrs"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hash32(key, salt) + lit(1L)).cast("double") / lit(Two32)
+    val rankKey =
+      floor(log(u) / greatest(weight, lit(1L)).cast("double") * lit(1e9))
+        .cast("long")
+    df.withColumn("wkey", rankKey)
+      .withColumn("wrank",
+        row_number().over(Window.orderBy(col("wkey").desc, key)))
+      .filter(col("wrank") <= k)
+  }
+
   /** Cumulative hash-range boundaries for [[hashSplit]]: split i owns
     * [boundary(i-1), boundary(i)) of the 2^32 hash space, the LAST split
     * catching the rounding remainder so every row lands somewhere. */

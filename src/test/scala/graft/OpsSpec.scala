@@ -520,6 +520,34 @@ class OpsSpec extends SparkSpec {
     assert(s === 0L, "within-doc repetition must not count as cross-doc duplication")
   }
 
+  test("containmentPairs: subset duplicate scores 1.0 where Jaccard dilutes; df cap blocks boilerplate") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      // doc 1 (4 tokens = 1 whole 4-gram) contained whole inside doc 2
+      // (8 tokens = 5 grams): Jaccard of gram sets = 1/5, containment 1.0
+      (1L, "w1 w2 w3 w4"),
+      (2L, "w1 w2 w3 w4 a b c d"),
+      (3L, "p q r s t u"),          // unrelated — no shared gram, no pair
+      (4L, "p q r s t z")           // shares "p q r s"/"q r s t" with doc 3
+    ).toDF("doc_id", "text")
+    val out = DedupOps.containmentPairs(docs, "doc_id", "text", gramSize = 4)
+      .select("id_a", "id_b", "n_shared", "containment")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 2L)) === ((1L, 1.0)),
+      "contained doc must score containment 1.0 (its one gram is shared)")
+    assert(out((3L, 4L)) === ((2L, 2.0 / 3.0)))
+    assert(out.size === 2, "unrelated docs must not pair")
+    // a gram in MORE than dfCap docs must not block by itself
+    val boiler = (1L to 10L).map(i => (i, s"x1 x2 x3 x4 uniq$i")).toDF("doc_id", "text")
+    val b = DedupOps.containmentPairs(boiler, "doc_id", "text", gramSize = 4, dfCap = 8)
+    assert(b.count() === 0, "over-cap boilerplate gram must not explode into pairs")
+    // layout independence
+    val a1 = DedupOps.containmentPairs(docs, "doc_id", "text", 4).orderBy("id_a", "id_b").collect().toSeq
+    val a2 = DedupOps.containmentPairs(docs.repartition(7), "doc_id", "text", 4).orderBy("id_a", "id_b").collect().toSeq
+    assert(a1 === a2)
+  }
+
   test("spanScrub: removes cross-doc duplicated spans, keeps order, spares within-doc repeats") {
     import graft.ops.DedupOps
     val docs = Seq(
