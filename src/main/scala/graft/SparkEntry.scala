@@ -438,6 +438,36 @@ object SparkEntry {
           row_number().over(w2).as("version"))
     }),
 
+    // O19 — Z-order (Morton) clustering key: the multi-dimensional layout
+    // move (Delta/Iceberg OPTIMIZE ZORDER) that makes parquet min/max
+    // stats selective on TWO dimensions at once. The key is 32 codegen'd
+    // shift/mask/or terms — no UDF — and the per-zbucket (u,v) spans this
+    // query reports ARE the file-skipping property: a sorted write's file
+    // stats would carry exactly these bounds on both dimensions.
+    "o19_zorder" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        floor(col("value")).cast("long").as("vb"))
+      e.withColumn("zkey",
+          graft.ops.Layout.morton16(col("user_id"), col("vb")))
+        .withColumn("zbucket", shiftright(col("zkey"), 14))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+          min(col("vb")).as("v_min"), max(col("vb")).as("v_max"))
+    }),
+
+    // P9 — per-column profile of a wide table (the admission check a
+    // pipeline runs on every new 100 TB partition): exact row/null/
+    // distinct counts + typed min/max bounds, one column-pruned
+    // aggregation per column (the union costs ~one full-width scan of
+    // IO; each branch's exchange carries a handful of rows). Exact
+    // distinct is the test-scale contract; approx_count_distinct (o11
+    // HLL) is the same-shaped 100 TB drop-in.
+    "p9_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag", "l_shipdate"))),
+
     // MON4 — CUSUM mean-shift statistic per user (Page 1954, the k=0
     // one-sided form): S_i = cum_i − min_{j≤i} cum_j over deviations from
     // the spec'd target level — the standard drift DETECTOR beside mon2's
@@ -2758,6 +2788,39 @@ object SparkEntry {
         |  row_number() OVER w AS version
         |FROM ch WINDOW w AS (PARTITION BY user_id, event_type
         |                     ORDER BY t, event_id)""".stripMargin,
+
+    // Same 32-term Morton interleave, generated from the one Scala source.
+    "o19_zorder" -> {
+      val z = graft.ops.Layout.morton16Sql(
+        "user_id", "CAST(floor(value) AS BIGINT)")
+      s"""WITH z AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS vb,
+         |    $z AS zkey
+         |  FROM events)
+         |SELECT zkey >> 14 AS zbucket, COUNT(*) AS n,
+         |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+         |  MIN(vb) AS v_min, MAX(vb) AS v_max
+         |FROM z GROUP BY 1""".stripMargin
+    },
+
+    // One UNION ALL branch per profiled column, each the same exact
+    // counts + typed min/max render as ops/Profile.
+    "p9_profile" -> {
+      def branch(c: String, mn: String, mx: String): String =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct, $mn AS min_s, $mx AS max_s
+           |FROM lineitem""".stripMargin
+      Seq(
+        branch("l_orderkey", "CAST(MIN(l_orderkey) AS VARCHAR)", "CAST(MAX(l_orderkey) AS VARCHAR)"),
+        branch("l_linenumber", "CAST(MIN(l_linenumber) AS VARCHAR)", "CAST(MAX(l_linenumber) AS VARCHAR)"),
+        branch("l_quantity", "printf('%.4f', MIN(l_quantity))", "printf('%.4f', MAX(l_quantity))"),
+        branch("l_extendedprice", "printf('%.4f', MIN(l_extendedprice))", "printf('%.4f', MAX(l_extendedprice))"),
+        branch("l_returnflag", "MIN(l_returnflag)", "MAX(l_returnflag)"),
+        branch("l_shipdate",
+          "strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')")
+      ).mkString("\nUNION ALL\n")
+    },
 
     // CUSUM closed form: running sum − running min of DECIMAL(30,4)
     // deviations; integer/decimal-exact until the final render.

@@ -520,6 +520,42 @@ class OpsSpec extends SparkSpec {
     assert(s === 0L, "within-doc repetition must not count as cross-doc duplication")
   }
 
+  test("morton16: interleaves bits, preserves 2-D locality, masks high bits") {
+    import graft.ops.Layout
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFL, 0xFFFFL),
+      (0x10000L, 0L)).toDF("a", "b")
+    val out = df.select(Layout.morton16($"a", $"b").as("z")).as[Long].collect()
+    assert(out(0) === 0L)
+    assert(out(1) === 2L, "bit 0 of a lands at position 1")
+    assert(out(2) === 1L, "bit 0 of b lands at position 0")
+    // a=3 (11b), b=5 (101b): z = b0·1 + a0·2 + b1·0·4 + a1·8 + b2·16 = 1+2+8+16
+    assert(out(3) === 27L)
+    assert(out(4) === 0xFFFFFFFFL, "full 16+16 bits interleave to 32 ones")
+    assert(out(5) === 0L, "bits above 15 are masked, not smeared")
+    // SQL form agrees with the Column form on arbitrary values
+    val vals = Seq((123L, 456L), (1499L, 560L), (65535L, 1L)).toDF("a", "b")
+    val both = vals.select(Layout.morton16($"a", $"b").as("z1"),
+      expr(Layout.morton16Sql("a", "b")).as("z2")).as[(Long, Long)].collect()
+    both.foreach { case (z1, z2) => assert(z1 === z2) }
+  }
+
+  test("profile: exact nulls/distinct per column, typed min/max rendering") {
+    import graft.ops.Profile
+    val df = Seq(
+      (1L, Some(2.5), Some("b")),
+      (2L, None, Some("a")),
+      (3L, Some(2.5), None)
+    ).toDF("id", "v", "s")
+    val out = Profile.profile(df, Seq("id", "v", "s"))
+      .select("column", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("id") === ((3L, 0L, 3L, "1", "3")))
+    assert(out("v") === ((3L, 1L, 1L, "2.5000", "2.5000")),
+      "null excluded from distinct; doubles render %.4f")
+    assert(out("s") === ((3L, 1L, 2L, "a", "b")))
+  }
+
   test("containmentPairs: subset duplicate scores 1.0 where Jaccard dilutes; df cap blocks boilerplate") {
     import graft.ops.DedupOps
     val docs = Seq(
