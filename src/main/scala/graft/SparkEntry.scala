@@ -1222,6 +1222,24 @@ object SparkEntry {
     // kilobyte partials land per partition/day and any later rollup is
     // answerable without re-reading the data. Both paths ship in the
     // checked row; the oracle recomputes both independently.
+    // O20 — mergeable histogram partials: per-day cells under the SHARED
+    // global bin spec sum-merge into exactly the direct histogram —
+    // completing the sketch matrix's quantile axis beside HLL min-merge
+    // (o16) and CMS sum-merge (o17). The contract is the shared spec
+    // itself (per-day min/max binning would misalign cells — see
+    // Sketches.histCellsByPart doc); both paths probed independently.
+    "o20_hist_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val cells = graft.ops.Sketches.histCellsByPart(
+        e, col("value"), 256, date_format(col("ts"), "yyyy-MM-dd"))
+      val merged = cells.groupBy(col("bin"))
+        .agg(sum(col("cnt")).cast("long").as("cnt_merged"))
+      val direct = graft.ops.Sketches.histCellsByPart(
+          e, col("value"), 256, lit("all"))
+        .groupBy(col("bin")).agg(sum(col("cnt")).cast("long").as("cnt_direct"))
+      merged.join(direct, "bin")
+    }),
+
     "o16_hll_merge" -> ((s, dir) => {
       val e = ev(s, dir)
       val day = date_format(col("ts"), "yyyy-MM-dd")
@@ -2788,6 +2806,21 @@ object SparkEntry {
         |  row_number() OVER w AS version
         |FROM ch WINDOW w AS (PARTITION BY user_id, event_type
         |                     ORDER BY t, event_id)""".stripMargin,
+
+    // Shared-spec histogram cells: bin arithmetic mirrored expression-for-
+    // expression; merged (per-day summed) and direct paths probed
+    // independently.
+    "o20_hist_merge" ->
+      """WITH st AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+        |b AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS part,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE least(CAST(floor((value - lo) / ((hi - lo) / 256)) AS BIGINT), 255)
+        |    END AS bin
+        |  FROM events CROSS JOIN st),
+        |pd AS (SELECT part, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |mg AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt_merged FROM pd GROUP BY 1),
+        |dr AS (SELECT bin, COUNT(*) AS cnt_direct FROM b GROUP BY 1)
+        |SELECT bin, cnt_merged, cnt_direct FROM mg JOIN dr USING (bin)""".stripMargin,
 
     // Same 32-term Morton interleave, generated from the one Scala source.
     "o19_zorder" -> {

@@ -335,6 +335,29 @@ object Sketches {
     * with quantile fractions passed as shared literal STRINGS so both
     * engines parse the identical double. `qs` entries must be decimal
     * literals in (0,1]. */
+  /** Histogram cells per partition under a SHARED bin spec: (part, bin,
+    * cnt). The merge contract this relation carries — and o20 pins — is
+    * that per-partition cells combine into the global histogram by
+    * cell-wise SUM *iff the bin spec (lo, hi, nBins) is shared across
+    * partitions*: each day binning against its own min/max would put the
+    * same value in different bins and no cell algebra could reconcile
+    * them. That is exactly why production pipelines fix the spec up front
+    * (or use rank-mergeable sketches); here the spec is one global
+    * broadcast min/max pre-pass. Completes the mergeable-partial matrix
+    * beside HLL min-merge (o16, idempotent) and CMS sum-merge (o17,
+    * multiset): histogram cells sum-merge like CMS — replays double-count.
+    */
+  def histCellsByPart(df: DataFrame, valueCol: Column, nBins: Int,
+                      partCol: Column): DataFrame = {
+    require(nBins >= 2)
+    val st = df.agg(min(valueCol).as("lo"), max(valueCol).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBins)
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((valueCol - col("lo")) / width), lit(nBins - 1L)))
+    df.crossJoin(broadcast(st)).select(partCol.as("part"), bin.as("bin"))
+      .groupBy(col("part"), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
   def histQuantiles(df: DataFrame, valueCol: Column, nBins: Int,
                     qs: Seq[String]): DataFrame = {
     require(nBins >= 2 && qs.nonEmpty)

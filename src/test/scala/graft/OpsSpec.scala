@@ -479,6 +479,28 @@ class OpsSpec extends SparkSpec {
     assert(doubled === 2L * direct.map(_._3).sum)
   }
 
+  test("histCellsByPart: shared-spec cells sum-merge to the direct histogram; per-part specs would not") {
+    import graft.ops.Sketches
+    val rows = (0 until 200).map(i => ((i % 4).toLong, i.toDouble)).toDF("part", "v")
+    val cells = Sketches.histCellsByPart(rows, $"v", 16, $"part")
+    val merged = cells.groupBy("bin").agg(sum($"cnt").as("cnt"))
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    val direct = Sketches.histCellsByPart(rows, $"v", 16, lit("all"))
+      .select("bin", "cnt").orderBy("bin").as[(Long, Long)].collect().toSeq
+    assert(merged === direct, "shared-spec cells must sum-merge exactly")
+    assert(merged.map(_._2).sum === 200L)
+    // the contract is the SHARED spec: binning each part against its own
+    // min/max puts the same value in different bins — demonstrate the
+    // misalignment the shared spec prevents
+    val perPartSpec = (0 until 4).map { p =>
+      Sketches.histCellsByPart(rows.filter($"part" === p), $"v", 16, lit(p.toString))
+    }.reduce(_ unionAll _)
+      .groupBy("bin").agg(sum($"cnt").as("cnt"))
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    assert(perPartSpec !== direct,
+      "per-part bin specs must NOT reproduce the shared-spec histogram")
+  }
+
   test("bigramLmScore: mean log P(w2|w1) from corpus counts, exact on known corpus") {
     // corpus bigrams: "a b" x2, "a c" x1 -> C(a .) = 3
     // P(b|a) = 2/3, P(c|a) = 1/3
