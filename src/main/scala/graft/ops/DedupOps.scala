@@ -370,11 +370,18 @@ object DedupOps {
     * id_a < id_b. All joins key on the fixed-width gram md5. */
   def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
                        gramSize: Int = 8, dfCap: Int = 8): DataFrame = {
+    // The posting relation feeds several plan branches. Deliberately NOT
+    // cached: materializing the tokens-sized relation measured SLOWER than
+    // recompute at bench scale (2.6 vs 2.1 s min — Spark's ReusedExchange
+    // already dedups the gh-keyed shuffles, so cache only buys back scan
+    // time while paying a full in-memory write). Per-doc gram counts are
+    // computed on the candidate-restricted postings only — sizes of
+    // non-candidate docs are never used, and the global groupBy(id) would
+    // shuffle the whole corpus-sized relation for them.
     val postings = corpus.select(col(idCol).as("id"),
       explode(array_distinct(graft.expressions.MinHashExpressions
         .wordGrams(col(textCol), gramSize))).as("gram"))
       .select(col("id"), md5(col("gram")).as("gh"))
-    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val rareGh = postings.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, dfCap)).select(col("gh"))
     val rare = postings.join(rareGh, "gh")
@@ -385,6 +392,7 @@ object DedupOps {
     val candDocs = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val p = postings.join(candDocs, "id")
+    val sizes = p.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
     val shared = p.select(col("gh"), col("id").as("id_a"))
       .join(p.select(col("gh"), col("id").as("id_b")), "gh")
       .filter(col("id_a") < col("id_b"))
