@@ -1655,6 +1655,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"),
           Exact.fmt(col("containment"), 4).as("containment_r"))),
 
+    // T15 — per-doc top-3 TF-IDF keywords: the corpus-statistics tagging
+    // pass (tf one (doc,term) count, df one term count over it, top-k a
+    // WindowGroupLimit). Rank order keys on the BIGINT-truncated score
+    // (t9 ln contract) with a term tie-break — engine-exact ordering.
+    "t15_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("rank"),
+          col("tf"), col("df"), col("score_r"))),
+
     // T13 — inverted index build: term → document frequency + the 10
     // lowest doc ids as a deterministic posting sample (distinct'd,
     // numerically sorted, sliced, stringified — physical layout cannot
@@ -3634,6 +3643,25 @@ object SparkEntry {
         |    AS containment_r
         |FROM shr s JOIN sz sa ON s.id_a = sa.doc_id
         |JOIN sz sb ON s.id_b = sb.doc_id""".stripMargin,
+
+    // TF-IDF: identical tokenization to t11; rank by the same truncated
+    // BIGINT score key + term tie-break.
+    "t15_tfidf" ->
+      raw"""WITH toks AS (
+           |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+           |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+           |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+           |s AS (SELECT doc_id, term, tf, df,
+           |    tf * ln(CAST(n AS DOUBLE) / df) AS score
+           |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+           |r AS (SELECT doc_id, term, tf, df, score,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY CAST(floor(score * 1e9) AS BIGINT) DESC, term) AS rank
+           |  FROM s)
+           |SELECT doc_id, term, rank, tf, df, printf('%.6f', score) AS score_r
+           |FROM r WHERE rank <= 3""".stripMargin,
 
     "d7_dup_ngrams" ->
       """WITH t AS (

@@ -297,6 +297,37 @@ object TextOps {
     *
     * @return (id, n_hit = matched query terms, bm25 = summed score)
     */
+  /** Per-document top-k TF-IDF keyword extraction: score(t,d) =
+    * tf(t,d) · ln(N/df(t)) over the corpus, the k highest-scoring terms
+    * per doc — the tagging/labeling pass beside [[bm25]]'s query scoring.
+    *
+    * Scale shape: tf is one (doc, term)-keyed count, df one term-keyed
+    * count over the tf relation (already distinct per doc — no second
+    * corpus scan), and the per-doc top-k compiles to WindowGroupLimit
+    * (bounded per-doc heaps). Ranking uses the BIGINT-truncated score key
+    * (t9 ln contract) with a term tie-break, so order is engine-exact;
+    * corpus-wide terms score ln(1) = 0 — stopwords demote themselves, no
+    * list needed. */
+  def tfidfTopK(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, k: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nn = tf.agg(count_distinct(col("id")).as("n"))
+    val score = col("tf") * log(col("n").cast("double") / col("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("skey").desc, col("term"))
+    tf.join(dfq, "term").crossJoin(broadcast(nn))
+      .withColumn("score", score)
+      .withColumn("skey", floor(col("score") * lit(1e9)).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("term"), col("rank"), col("tf"), col("df"),
+        Exact.fmt(col("score"), 6).as("score_r"))
+  }
+
   def bm25(corpus: org.apache.spark.sql.DataFrame, idCol: String,
            textCol: String, queryTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(queryTerms.nonEmpty)
