@@ -2072,6 +2072,17 @@ object SparkEntry {
         maxFilesPerTrigger = 2, envelopesPerFile = 2880L, lateDelayFiles = 6)
     }),
 
+    // E2E streaming CDC (§2.8): the streaming form of o18's change
+    // detection — one state row per (user, event_type) carrying the last
+    // value, change rows emitted within the microbatch (no watermark, no
+    // sentinel: flatMapGroupsWithState/NoTimeout has no window to seal).
+    // The union of per-batch emissions must equal the batch lag-based
+    // change relation the oracle recomputes (see streaming/StreamCdc).
+    "e2e_cdc" -> ((s, dir) => {
+      val work = scratch("e2e_cdc")
+      graft.streaming.StreamCdc.run(s, ev(s, dir), work)
+    }),
+
     // Streaming near-dup dedup e2e — the resident LLM-pipeline query:
     // documents replayed in multiple micro-batches, per-batch signature
     // append + incremental band join vs the accumulated signature table;
@@ -2800,6 +2811,16 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    // The batch change-row relation the streaming CDC replay must
+    // reproduce exactly (o18's `ch` subquery, without the interval close).
+    "e2e_cdc" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
+        |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type
+        |                                 ORDER BY t, event_id) AS prev FROM e)
+        |SELECT user_id, event_type, value, t AS valid_from_us FROM c
+        |WHERE prev IS NULL OR value <> prev""".stripMargin,
 
     // Mirrors o18_scd2: change rows via lag, intervals via lead/row_number,
     // identical (t, event_id) ordering on both engines.

@@ -76,6 +76,35 @@ class EndToEndSpec extends SparkSpec {
       "sink must hold exactly the batch sessionization, sentinel excluded")
   }
 
+  test("streaming CDC: cross-batch state suppresses unchanged values, ties order by event_id") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1 "temp": 5.0 on day 1, SAME 5.0 on day 2 (different batch —
+    // state must suppress), 7.0 later on day 2 (emit), back to 5.0 on day
+    // 3 (emit: change detection, not a seen-set). user 2: same-timestamp
+    // tie resolved by event_id (1.0 then 2.0 → both emit, in that order).
+    val events = Seq(
+      (1L, "temp", 5.0, t("2024-03-01 10:00:00"), 10L),
+      (1L, "temp", 5.0, t("2024-03-02 10:00:00"), 20L),
+      (1L, "temp", 7.0, t("2024-03-02 11:00:00"), 30L),
+      (1L, "temp", 5.0, t("2024-03-03 10:00:00"), 40L),
+      (2L, "temp", 1.0, t("2024-03-01 10:00:00"), 1L),
+      (2L, "temp", 2.0, t("2024-03-01 10:00:00"), 2L))
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+    val out = graft.streaming.StreamCdc
+      .run(spark, events, tmpDir("e2ecdc_spec"), maxFilesPerTrigger = 1)
+      .select($"user_id", $"value", $"valid_from_us")
+      .as[(Long, Double, Long)].collect().toSet
+    def us(s: String) = t(s).getTime * 1000L
+    assert(out === Set(
+      (1L, 5.0, us("2024-03-01 10:00:00")),
+      (1L, 7.0, us("2024-03-02 11:00:00")),
+      (1L, 5.0, us("2024-03-03 10:00:00")),
+      (2L, 1.0, us("2024-03-01 10:00:00")),
+      (2L, 2.0, us("2024-03-01 10:00:00"))),
+      "unchanged cross-batch value must not re-emit; value flapping must")
+  }
+
   test("late arrivals beyond the 60s watermark are discarded (sf0.001)") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)
