@@ -1655,6 +1655,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("n_shared"),
           Exact.fmt(col("containment"), 4).as("containment_r"))),
 
+    // S10 — per-dimension embedding statistics + top-variance feature
+    // selection (the pruning pass before indexing: low-variance dimensions
+    // carry no neighbor signal and inflate every distance computation).
+    // posexplode → ONE dim-keyed exchange of exact moment sums (the COUNT
+    // shape, 64 groups); variance from the moments in one mirrored double
+    // chain; ranking on the truncated-BIGINT variance key.
+    "s10_dim_variance" -> ((s, dir) => {
+      val pts = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      graft.ops.Stats.momentsByGroup(pts, col("dim"), col("x"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+        .withColumn("vkey", floor(col("variance") * lit(1e9)).cast("long"))
+        .withColumn("vrank",
+          row_number().over(Window.orderBy(col("vkey").desc, col("grp"))))
+        .filter(col("vrank") <= 8)
+        .select(col("grp").as("dim"), col("n"),
+          Exact.fmt(col("mean"), 6).as("mean_r"),
+          Exact.fmt(col("variance"), 8).as("var_r"), col("vrank"))
+    }),
+
     // T15 — per-doc top-3 TF-IDF keywords: the corpus-statistics tagging
     // pass (tf one (doc,term) count, df one term count over it, top-k a
     // WindowGroupLimit). Rank order keys on the BIGINT-truncated score
@@ -3664,6 +3686,25 @@ object SparkEntry {
         |    AS containment_r
         |FROM shr s JOIN sz sa ON s.id_a = sa.doc_id
         |JOIN sz sb ON s.id_b = sb.doc_id""".stripMargin,
+
+    // Aligned positional unnests (DuckDB zips them); 0-based dim to match
+    // posexplode; same decimal moment sums and double variance chain.
+    "s10_dim_variance" ->
+      """WITH p AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(generate_series(1, len(embedding))) AS dim1
+        |  FROM embeddings),
+        |m AS (SELECT dim1 - 1 AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx
+        |  FROM p GROUP BY 1),
+        |v AS (SELECT dim, n, sx / n AS mean,
+        |    (sxx - sx * sx / n) / n AS variance FROM m),
+        |r AS (SELECT *, row_number() OVER (
+        |    ORDER BY CAST(floor(variance * 1e9) AS BIGINT) DESC, dim) AS vrank
+        |  FROM v)
+        |SELECT dim, n, printf('%.6f', mean) AS mean_r,
+        |  printf('%.8f', variance) AS var_r, vrank
+        |FROM r WHERE vrank <= 8""".stripMargin,
 
     // TF-IDF: identical tokenization to t11; rank by the same truncated
     // BIGINT score key + term tie-break.

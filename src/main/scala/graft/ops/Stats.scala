@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Per-group first/second moment sums (n, Σx, Σx²) with the same
+    * exact-decimal contract as [[olsByGroup]] — the one-exchange building
+    * block for mean/variance (and any downstream standardization). */
+  def momentsByGroup(df: DataFrame, grp: Column, x: Column,
+                     scale: Int = 10): DataFrame = {
+    val dec = s"decimal(38,$scale)"
+    df.select(grp.as("grp"), x.cast("double").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+  }
+
   /** Per-group OLS fit of y on x. Returns (grp, n, slope, intercept);
     * groups with zero x-variance (or a single point) yield null slope —
     * surfaced, not silently zeroed. */
