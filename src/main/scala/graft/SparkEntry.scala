@@ -468,6 +468,21 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate"))),
 
+    // A21 — custom GROUPING SETS (the general operator rollup/cube are
+    // special cases of): all four (type, day) marginals in ONE Expand pass
+    // over one scan — not a union of four aggregations. grouping_id
+    // disambiguates a NULL group key from an aggregated-out dimension.
+    "a21_grouping_sets" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("value"))
+      e.groupingSets(
+          Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")),
+            Seq(col("day")), Seq()),
+          col("event_type"), col("day"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
+          Exact.sumD(col("value"), 2).as("sum_value"))
+    }),
+
     // MON4 — CUSUM mean-shift statistic per user (Page 1954, the k=0
     // one-sided form): S_i = cum_i − min_{j≤i} cum_j over deviations from
     // the spec'd target level — the standard drift DETECTOR beside mon2's
@@ -2833,6 +2848,17 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    // GROUPING() bitmask matches Spark's grouping_id (leftmost key =
+    // most significant bit).
+    "a21_grouping_sets" ->
+      """SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |  CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())""".stripMargin,
 
     // The batch change-row relation the streaming CDC replay must
     // reproduce exactly (o18's `ch` subquery, without the interval close).
