@@ -1692,6 +1692,20 @@ object SparkEntry {
           Exact.fmt(col("variance"), 8).as("var_r"), col("vrank"))
     }),
 
+    // T16 — pivot (long→wide): per-source token mass cross-tabbed by
+    // language — the mixture-balance report a corpus pipeline prints.
+    // Pivot values are an EXPLICIT list: without it Spark runs an eager
+    // distinct scan to discover columns (a second job over the corpus at
+    // 100 TB) and the output schema becomes data-dependent. Absent
+    // (source, lang) cells surface as null on both engines.
+    "t16_lang_pivot" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("n_tok")))),
+
     // T15 — per-doc top-3 TF-IDF keywords: the corpus-statistics tagging
     // pass (tf one (doc,term) count, df one term count over it, top-k a
     // WindowGroupLimit). Rank order keys on the BIGINT-truncated score
@@ -3731,6 +3745,19 @@ object SparkEntry {
         |SELECT dim, n, printf('%.6f', mean) AS mean_r,
         |  printf('%.8f', variance) AS var_r, vrank
         |FROM r WHERE vrank <= 8""".stripMargin,
+
+    // Pivot = grouped conditional sums; absent cells NULL on both engines.
+    "t16_lang_pivot" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_tok
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(SUM(CASE WHEN lang = 'de' THEN n_tok END) AS BIGINT) AS de,
+         |  CAST(SUM(CASE WHEN lang = 'en' THEN n_tok END) AS BIGINT) AS en,
+         |  CAST(SUM(CASE WHEN lang = 'es' THEN n_tok END) AS BIGINT) AS es,
+         |  CAST(SUM(CASE WHEN lang = 'fr' THEN n_tok END) AS BIGINT) AS fr,
+         |  CAST(SUM(CASE WHEN lang = 'zh' THEN n_tok END) AS BIGINT) AS zh
+         |FROM d GROUP BY 1""".stripMargin,
 
     // TF-IDF: identical tokenization to t11; rank by the same truncated
     // BIGINT score key + term tie-break.
