@@ -1501,6 +1501,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"),
           col("wkey"), col("wrank"))),
 
+    // X9 — curriculum ordering: every doc ranked easiest-first (quality
+    // desc) and cut into 4 equal phases by integer arithmetic — the
+    // schedule a curriculum dataloader consumes. The global rank is the
+    // two-pass range-partitioned Ranking core, NOT a single-partition
+    // window; ordering keys on the truncated-BIGINT quality (the t2
+    // expression is transcendental-free, so the key is bit-identical on
+    // both engines) with doc_id ties.
+    "x9_curriculum" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("qkey", floor(col("quality") * lit(1e9)).cast("long"))
+      val ranked = graft.ops.Ranking.globalRowNumber(
+        q.select(col("doc_id"), col("qkey"), (-col("qkey")).as("nk")),
+        Seq(col("nk"), col("doc_id")), "pos")
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("doc_id"), col("qkey"), col("pos"),
+          expr("(pos - 1) * 4 div n").as("phase"))
+    }),
+
     // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
     // order, sliced into 512-token training sequences with docs splitting
     // at boundaries. The assignment is arithmetic over an exclusive global
@@ -3932,6 +3952,28 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN h < thr THEN n_tok ELSE 0 END) AS BIGINT) AS sel_tokens
            |FROM d JOIN doms USING (source) GROUP BY 1""".stripMargin
     },
+
+    // Curriculum: the t2 quality chain (transcendental-free, bit-exact),
+    // truncated-BIGINT key, quartile phases by integer division.
+    "x9_curriculum" ->
+      raw"""WITH qb AS (SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+           |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |         ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+           |              / length(text) END AS praw
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |    (least(length(text) / 500.0, 1.0)
+           |     + (1.0 - least(praw * 5.0, 1.0))
+           |     + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+           |    ) / 3.0 AS quality FROM qb),
+           |k AS (SELECT doc_id, CAST(floor(quality * 1e9) AS BIGINT) AS qkey FROM q),
+           |r AS (SELECT doc_id, qkey,
+           |    row_number() OVER (ORDER BY qkey DESC, doc_id) AS pos,
+           |    COUNT(*) OVER () AS n FROM k)
+           |SELECT doc_id, qkey, pos, (pos - 1) * 4 // n AS phase FROM r""".stripMargin,
 
     // A-Res weighted sample: u = (h+1)/2^32 exact, rank key
     // floor(ln(u)/max(w,1)·1e9) as BIGINT (t9 ln-truncation contract).
