@@ -508,6 +508,37 @@ object SparkEntry {
             .as("n_breach"))
     }),
 
+    // MON5 — MASE forecast-skill metric (Hyndman & Koehler 2006): the
+    // scale-free complement to a5's RMSE — mean absolute error of the
+    // one-step naive forecast over that of the seasonal (7-step) naive,
+    // per user over the daily-sum series. Values route through
+    // DECIMAL(30,4) (exact sums of exact |diffs|); the two divisions and
+    // the ratio are one mirrored double chain at the end. Constant series
+    // (zero seasonal error) surface null, not a division blow-up. Lags
+    // step over OBSERVED days (absent days carry no row — stated
+    // contract, a16's gap-fill is the dense-spine alternative).
+    "mon5_mase" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(sum(col("value").cast("decimal(30,4)")).as("y"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      daily
+        .withColumn("e1", abs(col("y") - lag(col("y"), 1).over(w)))
+        .withColumn("e7", abs(col("y") - lag(col("y"), 7).over(w)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("e1")).as("s1"), count(col("e1")).as("n1"),
+          sum(col("e7")).as("s7"), count(col("e7")).as("n7"))
+        .select(col("user_id"), col("n_days"),
+          Exact.fmt(col("s1").cast("double") / col("n1"), 6).as("mae1_r"),
+          Exact.fmt(col("s7").cast("double") / col("n7"), 6).as("mae7_r"),
+          Exact.fmt(
+            when(col("s7") =!= lit(BigDecimal(0)),
+              (col("s1").cast("double") / col("n1")) /
+                (col("s7").cast("double") / col("n7"))),
+            6).as("mase_r"))
+    }),
+
     // T14 — Zipf exponent: OLS slope of ln(count) over ln(rank) across the
     // vocabulary (the rank-frequency law every natural corpus follows —
     // and a quality signal when a crawled slice doesn't). Same Stats core
@@ -2918,6 +2949,28 @@ object SparkEntry {
         |  row_number() OVER w AS version
         |FROM ch WINDOW w AS (PARTITION BY user_id, event_type
         |                     ORDER BY t, event_id)""".stripMargin,
+
+    // MASE: decimal-exact |diff| sums, one mirrored double chain at the
+    // end; constant series (zero seasonal error) yield NULL on both sides.
+    "mon5_mase" ->
+      """WITH daily AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    SUM(CAST(value AS DECIMAL(30,4))) AS y
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, y,
+        |    abs(y - lag(y, 1) OVER w) AS e1,
+        |    abs(y - lag(y, 7) OVER w) AS e7
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |g AS (SELECT user_id, COUNT(*) AS n_days,
+        |    SUM(e1) AS s1, COUNT(e1) AS n1, SUM(e7) AS s7, COUNT(e7) AS n7
+        |  FROM l GROUP BY 1)
+        |SELECT user_id, n_days,
+        |  printf('%.6f', CAST(s1 AS DOUBLE) / n1) AS mae1_r,
+        |  printf('%.6f', CAST(s7 AS DOUBLE) / n7) AS mae7_r,
+        |  CASE WHEN s7 <> 0 THEN
+        |    printf('%.6f', (CAST(s1 AS DOUBLE) / n1) / (CAST(s7 AS DOUBLE) / n7))
+        |  END AS mase_r
+        |FROM g""".stripMargin,
 
     // Shared-spec histogram cells: bin arithmetic mirrored expression-for-
     // expression; merged (per-day summed) and direct paths probed
