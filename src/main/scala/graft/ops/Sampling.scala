@@ -109,9 +109,10 @@ object Sampling {
     * t9 contract): the rank key floor(ln(u)/w · 1e9) is a BIGINT, so a
     * 1-ULP libm difference between engines can only flip a key whose
     * product lands within ~1e-7 of an integer — and ordering ties break
-    * on the key column regardless. Top-k compiles to WindowGroupLimit:
-    * bounded per-partition heaps, only k rows cross the exchange — never
-    * a global sort. */
+    * on the key column regardless. The rank-filter top-k compiles to
+    * TakeOrderedAndProject (verified in the formatted plan): bounded
+    * per-partition heaps merged at the driver, only k rows survive to the
+    * row_number window — never a global sort. */
   def weightedTopK(df: DataFrame, key: Column, weight: Column, k: Int,
                    salt: String = "wrs"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
