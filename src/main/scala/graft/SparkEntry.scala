@@ -2174,6 +2174,26 @@ object SparkEntry {
         maxFilesPerTrigger = 2, envelopesPerFile = 2880L, lateDelayFiles = 6)
     }),
 
+    // O21 — z-order file skipping, demonstrated on the real write→stats→
+    // read path (maintenance round trip, j8's shape): events clustered
+    // into 16 range-partitioned files on the o19 Morton key, footer
+    // min/max ranges extracted (the manifest relation a table format
+    // serves), and a 2-D box served from the clustered table. The oracle
+    // pins the exact box count; LayoutSpec pins the pruning inequalities
+    // (a one-dim sort reads ALL files for a box on the other dim; z-order
+    // reads ~√selectivity of them on EITHER dim).
+    "o21_zorder_skip" -> ((s, dir) => {
+      val work = scratch("o21")
+      val e = ev(s, dir).select(col("user_id"),
+        floor(col("value")).cast("long").as("vb"), col("event_id"))
+      val z = e.withColumn("zkey",
+        graft.ops.Layout.morton16(col("user_id"), col("vb")))
+      graft.ops.Layout.clusteredWrite(z, col("zkey"), 16, s"$work/zorder")
+      s.read.parquet(s"$work/zorder")
+        .filter(col("user_id").between(10, 19) && col("vb").between(100, 119))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // E2E streaming CDC (§2.8): the streaming form of o18's change
     // detection — one state row per (user, event_type) carrying the last
     // value, change rows emitted within the microbatch (no watermark, no
@@ -2913,6 +2933,12 @@ object SparkEntry {
         |SELECT user_id, MAX(n) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS ewma_r
         |FROM t GROUP BY 1""".stripMargin,
+
+    // The clustered round trip changes no row: the box count is exact.
+    "o21_zorder_skip" ->
+      """SELECT COUNT(*) AS n_rows FROM events
+        |WHERE user_id BETWEEN 10 AND 19
+        |  AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 119""".stripMargin,
 
     // GROUPING() bitmask matches Spark's grouping_id (leftmost key =
     // most significant bit).

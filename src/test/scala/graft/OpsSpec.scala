@@ -561,6 +561,43 @@ class OpsSpec extends SparkSpec {
     both.foreach { case (z1, z2) => assert(z1 === z2) }
   }
 
+  test("z-order clustering: footer stats prune on BOTH dims; one-dim sort is blind on the other") {
+    import graft.ops.Layout
+    // full 256x256 grid, one row per (a, b) cell
+    val grid = spark.range(256L * 256L)
+      .select((col("id") / 256).cast("long").as("a"),
+        pmod(col("id"), lit(256L)).cast("long").as("b"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.clusteredWrite(grid.withColumn("zkey", Layout.morton16($"a", $"b")),
+      col("zkey"), 16, s"$base/z")
+    Layout.clusteredWrite(grid, col("a"), 16, s"$base/lin")
+    val zr = Layout.parquetFileRanges(spark, s"$base/z", Seq("a", "b"))
+    val lr = Layout.parquetFileRanges(spark, s"$base/lin", Seq("a", "b"))
+    assert(zr.size === 16 && lr.size === 16)
+    // box on the NON-sorted dim: the a-sorted layout must read everything,
+    // z-order reads the ~1/4 of files whose quadrant intersects
+    val bBox = Seq((0L, 255L), (0L, 63L))
+    assert(Layout.filesToRead(lr, bBox) === 16, "a-sorted layout is blind on b")
+    assert(Layout.filesToRead(zr, bBox) <= 8,
+      "z-order must prune most files for a b-only box")
+    // box on the sorted dim: both layouts prune
+    val aBox = Seq((0L, 63L), (0L, 255L))
+    assert(Layout.filesToRead(lr, aBox) <= 5)
+    assert(Layout.filesToRead(zr, aBox) <= 8)
+    // 2-D box: z-order compounds both dims
+    val box2 = Seq((0L, 63L), (0L, 63L))
+    assert(Layout.filesToRead(zr, box2) <= 4,
+      "2-D box must touch only the intersecting quadrants")
+    // pruning is SAFE: reading only the intersecting files returns the
+    // exact box count
+    val kept = zr.filter { case (_, rs) =>
+      rs.zip(box2).forall { case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi } }
+      .map(_._1)
+    val cnt = kept.map(f => spark.read.parquet(s"$base/z/$f")
+        .filter($"a" <= 63 && $"b" <= 63).count()).sum
+    assert(cnt === 64L * 64L)
+  }
+
   test("profile: exact nulls/distinct per column, typed min/max rendering") {
     import graft.ops.Profile
     val df = Seq(
