@@ -1743,6 +1743,56 @@ object SparkEntry {
           Exact.fmt(col("variance"), 8).as("var_r"), col("vrank"))
     }),
 
+    // T17 — out-of-vocabulary rate per doc against the corpus top-1000
+    // vocabulary (t10's relation): the domain-shift / gibberish signal a
+    // curation pipeline tracks per batch. The vocabulary is broadcast
+    // (1000 rows) so the token relation never shuffles on term; the rate
+    // ships as exact integer basis points.
+    "t17_oov_rate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v = TextOps.vocabulary(d, "text", 1000)
+        .select(col("term"), lit(1).as("in_v"))
+      d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .join(broadcast(v), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("in_v").isNull, 1)).as("n_oov"))
+        .withColumn("oov_bp", expr("n_oov * 10000 div n_tokens"))
+    }),
+
+    // O22 — snapshot diff (the reconciliation report every ingest pipeline
+    // runs between versions): per-user aggregates of the first-half and
+    // second-half day ranges FULL-OUTER joined on the key and classified
+    // added / removed / changed / unchanged. The one join type nothing
+    // else in the engine exercises; equality checks compare exact
+    // decimals, so classification is engine-independent.
+    "o22_snapshot_diff" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("value"))
+      val mid = e.agg(((min(col("day")) + max(col("day"))) / lit(2L))
+        .cast("long").as("mid"))
+      val tagged = e.crossJoin(broadcast(mid))
+      def snap(f: Column => Column) =
+        tagged.filter(f(col("mid")))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(30,2)")).as("s"))
+      val a = snap(m => col("day") <= m)
+        .select(col("user_id"), col("n").as("a_n"), col("s").as("a_s"))
+      val b = snap(m => col("day") > m)
+        .select(col("user_id"), col("n").as("b_n"), col("s").as("b_s"))
+      a.join(b, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("a_n"), col("b_n"),
+          Exact.fmt(col("a_s").cast("double"), 2).as("a_s_r"),
+          Exact.fmt(col("b_s").cast("double"), 2).as("b_s_r"),
+          when(col("a_n").isNull, "added")
+            .when(col("b_n").isNull, "removed")
+            .when(col("a_n") === col("b_n") && col("a_s") === col("b_s"),
+              "unchanged")
+            .otherwise("changed").as("status"))
+    }),
+
     // T16 — pivot (long→wide): per-source token mass cross-tabbed by
     // language — the mixture-balance report a corpus pipeline prints.
     // Pivot values are an EXPLICIT list: without it Spark runs an eager
@@ -3844,6 +3894,44 @@ object SparkEntry {
         |SELECT dim, n, printf('%.6f', mean) AS mean_r,
         |  printf('%.8f', variance) AS var_r, vrank
         |FROM r WHERE vrank <= 8""".stripMargin,
+
+    // OOV vs the t10 vocabulary relation (same tokenization), rate in
+    // exact integer basis points.
+    "t17_oov_rate" ->
+      raw"""WITH t AS (SELECT doc_id,
+           |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS term
+           |  FROM documents),
+           |tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+           |c AS (SELECT term, COUNT(*) AS n_occ FROM tk GROUP BY 1),
+           |v AS (SELECT term FROM (
+           |    SELECT term, row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vid
+           |    FROM c) WHERE vid < 1000)
+           |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+           |  COUNT(*) FILTER (WHERE v.term IS NULL) AS n_oov,
+           |  (COUNT(*) FILTER (WHERE v.term IS NULL)) * 10000 // COUNT(*) AS oov_bp
+           |FROM tk LEFT JOIN v ON tk.term = v.term
+           |GROUP BY 1""".stripMargin,
+
+    // FULL OUTER reconciliation; decimal-exact equality classification.
+    "o22_snapshot_diff" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, value
+        |  FROM events),
+        |m AS (SELECT (MIN(day) + MAX(day)) // 2 AS mid FROM e),
+        |a AS (SELECT user_id, COUNT(*) AS a_n,
+        |    SUM(CAST(value AS DECIMAL(30,2))) AS a_s
+        |  FROM e CROSS JOIN m WHERE day <= mid GROUP BY 1),
+        |b AS (SELECT user_id, COUNT(*) AS b_n,
+        |    SUM(CAST(value AS DECIMAL(30,2))) AS b_s
+        |  FROM e CROSS JOIN m WHERE day > mid GROUP BY 1)
+        |SELECT user_id, a_n, b_n,
+        |  printf('%.2f', CAST(a_s AS DOUBLE)) AS a_s_r,
+        |  printf('%.2f', CAST(b_s AS DOUBLE)) AS b_s_r,
+        |  CASE WHEN a_n IS NULL THEN 'added'
+        |       WHEN b_n IS NULL THEN 'removed'
+        |       WHEN a_n = b_n AND a_s = b_s THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin,
 
     // Pivot = grouped conditional sums; absent cells NULL on both engines.
     "t16_lang_pivot" ->
