@@ -1178,6 +1178,25 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S11 — two-stage serving: PQ shortlist (20, codes only) → exact
+    // cosine re-rank of just the shortlisted raw vectors — the production
+    // pattern that buys back quantization error. Final ordering and every
+    // reported sim are EXACT over the shortlist; only |Q|·20 vectors are
+    // ever fetched (point lookups against the columnar corpus at scale).
+    "s11_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val seeds = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+      val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding",
+        m = PqM, subDim = PqSubDim)
+      val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding",
+        m = PqM, subDim = PqSubDim)
+      SimilarityOps.pqRerankTopK(codes, cb, e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", k = 5, shortlistK = 20,
+          m = PqM, subDim = PqSubDim)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S7b — IVF-PQ, the composed production design: IVF cell pruning picks
     // WHICH codes to read (~nprobe/nlist of the table — the codes are
     // encoded WITH their cell so a stored table is partition-pruned), PQ/ADC
@@ -2590,6 +2609,28 @@ object SparkEntry {
   private def pqOracle: String =
     s"WITH $pqPrefixCtes,\n$pqStageCtes,\n$pqScFlatCte\n$pqTopSelect"
 
+  /** Two-stage PQ shortlist → exact-cosine re-rank (s11): stage-1 rank
+    * mirrors [[SimilarityOps.pqTopK]] over the ADC sums, stage 2 re-scores
+    * the 20 survivors with the exact n-relation cosine. */
+  private def pqRerankOracle: String =
+    s"""WITH $pqPrefixCtes,
+       |$pqStageCtes,
+       |$pqScFlatCte,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT s.query_id, s.neighbor_id, row_number() OVER (
+       |    PARTITION BY s.query_id
+       |    ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+       |  FROM sc s JOIN q ON q.qid = s.query_id
+       |  WHERE s.an2 > 0) WHERE rank <= 20),
+       |rr AS (SELECT sh.query_id, sh.neighbor_id,
+       |         list_inner_product(q.ve, c.ve) / (q.qnrm * c.nrm) AS sim
+       |       FROM short sh JOIN q ON q.qid = sh.query_id
+       |       JOIN n c ON c.vec_id = sh.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
+       |  SELECT query_id, neighbor_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rr) WHERE rank <= 5""".stripMargin
+
   /** PQ recall@5 vs exact brute force (s7c) — same contract as the IVF
     * recall row s6: how many of the true top-5 the compressed index kept. */
   private def pqRecallOracle: String =
@@ -3457,6 +3498,7 @@ object SparkEntry {
     "s2_ann_ivf" -> ivfOracle,
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
     "s7_pq_ann" -> pqOracle,
+    "s11_pq_rerank" -> pqRerankOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
     "s7c_pq_recall" -> pqRecallOracle,
 

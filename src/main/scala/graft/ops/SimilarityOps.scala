@@ -512,6 +512,34 @@ object SimilarityOps {
       q, k)
   }
 
+  /** Two-stage ANN serving: compressed shortlist → exact re-rank — the
+    * production pattern that buys back PQ's quantization error. Stage 1
+    * ([[pqTopK]]) answers from the codes alone, never touching a vector;
+    * stage 2 fetches ONLY the |queries|·shortlistK shortlisted raw vectors
+    * (point-lookups against the columnar corpus at 100 TB) and re-scores
+    * with exact cosine, so the final ordering — and every reported sim —
+    * is exact over the shortlist. Recall is bounded by stage 1; precision
+    * of the ranking within it is restored to exact. */
+  def pqRerankTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, shortlistK: Int, m: Int, subDim: Int): DataFrame = {
+    require(shortlistK >= k, "shortlist must be at least the final k")
+    val short = pqTopK(codes, codebook, queries, idCol, vecCol,
+        shortlistK, m, subDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")).filter(nonZero(col("cv")))
+    val rr = short.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rr.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** IVF-PQ: ADC restricted to the probed cells. `codes` must carry the
     * vector's `centroid_id` (pqEncode with carry — at 100 TB the codes table
     * is WRITTEN partitioned by cell, so the probe join IS partition

@@ -260,6 +260,29 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(p._4 - b._4) < 1e-9, s"sim drift at ${p._1}/${p._2}") }
   }
 
+  test("PQ rerank: full shortlist equals brute force BIT for bit; sims are exact, not ADC") {
+    // With shortlistK = corpus size the shortlist is everything, so the
+    // exact re-rank must reproduce bruteForceTopK exactly — including the
+    // sims, since stage 2 scores raw vectors with the same cosine (no ADC
+    // rounding anywhere in the output). A sparse codebook (stride 4) makes
+    // stage 1 genuinely lossy, proving the equality comes from the rerank.
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val seeds = vecs.filter($"vec_id" % 4 === 0)
+    val cb = SimilarityOps.pqCodebook(seeds, "vec_id", "embedding", m = 4, subDim = 2)
+    val codes = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+    val queries = vecs.filter($"vec_id" < 3)
+    val rr = SimilarityOps.pqRerankTopK(codes, cb, queries, vecs,
+        "vec_id", "embedding", k = 5, shortlistK = 24, m = 4, subDim = 2)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val bf = SimilarityOps.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rr === bf, "exhaustive shortlist + exact rerank must equal brute force exactly")
+  }
+
   test("PQ: every vector gets exactly m in-dictionary codes; encode is deterministic") {
     val rng = new scala.util.Random(11)
     val vecs = (0L until 40L).map(i =>
