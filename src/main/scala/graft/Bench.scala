@@ -31,10 +31,14 @@ object Bench {
     // e2e_stream_agg.
     // j8_bucketed_join likewise: it rewrites both sides as bucketed tables
     // before the (shuffle-free) join — a write-once round trip, not a query.
+    // o24_time_travel: three upserts + an as-of read — store maintenance
+    // like o10, not query throughput.
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "e2e_stream_join",
       "e2e_session", "e2e_cdc", "o6_compact_files", "o21_zorder_skip",
-      "o10_version_history", "s4_ivf_index_search", "s5_ivf_reassign",
-      "e2e_neardup", "s7d_pq_index_search", "j8_bucketed_join")
+      "o10_version_history", "o24_time_travel", "o25_retention",
+      "s4_ivf_index_search",
+      "s5_ivf_reassign", "e2e_neardup", "s7d_pq_index_search",
+      "j8_bucketed_join")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

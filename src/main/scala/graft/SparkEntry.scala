@@ -468,6 +468,27 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag", "l_shipdate"))),
 
+    // P10 — schema-drift-tolerant union: rows written BEFORE a schema
+    // evolution (here: a documents snapshot lacking lang/source) union'd
+    // with post-evolution rows by NAME, absent columns null-filled —
+    // `unionByName(allowMissingColumns = true)`, the declarative form of
+    // the reference's everything-is-a-string tolerance
+    // (ref: resources/lambdas/delivery_stream_to_featurestore/main.py:55-61)
+    // and the direct lesson of the r9 testdata re-land: input schemas DO
+    // change under a running engine. Positional UNION would silently pair
+    // wrong columns; by-name is order-independent and at 100 TB costs
+    // nothing (a per-file projection, no shuffle).
+    "p10_schema_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val preEvolution = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val current = d.filter(col("doc_id") % 2 =!= 0)
+      preEvolution.unionByName(current, allowMissingColumns = true)
+        .groupBy(coalesce(col("source"), lit("<pre-schema>")).as("source"),
+          coalesce(col("lang"), lit("??")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    }),
+
     // A21 — custom GROUPING SETS (the general operator rollup/cube are
     // special cases of): all four (type, day) marginals in ONE Expand pass
     // over one scan — not a union of four aggregations. grouping_id
@@ -537,6 +558,39 @@ object SparkEntry {
               (col("s1").cast("double") / col("n1")) /
                 (col("s7").cast("double") / col("n7"))),
             6).as("mase_r"))
+    }),
+
+    // MON6 — seasonal-baseline anomaly counts: per (event_type, hour-of-day)
+    // mean/variance baseline, rows breaching 3σ flagged — the diurnal-
+    // profile complement to mon4's sequential CUSUM (a level shift at 3 am
+    // is an anomaly even when the global mean is calm). The 3σ test is
+    // evaluated ENTIRELY in integer units (value scaled to exact 1e-4
+    // ticks): (n·x − Σv)² > 9·(n·Σv² − (Σv)²) avoids every engine-specific
+    // double/decimal rounding, so the breach set is bit-identical on any
+    // engine. Baseline is a ~120-row broadcast join back onto the stream —
+    // at 100 TB the stats pass is one narrow partial-agg and the flagging
+    // pass is map-side only.
+    "mon6_anomaly" -> ((s, dir) => {
+      val vi = (col("value").cast("decimal(30,4)") * lit(10000))
+        .cast("decimal(38,0)")
+      val e = ev(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hod"), vi.as("vi"))
+      val st = e.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+          sum(col("vi") * col("vi")).as("sq"))
+      val dev = col("n") * col("vi") - col("sv")
+      e.join(broadcast(st), Seq("event_type", "hod"))
+        .groupBy(col("event_type"), col("hod"), col("n"), col("sv"), col("sq"))
+        .agg(count(when(dev * dev > lit(9) * (col("n") * col("sq") - col("sv") * col("sv")),
+          lit(1))).as("n_anomalies"))
+        .select(col("event_type"), col("hod"), col("n").as("n_events"),
+          col("n_anomalies"),
+          // mean reported in exact micro-units (floored), NOT a formatted
+          // double: sv/n is small-denominator rational, which lands on
+          // %.4f midpoints where Java (shortest-repr HALF_UP) and C printf
+          // (exact expansion) legitimately disagree — e.g. 18.56375 →
+          // 18.5638 vs 18.5637. Integer floor-div is engine-independent.
+          expr("CAST(sv AS BIGINT) * 100 div n").as("mean_e6"))
     }),
 
     // T14 — Zipf exponent: OLS slope of ln(count) over ln(rank) across the
@@ -1197,6 +1251,42 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S12 — exact maximum-inner-product top-k: the retrieval objective when
+    // magnitude carries signal (recommender / reranker scores). Brute-force
+    // exact ranking by the raw dot product — the correctness baseline the
+    // reduction below is judged against.
+    "s12_mips" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.mipsTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("ip"), 4).as("ip_r"))
+    }),
+
+    // S12b — MIPS served by the COSINE IVF unchanged, via the norm-
+    // augmentation reduction ([[graft.ops.SimilarityOps.mipsAugmentCorpus]]):
+    // corpus vectors gain a sqrt(M²−‖x‖²) coordinate (constant norm M),
+    // queries a trailing 0, and the existing cell-pruned cosine path —
+    // assignment, probing, scoring — runs as-is on the augmented space. The
+    // oracle mirrors the augmented IVF semantics stage-for-stage, so the
+    // whole reduction (augment → assign → probe → rank) is hash-checked.
+    // This is the 100 TB answer for MIPS: no second index structure, the
+    // same partition-pruned IVF serves both metrics.
+    "s12b_mips_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val aug = SimilarityOps.mipsAugmentCorpus(e, "vec_id", "embedding")
+      val centroids = aug
+        .filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(aug, centroids, "vec_id", "embedding")
+      val queries = SimilarityOps.mipsAugmentQueries(
+        e.filter(col("vec_id") < 5), "vec_id", "embedding")
+      SimilarityOps.ivfTopK(assigned, centroids, queries,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S7b — IVF-PQ, the composed production design: IVF cell pruning picks
     // WHICH codes to read (~nprobe/nlist of the table — the codes are
     // encoded WITH their cell so a stored table is partition-pruned), PQ/ADC
@@ -1649,6 +1739,29 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_hit"),
           Exact.fmt(col("bm25"), 4).as("bm25_r"))),
 
+    // T18 — per-document token-entropy quality signal: Shannon entropy of
+    // the doc's unigram distribution, H = ln N − (Σ c·ln c)/N nats — low
+    // entropy flags repetitive/templated docs (the distributional
+    // complement of t7's literal repetition counts: t7 sees adjacent
+    // copies, entropy sees ANY skewed reuse). Each transcendental term
+    // truncates to DECIMAL(30,10) before the exact sum (the t9 contract)
+    // so the reduction is order-independent and the libm ULP skew stays
+    // behind %.4f. One explode → two partial-aggregated groupBys, all
+    // narrow — token-linear at 100 TB.
+    "t18_token_entropy" -> ((s, dir) => {
+      val cnt = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          Exact.sumD(col("c").cast("double") * log(col("c").cast("double")), 10)
+            .as("sclogc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          Exact.fmt(log(col("n_tokens").cast("double"))
+            - col("sclogc") / col("n_tokens"), 4).as("entropy_r"))
+    }),
+
     // T9 — bigram LM quality score (CCNet/KenLM-style perplexity proxy,
     // model trained on the corpus itself): per doc, mean ln P(w2|w1) from
     // global bigram/context counts. Each log term truncates to
@@ -1810,6 +1923,27 @@ object SparkEntry {
             .when(col("a_n") === col("b_n") && col("a_s") === col("b_s"),
               "unchanged")
             .otherwise("changed").as("status"))
+    }),
+
+    // O23 — incremental materialized-view maintenance: the (event_type,
+    // day) aggregate view kept in mergeable (n, exact-decimal sum) form; a
+    // new delta (here: second half of each month) is partial-aggregated
+    // alone and keyed-merged against the existing snapshot. The oracle is
+    // the FULL recompute — the merge algebra must reproduce it bit-for-bit
+    // ([[graft.ops.Incremental]]). At 100 TB the refresh scans only the
+    // delta; the merge shuffles view rows, not data rows.
+    "o23_incremental_agg" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+      val keys = Seq(col("event_type"), col("day"))
+      val snapshot = graft.ops.Incremental.partial(
+        e.filter(col("dom") <= 15), keys, col("value"))
+      val delta = graft.ops.Incremental.partial(
+        e.filter(col("dom") > 15), keys, col("value"))
+      graft.ops.Incremental.merge(Seq(snapshot, delta), Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n").as("n_events"),
+          Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
     }),
 
     // T16 — pivot (long→wide): per-source token mass cross-tabbed by
@@ -2193,6 +2327,44 @@ object SparkEntry {
           sum(col("total_nb_trx_1min")).as("sum_over_versions"))
     }),
 
+    // O24 — time travel: three DISJOINT day-range deltas land as upsert
+    // versions 0/1/2; `readAsOf(1)` reconstructs the table state as of
+    // version 1 — days ≤ 20 present, each row reporting the version that
+    // wrote it, version-2 rows invisible. The Delta/Iceberg `VERSION AS OF`
+    // read on the engine's append-only parquet log
+    // ([[graft.store.KeyedParquetTable.readAsOf]]); complements o10's
+    // full-history scan and o18's SCD2 validity intervals.
+    "o24_time_travel" -> ((s, dir) => {
+      val work = scratch("o24")
+      val table = new graft.store.KeyedParquetTable(s"$work/table", "tx_minute")
+      val e = ev(s, dir)
+      val dom = dayofmonth(col("ts"))
+      table.upsert(MinuteAggregate(e.filter(dom <= 10), "ts", "value"), 0, bulk = true)
+      table.upsert(MinuteAggregate(e.filter(dom.between(11, 20)), "ts", "value"), 1, bulk = true)
+      table.upsert(MinuteAggregate(e.filter(dom > 20), "ts", "value"), 2, bulk = true)
+      table.readAsOf(s, 1)
+        .select(col("tx_minute"), col("version"), col("total_nb_trx_1min"))
+    }),
+
+    // O25 — retention truncation under the full read gate: same three
+    // deltas as o24, then [[graft.store.KeyedParquetTable.truncateHistory]]
+    // physically drops pre-version-1 history; the as-of-2 read afterwards
+    // must still be bit-identical to the never-truncated state (version
+    // attribution included). The destructive half of time travel, proven
+    // non-destructive for every retained state.
+    "o25_retention" -> ((s, dir) => {
+      val work = scratch("o25")
+      val table = new graft.store.KeyedParquetTable(s"$work/table", "tx_minute")
+      val e = ev(s, dir)
+      val dom = dayofmonth(col("ts"))
+      table.upsert(MinuteAggregate(e.filter(dom <= 10), "ts", "value"), 0, bulk = true)
+      table.upsert(MinuteAggregate(e.filter(dom.between(11, 20)), "ts", "value"), 1, bulk = true)
+      table.upsert(MinuteAggregate(e.filter(dom > 20), "ts", "value"), 2, bulk = true)
+      table.truncateHistory(s, keepFrom = 1)
+      table.readAsOf(s, 2)
+        .select(col("tx_minute"), col("version"), col("total_nb_trx_1min"))
+    }),
+
     // E2E streaming (S3/S4/S6/S10 + P1/P2/P3 + A1 in their STREAMING forms):
     // events rendered as polled envelope fixtures — with overlap duplicates
     // and health-check noise — replayed as a real multi-microbatch
@@ -2457,12 +2629,18 @@ object SparkEntry {
     ivfOracle("vec_id % (SELECT stride FROM params) = 0")
 
   /** IVF top-k oracle parameterized by the centroid-set predicate (s2/s4 use
-    * the stride-0 set; s5's drift re-assignment the stride/2 offset). */
-  private def ivfOracle(centroidPred: String): String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    * the stride-0 set; s5's drift re-assignment the stride/2 offset), the
+    * base-vector relation `vSql` (s12b substitutes the MIPS-augmented
+    * corpus) and the query relation `qSql` (s12b substitutes zero-augmented
+    * queries — the augmentation is asymmetric by construction). */
+  private def ivfOracle(centroidPred: String,
+      vSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings",
+      qSql: String = "SELECT vec_id, ve, nrm FROM n WHERE vec_id < 5"): String =
+    s"""WITH v AS ($vSql),
        |$adaptiveParamsSql,
        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
        |      WHERE list_inner_product(ve, ve) > 0),
+       |qn AS ($qSql),
        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n WHERE $centroidPred),
        |assign AS (SELECT vec_id, cid FROM (
        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
@@ -2471,19 +2649,34 @@ object SparkEntry {
        |probes AS (SELECT qid, cid FROM (
        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
-       |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+       |  FROM qn q CROSS JOIN cent c) WHERE rn <= 2),
        |scored AS (
        |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
        |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
        |  FROM probes p
        |  JOIN assign s ON s.cid = p.cid
        |  JOIN n x ON x.vec_id = s.vec_id
-       |  JOIN n q ON q.vec_id = p.qid
+       |  JOIN qn q ON q.vec_id = p.qid
        |  WHERE x.vec_id <> p.qid)
        |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
        |  SELECT query_id, neighbor_id, sim, row_number() OVER (
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
+
+  /** s12b oracle: the same IVF pipeline over the MIPS-augmented space —
+    * corpus rows carry the sqrt(M²−‖x‖²) coordinate, queries a trailing
+    * exact 0 (mirrors [[graft.ops.SimilarityOps.mipsAugmentCorpus]] /
+    * `mipsAugmentQueries` term-for-term). */
+  private def mipsIvfOracle: String = ivfOracle(
+    "vec_id % (SELECT stride FROM params) = 0",
+    vSql = """SELECT vec_id, list_append(ov, sqrt(m2 - list_inner_product(ov, ov))) AS ve
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ov FROM embeddings)
+      |  CROSS JOIN (SELECT MAX(list_inner_product(o2, o2)) AS m2
+      |              FROM (SELECT CAST(embedding AS DOUBLE[]) AS o2 FROM embeddings))""".stripMargin,
+    qSql = """SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM (
+      |    SELECT vec_id, list_append(CAST(embedding AS DOUBLE[]), 0.0) AS ve
+      |    FROM embeddings WHERE vec_id < 5)
+      |  WHERE list_inner_product(ve, ve) > 0""".stripMargin)
 
   /** Exact oracle for the TWO-TIER IVF path (s2b): mirrors every stage of
     * the tiered computation — top-cell routing (probeTop=2), centroid
@@ -3119,6 +3312,19 @@ object SparkEntry {
 
     // One UNION ALL branch per profiled column, each the same exact
     // counts + typed min/max render as ops/Profile.
+    // By-name union with null-fill for the pre-evolution snapshot.
+    "p10_schema_drift" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, n_chars, NULL AS lang, NULL AS source
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, n_chars, lang, source
+        |  FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT coalesce(source, '<pre-schema>') AS source,
+        |  coalesce(lang, '??') AS lang,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
     "p9_profile" -> {
       def branch(c: String, mn: String, mx: String): String =
         s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
@@ -3153,6 +3359,21 @@ object SparkEntry {
         |  printf('%.4f', CAST(MAX(stat) AS DOUBLE)) AS cusum_max_r,
         |  COUNT(*) FILTER (WHERE stat > CAST('50.0' AS DECIMAL(30,4))) AS n_breach
         |FROM s GROUP BY 1""".stripMargin,
+
+    // Seasonal 3σ breach test in exact integer ticks — mirrors the Spark
+    // side term-for-term so the breach set is engine-independent.
+    "mon6_anomaly" ->
+      """WITH e AS (SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |    CAST(CAST(value AS DECIMAL(30,4)) * 10000 AS DECIMAL(38,0)) AS vi
+        |  FROM events),
+        |st AS (SELECT event_type, hod, COUNT(*) AS n, SUM(vi) AS sv,
+        |    SUM(vi * vi) AS sq FROM e GROUP BY 1, 2)
+        |SELECT st.event_type, st.hod, st.n AS n_events,
+        |  COUNT(*) FILTER (WHERE (st.n * e.vi - st.sv) * (st.n * e.vi - st.sv)
+        |                         > 9 * (st.n * st.sq - st.sv * st.sv)) AS n_anomalies,
+        |  CAST(sv AS BIGINT) * 100 // st.n AS mean_e6
+        |FROM e JOIN st USING (event_type, hod)
+        |GROUP BY st.event_type, st.hod, st.n, st.sv, st.sq""".stripMargin,
 
     "a20_rolling_active" ->
       """WITH e AS (SELECT DISTINCT user_id,
@@ -3497,6 +3718,19 @@ object SparkEntry {
 
     "s2_ann_ivf" -> ivfOracle,
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
+
+    // Exact MIPS: rank by the raw inner product, ties by neighbor id.
+    "s12_mips" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+        |SELECT query_id, rank, neighbor_id, printf('%.4f', ip) AS ip_r FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_inner_product(q.ve, c.ve) AS ip,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_inner_product(q.ve, c.ve) DESC, c.vec_id) AS rank
+        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+
+    "s12b_mips_ivf" -> mipsIvfOracle,
     "s7_pq_ann" -> pqOracle,
     "s11_pq_rerank" -> pqRerankOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
@@ -3785,6 +4019,20 @@ object SparkEntry {
            |  printf('%.4f', CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE)) AS bm25_r
            |FROM c GROUP BY doc_id""".stripMargin,
 
+    // Token entropy: H = ln N − (Σ c·ln c)/N, per-term DECIMAL(30,10)
+    // truncation before the sum (t9 contract).
+    "t18_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+        |  printf('%.4f', ln(CAST(SUM(c) AS DOUBLE))
+        |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10)))
+        |           AS DOUBLE) / SUM(c)) AS entropy_r
+        |FROM cnt GROUP BY doc_id""".stripMargin,
+
     "t9_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
@@ -3974,6 +4222,14 @@ object SparkEntry {
         |       WHEN a_n = b_n AND a_s = b_s THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM a FULL OUTER JOIN b USING (user_id)""".stripMargin,
+
+    // Full recompute — the incremental snapshot+delta merge must equal it.
+    "o23_incremental_agg" ->
+      """SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |  COUNT(*) AS n_events,
+        |  printf('%.4f', CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)) AS sum_r
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // Pivot = grouped conditional sums; absent cells NULL on both engines.
     "t16_lang_pivot" ->
@@ -4350,6 +4606,25 @@ object SparkEntry {
         |  CAST(CASE WHEN min(extract(day FROM ts)) <= 15 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
         |  CAST(1 AS BIGINT) AS n_distinct_counts,
         |  CAST(COUNT(*) * (CASE WHEN min(extract(day FROM ts)) <= 15 THEN 2 ELSE 1 END) AS BIGINT) AS sum_over_versions
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // State as of version 1: days ≤ 20 only, version = the delta that
+    // wrote the minute (deltas are disjoint day ranges, so latest-wins
+    // resolves to the one writer).
+    "o24_time_travel" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  CAST(CASE WHEN min(extract(day FROM ts)) <= 10 THEN 0 ELSE 1 END AS BIGINT) AS version,
+        |  COUNT(*) AS total_nb_trx_1min
+        |FROM events WHERE extract(day FROM ts) <= 20 GROUP BY 1""".stripMargin,
+
+    // Post-truncation as-of-2 state: every minute, version = the (disjoint)
+    // delta that wrote it — identical to the never-truncated state.
+    "o25_retention" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  CAST(CASE WHEN min(extract(day FROM ts)) <= 10 THEN 0
+        |            WHEN min(extract(day FROM ts)) <= 20 THEN 1
+        |            ELSE 2 END AS BIGINT) AS version,
+        |  COUNT(*) AS total_nb_trx_1min
         |FROM events GROUP BY 1""".stripMargin,
 
     // Clean batch recomputation of the streamed result: the fixture's

@@ -63,6 +63,54 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Exact maximum-inner-product top-k (the retrieval objective when
+    * embeddings carry meaningful magnitude — recommender/reranker scores —
+    * where cosine's normalization would erase it). Same broadcast-queries /
+    * streamed-corpus shape as [[bruteForceTopK]]; ranks by the raw dot
+    * product, ties by neighbor id. No zero-norm guard needed: a dot product
+    * can't go NaN on finite inputs. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("ip"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+  }
+
+  /** Squared-L2 fold shared by the MIPS augmentation and [[nonZero]]. */
+  private def normSq(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Norm-augmentation reduction of MIPS to cosine search (Bachrach et al.,
+    * RecSys 2014): append sqrt(M² − ‖x‖²) to every corpus vector, where
+    * M = max corpus norm. Every augmented vector then has norm M, so for a
+    * query augmented with a trailing 0 ([[mipsAugmentQueries]]),
+    * cosine(q̃, x̃) = (q·x)/(‖q‖·M) — a per-query positive constant times
+    * the inner product. Ordering by augmented cosine IS ordering by inner
+    * product, which lets every cosine-ANN structure in this file (flat /
+    * tiered IVF, PQ, the on-disk index) serve MIPS unchanged. The max-norm
+    * pass is one narrow agg broadcast back onto the corpus — no shuffle of
+    * vector data. */
+  def mipsAugmentCorpus(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__ov"))
+    val m2 = v.agg(max(normSq(col("__ov"))).as("__m2"))
+    v.crossJoin(broadcast(m2))
+      .select(col(idCol),
+        concat(col("__ov"), array(sqrt(col("__m2") - normSq(col("__ov")))))
+          .as(vecCol))
+  }
+
+  /** Query-side counterpart of [[mipsAugmentCorpus]]: a trailing exact 0,
+    * which leaves both the dot product and the query norm bit-unchanged. */
+  def mipsAugmentQueries(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol),
+      concat(col(vecCol).cast("array<double>"), array(lit(0.0))).as(vecCol))
+
   /** IVF-style ANN: cluster the corpus once over `centroids` (id, vec), then
     * per query probe only the `nprobe` nearest centroids' partitions.
     * Approximate: recall depends on nprobe/centroid quality; exact within the

@@ -58,7 +58,13 @@ class KeyedParquetTable(val path: String, val keyCol: String,
 
   private def latestOnly(df: DataFrame, keepVersion: Boolean = false): DataFrame = {
     val versioned = if (df.columns.contains("__v")) df else df.withColumn("__v", lit(0L))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, col("__v").desc)
+    // Writers that don't stamp an event-time version column still get a
+    // total order from the upsert sequence alone.
+    val ord =
+      if (versioned.columns.contains(versionCol))
+        Seq(col(versionCol).desc, col("__v").desc)
+      else Seq(col("__v").desc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val resolved = versioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     if (keepVersion) resolved else resolved.drop("__v")
@@ -80,6 +86,23 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     latestOnly(if (partitioned) df.drop("year", "month", "day", "hour") else df)
   }
 
+  /** Time travel: the table state AS OF upsert sequence `version`
+    * (inclusive) — latest-wins resolution over only the versions committed
+    * at or before it. Because the log is append-only, every historical
+    * state remains reconstructable until [[compact]] collapses superseded
+    * versions; this is the parquet-log analog of Delta/Iceberg
+    * `VERSION AS OF`. The `__v` filter lands in PushedFilters (plain
+    * long column), so a scan for an old version reads row groups whose
+    * `__v` stats overlap it, not the whole history. Output carries the
+    * originating upsert sequence as `version`. */
+  def readAsOf(spark: SparkSession, version: Long): DataFrame = {
+    val df = spark.read.parquet(path).filter(col("__v") <= version)
+    val resolved = latestOnly(
+      if (partitioned) df.drop("year", "month", "day", "hour") else df,
+      keepVersion = true)
+    resolved.withColumnRenamed("__v", "version")
+  }
+
   /** S8 — point lookup of the latest record for one key. Partition pruning:
     * the key prefix maps directly to y/m/d/h partition values, so the scan
     * touches exactly one hour partition. */
@@ -93,6 +116,59 @@ class KeyedParquetTable(val path: String, val keyCol: String,
         .drop("year", "month", "day", "hour")
     else base
     latestOnly(pruned.filter(col(keyCol) === key))
+  }
+
+  /** Retention truncation — the VACUUM half of the [[readAsOf]] time-travel
+    * story: physically drop history older than upsert sequence `keepFrom`
+    * while preserving BIT-IDENTICAL `readAsOf(w)` for every w ≥ `keepFrom`
+    * (and `readLatest`/`getRecord`). Per key it keeps the as-of-`keepFrom`
+    * winning row (with its original `__v`, so version attribution
+    * survives) plus every row with `__v > keepFrom`; any other old row can
+    * never win an as-of ≥ `keepFrom` read, because the latest-wins ordering
+    * is static — dropping it is observationally safe. States before
+    * `keepFrom` become unreconstructable, which is the point (bounded
+    * storage / retention compliance). Same concurrency contract as
+    * [[compact]]: run only when no writer is appending to the affected
+    * partitions. No partition can come out empty — every key retains at
+    * least its winner — so the dynamic overwrite rewrites exactly the
+    * directories that exist. */
+  def truncateHistory(spark: SparkSession, keepFrom: Long): Unit = {
+    val raw = spark.read.parquet(path)
+    val base = if (partitioned) raw.drop("year", "month", "day", "hour") else raw
+    val versioned =
+      if (base.columns.contains("__v")) base else base.withColumn("__v", lit(0L))
+    val ord =
+      if (versioned.columns.contains(versionCol))
+        Seq(col(versionCol).desc, col("__v").desc)
+      else Seq(col("__v").desc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val oldWinners = versioned.filter(col("__v") <= keepFrom)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val keep = oldWinners.unionByName(versioned.filter(col("__v") > keepFrom))
+    if (partitioned) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        withPartitionCols(keep)
+          .repartition(col("year"), col("month"), col("day"), col("hour"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("year", "month", "day", "hour").parquet(path)
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+    } else {
+      // unpartitioned: no per-directory overwrite to lean on — write the
+      // keep-set beside the table, then swap directories
+      val fs = fileSystem(spark)
+      val tmp = new Path(path + "__truncate_tmp")
+      keep.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(new Path(path), true)
+      fs.rename(tmp, new Path(path))
+    }
   }
 
   /** S9/O6 — per-partition compaction, the reference's hourly Glue job

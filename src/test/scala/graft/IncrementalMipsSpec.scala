@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Incremental, SimilarityOps}
+import graft.store.KeyedParquetTable
+
+/** Fourth-wave operators: incremental view maintenance (o23), MIPS + its
+  * norm-augmentation reduction (s12/s12b), time travel (o24). */
+class IncrementalMipsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental: merge of disjoint partials equals the full recompute exactly") {
+    val rows = (1 to 200).map(i => (s"k${i % 7}", i, i * 0.01 + 0.001))
+    val df = rows.toDF("k", "seq", "v")
+    val full = Incremental.partial(df, Seq($"k"), $"v")
+    val merged = Incremental.merge(
+      Seq(Incremental.partial(df.filter($"seq" % 3 === 0), Seq($"k"), $"v"),
+        Incremental.partial(df.filter($"seq" % 3 === 1), Seq($"k"), $"v"),
+        Incremental.partial(df.filter($"seq" % 3 === 2), Seq($"k"), $"v")),
+      Seq("k"))
+    val f = full.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    val m = merged.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(m.keySet === f.keySet)
+    f.foreach { case (k, (n, s)) =>
+      assert(m(k)._1 === n, s"count for $k")
+      assert(m(k)._2.compareTo(f(k)._2) === 0, s"exact sum for $k")
+    }
+  }
+
+  test("incremental: retraction partial (negated rows) removes a delta") {
+    val base = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0)).toDF("k", "v")
+    val delta = Seq(("a", 2.5)).toDF("k", "v")
+    val withDelta = Incremental.merge(
+      Seq(Incremental.partial(base, Seq($"k"), $"v"),
+        Incremental.partial(delta, Seq($"k"), $"v")), Seq("k"))
+    // retract by merging the negated partial: (-n, -s) per key
+    val retracted = Incremental.merge(
+      Seq(withDelta,
+        Incremental.partial(delta, Seq($"k"), $"v")
+          .select($"k", (-$"n").as("n"), (-$"s").as("s"))),
+      Seq("k"))
+    val got = retracted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("mips: brute-force top-k ranks by raw inner product") {
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(10.0f, 0.0f)),  // large-magnitude, same direction
+      (2L, Array(0.9f, 0.1f)),   // near-unit, near-same direction
+      (3L, Array(0.0f, 5.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.mipsTopK(vs, vs.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect()
+    // cosine would rank 2 above 1 only by tie-break; MIPS must put the
+    // large-magnitude vector first and the orthogonal one last
+    assert(got === Seq(1L, 2L, 3L))
+  }
+
+  test("mips augmentation: cosine order over the augmented space equals exact MIPS order") {
+    val rnd = new scala.util.Random(42)
+    val vs = (0L until 60L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat))).toDF("vec_id", "embedding")
+    val queries = vs.filter($"vec_id" < 3)
+    val exact = SimilarityOps.mipsTopK(vs, queries, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val aug = SimilarityOps.mipsAugmentCorpus(vs, "vec_id", "embedding")
+    val qAug = SimilarityOps.mipsAugmentQueries(queries, "vec_id", "embedding")
+    val viaCosine = SimilarityOps.bruteForceTopK(aug, qAug, "vec_id", "embedding", k = 10)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(viaCosine === exact)
+  }
+
+  test("mips augmentation: every augmented corpus vector has the max norm") {
+    val vs = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val aug = SimilarityOps.mipsAugmentCorpus(vs, "vec_id", "embedding")
+      .select($"vec_id", SimilarityOps.norm($"embedding".cast("array<double>")).as("n"))
+      .as[(Long, Double)].collect().toMap
+    aug.values.foreach(n => assert(math.abs(n - 5.0) < 1e-12))
+    // dims grew by one
+    val d = SimilarityOps.mipsAugmentCorpus(vs, "vec_id", "embedding")
+      .select(size($"embedding")).as[Int].head()
+    assert(d === 3)
+  }
+
+  test("retention: truncateHistory preserves states >= keepFrom, drops earlier rows") {
+    val dir = tmpDir("trunc")
+    val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
+    t.upsert(Seq(("2024-01-01 00:00:00", 1L)).toDF("k", "n"), 0)
+    t.upsert(Seq(("2024-01-01 00:00:00", 2L), ("2024-01-01 00:01:00", 5L)).toDF("k", "n"), 1)
+    t.upsert(Seq(("2024-01-01 00:01:00", 7L)).toDF("k", "n"), 2)
+    def state(v: Long) = t.readAsOf(spark, v)
+      .select($"k", $"version", $"n").as[(String, Long, Long)].collect().toSet
+    val asOf1 = state(1)
+    val asOf2 = state(2)
+    t.truncateHistory(spark, keepFrom = 1)
+    assert(state(1) === asOf1, "as-of keepFrom unchanged")
+    assert(state(2) === asOf2, "later states unchanged")
+    // the superseded version-0 row for key 00:00 is physically gone
+    assert(t.readAll(spark).count() === 3)
+  }
+
+  test("time travel: readAsOf reconstructs each historical state") {
+    val dir = tmpDir("asof")
+    val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
+    t.upsert(Seq(("2024-01-01 00:00:00", 1L)).toDF("k", "n"), 0)
+    t.upsert(Seq(("2024-01-01 00:00:00", 2L), ("2024-01-01 00:01:00", 5L)).toDF("k", "n"), 1)
+    t.upsert(Seq(("2024-01-01 00:01:00", 7L)).toDF("k", "n"), 2)
+    def state(v: Long) = t.readAsOf(spark, v)
+      .select($"k", $"version", $"n").as[(String, Long, Long)].collect().toSet
+    // NOTE: versionCol (event_time) is absent here, so latest-wins falls
+    // back to the upsert sequence alone — exactly what as-of filters on.
+    assert(state(0) === Set(("2024-01-01 00:00:00", 0L, 1L)))
+    assert(state(1) === Set(("2024-01-01 00:00:00", 1L, 2L), ("2024-01-01 00:01:00", 1L, 5L)))
+    assert(state(2) === Set(("2024-01-01 00:00:00", 1L, 2L), ("2024-01-01 00:01:00", 2L, 7L)))
+  }
+}
