@@ -593,6 +593,48 @@ object SparkEntry {
           expr("CAST(sv AS BIGINT) * 100 div n").as("mean_e6"))
     }),
 
+    // X10 — deterministic source-interleaved training order: rank within
+    // source (narrow per-source window), then global order by (rank,
+    // source) — round-robin across sources, so no domain ever runs
+    // consecutively longer than the source-count imbalance forces; the
+    // anti-clumping policy a mixture-trained model wants on top of x6's
+    // uniform shuffle. Global position via the two-pass range-partitioned
+    // rank ([[graft.ops.Ranking.globalRowNumber]]) — never a single-
+    // partition window over the corpus.
+    "x10_interleave" -> ((s, dir) => {
+      val r = docs(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      graft.ops.Ranking.globalRowNumber(
+          r, Seq(col("r"), col("source"), col("doc_id")), "pos")
+        .select(col("doc_id"), col("source"), col("r"), col("pos"))
+    }),
+
+    // MON7 — SLO error-budget burn rate, multi-window (the SRE-workbook
+    // paging rule): per hour bucket, the error rate vs a 25% budget in the
+    // short (1 h) and long (trailing 6 h) windows; page only when BOTH
+    // burn > 1 — the long window keeps a transient spike from paging, the
+    // short window keeps a recovered incident from staying paged. Every
+    // decision is exact integer arithmetic (e·4 > n), rates ship as
+    // floored basis points. The trailing frame runs over the HOURLY
+    // relation (≤ 8.8k rows/year even at 100 TB — a single-partition
+    // window over a metadata-sized spine, stated contract; the raw-event
+    // pass is one partial-agged groupBy).
+    "mon7_burn_rate" -> ((s, dir) => {
+      val hb = ev(s, dir)
+        .groupBy(expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", lit(1))).as("e"))
+      val w = Window.orderBy(col("h")).rangeBetween(-5, 0)
+      hb.withColumn("n6", sum(col("n")).over(w))
+        .withColumn("e6", sum(col("e")).over(w))
+        .select(col("h"), col("n"), col("e"),
+          expr("e * 10000 div n").as("rate_bp"),
+          expr("e6 * 10000 div n6").as("rate6_bp"),
+          when(col("e") * lit(4) > col("n") && col("e6") * lit(4) > col("n6"),
+            lit(1L)).otherwise(lit(0L)).as("page"))
+    }),
+
     // T14 — Zipf exponent: OLS slope of ln(count) over ln(rank) across the
     // vocabulary (the rank-frequency law every natural corpus follows —
     // and a quality signal when a crawled slice doesn't). Same Stats core
@@ -3359,6 +3401,31 @@ object SparkEntry {
         |  printf('%.4f', CAST(MAX(stat) AS DOUBLE)) AS cusum_max_r,
         |  COUNT(*) FILTER (WHERE stat > CAST('50.0' AS DECIMAL(30,4))) AS n_breach
         |FROM s GROUP BY 1""".stripMargin,
+
+    // Round-robin interleave: per-source rank, then (rank, source) global
+    // order — unique keys make the position engine-independent.
+    "x10_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents)
+        |SELECT doc_id, source, r,
+        |  CAST(row_number() OVER (ORDER BY r, source, doc_id) AS BIGINT) AS pos
+        |FROM r""".stripMargin,
+
+    // Burn-rate page decision in exact integers; trailing window over the
+    // hourly spine mirrors the RANGE frame.
+    "mon7_burn_rate" ->
+      """WITH hb AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+        |    COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE event_type = 'error') AS e
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT h, n, e, SUM(n) OVER win AS n6, SUM(e) OVER win AS e6
+        |  FROM hb WINDOW win AS (ORDER BY h
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW))
+        |SELECT h, n, e, e * 10000 // n AS rate_bp,
+        |  CAST(e6 * 10000 // n6 AS BIGINT) AS rate6_bp,
+        |  CAST(CASE WHEN e * 4 > n AND e6 * 4 > n6 THEN 1 ELSE 0 END AS BIGINT) AS page
+        |FROM w""".stripMargin,
 
     // Seasonal 3σ breach test in exact integer ticks — mirrors the Spark
     // side term-for-term so the breach set is engine-independent.
