@@ -1164,6 +1164,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S13 — approximate k-NN GRAPH (every vector's top-4 same-bucket
+    // neighbors): the all-nodes generalization of per-query ANN and the
+    // input structure of graph-based dedup/clustering. Each undirected
+    // candidate pair scored once, serving both endpoints; per-node top-k
+    // over candidates only — never N².
+    "s13_knn_graph" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("vec_id"), col("rank"), col("nbr_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3886,6 +3899,23 @@ object SparkEntry {
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
          |                   AND (a.b0 = b.b0 OR a.b1 = b.b1))
          |WHERE sim >= CAST('0.35' AS DOUBLE)""".stripMargin,
+
+    // Directed candidate relation (a ≠ b, same bucket), per-node top-4 by
+    // (sim desc, nbr) — sim is symmetric bit-for-bit, so scoring each
+    // undirected pair once on the Spark side changes nothing.
+    "s13_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |$adaptiveParamsSql,
+         |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+         |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+         |      WHERE list_inner_product(ve, ve) > 0)
+         |SELECT vec_id, rank, nbr_id, printf('%.4f', sim) AS sim_r FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |           list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |WHERE rank <= 4""".stripMargin,
 
     "o5_series" ->
       """SELECT user_id,

@@ -331,6 +331,15 @@ object SimilarityOps {
                             rotations: Int = 1): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .filter(nonZero(col("v")))
+    signBucketScoredPairs(v, signDims, rotations)
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Shared blocking+scoring core of [[embeddingNearDupPairs]] and
+    * [[knnGraph]]: DISTINCT same-bucket (any rotation) candidate id pairs
+    * (id_a < id_b), vectors joined back once per pair, cosine-scored. */
+  private def signBucketScoredPairs(v: DataFrame, signDims: Int,
+                                    rotations: Int): DataFrame = {
     def key(r: Int) = concat_ws("", (r * signDims until (r + 1) * signDims).map(i =>
       when(col("v")(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
     val keyed = v.select(col("id"),
@@ -345,7 +354,31 @@ object SimilarityOps {
       .join(v.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
-      .filter(col("sim") >= threshold)
+  }
+
+  /** Approximate k-NN GRAPH over the same sign-bucket blocking: for every
+    * vector, its k most cosine-similar same-bucket candidates — the
+    * all-nodes generalization of a per-query ANN search, and the input
+    * structure of graph-based semdedup/clustering. Each undirected
+    * candidate pair is scored ONCE and then serves both endpoints (cosine
+    * is symmetric bit-for-bit: products and the norm product commute), so
+    * the scoring cost is half the directed relation; the per-node top-k is
+    * a WindowGroupLimit over candidates only — never N². Recall follows
+    * the d5 knobs (signDims/rotations).
+    *
+    * @return (id, rank, nbr_id, sim), rank 1..k by (sim desc, nbr_id). */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               signDims: Int = 8, rotations: Int = 1): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(nonZero(col("v")))
+    val scored = signBucketScoredPairs(v, signDims, rotations)
+    val directed = scored
+      .select(col("id_a").as("id"), col("id_b").as("nbr_id"), col("sim"))
+      .unionByName(scored
+        .select(col("id_b").as("id"), col("id_a").as("nbr_id"), col("sim")))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("nbr_id"))
+    directed.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("nbr_id"), col("sim"))
   }
 
   // ---- k-means (Lloyd) centroid training ---------------------------------

@@ -103,6 +103,17 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(t.readAll(spark).count() === 3)
   }
 
+  test("knn graph: single-bucket blocking (signDims=0) equals brute-force top-k for every node") {
+    val rnd = new scala.util.Random(7)
+    val vs = (0L until 40L).map(i =>
+      (i, Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))).toDF("vec_id", "embedding")
+    val graph = SimilarityOps.knnGraph(vs, "vec_id", "embedding", k = 3, signDims = 0)
+      .select($"id", $"rank", $"nbr_id").as[(Long, Int, Long)].collect().toSet
+    val brute = SimilarityOps.bruteForceTopK(vs, vs, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(graph === brute)
+  }
+
   test("time travel: readAsOf reconstructs each historical state") {
     val dir = tmpDir("asof")
     val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
