@@ -1794,6 +1794,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_hit"),
           Exact.fmt(col("bm25"), 4).as("bm25_r"))),
 
+    // T19 — vocabulary growth curve (Heaps' law V(N) ≈ K·N^β, the
+    // companion of t14's Zipf fit): distinct-vocabulary size at each
+    // corpus-prefix decile, in a fixed deterministic reading order
+    // (doc_id, token index). A natural corpus grows ~N^0.5; a crawl
+    // whose curve flattens early is template-heavy, one that stays
+    // near-linear is noise. ENTIRELY integer-exact: global token
+    // positions via the two-pass range-partitioned rank, first-occurrence
+    // positions per term, decile thresholds by integer division, V(P) one
+    // broadcast-checkpoint filter over the vocabulary-sized firsts
+    // relation. No transcendental ever touches the output.
+    "t19_vocab_growth" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("idx", "t")))
+        .filter(col("t") =!= "")
+      val pos = graft.ops.Ranking.globalRowNumber(
+        tok, Seq(col("doc_id"), col("idx")), "pos")
+      val firsts = pos.groupBy(col("t")).agg(min(col("pos")).as("fp"))
+      val n = tok.count() // metadata-cheap count job (s2 precedent)
+      val cps = s.createDataFrame((1 to 10).map(i => (i, n * i / 10)))
+        .toDF("decile", "cp")
+      firsts.crossJoin(broadcast(cps))
+        .filter(col("fp") <= col("cp"))
+        .groupBy(col("decile"), col("cp"))
+        .agg(count(lit(1)).as("vocab_size"))
+        .select(col("decile"), col("cp").as("n_tokens"), col("vocab_size"))
+    }),
+
     // T18 — per-document token-entropy quality signal: Shannon entropy of
     // the doc's unigram distribution, H = ln N − (Σ c·ln c)/N nats — low
     // entropy flags repetitive/templated docs (the distributional
@@ -4115,6 +4142,24 @@ object SparkEntry {
            |SELECT doc_id, COUNT(*) AS n_hit,
            |  printf('%.4f', CAST(SUM(CAST(contrib AS DECIMAL(30,10))) AS DOUBLE)) AS bm25_r
            |FROM c GROUP BY doc_id""".stripMargin,
+
+    // Heaps curve in exact integers: fixed (doc_id, idx) reading order,
+    // MIN(first position) per term, decile thresholds by integer division.
+    "t19_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, i AS idx, toks[i] AS t
+        |  FROM d, LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+        |  WHERE toks[i] <> ''),
+        |pos AS (SELECT t, row_number() OVER (ORDER BY doc_id, idx) AS pos FROM tok),
+        |firsts AS (SELECT t, MIN(pos) AS fp FROM pos GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM tok),
+        |cps AS (SELECT i AS decile, (SELECT n FROM tot) * i // 10 AS cp
+        |  FROM unnest(generate_series(1, 10)) AS g(i))
+        |SELECT decile, CAST(cp AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab_size
+        |FROM firsts JOIN cps ON fp <= cp
+        |GROUP BY 1, 2""".stripMargin,
 
     // Token entropy: H = ln N − (Σ c·ln c)/N, per-term DECIMAL(30,10)
     // truncation before the sum (t9 contract).
