@@ -2428,6 +2428,19 @@ object SparkEntry {
         .select(col("tx_minute"), col("version"), col("total_nb_trx_1min"))
     }),
 
+    // E2E streaming additive view maintenance (§2.8, seventh replay): an
+    // all-time per-user aggregate has unbounded key lifetime, so windowed
+    // stream state is the wrong shape — instead each micro-batch appends
+    // its mergeable partial as a replay-idempotent epoch and cadence
+    // compaction merges checkpoint-committed epochs
+    // ([[graft.streaming.StreamView]]). Served view ≡ the batch aggregate.
+    "e2e_view_maintain" -> ((s, dir) => {
+      val work = scratch("e2eview")
+      graft.streaming.StreamView.run(s, ev(s, dir), work)
+        .select(col("user_id"), col("n").as("n_events"),
+          Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
+    }),
+
     // O25 — retention truncation under the full read gate: same three
     // deltas as o24, then [[graft.store.KeyedParquetTable.truncateHistory]]
     // physically drops pre-version-1 history; the as-of-2 read afterwards
@@ -4758,6 +4771,12 @@ object SparkEntry {
         |  CAST(CASE WHEN min(extract(day FROM ts)) <= 10 THEN 0 ELSE 1 END AS BIGINT) AS version,
         |  COUNT(*) AS total_nb_trx_1min
         |FROM events WHERE extract(day FROM ts) <= 20 GROUP BY 1""".stripMargin,
+
+    // The served additive view must equal the all-time batch aggregate.
+    "e2e_view_maintain" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  printf('%.4f', CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)) AS sum_r
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Post-truncation as-of-2 state: every minute, version = the (disjoint)
     // delta that wrote it — identical to the never-truncated state.

@@ -103,6 +103,30 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(t.readAll(spark).count() === 3)
   }
 
+  test("streaming additive view: multi-batch replay with merging compaction equals the batch aggregate") {
+    val dir = tmpDir("sview")
+    val rows = for (day <- 0 until 6; i <- 0 until 20) yield
+      (day.toLong * 3 + i % 4, 1.25 * i + day,
+        java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 10:00:${i % 60}%02d"))
+    val events = rows.toDF("user_id", "value", "ts")
+    val served = graft.streaming.StreamView.run(spark, events, dir,
+      maxFilesPerTrigger = 1, compactEvery = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    val expect = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(30,4)")).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    assert(served.keySet === expect.keySet)
+    expect.foreach { case (k, (n, s)) =>
+      assert(served(k)._1 === n, s"count for user $k")
+      assert(served(k)._2.compareTo(s) === 0, s"exact sum for user $k")
+    }
+    // compaction kept the epoch-dir count bounded: 6 single-file batches
+    // with compactEvery=2 must leave fewer dirs than batches
+    val view = new java.io.File(s"$dir/view")
+    val epochDirs = view.listFiles().count(_.getName.startsWith("__b="))
+    assert(epochDirs > 0 && epochDirs < 6, s"epoch dirs: $epochDirs")
+  }
+
   test("knn graph: single-bucket blocking (signDims=0) equals brute-force top-k for every node") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 40L).map(i =>
