@@ -1342,6 +1342,32 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S14 — recall@5 of the MIPS-via-augmented-IVF reduction (s12b) against
+    // exact MIPS (s12): the evaluation loop for the one-index-serves-both
+    // claim, mirroring what s6 does for the cosine path. Hits counted by
+    // neighbor-set membership (integer), the ratio one mirrored division.
+    "s14_mips_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = SimilarityOps.mipsTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val aug = SimilarityOps.mipsAugmentCorpus(e, "vec_id", "embedding")
+      val centroids = aug
+        .filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(aug, centroids, "vec_id", "embedding")
+      val queries = SimilarityOps.mipsAugmentQueries(
+        e.filter(col("vec_id") < 5), "vec_id", "embedding")
+      SimilarityOps.ivfTopK(assigned, centroids, queries,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"))
+    }),
+
     // S7b — IVF-PQ, the composed production design: IVF cell pruning picks
     // WHICH codes to read (~nprobe/nlist of the table — the codes are
     // encoded WITH their cell so a stored table is partition-pruned), PQ/ADC
@@ -3851,6 +3877,50 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     "s12b_mips_ivf" -> mipsIvfOracle,
+
+    // Exact-MIPS truth set over RAW vectors joined against the augmented-
+    // IVF top-5 (the s12b chain verbatim) — recall by set membership.
+    "s14_mips_recall" ->
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ov FROM embeddings),
+        |$adaptiveParamsSql,
+        |mx AS (SELECT MAX(list_inner_product(ov, ov)) AS m2 FROM raw),
+        |v AS (SELECT vec_id, list_append(ov, sqrt(m2 - list_inner_product(ov, ov))) AS ve
+        |      FROM raw CROSS JOIN mx),
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0),
+        |qn AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM (
+        |    SELECT vec_id, list_append(ov, 0.0) AS ve FROM raw WHERE vec_id < 5)
+        |  WHERE list_inner_product(ve, ve) > 0),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_inner_product(q.ov, c.ov) DESC, c.vec_id) AS rank
+        |  FROM raw q JOIN raw c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id % (SELECT stride FROM params) = 0),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM qn q CROSS JOIN cent c) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+        |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  JOIN n x ON x.vec_id = a.vec_id JOIN qn q ON q.vec_id = p.qid
+        |  WHERE x.vec_id <> p.qid),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5)
+        |SELECT i.query_id,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+        |FROM ivf i LEFT JOIN brute b USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
     "s7_pq_ann" -> pqOracle,
     "s11_pq_rerank" -> pqRerankOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
