@@ -1342,6 +1342,22 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S15 — EXACT MIPS with norm-band pruning (the LEMP-family bound,
+    // relationally): score the top-norm band for a per-query kth-best
+    // bound τ, then scan only bands with ‖q‖·maxNorm(band) ≥ τ — pruned
+    // vectors provably can't crack the top-k, so the result is
+    // bit-identical to s12's brute force (same oracle) while reading a
+    // fraction of the corpus. The sound remedy for the augmentation's
+    // routing weakness that s14 measures; at 100 TB the bands are the
+    // partition layout and most queries touch only high-norm partitions.
+    "s15_mips_banded" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.mipsTopKBanded(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("ip"), 4).as("ip_r"))
+    }),
+
     // S14 — recall@5 of the MIPS-via-augmented-IVF reduction (s12b) against
     // exact MIPS (s12): the evaluation loop for the one-index-serves-both
     // claim, mirroring what s6 does for the cosine path. Hits counted by
@@ -2784,6 +2800,18 @@ object SparkEntry {
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 5""".stripMargin
 
+  /** Exact-MIPS top-10 oracle shared by s12 (brute force) and s15 (norm-
+    * band pruned — lossless by the ‖q‖·maxNorm bound, so the same relation). */
+  private def mipsExactOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+      |SELECT query_id, rank, neighbor_id, printf('%.4f', ip) AS ip_r FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_inner_product(q.ve, c.ve) AS ip,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |           ORDER BY list_inner_product(q.ve, c.ve) DESC, c.vec_id) AS rank
+      |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+      |WHERE rank <= 10""".stripMargin
+
   /** s12b oracle: the same IVF pipeline over the MIPS-augmented space —
     * corpus rows carry the sqrt(M²−‖x‖²) coordinate, queries a trailing
     * exact 0 (mirrors [[graft.ops.SimilarityOps.mipsAugmentCorpus]] /
@@ -3866,15 +3894,11 @@ object SparkEntry {
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
 
     // Exact MIPS: rank by the raw inner product, ties by neighbor id.
-    "s12_mips" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
-        |SELECT query_id, rank, neighbor_id, printf('%.4f', ip) AS ip_r FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         list_inner_product(q.ve, c.ve) AS ip,
-        |         row_number() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_inner_product(q.ve, c.ve) DESC, c.vec_id) AS rank
-        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 10""".stripMargin,
+    "s12_mips" -> mipsExactOracle,
+
+    // Band pruning is provably lossless, so s15 sits under the SAME exact
+    // oracle as the brute force — the equality IS the soundness proof.
+    "s15_mips_banded" -> mipsExactOracle,
 
     "s12b_mips_ivf" -> mipsIvfOracle,
 

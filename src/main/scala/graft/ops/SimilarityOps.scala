@@ -86,6 +86,75 @@ object SimilarityOps {
   private def normSq(v: Column): Column =
     aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
 
+  /** EXACT MIPS with norm-band pruning — the remedy for the vanilla
+    * augmentation's routing weakness that s14 measures: since
+    * ip(q,x) ≤ ‖q‖·‖x‖, whole norm bands are skippable once a lower bound
+    * on the kth-best inner product is known (the LEMP/FEXIPRO family's
+    * core bound, relationally).
+    *
+    * Phase 1 scores only the TOP band (highest norms — where top-k mass
+    * concentrates) and takes its kth-best ip as the per-query bound τ.
+    * Phase 2 scans only bands with ‖q‖·maxNorm(band) ≥ τ — every pruned
+    * vector satisfies ip ≤ ‖q‖·maxNorm < τ ≤ global kth-best, so the
+    * result is EXACTLY [[mipsTopK]]'s, ties included (a vector tied at τ
+    * always survives the ≥ comparison). Queries with fewer than k top-band
+    * candidates fall back to τ = −∞ (scan everything) rather than prune
+    * unsoundly.
+    *
+    * Banding is by fixed norm² thresholds relative to the corpus max
+    * (floor(nBands·‖x‖²/M²)) — one mirrored IEEE chain, NO global sort or
+    * ntile. At 100 TB the bands are the partition layout: most queries
+    * read only the high-norm partitions, and the band plan itself is
+    * metadata-sized (|Q|·nBands rows).
+    *
+    * [[mipsBandPlan]] exposes the per-query keep/skip decisions so tests
+    * (and operators) can assert pruning actually engaged. */
+  def mipsTopKBanded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nBands: Int = 4): DataFrame = {
+    val (banded, plan) = bandPlan(corpus, queries, idCol, vecCol, k, nBands)
+    val cand = banded.join(broadcast(plan.filter(col("kept"))
+        .select(col("band"), col("query_id"), col("qv"))), Seq("band"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("ip"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("ip"))
+  }
+
+  /** The per-query band keep/skip plan of [[mipsTopKBanded]]:
+    * (query_id, band, kept). */
+  def mipsBandPlan(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nBands: Int = 4): DataFrame =
+    bandPlan(corpus, queries, idCol, vecCol, k, nBands)._2
+      .select(col("query_id"), col("band"), col("kept"))
+
+  private def bandPlan(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nBands: Int) = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("nsq", normSq(col("cv")))
+    val m2 = c.agg(max(col("nsq")).as("m2"))
+    val banded = c.crossJoin(broadcast(m2))
+      .withColumn("band", least(lit(nBands - 1),
+        floor(col("nsq") * nBands / col("m2"))).cast("int"))
+      .drop("m2")
+    val bandMax = banded.groupBy(col("band")).agg(sqrt(max(col("nsq"))).as("bmax"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(normSq(col("qv"))))
+    // phase 1: kth-best ip within the top band → per-query bound τ
+    val top = banded.filter(col("band") === nBands - 1)
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), dot(col("qv"), col("cv")).as("ip"))
+    val wTau = Window.partitionBy(col("query_id")).orderBy(col("ip").desc, col("neighbor_id"))
+    val tau = top.withColumn("r", row_number().over(wTau)).filter(col("r") === k)
+      .select(col("query_id"), col("ip").as("tau"))
+    val plan = q.join(tau, Seq("query_id"), "left")
+      .crossJoin(broadcast(bandMax))
+      .withColumn("kept", col("tau").isNull || col("qn") * col("bmax") >= col("tau"))
+    (banded, plan)
+  }
+
   /** Norm-augmentation reduction of MIPS to cosine search (Bachrach et al.,
     * RecSys 2014): append sqrt(M² − ‖x‖²) to every corpus vector, where
     * M = max corpus norm. Every augmented vector then has norm M, so for a

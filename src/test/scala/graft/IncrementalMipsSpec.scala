@@ -73,6 +73,35 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(viaCosine === exact)
   }
 
+  test("mips band pruning: equals brute force exactly AND actually skips bands") {
+    val rnd = new scala.util.Random(13)
+    // the regime band pruning serves: a heavy top band containing vectors
+    // well-aligned with the queries (so the phase-1 bound τ ≈ ‖q‖·M is
+    // tight) over a light random tail (whose band bound ‖q‖·bmax < τ)
+    val qdirs = (0 until 3).map(_ => Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    val queries3 = qdirs.zipWithIndex.map { case (d, i) =>
+      (i.toLong, d.map(_.toFloat)) }
+    val heavy = (for (q <- 0 until 3; j <- 0 until 6) yield {
+      val id = 10L + q * 6 + j
+      (id, qdirs(q).map(x => (x * 8.0 + (rnd.nextDouble() - 0.5) * 0.1).toFloat))
+    })
+    val light = (40L until 100L).map(i =>
+      (i, Array.fill(6)(((rnd.nextDouble() * 2 - 1) * 1.5).toFloat)))
+    val vs = (queries3 ++ heavy ++ light).toDF("vec_id", "embedding")
+    val queries = vs.filter($"vec_id" < 3)
+    val exact = SimilarityOps.mipsTopK(vs, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val banded = SimilarityOps.mipsTopKBanded(vs, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(banded === exact)
+    val plan = SimilarityOps.mipsBandPlan(vs, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"band", $"kept").as[(Long, Int, Boolean)].collect()
+    assert(plan.exists(!_._3), "at least one band pruned for some query")
+    assert(plan.count(_._3) > 0, "kept bands exist")
+  }
+
   test("mips augmentation: every augmented corpus vector has the max norm") {
     val vs = Seq((0L, Array(3.0f, 4.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 0.5f)))
       .toDF("vec_id", "embedding")
