@@ -1177,6 +1177,40 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // D10 — LSH candidate recall/precision against EXACT shingle-Jaccard
+    // truth on a bounded subset (doc_id < 500): the eval loop for the text-
+    // dedup path, the analog of s6/s14 for MinHash banding. Truth via the
+    // shingle-join intersection counts (never an all-pairs array compare);
+    // the ≥ 0.5 membership decided by exact integers (2·|∩| ≥ |∪|).
+    // Banding is per-doc independent, so candidates-on-subset ≡ subset-
+    // filtered candidates — the oracle exploits exactly that.
+    "d10_lsh_recall" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 500)
+      val tok = d.select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("t"))
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      val tx = tok.select(col("t"), col("doc_id").as("id_a"))
+      val ty = tok.select(col("t"), col("doc_id").as("id_b"))
+      val inter = tx.join(ty, "t").filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
+        .filter(col("ni") * 2 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a"), col("id_b"))
+      val cand = DedupOps.lshCandidatePairs(d, "doc_id", "text", 16, 4)
+        .select(col("id_a"), col("id_b"))
+      val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_true"), col("n_cand"), col("n_hits"),
+          expr("CASE WHEN n_true = 0 THEN NULL ELSE n_hits * 10000 div n_true END")
+            .as("recall_bp"),
+          expr("CASE WHEN n_cand = 0 THEN NULL ELSE n_hits * 10000 div n_cand END")
+            .as("precision_bp"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2633,6 +2667,28 @@ object SparkEntry {
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** d10 oracle: exact shingle-Jaccard truth on the doc_id < 500 subset vs
+    * the band-collision candidates (per-doc banding → subset-filtering the
+    * full pairs relation equals banding the subset). */
+  private def lshRecallOracle: String =
+    s"""WITH $minhashCtes,
+       |ssub AS (SELECT doc_id, t FROM tok WHERE doc_id < 500),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM ssub GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS ni
+       |  FROM ssub x JOIN ssub y USING (t) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ni * 2 >= sa.ns + sb.ns - ni),
+       |candsub AS (SELECT id_a, id_b FROM pairs WHERE id_a < 500 AND id_b < 500),
+       |hits AS (SELECT t.id_a, t.id_b FROM truth t JOIN candsub c USING (id_a, id_b))
+       |SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       |  (SELECT COUNT(*) FROM candsub) AS n_cand,
+       |  (SELECT COUNT(*) FROM hits) AS n_hits,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+       |       ELSE (SELECT COUNT(*) FROM hits) * 10000 // (SELECT COUNT(*) FROM truth) END AS recall_bp,
+       |  CASE WHEN (SELECT COUNT(*) FROM candsub) = 0 THEN NULL
+       |       ELSE (SELECT COUNT(*) FROM hits) * 10000 // (SELECT COUNT(*) FROM candsub) END AS precision_bp""".stripMargin
+
   private def minhashOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $minhashCtes
@@ -3780,6 +3836,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
+    "d10_lsh_recall" -> lshRecallOracle,
 
     // The streaming incremental form must converge to exactly the batch
     // LSH pair set — arrival order changes WHEN a pair is reported, never
