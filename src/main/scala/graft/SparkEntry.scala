@@ -1792,6 +1792,36 @@ object SparkEntry {
           expr("(pos - 1) * 4 div n").as("phase"))
     }),
 
+    // C3 — composed training-data preparation: mixture sampling (x1) →
+    // curriculum ordering (x9) → sequence packing (x2) as ONE pipeline —
+    // the dataloader-prep composition a training run actually executes,
+    // under a single oracle so the CONTRACTS compose, not just the
+    // operators: packing's running sum is taken in the curriculum order
+    // (qkey desc, doc_id), membership is integer-hash-decided, the phase
+    // and every sequence id are exact integers end to end.
+    "c3_training_prep" -> ((s, dir) => {
+      val sampled = graft.ops.Sampling.mixtureSample(
+        docs(s, dir), col("doc_id"), col("lang"), mixtureRates)
+      val q = sampled.select(col("doc_id"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("qkey", floor(col("quality") * lit(1e9)).cast("long"))
+        .withColumn("nk", -col("qkey"))
+      val packed = graft.ops.Packing.sequenceAssignments(
+          q, Seq(col("nk"), col("doc_id")), TextOps.tokenCount(col("text")),
+          budget = 512L)
+        .select(col("doc_id"), col("qkey"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("seq_first"), col("seq_last"))
+      val ranked = graft.ops.Ranking.globalRowNumber(
+        q.select(col("doc_id"), col("nk")), Seq(col("nk"), col("doc_id")), "pos")
+      val n = sampled.agg(count(lit(1)).as("n"))
+      packed.join(ranked.select(col("doc_id"), col("pos")), "doc_id")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("qkey"),
+          expr("(pos - 1) * 4 div n").as("phase"),
+          col("n_tokens"), col("seq_first"), col("seq_last"))
+    }),
+
     // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
     // order, sliced into 512-token training sequences with docs splitting
     // at boundaries. The assignment is arithmetic over an exclusive global
@@ -4699,6 +4729,46 @@ object SparkEntry {
       }.mkString(" ")
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ($hexVal) < (CASE $thr ELSE 0 END)""".stripMargin
+    },
+
+    // The composed pipeline under one oracle: x1's hash gate → x9's
+    // quality chain over the SAMPLED set → x2's running sum in curriculum
+    // (qkey DESC, doc_id) order.
+    "c3_training_prep" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val thr = graft.SparkEntry.mixtureRates.toSeq.sortBy(_._1).map { case (d, r) =>
+        s"WHEN lang = '$d' THEN ${graft.ops.Sampling.threshold(r)}"
+      }.mkString(" ")
+      raw"""WITH sampled AS (SELECT doc_id, text FROM documents
+           |  WHERE ($hexVal) < (CASE $thr ELSE 0 END)),
+           |qb AS (SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+           |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+           |         ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+           |              / length(text) END AS praw
+           |  FROM sampled),
+           |q AS (SELECT doc_id,
+           |    (least(length(text) / 500.0, 1.0)
+           |     + (1.0 - least(praw * 5.0, 1.0))
+           |     + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+           |    ) / 3.0 AS quality, ntok FROM qb),
+           |k AS (SELECT doc_id, CAST(floor(quality * 1e9) AS BIGINT) AS qkey, ntok FROM q),
+           |r AS (SELECT doc_id, qkey, ntok AS n_tokens,
+           |    row_number() OVER (ORDER BY qkey DESC, doc_id) AS pos,
+           |    COUNT(*) OVER () AS n,
+           |    CAST(COALESCE(SUM(ntok) OVER (ORDER BY qkey DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |  FROM k)
+           |SELECT doc_id, qkey, (pos - 1) * 4 // n AS phase,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  off // 512 AS seq_first,
+           |  CASE WHEN n_tokens <= 0 THEN off // 512
+           |       ELSE (off + n_tokens - 1) // 512 END AS seq_last
+           |FROM r""".stripMargin
     },
 
     // x7: same digit-rebuilt hash (salt 'mixbudget'), same BIGINT
