@@ -39,7 +39,7 @@ object Bench {
       "o10_version_history", "o24_time_travel", "o25_retention",
       "s4_ivf_index_search",
       "s5_ivf_reassign", "e2e_neardup", "s7d_pq_index_search",
-      "j8_bucketed_join")
+      "s16_mips_index", "j8_bucketed_join")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -1121,6 +1121,31 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S16 — MIPS served from the ON-DISK IVF index: the norm augmentation
+    // composes with the persisted index machinery untouched — augment the
+    // corpus once at ingest, index the augmented vectors (same epoch
+    // writes, same cell partitioning), zero-augment queries at serve time.
+    // Same oracle as s12b: storage must not change a neighbor, which
+    // together with s4 (disk ≡ memory for cosine) closes the claim that
+    // ONE index serves both metrics at 100 TB.
+    "s16_mips_index" -> ((s, dir) => {
+      val work = scratch("s16")
+      val e = emb(s, dir)
+      val aug = SimilarityOps.mipsAugmentCorpus(e, "vec_id", "embedding")
+      val centroids = aug
+        .filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val index = new graft.streaming.IvfIndex(s"$work/index", centroids)
+      index.writeEpoch(aug.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", epoch = 0L)
+      index.writeEpoch(aug.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", epoch = 1L)
+      index.compactCells(s, targetFileBytes = Long.MaxValue)
+      val queries = SimilarityOps.mipsAugmentQueries(
+        e.filter(col("vec_id") < 5), "vec_id", "embedding")
+      index.search(s, queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S5i — centroid-drift maintenance under oracle: the index built on the
     // stride-0 centroid set is re-assigned against a DIFFERENT same-size
     // set (offset stride/2) in one batch pass; the searched result must
@@ -3988,6 +4013,9 @@ object SparkEntry {
     "s15_mips_banded" -> mipsExactOracle,
 
     "s12b_mips_ivf" -> mipsIvfOracle,
+
+    // Disk must not change a neighbor: same oracle as the in-memory s12b.
+    "s16_mips_index" -> mipsIvfOracle,
 
     // Exact-MIPS truth set over RAW vectors joined against the augmented-
     // IVF top-5 (the s12b chain verbatim) — recall by set membership.
