@@ -1236,6 +1236,28 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // G1 — PageRank over the s13 k-NN graph (3 damped iterations): the
+    // centrality signal a curation pipeline uses to surface representative
+    // documents (and, inverted, isolated outliers) — the second iterative
+    // graph family beside d6's connected components. Each per-edge
+    // contribution is FLOORED onto an exact 1e-10 integer grid before the
+    // integer sum (a double→DECIMAL cast rounds ties engine-specifically —
+    // observed 1-unit divergence vs DuckDB; floor is engine-identical);
+    // ranks ship as floored 1e-12 integer units, never a formatted double
+    // (the mon6 midpoint lesson). Dangling nodes drop their mass — stated.
+    "g1_pagerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.pageRank(nodes, edges, "vec_id", "src", "dst", iters = 3)
+        .select(col("id").as("vec_id"),
+          floor(col("pr") * lit(1e12)).cast("long").as("pr_e12"),
+          col("out_deg"), col("in_deg"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2744,6 +2766,44 @@ object SparkEntry {
        |  CASE WHEN (SELECT COUNT(*) FROM candsub) = 0 THEN NULL
        |       ELSE (SELECT COUNT(*) FROM hits) * 10000 // (SELECT COUNT(*) FROM candsub) END AS precision_bp""".stripMargin
 
+  /** g1 oracle: the s13 k-NN edge relation + three unrolled PageRank
+    * iterations (the s8 kmeans unrolling pattern), every contribution
+    * truncated to DECIMAL(30,10) before its exact sum and every constant a
+    * string-cast double. */
+  private def pageRankOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst,
+         |    CAST(CAST(SUM(CAST(floor(p.pr / o.out_deg * 1e10) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 AS in_sum
+         |  FROM e JOIN pr${i - 1} p ON p.id = e.src JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         |pr$i AS (SELECT spine.id,
+         |    (CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE)) / (SELECT n FROM nn)
+         |      + CAST('0.85' AS DOUBLE) * COALESCE(in_sum, CAST('0.0' AS DOUBLE)) AS pr
+         |  FROM spine LEFT JOIN s$i ON s$i.dst = spine.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |nn AS (SELECT COUNT(*) AS n FROM spine),
+       |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+       |indeg AS (SELECT dst, COUNT(*) AS in_deg FROM e GROUP BY 1),
+       |pr0 AS (SELECT id, CAST('1.0' AS DOUBLE) / (SELECT n FROM nn) AS pr FROM spine),
+       |$iters
+       |SELECT spine.id AS vec_id, CAST(floor(pr3.pr * 1e12) AS BIGINT) AS pr_e12,
+       |  CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+       |  CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+       |FROM spine JOIN pr3 ON pr3.id = spine.id
+       |LEFT JOIN outdeg o ON o.src = spine.id
+       |LEFT JOIN indeg i ON i.dst = spine.id""".stripMargin
+  }
+
   private def minhashOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $minhashCtes
@@ -3892,6 +3952,7 @@ object SparkEntry {
 
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
+    "g1_pagerank" -> pageRankOracle,
 
     // The streaming incremental form must converge to exactly the batch
     // LSH pair set — arrival order changes WHEN a pair is reported, never

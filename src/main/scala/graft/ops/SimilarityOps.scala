@@ -44,6 +44,11 @@ object SimilarityOps {
   private def nonZero(v: Column): Column =
     aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x) > 0
 
+  /** Public form of the zero-norm guard, for callers that must mirror the
+    * same node-admission predicate the scoring entry points apply (e.g. a
+    * graph spine over the k-NN relation). */
+  def isNonZero(v: Column): Column = nonZero(v)
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most similar
     * rows of `corpus` (self-matches by id are excluded; zero-norm vectors on
     * either side are dropped).
