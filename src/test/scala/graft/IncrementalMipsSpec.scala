@@ -167,6 +167,32 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(graph === brute)
   }
 
+  test("pagerank: star center accumulates, symmetric cycle stays uniform, dangling mass drops") {
+    import graft.ops.GraphOps
+    val nodes = (1L to 5L).toDF("id")
+    // star: 2,3,4,5 -> 1 ; plus 1 -> 2 (so node 1 is not dangling)
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (1L, 2L)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(nodes, star, "id", "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // NOTE: pr(1) vs pr(2) oscillates with iteration parity (1↔2 form a
+    // 2-cycle; the alternating component decays only as damping^k), so
+    // assert the parity-stable facts: both beat every leaf, leaves tie.
+    assert(pr(1L) > pr(3L) && pr(2L) > pr(3L), "cycle nodes beat leaves")
+    assert(math.abs(pr(3L) - pr(5L)) < 1e-12, "symmetric leaves equal")
+    assert(pr(3L) > 0.02, "leaves keep the teleport share")
+    // 2-cycle keeps the uniform distribution (and mass is conserved: no dangling)
+    val two = Seq(1L, 2L).toDF("id")
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prc = GraphOps.pageRank(two, cyc, "id", "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(prc(1L) - 0.5) < 1e-9 && math.abs(prc(2L) - 0.5) < 1e-9)
+    // dangling variant: 1 -> 2, node 2 sinks; total mass < 1 (documented drop)
+    val dang = Seq((1L, 2L)).toDF("src", "dst")
+    val prd = GraphOps.pageRank(two, dang, "id", "src", "dst", iters = 5)
+      .collect().map(_.getDouble(1)).sum
+    assert(prd < 1.0)
+  }
+
   test("time travel: readAsOf reconstructs each historical state") {
     val dir = tmpDir("asof")
     val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
