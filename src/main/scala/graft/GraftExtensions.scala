@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, TopKDoubles}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL users.
@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("topk_vals"),
+      new ExpressionInfo(classOf[TopKDoubles].getName, "topk_vals"),
+      (exprs: Seq[Expression]) =>
+        TopKDoubles(exprs.head, exprs(1)).toAggregateExpression()))
   }
 }

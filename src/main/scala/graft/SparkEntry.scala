@@ -1236,6 +1236,20 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // O26 — bounded top-k AGGREGATE (custom Catalyst DeclarativeAggregate,
+    // [[graft.expressions.TopKDoubles]]): per-user top-3 values with a
+    // ≤ k-element aggregation buffer on both the partial and final side —
+    // the hot-key-safe, streaming-state-safe form of what
+    // collect_list+sort+slice does with group-sized buffers; o9 is the
+    // window form, this is the aggregate form. Values render at %.2f (the
+    // generator emits 2-decimal values — no format midpoints exist).
+    "o26_topk_agg" -> ((s, dir) =>
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(graft.expressions.TopKAggregate.topkVals(col("value"), 3).as("tv"))
+        .select(col("user_id"),
+          concat_ws(",", transform(col("tv"),
+            v => format_string("%.2f", v))).as("top3"))),
+
     // G1 — PageRank over the s13 k-NN graph (3 damped iterations): the
     // centrality signal a curation pipeline uses to surface representative
     // documents (and, inverted, isolated outliers) — the second iterative
@@ -3953,6 +3967,14 @@ object SparkEntry {
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
     "g1_pagerank" -> pageRankOracle,
+
+    // Top-3 values per user, value-descending; ties are value-identical so
+    // the rendered list is order-unambiguous.
+    "o26_topk_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_transform(l[1:3], v -> printf('%.2f', v)), ',') AS top3
+        |FROM (SELECT user_id, list(value ORDER BY value DESC) AS l
+        |      FROM events GROUP BY 1)""".stripMargin,
 
     // The streaming incremental form must converge to exactly the batch
     // LSH pair set — arrival order changes WHEN a pair is reported, never

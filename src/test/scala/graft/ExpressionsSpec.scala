@@ -83,4 +83,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(graft.ops.DedupOps.signaturesRelational(d, "doc_id", "text", 16, 3)
       .select("id").as[Long].collect().toSeq === Seq(1L))
   }
+
+  test("topk_vals: bounded-buffer aggregate equals collect_list form at any partitioning, skips nulls") {
+    import graft.expressions.TopKAggregate.topkVals
+    val rows = (1 to 500).map(i =>
+      (i % 7, if (i % 11 == 0) null else java.lang.Double.valueOf((i * 37 % 101).toDouble)))
+    val base = rows.toDF("g", "v")
+    def viaCollect(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g")
+      .agg(slice(reverse(array_sort(collect_list($"v"))), 1, 3).as("t"))
+      .select($"g", $"t").as[(Int, Seq[Double])].collect().toMap
+    val expect = viaCollect(base)
+    for (parts <- Seq(1, 4, 13)) {
+      val got = base.repartition(parts).groupBy($"g")
+        .agg(topkVals($"v", 3).as("t"))
+        .select($"g", $"t").as[(Int, Seq[Double])].collect().toMap
+      assert(got === expect, s"parts=$parts")
+    }
+    // registered for SQL via GraftExtensions
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT topk_vals(v, 2) AS t FROM VALUES (1.0d), (5.0d), (3.0d) AS t(v)")
+        .head().getSeq[Double](0)
+      assert(r === Seq(5.0, 3.0))
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
 }
