@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKDoubles].getName, "topk_vals"),
       (exprs: Seq[Expression]) =>
         TopKDoubles(exprs.head, exprs(1)).toAggregateExpression()))
+    // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
+    // bounded aggregate automatically (see BoundedTopKRewrite's contract)
+    e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)
   }
 }
