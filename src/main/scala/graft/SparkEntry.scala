@@ -1236,6 +1236,41 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // P11 — corrupt-record-tolerant JSON ingest: every 13th rendered event
+    // line is deterministically corrupted AT THE FRONT (a doubled opening
+    // brace fails the parse before any token — end-truncation would let
+    // Jackson salvage leading fields, making "which fields leak" parser-
+    // version-dependent), then read back under PERMISSIVE mode with an
+    // explicit corrupt-record column — malformed lines must land whole in
+    // the quarantine column with every data field null, never abort the
+    // read and never contaminate the aggregate. The reference parses its
+    // envelopes defensively for the same reason
+    // (ref: resources/lambdas/stream_processing/main.py:31-46); the oracle
+    // recomputes the expected good/corrupt split relationally from events,
+    // so a PERMISSIVE regression (dropped rows, partial parses) mismatches.
+    "p11_corrupt_ingest" -> ((s, dir) => {
+      val work = scratch("p11")
+      ev(s, dir)
+        .select(to_json(struct(col("event_id"), col("value"))).as("line"),
+          col("event_id"))
+        .select(when(pmod(col("event_id"), lit(13)) === 0,
+            concat(lit("{"), col("line")))
+          .otherwise(col("line")).as("value"))
+        .write.mode("overwrite").text(s"$work/data")
+      val parsed = s.read
+        .schema("event_id LONG, value DOUBLE, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(s"$work/data")
+      parsed.agg(
+        count(when(col("_corrupt").isNull, lit(1))).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"),
+        count(when(col("_corrupt").isNotNull && col("value").isNotNull, lit(1)))
+          .as("n_partial_leak"),
+        Exact.fmt(sum(when(col("_corrupt").isNull, col("value"))
+          .cast("decimal(30,4)")).cast("double"), 4).as("sum_good_r"))
+    }),
+
     // O26 — bounded top-k AGGREGATE (custom Catalyst DeclarativeAggregate,
     // [[graft.expressions.TopKDoubles]]): per-user top-3 values with a
     // ≤ k-element aggregation buffer on both the partial and final side —
@@ -3967,6 +4002,16 @@ object SparkEntry {
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
     "g1_pagerank" -> pageRankOracle,
+
+    // Expected good/corrupt split recomputed relationally: corrupt = the
+    // deterministic truncation set, partial leaks must be zero.
+    "p11_corrupt_ingest" ->
+      """SELECT COUNT(*) FILTER (WHERE event_id % 13 <> 0) AS n_good,
+        |  COUNT(*) FILTER (WHERE event_id % 13 = 0) AS n_corrupt,
+        |  CAST(0 AS BIGINT) AS n_partial_leak,
+        |  printf('%.4f', CAST(SUM(CASE WHEN event_id % 13 <> 0
+        |    THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE)) AS sum_good_r
+        |FROM events""".stripMargin,
 
     // Top-3 values per user, value-descending; ties are value-identical so
     // the rendered list is order-unambiguous.
