@@ -1030,6 +1030,23 @@ object SparkEntry {
         TextOps.langIdHeuristic(col("text")).as("lang_pred"),
         (TextOps.langIdHeuristic(col("text")) === col("lang")).cast("int").as("is_match"))),
 
+    // T20 — language-ID CONFUSION MATRIX + per-class precision/recall in
+    // exact basis points: the eval row for t3 (the d10/s14 pattern applied
+    // to the classifier family — t3 reports per-doc matches, this reports
+    // the aggregate quality a pipeline monitors: which languages the
+    // heuristic confuses, per-class and overall). All integers.
+    "t20_langid_eval" -> ((s, dir) => {
+      val p = docs(s, dir).select(col("lang"),
+        TextOps.langIdHeuristic(col("text")).as("pred"))
+      val cell = p.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+      val byTrue = p.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val byPred = p.groupBy(col("pred")).agg(count(lit(1)).as("n_pred"))
+      cell.join(byTrue, "lang").join(byPred, "pred")
+        .select(col("lang"), col("pred"), col("n"),
+          expr("n * 10000 div n_true").as("recall_bp"),
+          expr("n * 10000 div n_pred").as("precision_bp"))
+    }),
+
     // T4 — document fingerprinting.
     "t4_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -4127,6 +4144,21 @@ object SparkEntry {
 
     "t4_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fp FROM documents",
+
+    // Confusion cells + per-class rates over the same vowel-ratio ladder.
+    "t20_langid_eval" ->
+      """WITH p AS (SELECT lang,
+        |    (CASE WHEN vr >= 0.42 THEN 'en' WHEN vr >= 0.36 THEN 'es' ELSE 'de' END) AS pred
+        |  FROM (SELECT lang,
+        |    CAST(length(lower(text)) - length(regexp_replace(lower(text), '[aeiou]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(lower(text)), 1) AS vr FROM documents)),
+        |cell AS (SELECT lang, pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |bt AS (SELECT lang, COUNT(*) AS n_true FROM p GROUP BY 1),
+        |bp AS (SELECT pred, COUNT(*) AS n_pred FROM p GROUP BY 1)
+        |SELECT cell.lang, cell.pred, cell.n,
+        |  cell.n * 10000 // bt.n_true AS recall_bp,
+        |  cell.n * 10000 // bp.n_pred AS precision_bp
+        |FROM cell JOIN bt ON cell.lang = bt.lang JOIN bp ON cell.pred = bp.pred""".stripMargin,
 
     "s1_ann_topk" -> annOracle,
 
