@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over edge relations — the second family
+  * beside [[DedupOps.connectedComponents]]' label propagation.
+  *
+  * PageRank here is the data-curation signal (centrality over a document
+  * similarity graph surfaces representative documents; its inverse flags
+  * isolated outliers), not web-scale link analysis — but the execution
+  * shape is the classic one: per iteration, one edge-keyed join to pick up
+  * source ranks, one narrow groupBy(dst) of partial-aggregated
+  * contributions, one left join back onto the node spine. Nothing wider
+  * than the edge relation ever shuffles.
+  *
+  * Determinism contract: each per-edge contribution pr/outdeg is one
+  * mirrored IEEE division FLOORED onto an exact 1e-10 integer grid before
+  * the (integer, order-independent) sum — floor of a double is engine-
+  * identical, whereas a double→DECIMAL cast rounds ties under engine-
+  * specific modes (a one-grid-unit divergence observed against DuckDB on
+  * exactly-midpoint contributions); the damping update is one mirrored
+  * double chain per node. Dangling nodes (no out-edges) contribute
+  * nothing — the dropped-mass PageRank variant, stated rather than
+  * silently renormalized; ranks still converge and compare, they just
+  * don't sum to 1.
+  */
+object GraphOps {
+
+  /** `iters` damped PageRank iterations over directed `edges` (src, dst)
+    * on the node set `nodes` (one column, same name as src/dst ids).
+    * Returns (id, pr, out_deg, in_deg). Few-iteration use is the intended
+    * shape; for long chains add a lineage cut per iteration (the d6/s8
+    * localCheckpoint pattern). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String, dstCol: String, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    val n = spine.count()
+    var pr = spine.withColumn("pr", lit(1.0) / n)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          floor(col("pr") / col("out_deg") * lit(1e10)).cast("long").as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg((sum(col("c")).cast("double") / lit(1e10)).as("in_sum"))
+      pr = spine
+        .join(sums.select(col("dst").as("id"), col("in_sum")), Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) / n + lit(damping) * coalesce(col("in_sum"), lit(0.0)))
+            .as("pr"))
+    }
+    pr.join(outdeg.select(col("src").as("id"), col("out_deg")), Seq("id"), "left")
+      .join(indeg.select(col("dst").as("id"), col("in_deg")), Seq("id"), "left")
+      .select(col("id"), col("pr"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}
