@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, TopKDoubles}
+import graft.expressions.{CosineSimilarity, MinKDistinctLongs, TopKDoubles}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL users.
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKDoubles].getName, "topk_vals"),
       (exprs: Seq[Expression]) =>
         TopKDoubles(exprs.head, exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("mink_distinct"),
+      new ExpressionInfo(classOf[MinKDistinctLongs].getName, "mink_distinct"),
+      (exprs: Seq[Expression]) =>
+        MinKDistinctLongs(exprs.head, exprs(1)).toAggregateExpression()))
     // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
     // bounded aggregate automatically (see BoundedTopKRewrite's contract)
     e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)

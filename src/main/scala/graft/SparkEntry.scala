@@ -1593,6 +1593,75 @@ object SparkEntry {
             col("n_exact").cast("double"), 4).as("rel_err_r"))
     }),
 
+    // O27 — KMV (k-minimum-values / bottom-k) distinct sketch: the k=256
+    // smallest distinct 60-bit hashes of event_id, kept by a bounded
+    // ≤ k-element aggregate buffer on BOTH aggregation sides
+    // ([[graft.expressions.MinKDistinctLongs]]) — the exchange carries one
+    // k-array per partition, constant in corpus size and cardinality
+    // (narrower than HLL's m register rows). Second cardinality sketch
+    // beside o11 because KMV retains hash VALUES: two sketches compose
+    // into set-operation estimates (o28), which HLL registers cannot.
+    // Estimator (k−1)·2^60/h_(k) is one mirrored IEEE multiply+divide on
+    // exact integers; unsaturated sketches are exact by construction.
+    "o27_kmv_distinct" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val k = 256
+      graft.ops.Sketches.kmvSketch(e, col("event_id"), k)
+        .select(size(col("vals")).cast("long").as("n_kept"),
+          element_at(col("vals"), size(col("vals"))).as("kth"),
+          graft.ops.Sketches.kmvEstimate(col("vals"), k).as("est"))
+        .crossJoin(e.agg(countDistinct(col("event_id")).as("n_exact")))
+        .select(col("n_exact"), col("n_kept"), col("kth"),
+          Exact.fmt(col("est"), 4).as("est_r"),
+          Exact.fmt((col("est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4).as("rel_err_r"))
+    }),
+
+    // O28 — sketch-side set operations, the capability KMV buys over HLL:
+    // estimated n-gram overlap between two corpus slices (en vs de 3-word
+    // shingle sets — the sketch form of x4's decontamination question,
+    // answerable at 100 TB from two kilobyte sketches without ever joining
+    // the corpora). M = k smallest of S_en ∪ S_de is EXACTLY the k smallest
+    // of the full union (each side's bottom-k covers it — the mergeable-
+    // partial property, same family as o16/o17/o20); matches = |M ∩ S_en ∩
+    // S_de| gives Jaccard ≈ matches/|M| and |∩| ≈ Jaccard · union_est.
+    // Exact intersection/union ride along as integers for the error column.
+    "o28_kmv_jaccard" -> ((s, dir) => {
+      val k = 256
+      val d = docs(s, dir)
+      def side(lang: String) = d.filter(col("lang") === lang)
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("t"))
+      val skA = graft.ops.Sketches.kmvSketch(side("en"), col("t"), k)
+      val skB = graft.ops.Sketches.kmvSketch(side("de"), col("t"), k)
+      val ha = skA.select(explode(col("vals")).as("h"))
+      val hb = skB.select(explode(col("vals")).as("h"))
+      // union sketch: k smallest distinct VALUES of S_A ∪ S_B, merged
+      // relationally (the sketches are ≤ k rows each — metadata-sized)
+      val mu = ha.union(hb).distinct().orderBy(col("h")).limit(k)
+      val matches = mu.join(ha, Seq("h"), "left_semi")
+        .join(hb, Seq("h"), "left_semi")
+      val stats = mu.agg(count(lit(1)).cast("long").as("n_kept_u"),
+          max(col("h")).as("kth_u"))
+        .crossJoin(matches.agg(count(lit(1)).cast("long").as("n_match")))
+      // exact counts for the error column (affordable at bench scale; at
+      // 100 TB only the sketches exist)
+      val ta = side("en").select(col("t")).distinct()
+      val tb = side("de").select(col("t")).distinct()
+      val exact = ta.join(tb, Seq("t"), "left_semi")
+        .agg(count(lit(1)).as("n_inter_exact"))
+        .crossJoin(ta.union(tb).distinct().agg(count(lit(1)).as("n_union_exact")))
+      val unionEst = graft.ops.Sketches.kmvEstimateFrom(
+        col("n_kept_u"), col("kth_u"), k)
+      val jaccardEst = col("n_match").cast("double") / col("n_kept_u").cast("double")
+      stats.crossJoin(exact)
+        .select(col("n_kept_u"), col("kth_u"), col("n_match"),
+          col("n_inter_exact"), col("n_union_exact"),
+          expr("n_inter_exact * 10000 div n_union_exact").as("jaccard_exact_bp"),
+          Exact.fmt(jaccardEst, 4).as("jaccard_est_r"),
+          Exact.fmt(unionEst, 4).as("union_est_r"),
+          Exact.fmt(jaccardEst * unionEst, 4).as("inter_est_r"))
+    }),
+
     // O15 — per-group HLL: distinct users per day from one narrow
     // (grp, bucket) register exchange (≤ m register rows per group per
     // partition) instead of shuffling every (day, user) pair — the grouped
@@ -3354,6 +3423,70 @@ object SparkEntry {
        |FROM f CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) e""".stripMargin
   }
 
+  /** Oracle for the KMV sketch (o27): the same 15-hex-digit integer ladder
+    * as [[graft.ops.Sketches.kmvHashSql]] (generated from the same code),
+    * k smallest distinct hashes relationally (DISTINCT → ORDER BY → LIMIT —
+    * value-deterministic, so the two engines' different top-k machinery
+    * lands on the identical set), the estimator branch mirrored
+    * operation for operation. */
+  private def kmvOracle: String = {
+    val k = 256
+    val h = graft.ops.Sketches.kmvHashSql("event_id")
+    s"""WITH hs AS (SELECT DISTINCT $h AS h FROM events),
+       |sk AS (SELECT h FROM hs ORDER BY h LIMIT $k),
+       |a AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM sk),
+       |f AS (SELECT n_kept, kth,
+       |  ${graft.ops.Sketches.kmvEstimateSql("n_kept", "kth", k)} AS est FROM a),
+       |e AS (SELECT COUNT(DISTINCT event_id) AS n_exact FROM events)
+       |SELECT e.n_exact, f.n_kept, f.kth,
+       |  printf('%.4f', f.est) AS est_r,
+       |  printf('%.4f', (f.est - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE))
+       |    AS rel_err_r
+       |FROM f CROSS JOIN e""".stripMargin
+  }
+
+  /** Oracle for o28: per-language shingle sets (the d10 shingle SQL), each
+    * side's bottom-k sketch, the union sketch merged from the two sketches'
+    * VALUES (≤ 2k rows), match counting, and the estimator/jaccard chain —
+    * every double op mirrored, every count an exact integer. */
+  private def kmvJaccardOracle: String = {
+    val k = 256
+    val h = graft.ops.Sketches.kmvHashSql("t")
+    val shingleSql =
+      """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |     ELSE list_transform(range(1, len(tk) - 1),
+        |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
+    s"""WITH dk AS (SELECT lang, $toksSql AS tk FROM documents
+       |            WHERE lang IN ('en', 'de')),
+       |sh AS (SELECT lang, unnest($shingleSql) AS t FROM dk),
+       |hs AS (SELECT lang, $h AS h FROM sh),
+       |ska AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE lang = 'en')
+       |        ORDER BY h LIMIT $k),
+       |skb AS (SELECT h FROM (SELECT DISTINCT h FROM hs WHERE lang = 'de')
+       |        ORDER BY h LIMIT $k),
+       |mu AS (SELECT h FROM (SELECT DISTINCT h FROM
+       |         (SELECT h FROM ska UNION ALL SELECT h FROM skb))
+       |       ORDER BY h LIMIT $k),
+       |mt AS (SELECT COUNT(*) AS n_match FROM mu
+       |       WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+       |st AS (SELECT COUNT(*) AS n_kept_u, MAX(h) AS kth_u FROM mu),
+       |tex AS (SELECT DISTINCT lang, t FROM sh),
+       |ex AS (SELECT
+       |  (SELECT COUNT(*) FROM (SELECT t FROM tex WHERE lang = 'en') x
+       |     WHERE t IN (SELECT t FROM tex WHERE lang = 'de')) AS n_inter_exact,
+       |  (SELECT COUNT(DISTINCT t) FROM tex) AS n_union_exact),
+       |f AS (SELECT n_kept_u, kth_u, n_match,
+       |  ${graft.ops.Sketches.kmvEstimateSql("n_kept_u", "kth_u", k)} AS union_est,
+       |  CAST(n_match AS DOUBLE) / CAST(n_kept_u AS DOUBLE) AS jac
+       |  FROM st CROSS JOIN mt)
+       |SELECT f.n_kept_u, f.kth_u, f.n_match, ex.n_inter_exact, ex.n_union_exact,
+       |  ex.n_inter_exact * 10000 // ex.n_union_exact AS jaccard_exact_bp,
+       |  printf('%.4f', f.jac) AS jaccard_est_r,
+       |  printf('%.4f', f.union_est) AS union_est_r,
+       |  printf('%.4f', f.jac * f.union_est) AS inter_est_r
+       |FROM f CROSS JOIN ex""".stripMargin
+  }
+
   /** Oracle for o15: [[hllOracle]] with the day group carried through every
     * stage — same digit ladder, same estimator branches, per group. */
   private def hllByOracle: String = {
@@ -4236,6 +4369,8 @@ object SparkEntry {
     "o15_hll_by_day" -> hllByOracle,
     "o16_hll_merge" -> hllMergeOracle,
     "o17_cms_merge" -> cmsMergeOracle,
+    "o27_kmv_distinct" -> kmvOracle,
+    "o28_kmv_jaccard" -> kmvJaccardOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same

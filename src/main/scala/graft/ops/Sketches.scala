@@ -157,6 +157,66 @@ object Sketches {
           .otherwise(col("raw")).as("n_hll"))
   }
 
+  // ---- KMV / bottom-k sketch (distinct counts AND set operations) --------
+
+  /** 60-bit uniform hash for the KMV sketch: integer value of the first 15
+    * md5 hex chars. 15 digits keep the sum strictly inside BIGINT in both
+    * engines (16^15 = 2^60), and the hex-prefix form is reproducible
+    * digit-for-digit by the oracle's strpos ladder ([[kmvHashSql]]). */
+  def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** SQL mirror of [[kmvHash]] — the same 15-hex-digit integer ladder. */
+  def kmvHashSql(keyExpr: String): String =
+    (1 to 15).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+      .mkString(" + ")
+
+  /** KMV (k-minimum-values) sketch of `keyCol` over `df`: ONE row holding
+    * the ascending array of the k smallest distinct 60-bit hashes.
+    *
+    * Why a second cardinality sketch beside HLL: the KMV sketch retains
+    * actual hash VALUES, so two sketches support set operations — the k
+    * smallest of A ∪ B is computable from S_A ∪ S_B alone, and matching
+    * values estimate |A ∩ B| / Jaccard — which HLL's rank-collapsed
+    * registers cannot answer. The price is accuracy per byte (k longs vs
+    * m 6-bit registers).
+    *
+    * Plan shape ([[graft.expressions.MinKDistinctLongs]]): one aggregate
+    * whose buffer is bounded at k elements on BOTH aggregation sides — the
+    * exchange carries one ≤ k-element array per partition, constant in
+    * corpus size and key cardinality (strictly narrower than HLL's m
+    * register rows). Merge is distinct-union-min-k: associative,
+    * commutative, idempotent — partials from any partitioning or replay
+    * merge to the identical sketch. */
+  def kmvSketch(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 2)
+    df.agg(graft.expressions.MinKAggregate.minkDistinct(kmvHash(keyCol), k)
+      .as("vals"))
+  }
+
+  /** Distinct-count estimate from a KMV value array: a saturated sketch
+    * estimates (k−1) · 2^60 / h_(k) (the classic bottom-k estimator); an
+    * unsaturated one IS the exact distinct-hash count. Both branches are
+    * single mirrored IEEE operations on exact integers — (k−1)·2^60 is
+    * exactly representable (k ≤ 2^52), so the only rounding is the final
+    * division, identical on any engine. */
+  def kmvEstimate(vals: Column, k: Int): Column =
+    kmvEstimateFrom(size(vals).cast("long"), element_at(vals, size(vals)), k)
+
+  /** [[kmvEstimate]] from an already-extracted (n_kept, kth) pair — the
+    * form used when the sketch lives as rows rather than an array. */
+  def kmvEstimateFrom(nKept: Column, kth: Column, k: Int): Column =
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit((1L << 60).toDouble) /
+        kth.cast("double"))
+
+  /** SQL mirror of [[kmvEstimate]] for a (n_kept, kth) pair. */
+  def kmvEstimateSql(nKept: String, kth: String, k: Int): String =
+    s"""CASE WHEN $nKept < $k THEN CAST($nKept AS DOUBLE)
+       |     ELSE CAST('${(k - 1).toDouble}' AS DOUBLE) * CAST('${(1L << 60).toDouble}' AS DOUBLE)
+       |          / CAST($kth AS DOUBLE) END""".stripMargin
+
   // ---- Count-Min sketch (heavy hitters without a per-key shuffle) --------
 
   /** Salted 32-bit row hash → bucket for CMS row `i`: integer value of the
