@@ -1324,6 +1324,26 @@ object SparkEntry {
           col("out_deg"), col("in_deg"))
     }),
 
+    // G2 — triangle counting + local clustering coefficient over the same
+    // k-NN graph (undirected closure): the community-density signal beside
+    // g1's centrality. Degree-ordered orientation (each triangle counted
+    // exactly once at its (deg,id)-minimal vertex; oriented out-degree is
+    // O(√m) for ANY degree distribution, so the wedge relation never
+    // explodes at a hub — the 100 TB-safe form of wedge counting). Output
+    // is all-integer (counts + basis-point coefficient by integer
+    // division) — no doubles, nothing to format.
+    "g2_triangles" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.triangleStats(nodes, edges, "vec_id", "src", "dst")
+        .select(col("id").as("vec_id"), col("deg"), col("tri"), col("cc_bp"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2939,6 +2959,46 @@ object SparkEntry {
        |LEFT JOIN indeg i ON i.dst = spine.id""".stripMargin
   }
 
+  /** g2 oracle: the s13 k-NN edge relation (same prefix as
+    * [[pageRankOracle]]) undirected + canonicalized, the same
+    * (degree, id)-ordered orientation, wedge closure, and per-node
+    * triangle/coefficient arithmetic — exact integers throughout. */
+  private def triangleOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |deg AS (SELECT id, COUNT(*) AS deg FROM
+       |        (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       |        GROUP BY 1),
+       |o AS (SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS s,
+       |             CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS t
+       |      FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b),
+       |tri AS (SELECT o1.s AS apex, o1.t AS x, o2.t AS y
+       |        FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t
+       |        WHERE EXISTS (SELECT 1 FROM und u
+       |                      WHERE u.a = o1.t AND u.b = o2.t)),
+       |pn AS (SELECT id, COUNT(*) AS tri FROM
+       |       (SELECT apex AS id FROM tri UNION ALL SELECT x FROM tri
+       |        UNION ALL SELECT y FROM tri) GROUP BY 1)
+       |SELECT spine.id AS vec_id,
+       |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       |  CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+       |  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+       |       THEN COALESCE(pn.tri, 0) * 2 * 10000 // (d.deg * (d.deg - 1))
+       |       ELSE 0 END AS BIGINT) AS cc_bp
+       |FROM spine LEFT JOIN deg d ON d.id = spine.id
+       |LEFT JOIN pn ON pn.id = spine.id""".stripMargin
+
   private def minhashOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $minhashCtes
@@ -4152,6 +4212,7 @@ object SparkEntry {
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
     "g1_pagerank" -> pageRankOracle,
+    "g2_triangles" -> triangleOracle,
 
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.

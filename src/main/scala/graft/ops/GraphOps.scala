@@ -62,4 +62,61 @@ object GraphOps {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Per-node triangle counts and local clustering coefficients over the
+    * UNDIRECTED closure of `edges` — the community-density signal beside
+    * PageRank's centrality (dense neighborhoods = topical clusters;
+    * coefficient 0 at high degree = hub spanning unrelated content).
+    *
+    * Algorithm is the degree-ordered orientation (Schank & Wagner / Cohen's
+    * MapReduce form): orient each undirected edge from the (degree, id)-
+    * SMALLER endpoint to the larger, count wedges only at each edge's
+    * oriented source, and close them against the canonical edge set. Every
+    * triangle has exactly one vertex that precedes both others in the
+    * (degree, id) total order, so it is counted exactly once — and the
+    * wedge relation is bounded by Σ out_deg², where orientation caps
+    * out-degree at O(√m) for ANY degree distribution. That bound is the
+    * whole 100 TB story: the naive wedge count at a celebrity hub of
+    * degree d materializes d² pairs; oriented, the hub is the TARGET of
+    * almost all its edges and its wedge fan-out collapses. No broadcast of
+    * anything data-sized, three key-partitioned joins, all-integer output.
+    *
+    * Returns one row per node in `nodes`: (id, deg, tri, cc_bp) with
+    * cc_bp = ⌊2·tri·10⁴ / (deg·(deg−1))⌋ basis points (integer division —
+    * no doubles anywhere), 0 for deg < 2. */
+  def triangleStats(nodes: DataFrame, edges: DataFrame, idCol: String,
+                    srcCol: String, dstCol: String): DataFrame = {
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("id").as("a"), col("deg").as("dega"))
+    val db = deg.select(col("id").as("b"), col("deg").as("degb"))
+    val oriented = und.join(da, "a").join(db, "b")
+      .select(
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          col("a")).otherwise(col("b")).as("s"),
+        when(struct(col("dega"), col("a")) < struct(col("degb"), col("b")),
+          col("b")).otherwise(col("a")).as("t"))
+    val o1 = oriented.select(col("s"), col("t").as("x"))
+    val o2 = oriented.select(col("s"), col("t").as("y"))
+    val wedges = o1.join(o2, "s").filter(col("x") < col("y"))
+    val tris = wedges.join(und,
+      und("a") === wedges("x") && und("b") === wedges("y"), "left_semi")
+    val perNode = tris.select(col("s").as("id"))
+      .union(tris.select(col("x").as("id")))
+      .union(tris.select(col("y").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    spine.join(deg, Seq("id"), "left").join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .select(col("id"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          expr("tri * 2 * 10000 div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_bp"))
+  }
 }

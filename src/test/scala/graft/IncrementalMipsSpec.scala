@@ -193,6 +193,28 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(prd < 1.0)
   }
 
+  test("triangles: known graph, direction/duplicate-proof, isolated node") {
+    import graft.ops.GraphOps
+    val nodes = (1L to 7L).toDF("id") // 7 is isolated
+    // triangle {1,2,3}; square 3-4-5-6 with diagonal 4-6 → {4,5,6}, {3,4,6}.
+    // Feed edges with MIXED directions and a duplicate to prove
+    // canonicalization (the k-NN edge relation is directed and often
+    // mutual).
+    val edges = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (5L, 4L),
+      (5L, 6L), (6L, 3L), (4L, 6L), (6L, 4L)).toDF("src", "dst")
+    val got = GraphOps.triangleStats(nodes, edges, "id", "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 10000L)))
+    assert(got(2L) === ((2L, 1L, 10000L)))
+    assert(got(3L) === ((4L, 2L, 3333L))) // 4·10⁴/12 floored
+    assert(got(4L) === ((3L, 2L, 6666L)))
+    assert(got(5L) === ((2L, 1L, 10000L)))
+    assert(got(6L) === ((3L, 2L, 6666L)))
+    assert(got(7L) === ((0L, 0L, 0L)))
+    // global count: Σ per-node tri = 3·(number of triangles)
+    assert(got.values.map(_._2).sum === 9L)
+  }
+
   test("time travel: readAsOf reconstructs each historical state") {
     val dir = tmpDir("asof")
     val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
