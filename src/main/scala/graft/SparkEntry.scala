@@ -1253,6 +1253,22 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // D11 — EXACT set-similarity join via prefix filtering (PPJoin
+    // family): every pair with shingle-Jaccard ≥ 0.8, FULL recall — the
+    // exact counterpart of the LSH candidate path (d2/d4 trade recall for
+    // volume; d10 measures that loss, this eliminates it). Under the
+    // global (df, token) order two τ-similar sets must share a token in
+    // their first n − ⌈τn⌉ + 1, and rare-token-first ordering keeps every
+    // prefix posting list short — candidates collapse from "share ANY
+    // token" (11 533 pairs at sf0.01) to "share a RARE token". Thresholds
+    // all integer (⌈τn⌉ = (8n+9) div 10; verify 10·|∩| ≥ 8·|∪|) — the
+    // pair set is bit-identical on any engine, no doubles anywhere.
+    "d11_setsim_join" -> ((s, dir) =>
+      DedupOps.setSimJoinExact(docs(s, dir), "doc_id", "text",
+          shingleSize = 3, tauNum = 8, tauDen = 10)
+        .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("ni"),
+          col("j_bp"))),
+
     // P11 — corrupt-record-tolerant JSON ingest: every 13th rendered event
     // line is deterministically corrupted AT THE FRONT (a doubled opening
     // brace fails the parse before any token — end-truncation would let
@@ -2999,6 +3015,36 @@ object SparkEntry {
        |FROM spine LEFT JOIN deg d ON d.id = spine.id
        |LEFT JOIN pn ON pn.id = spine.id""".stripMargin
 
+  /** d11 oracle: the same distinct-shingle relation, (df, token)-ordered
+    * per-doc positions, integer prefix bound, prefix-token candidate join,
+    * and integer verification — mirrored relation for relation. */
+  private def setSimJoinOracle: String = {
+    val shingleSql =
+      """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |     ELSE list_transform(range(1, len(tk) - 1),
+        |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
+    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
+       |dfreq AS (SELECT t, COUNT(*) AS df FROM tok GROUP BY 1),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+       |rk AS (SELECT k.doc_id, k.t,
+       |       row_number() OVER (PARTITION BY k.doc_id ORDER BY d.df, k.t) AS pos
+       |       FROM tok k JOIN dfreq d USING (t)),
+       |pre AS (SELECT r.doc_id, r.t FROM rk r JOIN sz s USING (doc_id)
+       |        WHERE r.pos <= s.n - ((8 * s.n + 9) // 10) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM pre a JOIN pre b USING (t) WHERE a.doc_id < b.doc_id),
+       |i AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
+       |      FROM cand c JOIN tok x ON x.doc_id = c.id_a
+       |      JOIN tok y ON y.doc_id = c.id_b AND y.t = x.t
+       |      GROUP BY 1, 2)
+       |SELECT i.id_a, i.id_b, sa.n AS na, sb.n AS nb, i.ni,
+       |  i.ni * 10000 // (sa.n + sb.n - i.ni) AS j_bp
+       |FROM i JOIN sz sa ON sa.doc_id = i.id_a
+       |JOIN sz sb ON sb.doc_id = i.id_b
+       |WHERE 10 * i.ni >= 8 * (sa.n + sb.n - i.ni)""".stripMargin
+  }
+
   private def minhashOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $minhashCtes
@@ -4211,6 +4257,7 @@ object SparkEntry {
 
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
+    "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,
 

@@ -309,6 +309,64 @@ object DedupOps {
     * Gram hashes are uniform, so the join has no skew; the benchmark side
     * is distinct-reduced before the join and is typically small enough
     * that AQE broadcasts it. */
+  /** EXACT set-similarity join via prefix filtering (PPJoin-family,
+    * Chaudhuri/Ganti/Kaushik '06, Xiao et al. '08): all pairs whose
+    * distinct-shingle Jaccard ≥ tauNum/tauDen, with FULL RECALL — the
+    * exact counterpart of the LSH candidate path (d2/d4 trade recall for
+    * candidate volume; this trades a per-doc prefix index for a
+    * guarantee).
+    *
+    * Why it scales: under one global token order (ascending document
+    * frequency, ties by token), two sets with Jaccard ≥ τ MUST share a
+    * token inside their first n − ⌈τ·n⌉ + 1 tokens — so only PREFIX
+    * tokens are joined, and because the order puts the RAREST tokens
+    * first, each prefix token's posting list is short (a stopword shared
+    * by every document lands at the END of every prefix-eligible list and
+    * never generates a candidate). Candidate volume collapses from
+    * "pairs sharing ANY token" to "pairs sharing a RARE token" — measured
+    * 11 533 → prefix-filtered subset on the sf0.01 corpus — and the exact
+    * verification join runs only over candidates.
+    *
+    * All thresholds are INTEGER arithmetic: prefix length
+    * n − ⌈τn⌉ + 1 with ⌈τn⌉ = (tauNum·n + tauDen − 1) div tauDen, and the
+    * final test tauDen·|∩| ≥ tauNum·|∪| — no floating point anywhere, so
+    * the pair set is bit-identical on any engine.
+    *
+    * Returns (id_a, id_b, na, nb, ni, j_bp) for matching pairs,
+    * j_bp = ⌊|∩|·10⁴/|∪|⌋. */
+  def setSimJoinExact(docs: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, tauNum: Int = 8,
+                      tauDen: Int = 10): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum)
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleSize))).as("t"))
+    val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = tok.join(dfreq, "t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("t"))))
+      .join(sizes, "id")
+    val prefix = ranked.filter(col("pos") <=
+      col("n") - expr(s"($tauNum * n + ${tauDen - 1}) div $tauDen") + 1)
+      .select(col("id"), col("t"))
+    val cand = prefix.select(col("t"), col("id").as("id_a"))
+      .join(prefix.select(col("t"), col("id").as("id_b")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = cand
+      .join(tok.select(col("id").as("id_a"), col("t")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(tauDen) * col("ni") >=
+        lit(tauNum) * (col("na") + col("nb") - col("ni")))
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("ni"),
+        expr("ni * 10000 div (na + nb - ni)").as("j_bp"))
+  }
+
   def contaminationCounts(corpus: DataFrame, bench: DataFrame,
                           idCol: String, textCol: String,
                           gramSize: Int = 13): DataFrame = {

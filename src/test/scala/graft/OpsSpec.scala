@@ -59,6 +59,45 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("setSimJoinExact: full recall vs brute force, threshold integer-exact") {
+    import graft.ops.DedupOps
+    // corpus with engineered overlap: base 40-token docs, variants with
+    // 1..12 tokens substituted (Jaccard sweeps across the 0.8 threshold),
+    // plus unrelated docs
+    val base = (0 until 40).map(i => s"w$i")
+    val docsSeq = Seq(
+      (0L, base.mkString(" ")),
+      (1L, base.updated(5, "X1").mkString(" ")), // 1 sub → J ≈ 35/41 = 0.85
+      (2L, base.updated(5, "X2").updated(20, "Y2").mkString(" ")), // 2 subs
+      (3L, (0 until 40).map(i => s"w${i}").updated(1, "A").updated(10, "B")
+        .updated(19, "C").updated(28, "D").mkString(" ")), // 4 subs
+      (4L, (0 until 40).map(i => s"z$i").mkString(" ")), // disjoint
+      (5L, base.take(20).mkString(" "))) // prefix half (containment, low J)
+      .toDF("doc_id", "text")
+    val got = DedupOps.setSimJoinExact(docsSeq, "doc_id", "text", 3, 8, 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute force over distinct shingle sets
+    def sh(s: String): Set[String] = {
+      val t = s.split("\\s+").toSeq
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val m = docsSeq.as[(Long, String)].collect().toMap
+    val brute = (for {
+      a <- m.keys; b <- m.keys if a < b
+      sa = sh(m(a)); sb = sh(m(b))
+      ni = (sa & sb).size; nu = (sa | sb).size
+      if 10 * ni >= 8 * nu
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(brute.contains((0L, 1L)), "1-sub variant is over threshold")
+    assert(!brute.contains((0L, 4L)), "disjoint excluded")
+    // every reported pair carries j_bp >= 8000 by the integer threshold
+    val bps = DedupOps.setSimJoinExact(docsSeq, "doc_id", "text", 3, 8, 10)
+      .select($"j_bp").as[Long].collect()
+    assert(bps.forall(_ >= 8000L))
+  }
+
   test("degenerate corpus: per-bucket cap bounds the LSH self-join") {
     // 10k verbatim copies land in ONE bucket per band — uncapped that is
     // ~4 × C(10k,2) ≈ 200M join rows; with the cap the join sees none of
