@@ -1698,6 +1698,37 @@ object SparkEntry {
           Exact.fmt(jaccardEst * unionEst, 4).as("inter_est_r"))
     }),
 
+    // O29 — KMV sketch MERGE: per-day bottom-k partials re-aggregated with
+    // the same bounded min-k aggregate must equal the direct sketch over
+    // the union EXACTLY (distinct-union-min-k is associative/commutative/
+    // idempotent — same values, same estimate, same set-op behavior
+    // downstream). Completes the mergeable-partial matrix's fourth axis:
+    // HLL min-merge (o16), CMS sum-merge (o17), histogram shared-spec
+    // sum-merge (o20), KMV value-merge (o29). Equality shipped as a
+    // CHECKED column (count of differing positions must be 0), both paths
+    // recomputed independently by the oracle.
+    "o29_kmv_merge" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val k = 256
+      val parts = graft.ops.Sketches.kmvSketchBy(
+        e, date_format(col("ts"), "yyyy-MM-dd"), col("event_id"), k)
+      val merged = graft.ops.Sketches.kmvMergeSketches(parts, k)
+        .select(col("vals").as("mv"))
+      val direct = graft.ops.Sketches.kmvSketch(e, col("event_id"), k)
+        .select(col("vals").as("dv"))
+      merged.crossJoin(direct)
+        .crossJoin(parts.agg(count(lit(1)).as("n_parts")))
+        .select(col("n_parts"),
+          size(col("mv")).cast("long").as("n_kept"),
+          element_at(col("mv"), size(col("mv"))).as("kth_merged"),
+          element_at(col("dv"), size(col("dv"))).as("kth_direct"),
+          size(array_except(col("mv"), col("dv"))).cast("long").as("n_diff"),
+          Exact.fmt(graft.ops.Sketches.kmvEstimate(col("mv"), k), 4)
+            .as("est_merged_r"),
+          Exact.fmt(graft.ops.Sketches.kmvEstimate(col("dv"), k), 4)
+            .as("est_direct_r"))
+    }),
+
     // O15 — per-group HLL: distinct users per day from one narrow
     // (grp, bucket) register exchange (≤ m register rows per group per
     // partition) instead of shuffling every (day, user) pair — the grouped
@@ -3551,6 +3582,33 @@ object SparkEntry {
        |FROM f CROSS JOIN e""".stripMargin
   }
 
+  /** Oracle for o29: per-day bottom-k partials (window rank per day),
+    * value-merged bottom-k vs the direct bottom-k, both recomputed
+    * independently; difference count and both estimator tails mirrored. */
+  private def kmvMergeOracle: String = {
+    val k = 256
+    val h = graft.ops.Sketches.kmvHashSql("event_id")
+    s"""WITH hs AS (SELECT strftime(ts, '%Y-%m-%d') AS part, $h AS h FROM events),
+       |dp AS (SELECT DISTINCT part, h FROM hs),
+       |rk AS (SELECT part, h, row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |       FROM dp),
+       |pk AS (SELECT part, h FROM rk WHERE rn <= $k),
+       |mg AS (SELECT h FROM (SELECT DISTINCT h FROM pk) ORDER BY h LIMIT $k),
+       |dr AS (SELECT h FROM (SELECT DISTINCT h FROM hs) ORDER BY h LIMIT $k),
+       |np AS (SELECT COUNT(DISTINCT part) AS n_parts FROM hs),
+       |ma AS (SELECT COUNT(*) AS n_kept_m, MAX(h) AS kth_m FROM mg),
+       |da AS (SELECT COUNT(*) AS n_kept_d, MAX(h) AS kth_d FROM dr),
+       |df AS (SELECT COUNT(*) AS n_diff FROM
+       |       (SELECT h FROM mg EXCEPT SELECT h FROM dr))
+       |SELECT np.n_parts, ma.n_kept_m AS n_kept, ma.kth_m AS kth_merged,
+       |  da.kth_d AS kth_direct, df.n_diff,
+       |  printf('%.4f', ${graft.ops.Sketches.kmvEstimateSql("ma.n_kept_m", "ma.kth_m", k)})
+       |    AS est_merged_r,
+       |  printf('%.4f', ${graft.ops.Sketches.kmvEstimateSql("da.n_kept_d", "da.kth_d", k)})
+       |    AS est_direct_r
+       |FROM np CROSS JOIN ma CROSS JOIN da CROSS JOIN df""".stripMargin
+  }
+
   /** Oracle for o28: per-language shingle sets (the d10 shingle SQL), each
     * side's bottom-k sketch, the union sketch merged from the two sketches'
     * VALUES (≤ 2k rows), match counting, and the estimator/jaccard chain —
@@ -4479,6 +4537,7 @@ object SparkEntry {
     "o17_cms_merge" -> cmsMergeOracle,
     "o27_kmv_distinct" -> kmvOracle,
     "o28_kmv_jaccard" -> kmvJaccardOracle,
+    "o29_kmv_merge" -> kmvMergeOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same

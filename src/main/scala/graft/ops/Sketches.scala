@@ -211,6 +211,29 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit((1L << 60).toDouble) /
         kth.cast("double"))
 
+  /** Per-part KMV sketches — the mergeable-partial form ([[hllRegistersBy]]
+    * / [[cmsCellsBy]] counterpart): one (part, vals) bottom-k array per
+    * `partCol` slice. Partials merge by distinct-union-min-k over their
+    * VALUES ([[kmvMergeSketches]]), and because that operation is
+    * associative/commutative/idempotent the merged sketch equals the
+    * direct sketch over the union EXACTLY — same values, same estimate,
+    * same downstream set-operation behavior. */
+  def kmvSketchBy(df: DataFrame, partCol: Column, keyCol: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2)
+    df.groupBy(partCol.as("part"))
+      .agg(graft.expressions.MinKAggregate.minkDistinct(kmvHash(keyCol), k)
+        .as("vals"))
+  }
+
+  /** Merge partial KMV sketches ([[kmvSketchBy]] output, or a union of
+    * several) into one [[kmvSketch]]-shaped row: the partials' values
+    * re-aggregated with the same bounded min-k aggregate (no re-hash —
+    * the values ARE hashes). */
+  def kmvMergeSketches(parts: DataFrame, k: Int): DataFrame =
+    parts.select(explode(col("vals")).as("h"))
+      .agg(graft.expressions.MinKAggregate.minkDistinct(col("h"), k).as("vals"))
+
   /** SQL mirror of [[kmvEstimate]] for a (n_kept, kth) pair. */
   def kmvEstimateSql(nKept: String, kth: String, k: Int): String =
     s"""CASE WHEN $nKept < $k THEN CAST($nKept AS DOUBLE)

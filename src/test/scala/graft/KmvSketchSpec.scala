@@ -87,6 +87,15 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est - n) / n < 0.25, s"estimate $est far from $n")
   }
 
+  test("kmvSketchBy partials merge to exactly the direct sketch") {
+    val df = (0L until 900L).map(i => (i % 9, i)).toDF("part", "id")
+    val parts = Sketches.kmvSketchBy(df, col("part"), col("id"), 48)
+    assert(parts.count() === 9)
+    val merged = Sketches.kmvMergeSketches(parts, 48).head().getSeq[Long](0)
+    val direct = Sketches.kmvSketch(df, col("id"), 48).head().getSeq[Long](0)
+    assert(merged === direct)
+  }
+
   test("sketch of union == min-k merge of the two sketches") {
     val k = 32
     val a = (0L until 500L).toDF("id")
