@@ -1360,6 +1360,27 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("deg"), col("tri"), col("cc_bp"))
     }),
 
+    // G3 — bounded k-core peeling (3 rounds, k=3) over the k-NN graph: the
+    // density ladder beside g2's local coefficient — survivors of late
+    // rounds sit in genuinely dense similarity regions (a node propped up
+    // only by soon-to-be-peeled neighbors drops next round). Bounded
+    // rounds are the deterministic, oracle-unrollable form (the g1
+    // fixed-iteration contract); per round two semi joins + one narrow
+    // degree aggregation, nothing broadcast. All-integer output.
+    "g3_kcore" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.kCoreRounds(nodes, edges, "vec_id", "src", "dst",
+          k = 3, rounds = 3)
+        .select(col("id").as("vec_id"), col("deg"), col("rounds_survived"),
+          col("in_core"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3076,6 +3097,51 @@ object SparkEntry {
        |WHERE 10 * i.ni >= 8 * (sa.n + sb.n - i.ni)""".stripMargin
   }
 
+  /** g3 oracle: the g1/g2 edge-chain prefix + three unrolled peel rounds
+    * (round 1 on full degree, rounds 2-3 on induced degree), survivor
+    * flags left-joined per round — integer arithmetic only. */
+  private def kCoreOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |deg AS (SELECT id, COUNT(*) AS deg FROM
+       |        (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+       |        GROUP BY 1),
+       |a1 AS (SELECT id FROM deg WHERE deg >= 3),
+       |e2 AS (SELECT u.a, u.b FROM und u
+       |       WHERE u.a IN (SELECT id FROM a1) AND u.b IN (SELECT id FROM a1)),
+       |d2 AS (SELECT id, COUNT(*) AS dk FROM
+       |       (SELECT a AS id FROM e2 UNION ALL SELECT b AS id FROM e2)
+       |       GROUP BY 1),
+       |a2 AS (SELECT id FROM d2 WHERE dk >= 3),
+       |e3 AS (SELECT u.a, u.b FROM und u
+       |       WHERE u.a IN (SELECT id FROM a2) AND u.b IN (SELECT id FROM a2)),
+       |d3 AS (SELECT id, COUNT(*) AS dk FROM
+       |       (SELECT a AS id FROM e3 UNION ALL SELECT b AS id FROM e3)
+       |       GROUP BY 1),
+       |a3 AS (SELECT id FROM d3 WHERE dk >= 3)
+       |SELECT spine.id AS vec_id,
+       |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+       |  CAST((CASE WHEN f1.id IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN f2.id IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN f3.id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS rounds_survived,
+       |  CAST(CASE WHEN f3.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+       |FROM spine LEFT JOIN deg d ON d.id = spine.id
+       |LEFT JOIN a1 f1 ON f1.id = spine.id
+       |LEFT JOIN a2 f2 ON f2.id = spine.id
+       |LEFT JOIN a3 f3 ON f3.id = spine.id""".stripMargin
+
   private def minhashOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH $minhashCtes
@@ -4318,6 +4384,7 @@ object SparkEntry {
     "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,
+    "g3_kcore" -> kCoreOracle,
 
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.

@@ -63,6 +63,58 @@ object GraphOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Bounded k-core peeling over the undirected closure of `edges`:
+    * `rounds` iterations of "drop every node whose degree in the surviving
+    * subgraph is < k". Round 1 filters on full-graph degree; each later
+    * round recomputes degrees in the subgraph induced by the previous
+    * round's survivors. With enough rounds this converges to the exact
+    * k-core; bounded rounds are the deterministic, oracle-unrollable form
+    * (the g1 fixed-iteration contract — stated, not hidden).
+    *
+    * Curation reading: survivors of late rounds sit in genuinely dense
+    * similarity regions (a node propped up only by soon-to-be-peeled
+    * neighbors drops in the next round); `rounds_survived` is a
+    * cheap density ladder. Per round: two key-partitioned semi joins to
+    * induce the subgraph + one narrow degree aggregation — nothing wider
+    * than the edge relation shuffles, nothing data-sized broadcast.
+    *
+    * Returns (id, deg, rounds_survived, in_core): full degree, number of
+    * peel rounds survived (0 = dropped immediately), and the final
+    * survivor flag (1 iff alive after all `rounds`). All integers. */
+  def kCoreRounds(nodes: DataFrame, edges: DataFrame, idCol: String,
+                  srcCol: String, dstCol: String, k: Int,
+                  rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var alive = deg.filter(col("deg") >= k).select(col("id"))
+    var flags = Vector(alive)
+    for (_ <- 2 to rounds) {
+      val ea = und
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      val dr = ea.select(col("a").as("id")).union(ea.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dk"))
+      alive = dr.filter(col("dk") >= k).select(col("id"))
+      flags = flags :+ alive
+    }
+    val withFlags = flags.zipWithIndex.foldLeft(
+      spine.join(deg, Seq("id"), "left")) { case (acc, (f, i)) =>
+      acc.join(f.withColumn(s"__f$i", lit(1L)), Seq("id"), "left")
+    }
+    val survived = flags.indices.map(i =>
+      coalesce(col(s"__f$i"), lit(0L))).reduce(_ + _)
+    withFlags.select(col("id"),
+      coalesce(col("deg"), lit(0L)).as("deg"),
+      survived.as("rounds_survived"),
+      coalesce(col(s"__f${flags.size - 1}"), lit(0L)).as("in_core"))
+  }
+
   /** Per-node triangle counts and local clustering coefficients over the
     * UNDIRECTED closure of `edges` — the community-density signal beside
     * PageRank's centrality (dense neighborhoods = topical clusters;

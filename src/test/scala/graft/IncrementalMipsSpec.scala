@@ -215,6 +215,27 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === 9L)
   }
 
+  test("k-core peeling: cascade drops, nested rounds, isolated node") {
+    import graft.ops.GraphOps
+    // K4 on {1,2,3,4}; tail 4-5-6 hangs off it. With k=2: round 1 drops 6
+    // (deg 1), round 2 drops 5 (its degree fell to 1), round 3 keeps
+    // {1,2,3,4} (each still deg >= 3 ... >= 2) — the cascade that makes
+    // peeling iterative. Node 7 isolated.
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.kCoreRounds(nodes, edges, "id", "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(6L) === ((1L, 0L, 0L)), "leaf drops in round 1")
+    assert(got(5L) === ((2L, 1L, 0L)), "cascade: degree fell after round 1")
+    assert(got(4L) === ((4L, 3L, 1L)))
+    assert(got(1L) === ((3L, 3L, 1L)))
+    assert(got(7L) === ((0L, 0L, 0L)), "isolated never enters")
+    // nested-survivor invariant: rounds_survived of core nodes = rounds
+    assert(got.values.filter(_._3 == 1L).forall(_._2 == 3L))
+  }
+
   test("time travel: readAsOf reconstructs each historical state") {
     val dir = tmpDir("asof")
     val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
