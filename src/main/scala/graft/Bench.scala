@@ -34,7 +34,8 @@ object Bench {
     // o24_time_travel: three upserts + an as-of read — store maintenance
     // like o10, not query throughput.
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "e2e_stream_join",
-      "e2e_session", "e2e_cdc", "e2e_view_maintain", "o6_compact_files",
+      "e2e_session", "e2e_cdc", "e2e_view_maintain", "e2e_kmv_sketch",
+      "o6_compact_files",
       "o21_zorder_skip",
       "o10_version_history", "o24_time_travel", "o25_retention",
       "s4_ivf_index_search",

@@ -2831,6 +2831,22 @@ object SparkEntry {
           Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
     }),
 
+    // E2E streaming KMV sketch maintenance (§2.8): per-micro-batch per-day
+    // bottom-k partials landed as epochs, served by value-merge — the
+    // sketch-algebra instance of e2e_view_maintain's epoch discipline, and
+    // the replay-safety contrast: additive (n, sum) partials double-count
+    // on replay (exactly-once leans on the epoch overwrite), KMV
+    // value-merge is IDEMPOTENT, so a double-landed partial is
+    // algebraically harmless. A day's events span several batches; the
+    // merged state must equal the direct per-day sketch the oracle
+    // recomputes (see streaming/StreamSketch).
+    "e2e_kmv_sketch" -> ((s, dir) => {
+      val work = scratch("e2e_kmv")
+      graft.streaming.StreamSketch.run(s, ev(s, dir), work)
+        .select(col("part").as("day"), col("n_kept"), col("kth"),
+          Exact.fmt(col("est"), 4).as("est_r"))
+    }),
+
     // O25 — retention truncation under the full read gate: same three
     // deltas as o24, then [[graft.store.KeyedParquetTable.truncateHistory]]
     // physically drops pre-version-1 history; the as-of-2 read afterwards
@@ -3687,6 +3703,24 @@ object SparkEntry {
        |  printf('%.4f', ${graft.ops.Sketches.kmvEstimateSql("da.n_kept_d", "da.kth_d", k)})
        |    AS est_direct_r
        |FROM np CROSS JOIN ma CROSS JOIN da CROSS JOIN df""".stripMargin
+  }
+
+  /** Oracle for e2e_kmv_sketch: the per-day bottom-k recomputed directly
+    * from events (the o29 per-day CTE) with the estimator tail per day —
+    * the streamed epoch-merged state must land on exactly this. */
+  private def kmvStreamOracle: String = {
+    val k = 256
+    val h = graft.ops.Sketches.kmvHashSql("event_id")
+    s"""WITH hs AS (SELECT strftime(ts, '%Y-%m-%d') AS part, $h AS h FROM events),
+       |dp AS (SELECT DISTINCT part, h FROM hs),
+       |rk AS (SELECT part, h, row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |       FROM dp),
+       |pk AS (SELECT part, h FROM rk WHERE rn <= $k),
+       |a AS (SELECT part, COUNT(*) AS n_kept, MAX(h) AS kth FROM pk GROUP BY 1)
+       |SELECT part AS day, n_kept, kth,
+       |  printf('%.4f', ${graft.ops.Sketches.kmvEstimateSql("n_kept", "kth", k)})
+       |    AS est_r
+       |FROM a""".stripMargin
   }
 
   /** Oracle for o28: per-language shingle sets (the d10 shingle SQL), each
@@ -4619,6 +4653,7 @@ object SparkEntry {
     "o27_kmv_distinct" -> kmvOracle,
     "o28_kmv_jaccard" -> kmvJaccardOracle,
     "o29_kmv_merge" -> kmvMergeOracle,
+    "e2e_kmv_sketch" -> kmvStreamOracle,
 
     // Mirrors Sketches.histQuantiles step-for-step: same bin arithmetic
     // (floor of exactly rounded IEEE ops → exact integer bins/counts), same

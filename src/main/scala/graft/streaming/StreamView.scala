@@ -40,7 +40,7 @@ import graft.ops.Incremental
   */
 object StreamView {
 
-  private def writeEpoch(df: DataFrame, path: String, epoch: Long): Unit = {
+  private[streaming] def writeEpoch(df: DataFrame, path: String, epoch: Long): Unit = {
     val dir = new Path(path, s"__b=$epoch")
     val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
