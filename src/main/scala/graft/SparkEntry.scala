@@ -160,6 +160,30 @@ object SparkEntry {
       Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
         .agg(Exact.sumD(col("l_quantity"), 2).as("sum_qty"))),
 
+    // Q7 — correlated scalar subqueries through the SQL surface (TPC-H
+    // Q17 shape: "small-quantity" lineitems vs their part's average):
+    // TWO correlated subqueries per row, which Catalyst must de-correlate
+    // (RewriteCorrelatedScalarSubquery → per-part aggregate + joins) — an
+    // optimizer path nothing else in the suite exercises; left correlated,
+    // this would be a per-row rescan of lineitem. The threshold
+    // q < 0.2·avg is restated as the integer 5·q·cnt < Σq (quantities are
+    // whole; CAST is exact in both engines), so membership is
+    // engine-identical with no fp compare.
+    "q7_small_qty" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q7_lineitem")
+      s.sql("""
+        SELECT l_returnflag, COUNT(*) AS n_small,
+          format_string('%.4f',
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)) AS rev_r
+        FROM q7_lineitem l1
+        WHERE CAST(l1.l_quantity AS BIGINT) * 5 *
+              (SELECT COUNT(*) FROM q7_lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+            < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM q7_lineitem l2
+               WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_returnflag""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -4404,6 +4428,20 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    // Same correlated form — DuckDB de-correlates it with its own
+    // unnesting; the integer threshold keeps membership engine-identical.
+    "q7_small_qty" ->
+      """SELECT l_returnflag, COUNT(*) AS n_small,
+        |  printf('%.4f',
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)) AS rev_r
+        |FROM lineitem l1
+        |WHERE CAST(l1.l_quantity AS BIGINT) * 5 *
+        |      (SELECT COUNT(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin,
 
     "a12_rollup" ->
       """SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -61,4 +61,25 @@ class PlansSpec extends SparkSpec {
       assert(ints.queryExecution.optimizedPlan.toString.contains("collect_list"))
     }
   }
+
+  test("correlated scalar subqueries de-correlate to aggregate + join (q7 shape)") {
+    import spark.implicits._
+    Seq((1L, 10L, 100.0, "A"), (1L, 2L, 50.0, "A"), (2L, 5L, 70.0, "R"))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .createOrReplaceTempView("plans_q7_l")
+    val q = spark.sql("""
+      SELECT l_returnflag, COUNT(*) AS n_small FROM plans_q7_l l1
+      WHERE l_quantity * 5 *
+            (SELECT COUNT(*) FROM plans_q7_l l2 WHERE l2.l_partkey = l1.l_partkey)
+          < (SELECT SUM(l_quantity) FROM plans_q7_l l2 WHERE l2.l_partkey = l1.l_partkey)
+      GROUP BY l_returnflag""")
+    val opt = q.queryExecution.optimizedPlan.toString
+    // de-correlated: no scalar-subquery survives; per-part aggregates join in
+    assert(!opt.contains("scalar-subquery"), s"subquery not unnested:\n$opt")
+    assert(opt.contains("Join"), s"expected de-correlated join:\n$opt")
+    // part 1: avg 6, threshold 0.2*avg=1.2 → qty 2 is NOT below 5*2*2=20 vs sum 12
+    // → no rows from part 1... recompute: 5*q*cnt < sum: q=2: 20 < 12 false;
+    // q=10: 100 < 12 false; part 2 single row: 25 < 5 false → empty result
+    assert(q.collect().isEmpty)
+  }
 }
