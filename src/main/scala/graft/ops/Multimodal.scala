@@ -552,6 +552,65 @@ object Multimodal {
     encodeBmp24(out, outW)
   }
 
+  /** 64-bit difference hash (dHash) of a 9×8 BMP payload, returned as two
+    * 32-bit halves (hi = comparison rows 0-3, lo = rows 4-7) so every
+    * value stays positive in a BIGINT on any engine (bit 63 would need the
+    * sign bit). Bit r·8+c of a half is set iff gray(r,c) < gray(r,c+1),
+    * gray = r+g+b (order-equivalent to luma for the grayscale fixtures and
+    * avoids rounding entirely). The 9-wide/8-tall grid is the canonical
+    * dHash shape: 8 adjacent-pixel comparisons per row × 8 rows = 64 bits.
+    *
+    * This is the IMAGE leg of the dedup family: perceptually-near images
+    * (small pixel perturbations) differ in few bits — a flipped pixel
+    * touches at most its two adjacent comparisons — so banding the halves
+    * into 8-bit pieces gives LSH-style candidate generation with the
+    * pigeonhole guarantee (hamming ≤ 7 ⇒ some band matches exactly).
+    * Accepts the same 24/32-bit BI_RGB payloads as [[resizeBmpNearest]];
+    * real pipelines resize to 9×8 first (m6's transform). */
+  def dhashBmp(bytes: Array[Byte]): (Long, Long) = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 54 && b.get(0) == 'B' && b.get(1) == 'M', "not a BMP")
+    val dataOffset = b.getInt(10)
+    val width = b.getInt(18)
+    val rawHeight = b.getInt(22)
+    val height = math.abs(rawHeight)
+    val bottomUp = rawHeight > 0
+    val bpp = b.getShort(28).toInt
+    require(width == 9 && height == 8, s"dhash expects 9x8, got ${width}x$height")
+    require(bpp == 24 || bpp == 32, s"unsupported bit depth $bpp")
+    val bytesPerPx = bpp / 8
+    val rowBytes = (width * bytesPerPx + 3) / 4 * 4
+    val gray = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val rowOff = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < width) {
+        val p = rowOff + x * bytesPerPx
+        gray(y * width + x) = (bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+          (bytes(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (gray(r * 9 + c) < gray(r * 9 + c + 1)) {
+          if (r < 4) hi |= 1L << (r * 8 + c)
+          else lo |= 1L << ((r - 4) * 8 + c)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
   /** Encode packed 0xRRGGBB pixels as an 8-bit truecolor PNG (color type 2,
     * no interlace; the write side of [[BuiltinDecoder]]'s "png" path and the
     * fixture synthesizer for the PNG oracle query). The scanline filter type

@@ -600,4 +600,27 @@ class DeepARSpec extends SparkSpec {
       }
     }
   }
+
+  test("multimodal: dHash round-trips the container and flips locally") {
+    import graft.ops.Multimodal
+    // deterministic 9x8 gradient with row-alternating direction
+    val base = Array.tabulate(72) { i =>
+      val r = i / 9; val c = i % 9
+      val v = if (r % 2 == 0) c * 20 else (8 - c) * 20
+      v * 65536 + v * 256 + v
+    }
+    val (hi, lo) = Multimodal.dhashBmp(Multimodal.encodeBmp24(base, 9))
+    // even comparison rows ascend (all 8 bits set), odd rows descend (0)
+    assert(hi === 0x00ff00ffL && lo === 0x00ff00ffL)
+    // flipping ONE pixel changes at most its two adjacent comparisons
+    val mut = base.clone(); mut(4 * 9 + 3) = 255 * 65536 + 255 * 256 + 255
+    val (hi2, lo2) = Multimodal.dhashBmp(Multimodal.encodeBmp24(mut, 9))
+    val hamming = java.lang.Long.bitCount(hi ^ hi2) + java.lang.Long.bitCount(lo ^ lo2)
+    assert(hamming >= 1 && hamming <= 2, s"local flip, got hamming $hamming")
+    assert(hi2 === hi, "flip in row 4 must not touch the hi half")
+    // non-9x8 payloads are rejected, not silently hashed
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashBmp(Multimodal.encodeBmp24(Array.fill(64)(0), 8))
+    }
+  }
 }
