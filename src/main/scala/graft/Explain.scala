@@ -2,12 +2,17 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: print formatted physical plans for the declared queries.
-  * Usage: runMain graft.Explain <sfDir> [query ...] */
+/** Plan observability: print the formatted physical plan of selected
+  * `SparkEntry.queries` entries without executing them — the iterate-on-
+  * the-plan loop ("explain until it's the plan you'd want, not the first
+  * one that passed") as a one-liner.
+  *
+  * Usage: runMain graft.Explain <sfDir> <name1,name2,...>
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names = args.lift(1).map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -15,9 +20,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n================ $n ================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    for ((n, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if names.forall(_.contains(n))) {
+      println(s"\n=== $n ===")
+      try fn(spark, sfDir).explain("formatted")
+      catch { case e: Throwable => println(s"FAILED to plan: ${e.getMessage}") }
     }
     spark.stop()
   }
