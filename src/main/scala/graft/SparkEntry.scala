@@ -1291,6 +1291,25 @@ object SparkEntry {
         .select(col("stratum").as("lang"), col("key").as("doc_id"),
           col("pick_rank"))),
 
+    // P12 — CSV round-trip ingest: the aggregate written as header-CSV and
+    // read back under an EXPLICIT schema — the reference's own batch IO
+    // boundary (Athena serves query results as CSV into preprocess,
+    // ref: pipelines/blockchain/preprocess.py:77-87; evaluate.py:52-58
+    // reads the targets CSV the same way). The gate is lossless typed
+    // re-parse: Spark writes doubles in shortest round-trip form, so the
+    // re-read relation must hash-match the directly-computed aggregate —
+    // the oracle is exactly a1's, never seeing the CSV.
+    "p12_csv_roundtrip" -> ((s, dir) => {
+      val work = scratch("p12csv")
+      MinuteAggregate(ev(s, dir), "ts", "value")
+        .write.mode("overwrite").option("header", "true").csv(s"$work/csv")
+      s.read
+        .schema("tx_minute STRING, total_nb_trx_1min BIGINT, " +
+          "total_fee_1min DOUBLE, avg_fee_1min DOUBLE")
+        .option("header", "true")
+        .csv(s"$work/csv")
+    }),
+
     // D11 — EXACT set-similarity join via prefix filtering (PPJoin
     // family): every pair with shingle-Jaccard ≥ 0.8, FULL recall — the
     // exact counterpart of the LSH candidate path (d2/d4 trade recall for
@@ -3975,6 +3994,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a1_minute_agg" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // identical to a1's oracle: the CSV hop must be invisible
+    "p12_csv_roundtrip" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
         |  COUNT(*) AS total_nb_trx_1min,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
