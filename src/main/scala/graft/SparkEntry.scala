@@ -2592,6 +2592,27 @@ object SparkEntry {
           col("n"))
     }),
 
+    // MON8 — the fleet metrics under a REAL forecaster: Holt linear-trend
+    // smoothing (α = β = 1/4, exact binary) in the reference's opaque-model
+    // slot, per-series driver-side recurrence at the documented model
+    // boundary (runFleet's flatMapSortedGroups — executor-side per key,
+    // bounded ring). Every level/trend update is a fixed-order IEEE chain,
+    // so the oracle's RECURSIVE CTE reproduces the forecasts bit for bit —
+    // the first suite row exercising recursive SQL on the oracle side.
+    "mon8_holt_fleet" -> ((s, dir) => {
+      val series = ev(s, dir)
+        .groupBy(col("user_id"), MinuteAggregate.minuteKey(col("ts")).as("m"))
+        .agg((Exact.sumD(col("value"), 10) / count(lit(1))).as("v"))
+      graft.monitor.MonitoringJob.runFleet(
+          series, "user_id", "m", "v",
+          new graft.batch.HoltForecaster(0.25, 0.25), threshold = 0.1)(s)
+        .filter(col("n") > 0)
+        .select(col("series").cast("long").as("series"),
+          Exact.fmt(col("rmse"), 4).as("rmse_r"),
+          Exact.fmt(col("mean_wql"), 4).as("wql_r"),
+          col("n"))
+    }),
+
     // M1 — multimodal decode, oracle-grade: one WAV payload synthesized per
     // user (16-bit PCM, amplitudes 0/±16384 derived from event_id so every
     // feature is exactly representable in float), decoded back through the
@@ -5631,6 +5652,54 @@ object SparkEntry {
         |      sum(CASE WHEN v > b THEN CAST('0.05' AS DOUBLE)*(v-b) ELSE CAST('0.95' AS DOUBLE)*(b-v) END)
         |    + sum(CASE WHEN v > b THEN CAST('0.5' AS DOUBLE)*(v-b) ELSE CAST('0.5' AS DOUBLE)*(b-v) END)
         |    + sum(CASE WHEN v > b THEN CAST('0.95' AS DOUBLE)*(v-b) ELSE CAST('0.05' AS DOUBLE)*(b-v) END)
+        |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM truth GROUP BY 1""".stripMargin,
+
+    // Holt recurrence replayed as a RECURSIVE CTE: same init (l₁ = x₁,
+    // b₁ = x₂ − x₁), same fixed-order update chain with string-cast double
+    // literals, forecasts l + h·b; histories of length 1 carry forward.
+    "mon8_holt_fleet" ->
+      """WITH RECURSIVE series AS (
+        |  SELECT user_id, strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS m,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS v
+        |  FROM events GROUP BY 1, 2
+        |), idx AS (
+        |  SELECT user_id, v,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY m) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM series
+        |), hist AS (
+        |  SELECT user_id, v, rn, n - 5 AS hl FROM idx WHERE rn <= n - 5
+        |), rec AS (
+        |  SELECT h1.user_id, 1 AS t, h1.v AS l, h2.v - h1.v AS b, h1.hl
+        |  FROM hist h1 JOIN hist h2 ON h2.user_id = h1.user_id AND h2.rn = 2
+        |  WHERE h1.rn = 1 AND h1.hl >= 2
+        |  UNION ALL
+        |  SELECT r.user_id, r.t + 1,
+        |    CAST('0.25' AS DOUBLE) * h.v + CAST('0.75' AS DOUBLE) * (r.l + r.b),
+        |    CAST('0.25' AS DOUBLE) *
+        |      ((CAST('0.25' AS DOUBLE) * h.v + CAST('0.75' AS DOUBLE) * (r.l + r.b)) - r.l)
+        |      + CAST('0.75' AS DOUBLE) * r.b,
+        |    r.hl
+        |  FROM rec r JOIN hist h ON h.user_id = r.user_id AND h.rn = r.t + 1
+        |  WHERE r.t + 1 <= r.hl
+        |), fin AS (
+        |  SELECT user_id, l, b FROM rec WHERE t = hl
+        |  UNION ALL
+        |  SELECT user_id, v AS l, CAST('0.0' AS DOUBLE) AS b
+        |  FROM hist WHERE hl = 1
+        |), truth AS (
+        |  SELECT i.user_id, i.v, f.l + CAST(i.rn - (i.n - 5) AS DOUBLE) * f.b AS pr
+        |  FROM idx i JOIN fin f USING (user_id)
+        |  WHERE i.rn > i.n - 5
+        |)
+        |SELECT user_id AS series,
+        |  printf('%.4f', sqrt(sum((v-pr)*(v-pr)) / 5)) AS rmse_r,
+        |  printf('%.4f', (
+        |      sum(CASE WHEN v > pr THEN CAST('0.05' AS DOUBLE)*(v-pr) ELSE CAST('0.95' AS DOUBLE)*(pr-v) END)
+        |    + sum(CASE WHEN v > pr THEN CAST('0.5' AS DOUBLE)*(v-pr) ELSE CAST('0.5' AS DOUBLE)*(pr-v) END)
+        |    + sum(CASE WHEN v > pr THEN CAST('0.95' AS DOUBLE)*(v-pr) ELSE CAST('0.05' AS DOUBLE)*(pr-v) END)
         |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM truth GROUP BY 1""".stripMargin,

@@ -72,6 +72,44 @@ trait Forecaster extends Serializable {
               quantiles: Seq[Double]): (Array[Double], Map[Double, Array[Double]])
 }
 
+/** Holt linear-trend exponential smoothing — a real forecaster in the
+  * reference's opaque-model slot (one that actually extrapolates trend,
+  * unlike [[NaiveForecaster]]'s carry-forward): level/trend recurrence
+  * l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}), b_t = β(l_t − l_{t−1}) +
+  * (1−β)b_{t−1}, h-step forecast l + h·b. Defaults α = β = 0.25 are exact
+  * binary fractions, and every update is a fixed-order IEEE chain, so an
+  * independent engine (the DuckDB oracle's recursive CTE) reproduces
+  * level, trend, and every forecast bit for bit. Quantile bands collapse
+  * to the mean (the point-forecast form — the evaluation plumbing scores
+  * them like any other quantile set). Histories of length 1 fall back to
+  * carry-forward; level/trend init is the standard (l₁ = x₁,
+  * b₁ = x₂ − x₁). */
+class HoltForecaster(alpha: Double = 0.25, beta: Double = 0.25)
+  extends Forecaster {
+  private val ia = 1.0 - alpha
+  private val ib = 1.0 - beta
+  override def predict(history: Array[Double], p: Int,
+                       quantiles: Seq[Double]): (Array[Double], Map[Double, Array[Double]]) = {
+    val mean =
+      if (history.isEmpty) Array.fill(p)(Double.NaN)
+      else if (history.length == 1) Array.fill(p)(history(0))
+      else {
+        var level = history(0)
+        var trend = history(1) - history(0)
+        var t = 1
+        while (t < history.length) {
+          val x = history(t)
+          val prevLevel = level
+          level = alpha * x + ia * (level + trend)
+          trend = beta * (level - prevLevel) + ib * trend
+          t += 1
+        }
+        Array.tabulate(p)(h => level + (h + 1).toDouble * trend)
+      }
+    (mean, quantiles.map(q => q -> mean.clone()).toMap)
+  }
+}
+
 /** Deterministic stand-in: last-observation carry-forward at every quantile
   * (what the monitoring/evaluation plumbing is exercised with in tests). */
 class NaiveForecaster extends Forecaster {

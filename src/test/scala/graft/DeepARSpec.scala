@@ -623,4 +623,19 @@ class DeepARSpec extends SparkSpec {
       Multimodal.dhashBmp(Multimodal.encodeBmp24(Array.fill(64)(0), 8))
     }
   }
+
+  test("Holt forecaster: exact on linear series, carry-forward fallbacks") {
+    val h = new graft.batch.HoltForecaster(0.25, 0.25)
+    // perfectly linear history → level/trend lock on exactly (alpha and
+    // the data are exact binary, so every update is exact)
+    val (mean, qs) = h.predict(Array(1.0, 2.0, 3.0, 4.0), 3, Seq(0.5))
+    assert(mean.toSeq === Seq(5.0, 6.0, 7.0))
+    assert(qs(0.5).toSeq === Seq(5.0, 6.0, 7.0), "quantiles collapse to mean")
+    // two-point history: init consumes both, first update is a fixpoint
+    val (m2, _) = h.predict(Array(0.0, 2.0), 2, Seq(0.5))
+    assert(m2.toSeq === Seq(4.0, 6.0))
+    // length-1 falls back to carry-forward; empty yields NaN
+    assert(h.predict(Array(7.0), 2, Seq(0.5))._1.toSeq === Seq(7.0, 7.0))
+    assert(h.predict(Array.empty[Double], 1, Seq(0.5))._1.forall(_.isNaN))
+  }
 }
