@@ -2613,6 +2613,38 @@ object SparkEntry {
           col("n"))
     }),
 
+    // MON9 — seasonal-trend decomposition (STL-lite) of the hourly series:
+    // trend = centered 25-hour moving average (null at the edges — partial
+    // frames are surfaced, not silently averaged), seasonal = per
+    // hour-of-day mean deviation, residual = the rest. The determinism
+    // move: the hourly value floors onto the exact 1e-10 grid ONCE (floor
+    // is engine-identical; double→DECIMAL casts round ties
+    // engine-specifically — the g1 lesson) and every downstream step is
+    // BIGINT arithmetic with integer division — window sums over the
+    // ~720-row hourly spine (bounded: hours, not events), no format tier
+    // at all.
+    "mon9_decompose" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("h"))
+        .agg(floor(Exact.sumD(col("value"), 10) / count(lit(1)) * lit(1e10))
+          .cast("long").as("v_e10"))
+      val w = Window.orderBy(col("h")).rowsBetween(-12, 12)
+      val withTrend = hourly
+        .withColumn("fcnt", count(lit(1)).over(w))
+        .withColumn("fsum", sum(col("v_e10")).over(w))
+        .withColumn("trend_e10",
+          when(col("fcnt") === 25, expr("fsum div 25")))
+        .withColumn("dev_e10", col("v_e10") - col("trend_e10"))
+        .withColumn("hod", substring(col("h"), 12, 2).cast("int"))
+      val seasonal = withTrend.filter(col("trend_e10").isNotNull)
+        .groupBy(col("hod"))
+        .agg(expr("sum(dev_e10) div count(1)").as("seasonal_e10"))
+      withTrend.join(broadcast(seasonal), Seq("hod"), "left")
+        .select(col("h"), col("v_e10"), col("trend_e10"),
+          col("dev_e10"), col("seasonal_e10"),
+          (col("dev_e10") - col("seasonal_e10")).as("resid_e10"))
+    }),
+
     // M1 — multimodal decode, oracle-grade: one WAV payload synthesized per
     // user (16-bit PCM, amplitudes 0/±16384 derived from event_id so every
     // feature is exactly representable in float), decoded back through the
@@ -5655,6 +5687,37 @@ object SparkEntry {
         |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM truth GROUP BY 1""".stripMargin,
+
+    // Same 1e-10 integer grid, same 25-row centered frame (COUNT-gated
+    // edges), same truncating integer division (DuckDB // and Spark div
+    // both truncate toward zero — probed).
+    "mon9_decompose" ->
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS h,
+        |    CAST(floor(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) * 1e10)
+        |      AS BIGINT) AS v_e10
+        |  FROM events GROUP BY 1
+        |), wf AS (
+        |  SELECT h, v_e10,
+        |    COUNT(*) OVER fr AS fcnt,
+        |    SUM(v_e10) OVER fr AS fsum
+        |  FROM hourly
+        |  WINDOW fr AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), t AS (
+        |  SELECT h, v_e10,
+        |    CAST(CASE WHEN fcnt = 25 THEN fsum // 25 END AS BIGINT) AS trend_e10,
+        |    CAST(substr(h, 12, 2) AS INTEGER) AS hod
+        |  FROM wf
+        |), d AS (
+        |  SELECT h, v_e10, trend_e10,
+        |    CAST(v_e10 - trend_e10 AS BIGINT) AS dev_e10, hod FROM t
+        |), se AS (
+        |  SELECT hod, CAST(SUM(dev_e10) // COUNT(*) AS BIGINT) AS seasonal_e10
+        |  FROM d WHERE trend_e10 IS NOT NULL GROUP BY 1
+        |)
+        |SELECT d.h, d.v_e10, d.trend_e10, d.dev_e10, se.seasonal_e10,
+        |  CAST(d.dev_e10 - se.seasonal_e10 AS BIGINT) AS resid_e10
+        |FROM d LEFT JOIN se USING (hod)""".stripMargin,
 
     // Holt recurrence replayed as a RECURSIVE CTE: same init (l₁ = x₁,
     // b₁ = x₂ − x₁), same fixed-order update chain with string-cast double
