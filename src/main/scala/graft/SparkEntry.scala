@@ -1100,6 +1100,31 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
+    // metadata predicates composed with index probing, the production
+    // retrieval shape): the s2 index is built over the FULL corpus, the
+    // predicate restricts the indexed relation before scoring. Because
+    // candidates = assigned ∩ probed-cells ∩ filter and intersection
+    // commutes, pre-filtering the assigned relation is bit-identical to
+    // post-filtering probed candidates — the cheap side of that identity
+    // is what runs (semi join on the metadata key, pushed below the
+    // distance arithmetic). Top-k then ranks only surviving candidates,
+    // so a heavily-filtered query returns the right k, not k-minus-
+    // filtered-out.
+    "s17_filtered_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      val en = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      SimilarityOps.ivfTopK(assigned.join(en, Seq("vec_id"), "left_semi"),
+          centroids, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S2b — the TWO-TIER coarse quantizer under its own exact oracle. The
     // scale story: nlist must grow ~sqrt(N) past broadcast size, so the
     // full centroid set is grouped by broadcast-small top cells and
@@ -3463,7 +3488,8 @@ object SparkEntry {
     * queries — the augmentation is asymmetric by construction). */
   private def ivfOracle(centroidPred: String,
       vSql: String = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings",
-      qSql: String = "SELECT vec_id, ve, nrm FROM n WHERE vec_id < 5"): String =
+      qSql: String = "SELECT vec_id, ve, nrm FROM n WHERE vec_id < 5",
+      candJoin: String = ""): String =
     s"""WITH v AS ($vSql),
        |$adaptiveParamsSql,
        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
@@ -3485,6 +3511,7 @@ object SparkEntry {
        |  JOIN assign s ON s.cid = p.cid
        |  JOIN n x ON x.vec_id = s.vec_id
        |  JOIN qn q ON q.vec_id = p.qid
+       |  $candJoin
        |  WHERE x.vec_id <> p.qid)
        |SELECT query_id, rank, neighbor_id, printf('%.4f', sim) AS sim_r FROM (
        |  SELECT query_id, neighbor_id, sim, row_number() OVER (
@@ -4751,6 +4778,11 @@ object SparkEntry {
     "s1_ann_topk" -> annOracle,
 
     "s2_ann_ivf" -> ivfOracle,
+    // the s2 chain + one candidate-side metadata join — the commuting-
+    // intersection identity the Spark side exploits, written directly
+    "s17_filtered_ann" -> ivfOracle(
+      "vec_id % (SELECT stride FROM params) = 0",
+      candJoin = "JOIN documents d ON d.doc_id = x.vec_id AND d.lang = 'en'"),
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
 
     // Exact MIPS: rank by the raw inner product, ties by neighbor id.
