@@ -1949,6 +1949,29 @@ object SparkEntry {
         .select(col("q_str"), col("rnk"), col("bin"),
           Exact.fmt(col("est"), 4).as("est_r"))),
 
+    // O30 — approximation AUDIT for the quantile sketch (the d10/s6/s14/
+    // t20 eval-row pattern applied to o14): histogram estimate vs exact
+    // interpolated percentile side by side with the signed error — the
+    // number a user needs before trusting the sketch at a scale where the
+    // exact global sort is unaffordable. Error is bounded by bin width
+    // (hi−lo)/1024 by construction; the row makes that bound observable.
+    "o30_quantile_eval" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val hq = graft.ops.Sketches.histQuantiles(e, col("value"), 1024,
+        Seq("0.5", "0.95", "0.99"))
+      val exact = e.agg(
+          expr("percentile(value, 0.5)").as("ex50"),
+          expr("percentile(value, 0.95)").as("ex95"),
+          expr("percentile(value, 0.99)").as("ex99"))
+        .select(expr(
+          "stack(3, '0.5', ex50, '0.95', ex95, '0.99', ex99) AS (q_str, exact)"))
+      hq.join(exact, "q_str")
+        .select(col("q_str"),
+          Exact.fmt(col("est"), 4).as("est_r"),
+          Exact.fmt(col("exact"), 4).as("exact_r"),
+          Exact.fmt(col("est") - col("exact"), 4).as("err_r"))
+    }),
+
     // O13 — Bloom-filter semi-join reduction (explicit runtime filter): the
     // classic 100 TB join move. A semi join whose probe side is the fact
     // table shuffles every probe row before most are discarded; instead,
@@ -2229,6 +2252,32 @@ object SparkEntry {
     "t10_vocab" -> ((s, dir) =>
       TextOps.vocabulary(docs(s, dir), "text", topK = 50)
         .select(col("term"), col("n_occ"), col("vocab_id"))),
+
+    // T21 — vocabulary ID-ENCODING (the dataloader transform the t10
+    // vocabulary exists for): each document becomes its ordered token-id
+    // sequence under the frequency-ranked vocab, OOV → −1 — the exact
+    // array a training run consumes, with the OOV count as the coverage
+    // signal. Order is carried by posexplode positions through the
+    // broadcast vocab join and reassembled with sort_array — never an
+    // implicit collect order. Output bounded to doc_id < 100 (the encode
+    // itself runs corpus-wide; only the checked rendering is capped).
+    "t21_encode_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextOps.vocabulary(d, "text", topK = 50)
+        .select(col("term"), col("vocab_id"))
+      val toks = d.select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .withColumn("tid", coalesce(col("vocab_id"), lit(-1L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("tid") === -1L, lit(1))).as("n_oov"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string"))).as("ids"))
+        .filter(col("doc_id") < 100)
+    }),
 
     // T12 — bigram PMI collocations (Church & Hanks): which adjacent word
     // pairs co-occur far above chance — corpus analysis for tokenizer/
@@ -4883,6 +4932,35 @@ object SparkEntry {
         |         (bin + CAST(rnk - (cum - cnt) AS DOUBLE) / cnt) END) AS est_r
         |FROM r JOIN cc ON cc.cum >= r.rnk AND cc.cum - cc.cnt < r.rnk""".stripMargin,
 
+    // o14's estimate chain + quantile_cont exacts + the signed error,
+    // every double op mirrored.
+    "o30_quantile_eval" ->
+      """WITH st AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+        |b AS (SELECT CASE WHEN st.hi = st.lo THEN 0
+        |        ELSE LEAST(CAST(floor((value - st.lo) / ((st.hi - st.lo) / 1024)) AS BIGINT), 1023) END AS bin
+        |      FROM events CROSS JOIN st),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+        |cc AS (SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM c),
+        |qs AS (SELECT unnest(['0.5', '0.95', '0.99']) AS q_str),
+        |r AS (SELECT q_str,
+        |        GREATEST(1, CAST(ceil(CAST(q_str AS DOUBLE) * st.n) AS BIGINT)) AS rnk,
+        |        st.lo, st.hi
+        |      FROM qs CROSS JOIN st),
+        |est AS (SELECT q_str,
+        |  CASE WHEN hi = lo THEN lo
+        |    ELSE lo + (hi - lo) / 1024 *
+        |         (bin + CAST(rnk - (cum - cnt) AS DOUBLE) / cnt) END AS est
+        |  FROM r JOIN cc ON cc.cum >= r.rnk AND cc.cum - cc.cnt < r.rnk),
+        |ex AS (SELECT q_str, CASE q_str
+        |    WHEN '0.5' THEN (SELECT quantile_cont(value, CAST('0.5' AS DOUBLE)) FROM events)
+        |    WHEN '0.95' THEN (SELECT quantile_cont(value, CAST('0.95' AS DOUBLE)) FROM events)
+        |    ELSE (SELECT quantile_cont(value, CAST('0.99' AS DOUBLE)) FROM events) END AS exact
+        |  FROM qs)
+        |SELECT est.q_str, printf('%.4f', est.est) AS est_r,
+        |  printf('%.4f', ex.exact) AS exact_r,
+        |  printf('%.4f', est.est - ex.exact) AS err_r
+        |FROM est JOIN ex USING (q_str)""".stripMargin,
+
     // Bloom pruning has no false negatives and is followed by the exact
     // semi join, so the oracle is the PLAIN semi join — correctness of o13
     // is unconditional on the sketch contents.
@@ -5099,6 +5177,25 @@ object SparkEntry {
         |SELECT term, n_occ,
         |  row_number() OVER (ORDER BY n_occ DESC, term) - 1 AS vocab_id
         |FROM c QUALIFY vocab_id < 50""".stripMargin,
+
+    // Same vocab ranking as t10, positions from the token array ordinals,
+    // string_agg ordered by position.
+    "t21_encode_ids" ->
+      raw"""WITH tk0 AS (SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS tk
+           |            FROM documents),
+           |alltok AS (SELECT unnest(tk) AS term FROM tk0),
+           |vc AS (SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term) - 1 AS vocab_id
+           |       FROM alltok WHERE term <> '' GROUP BY term
+           |       QUALIFY vocab_id < 50),
+           |tok AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term
+           |        FROM tk0, (SELECT unnest(generate_series(1, len(tk))) AS i)
+           |        WHERE tk[i] <> ''),
+           |ids AS (SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, -1) AS tid
+           |        FROM tok t LEFT JOIN vc v USING (term))
+           |SELECT doc_id, COUNT(*) AS n_tok,
+           |  COUNT(*) FILTER (WHERE tid = -1) AS n_oov,
+           |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
+           |FROM ids WHERE doc_id < 100 GROUP BY doc_id""".stripMargin,
 
     // Mirrors TextOps.bigramPmi: same ≥2-token doc filter on both counts,
     // same integer counts, one mirrored IEEE chain inside the ln.
