@@ -38,6 +38,7 @@ object Bench {
       "o6_compact_files",
       "o21_zorder_skip",
       "o10_version_history", "o24_time_travel", "o25_retention",
+      "o31_cdc_apply",
       "s4_ivf_index_search",
       "s5_ivf_reassign", "e2e_neardup", "s7d_pq_index_search",
       "s16_mips_index", "j8_bucketed_join")

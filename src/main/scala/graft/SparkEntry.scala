@@ -3092,6 +3092,35 @@ object SparkEntry {
         .select(col("tx_minute"), col("version"), col("total_nb_trx_1min"))
     }),
 
+    // O31 — the full CDC lifecycle against the keyed store (the Delta
+    // MERGE WHEN MATCHED DELETE analog on the parquet log): backfill (v0,
+    // days ≤ 20) → overlapping re-upsert with doubled fees (v1, days
+    // 15-25: keys 15-20 OVERWRITE) → tombstone delete of day 5 (v2) →
+    // re-insert day 5 tripled (v3: resurrection after delete). The served
+    // state must show exactly v-precedence per day band; tombstones are
+    // full-schema null rows the serving reads filter and maintenance
+    // passes preserve (mergeSchema reads keep the flag visible across
+    // pre-deletion files — a footer-sampled schema would silently
+    // resurrect). Oracle recomputes the final state per day band.
+    "o31_cdc_apply" -> ((s, dir) => {
+      val work = scratch("o31")
+      val table = new graft.store.KeyedParquetTable(s"$work/t", "tx_minute")
+      val e = ev(s, dir)
+      val dom = dayofmonth(col("ts"))
+      table.upsert(MinuteAggregate(e.filter(dom <= 20), "ts", "value"), 0, bulk = true)
+      table.upsert(MinuteAggregate(
+        e.filter(dom.between(15, 25)).withColumn("value", col("value") * 2),
+        "ts", "value"), 1, bulk = true)
+      table.deleteKeys(s,
+        MinuteAggregate(e.filter(dom === 5), "ts", "value").select(col("tx_minute")), 2)
+      table.upsert(MinuteAggregate(
+        e.filter(dom === 5).withColumn("value", col("value") * 3),
+        "ts", "value"), 3, bulk = true)
+      table.readLatest(s)
+        .select(col("tx_minute"), col("total_nb_trx_1min"),
+          Exact.fmt(col("total_fee_1min"), 4).as("fee_r"))
+    }),
+
     // E2E streaming (S3/S4/S6/S10 + P1/P2/P3 + A1 in their STREAMING forms):
     // events rendered as polled envelope fixtures — with overlap duplicates
     // and health-check noise — replayed as a real multi-microbatch
@@ -5847,6 +5876,18 @@ object SparkEntry {
         |SELECT d.h, d.v_e10, d.trend_e10, d.dev_e10, se.seasonal_e10,
         |  CAST(d.dev_e10 - se.seasonal_e10 AS BIGINT) AS resid_e10
         |FROM d LEFT JOIN se USING (hod)""".stripMargin,
+
+    // Final CDC state per day band: ≤ 14 (except 5) v0 plain, 5 v3
+    // tripled, 15-25 v1 doubled, > 25 never landed.
+    "o31_cdc_apply" ->
+      """WITH m AS (SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |    EXTRACT(day FROM ts) AS dom, value FROM events)
+        |SELECT tx_minute, COUNT(*) AS total_nb_trx_1min,
+        |  printf('%.4f', CAST(SUM(CAST(
+        |    CASE WHEN dom = 5 THEN value * 3
+        |         WHEN dom BETWEEN 15 AND 25 THEN value * 2
+        |         ELSE value END AS DECIMAL(30,4))) AS DOUBLE)) AS fee_r
+        |FROM m WHERE dom <= 25 GROUP BY tx_minute""".stripMargin,
 
     // Holt recurrence replayed as a RECURSIVE CTE: same init (l₁ = x₁,
     // b₁ = x₂ − x₁), same fixed-order update chain with string-cast double

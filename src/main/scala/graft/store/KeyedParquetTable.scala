@@ -56,7 +56,17 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     w.mode(SaveMode.Append).parquet(path)
   }
 
-  private def latestOnly(df: DataFrame, keepVersion: Boolean = false): DataFrame = {
+  /** All raw reads go through mergeSchema: tombstone files ([[deleteKeys]])
+    * carry a `__del` column that pre-deletion files lack, and a
+    * footer-sampled schema that missed it would silently RESURRECT deleted
+    * keys (the latest-wins winner would lose its flag). A table format
+    * carries the schema in the manifest; on plain parquet the merged read
+    * is the equivalent, paid in footer metadata only. */
+  private def readRaw(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  private def latestOnly(df: DataFrame, keepVersion: Boolean = false,
+                         dropTombstones: Boolean = true): DataFrame = {
     val versioned = if (df.columns.contains("__v")) df else df.withColumn("__v", lit(0L))
     // Writers that don't stamp an event-time version column still get a
     // total order from the upsert sequence alone.
@@ -67,7 +77,37 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
     val resolved = versioned.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    if (keepVersion) resolved else resolved.drop("__v")
+    // a winning tombstone means the key is deleted from the SERVED state;
+    // maintenance passes (compact) keep the row so a replayed old upsert
+    // can never out-version a vanished delete
+    val served =
+      if (dropTombstones && resolved.columns.contains("__del"))
+        resolved.filter(!coalesce(col("__del"), lit(false))).drop("__del")
+      else resolved
+    if (keepVersion) served else served.drop("__v")
+  }
+
+  /** MERGE … WHEN MATCHED DELETE analog: append TOMBSTONE versions for the
+    * keys in `keys` (any DataFrame with the key column). A tombstone is a
+    * full-schema null row flagged `__del = true` at upsert sequence
+    * `version`; latest-wins resolution selects it like any version, the
+    * serving reads ([[readLatest]]/[[getRecord]]/[[readAsOf]]) filter it
+    * out, and history ([[readAll]], as-of BEFORE the delete) retains the
+    * pre-delete rows — delete-then-reinsert at a later version resurrects
+    * the key, the full CDC lifecycle. [[compact]] and [[truncateHistory]]
+    * preserve winning tombstones (dropping one would let a replayed old
+    * batch win against a vanished delete). */
+  def deleteKeys(spark: SparkSession, keys: DataFrame, version: Long): Unit = {
+    val drop = Seq("__v", "__del") ++
+      (if (partitioned) Seq("year", "month", "day", "hour") else Nil)
+    val dataSchema = readRaw(spark).drop(drop: _*).schema
+    val keyField = dataSchema(keyCol)
+    val row = dataSchema.fields.map { f =>
+      if (f.name == keyCol) col(keyCol).cast(keyField.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    upsert(keys.select(col(keyCol)).distinct().select(row: _*)
+      .withColumn("__del", lit(true)), version)
   }
 
   def exists(spark: SparkSession): Boolean =
@@ -76,13 +116,13 @@ class KeyedParquetTable(val path: String, val keyCol: String,
 
   /** S7 — offline full-history scan (all versions, duplicates included). */
   def readAll(spark: SparkSession): DataFrame = {
-    val df = spark.read.parquet(path).drop("__v")
+    val df = readRaw(spark).drop("__v")
     if (partitioned) df.drop("year", "month", "day", "hour") else df
   }
 
   /** S8/online — latest version per key (version col, then upsert sequence). */
   def readLatest(spark: SparkSession): DataFrame = {
-    val df = spark.read.parquet(path)
+    val df = readRaw(spark)
     latestOnly(if (partitioned) df.drop("year", "month", "day", "hour") else df)
   }
 
@@ -96,7 +136,7 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * `__v` stats overlap it, not the whole history. Output carries the
     * originating upsert sequence as `version`. */
   def readAsOf(spark: SparkSession, version: Long): DataFrame = {
-    val df = spark.read.parquet(path).filter(col("__v") <= version)
+    val df = readRaw(spark).filter(col("__v") <= version)
     val resolved = latestOnly(
       if (partitioned) df.drop("year", "month", "day", "hour") else df,
       keepVersion = true)
@@ -107,7 +147,7 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * the key prefix maps directly to y/m/d/h partition values, so the scan
     * touches exactly one hour partition. */
   def getRecord(spark: SparkSession, key: String): DataFrame = {
-    val base = spark.read.parquet(path)
+    val base = readRaw(spark)
     val pruned = if (partitioned)
       base.filter(col("year") === key.substring(0, 4) &&
         col("month") === key.substring(5, 7) &&
@@ -133,7 +173,7 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     * least its winner — so the dynamic overwrite rewrites exactly the
     * directories that exist. */
   def truncateHistory(spark: SparkSession, keepFrom: Long): Unit = {
-    val raw = spark.read.parquet(path)
+    val raw = readRaw(spark)
     val base = if (partitioned) raw.drop("year", "month", "day", "hour") else raw
     val versioned =
       if (base.columns.contains("__v")) base else base.withColumn("__v", lit(0L))
@@ -239,13 +279,13 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     }
     if (plan.isEmpty) return
     val planDf = spark.createDataFrame(plan).toDF("year", "month", "day", "hour", "__n")
-    val todo = spark.read.parquet(path)
+    val todo = readRaw(spark)
       .join(broadcast(planDf), Seq("year", "month", "day", "hour"))
       .drop("year", "month", "day", "hour")
     // keep each survivor's original __v: resetting it would let a replayed
     // foreachBatch (same batchId, higher __v than 0) win over the newer
     // compacted value
-    val compacted = latestOnly(todo, keepVersion = true)
+    val compacted = latestOnly(todo, keepVersion = true, dropTombstones = false)
     // re-derive partition values from the key (string-typed, matching the
     // upsert layout — month=01, not the scan's int-inferred month=1, so the
     // dynamic overwrite replaces the original directories)

@@ -56,4 +56,34 @@ class MonitoringAndStoreSpec extends SparkSpec {
       .select("tx_minute", "total_nb_trx_1min").as[(String, Long)].collect().toMap
     assert(afterCompact === latest)
   }
+
+  test("keyed table: tombstone delete lifecycle across every read path") {
+    val table = new KeyedParquetTable(tmpDir("ktdel"), "tx_minute")
+    def row(minute: String, n: Long) =
+      Seq((minute, n)).toDF("tx_minute", "total_nb_trx_1min")
+    val k1 = "2024-01-01 00:01:00"; val k2 = "2024-01-01 00:02:00"
+    table.upsert(row(k1, 5L), version = 0)
+    table.upsert(row(k2, 3L), version = 0)
+    table.deleteKeys(spark, Seq(k1).toDF("tx_minute"), version = 1)
+
+    def served = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min").as[(String, Long)].collect().toMap
+    assert(served === Map(k2 -> 3L), "deleted key gone from latest")
+    assert(table.getRecord(spark, k1).count() === 0, "point lookup sees the delete")
+    // time travel: before the delete the key exists; at the delete it doesn't
+    assert(table.readAsOf(spark, 0).filter($"tx_minute" === k1).count() === 1)
+    assert(table.readAsOf(spark, 1).filter($"tx_minute" === k1).count() === 0)
+
+    // resurrection: a later upsert wins over the tombstone
+    table.upsert(row(k1, 9L), version = 2)
+    assert(served === Map(k1 -> 9L, k2 -> 3L))
+
+    // maintenance preserves delete semantics: delete again, then compact +
+    // truncate — the tombstone must keep beating the old version-2 row
+    table.deleteKeys(spark, Seq(k1).toDF("tx_minute"), version = 3)
+    table.compact(spark)
+    assert(served === Map(k2 -> 3L), "compaction keeps the winning tombstone")
+    table.truncateHistory(spark, keepFrom = 3)
+    assert(served === Map(k2 -> 3L), "truncation keeps the winning tombstone")
+  }
 }
