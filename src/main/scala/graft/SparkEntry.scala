@@ -184,6 +184,24 @@ object SparkEntry {
         GROUP BY l_returnflag""")
     }),
 
+    // Q8 — EXISTS / NOT EXISTS through the SQL surface: the predicate-
+    // subquery twin of q7's scalar form. Catalyst's RewritePredicateSubquery
+    // must turn the pair into one LeftSemi and one LeftAnti join (pinned in
+    // PlansSpec) — correlated-left these are per-order rescans of lineitem.
+    // All-integer output.
+    "q8_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q8_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("q8_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM q8_orders o
+        WHERE EXISTS (SELECT 1 FROM q8_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM q8_lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -4669,6 +4687,15 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q8_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // Same correlated form — DuckDB de-correlates it with its own
     // unnesting; the integer threshold keeps membership engine-identical.

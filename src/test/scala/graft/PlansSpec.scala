@@ -82,4 +82,27 @@ class PlansSpec extends SparkSpec {
     // q=10: 100 < 12 false; part 2 single row: 25 < 5 false → empty result
     assert(q.collect().isEmpty)
   }
+
+  test("EXISTS / NOT EXISTS rewrite to semi + anti joins (q8 shape)") {
+    import spark.implicits._
+    Seq((1L, "H"), (2L, "H"), (3L, "L"))
+      .toDF("o_orderkey", "o_orderpriority").createOrReplaceTempView("plans_q8_o")
+    Seq((1L, 50L, "N"), (2L, 50L, "R"), (3L, 10L, "N"))
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .createOrReplaceTempView("plans_q8_l")
+    val q = spark.sql("""
+      SELECT o_orderpriority, COUNT(*) AS n FROM plans_q8_o o
+      WHERE EXISTS (SELECT 1 FROM plans_q8_l l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        AND NOT EXISTS (SELECT 1 FROM plans_q8_l l
+                        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority""")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftSemi") && opt.contains("LeftAnti"),
+      s"predicate subqueries not rewritten:\n$opt")
+    assert(!opt.toLowerCase.contains("exists-subquery"), s"subquery survived:\n$opt")
+    // order 1: qty 50 semi-pass, no 'R' → kept; order 2: has 'R' → anti-drop;
+    // order 3: qty 10 → semi-drop
+    assert(q.as[(String, Long)].collect().toMap === Map("H" -> 1L))
+  }
 }
