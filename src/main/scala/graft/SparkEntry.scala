@@ -25,6 +25,56 @@ object SparkEntry {
 
   // ---- helpers ----------------------------------------------------------
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** m7/m8 shared pipeline: per-user 9×8 avatar tiles through the REAL BMP
+    * round trip (encodeBmp24 → dhashBmp parses the container), banded dHash
+    * candidates, exact-popcount pairs at hamming ≤ 4. See m7's registration
+    * comment for the fixture design. */
+  private def dhashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    val users = ev(s, dir).select(col("user_id")).distinct()
+    val base = (col("i") * 37 + pmod(col("user_id"), lit(5)) * 11) % 97 * 2
+    val px = users.select(col("user_id"), explode(sequence(lit(0), lit(71))).as("i"))
+      .withColumn("v",
+        when(col("user_id") >= 75 &&
+             pmod(col("i") + col("user_id"), lit(89)) === 0,
+          lit(255) - base).otherwise(base))
+      .withColumn("rgb", col("v") * 65536 + col("v") * 256 + col("v"))
+    val payloads = px.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("rgb")))).as("pxs"))
+      .select(col("user_id"),
+        transform(col("pxs"), x => x.getField("rgb")).as("pxs"))
+      .as[(Long, Array[Long])]
+      .map { case (uid, pxs) =>
+        (uid, Multimodal.encodeBmp24(pxs.map(_.toInt), 9)) }
+      .toDF("id", "data")
+    val hashes = payloads.as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val (hi, lo) = Multimodal.dhashBmp(bytes); (id, hi, lo) }
+      .toDF("id", "hi", "lo")
+    val bands = hashes.select(col("id"), explode(array((0 until 8).map { j =>
+      val half = if (j < 4) col("hi") else col("lo")
+      struct(lit(j).as("j"),
+        shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
+    }: _*)).as("b"))
+      .select(col("id"), col("b.j").as("j"), col("b.bv").as("bv"))
+    val cand = bands.select(col("j"), col("bv"), col("id").as("id_a"))
+      .join(bands.select(col("j"), col("bv"), col("id").as("id_b")),
+        Seq("j", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(hashes.select(col("id").as("id_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a")), "id_a")
+      .join(hashes.select(col("id").as("id_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 4)
+  }
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
@@ -2847,49 +2897,21 @@ object SparkEntry {
     // a flipped pixel touches ≤ 2 comparisons, so true near-dups sit at
     // hamming ≤ 2 and cross-family pairs land far above the ≤ 4 cut.
     // All-integer end to end.
-    "m7_image_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val users = ev(s, dir).select(col("user_id")).distinct()
-      val base = (col("i") * 37 + pmod(col("user_id"), lit(5)) * 11) % 97 * 2
-      val px = users.select(col("user_id"), explode(sequence(lit(0), lit(71))).as("i"))
-        .withColumn("v",
-          when(col("user_id") >= 75 &&
-               pmod(col("i") + col("user_id"), lit(89)) === 0,
-            lit(255) - base).otherwise(base))
-        .withColumn("rgb", col("v") * 65536 + col("v") * 256 + col("v"))
-      val payloads = px.groupBy(col("user_id"))
-        .agg(sort_array(collect_list(struct(col("i"), col("rgb")))).as("pxs"))
-        .select(col("user_id"),
-          transform(col("pxs"), x => x.getField("rgb")).as("pxs"))
-        .as[(Long, Array[Long])]
-        .map { case (uid, pxs) =>
-          (uid, Multimodal.encodeBmp24(pxs.map(_.toInt), 9)) }
-        .toDF("id", "data")
-      val hashes = payloads.as[(Long, Array[Byte])]
-        .map { case (id, bytes) =>
-          val (hi, lo) = Multimodal.dhashBmp(bytes); (id, hi, lo) }
-        .toDF("id", "hi", "lo")
-      val bands = hashes.select(col("id"), explode(array((0 until 8).map { j =>
-        val half = if (j < 4) col("hi") else col("lo")
-        struct(lit(j).as("j"),
-          shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
-      }: _*)).as("b"))
-        .select(col("id"), col("b.j").as("j"), col("b.bv").as("bv"))
-      val cand = bands.select(col("j"), col("bv"), col("id").as("id_a"))
-        .join(bands.select(col("j"), col("bv"), col("id").as("id_b")),
-          Seq("j", "bv"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      cand
-        .join(hashes.select(col("id").as("id_a"), col("hi").as("hi_a"),
-          col("lo").as("lo_a")), "id_a")
-        .join(hashes.select(col("id").as("id_b"), col("hi").as("hi_b"),
-          col("lo").as("lo_b")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
-            .as("hamming"))
-        .filter(col("hamming") <= 4)
+    "m7_image_neardup" -> ((s, dir) => dhashPairs(s, dir)),
+
+    // M8 — image DUP CLUSTERS: the m7 pair relation fed through the d6
+    // connected-components contract (one canonical image per component,
+    // never drop-id_b-of-every-pair) — the cross-family composition a
+    // multimodal curation pipeline actually runs. Oracle reuses the m7
+    // pixel-formula chain + the d6 recursive-reachability labels.
+    "m8_image_clusters" -> ((s, dir) => {
+      val labels = DedupOps.connectedComponents(
+        dhashPairs(s, dir).select(col("id_a"), col("id_b")))
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("id").as("user_id"), col("cluster_id"),
+          col("cluster_size"))
     }),
 
     // M3 — multimodal image decode through the COMPRESSED container: the
@@ -3542,6 +3564,37 @@ object SparkEntry {
 
   /** Recursive-transitive-closure component labeling of the thresholded
     * LSH pair graph (shared by d6 and d6b — same contract, two algorithms). */
+  /** Shared m7/m8 oracle CTE chain ending in `p` (id_a, id_b, hamming):
+    * dHash from the pixel formula alone — never the container. */
+  private def dhashPairsCtes: String =
+    """u AS (SELECT DISTINCT user_id FROM events),
+      |px AS (SELECT user_id, unnest(generate_series(0, 71)) AS i FROM u),
+      |g AS (SELECT user_id, i,
+      |  CASE WHEN user_id >= 75 AND (i + user_id) % 89 = 0
+      |       THEN 255 - ((i * 37 + (user_id % 5) * 11) % 97) * 2
+      |       ELSE ((i * 37 + (user_id % 5) * 11) % 97) * 2 END AS v
+      |  FROM px),
+      |bits AS (SELECT l.user_id, l.i // 9 AS r, l.i % 9 AS c,
+      |    CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS b
+      |  FROM g l JOIN g rr ON rr.user_id = l.user_id AND rr.i = l.i + 1
+      |  WHERE l.i % 9 < 8),
+      |h AS (SELECT user_id,
+      |    SUM(CASE WHEN r < 4 THEN b * (CAST(1 AS BIGINT) << (r * 8 + c))
+      |             ELSE 0 END) AS hi,
+      |    SUM(CASE WHEN r >= 4 THEN b * (CAST(1 AS BIGINT) << ((r - 4) * 8 + c))
+      |             ELSE 0 END) AS lo
+      |  FROM bits GROUP BY 1),
+      |bands AS (SELECT user_id, j,
+      |    CASE WHEN j < 4 THEN (hi >> (8 * j)) & 255
+      |         ELSE (lo >> (8 * (j - 4))) & 255 END AS bv
+      |  FROM h, (SELECT unnest(generate_series(0, 7)) AS j)),
+      |cand AS (SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+      |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+      |    AND a.user_id < b.user_id),
+      |p AS (SELECT id_a, id_b,
+      |    bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hamming
+      |  FROM cand JOIN h ha ON ha.user_id = id_a JOIN h hb ON hb.user_id = id_b)""".stripMargin
+
   private def clusterOracle: String = {
     val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH RECURSIVE $minhashCtes,
@@ -5980,35 +6033,24 @@ object SparkEntry {
     // dHash recomputed from the pixel formula alone (never the container):
     // same 9×8 grid, same halves layout, same banding, same popcount cut.
     "m7_image_neardup" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |px AS (SELECT user_id, unnest(generate_series(0, 71)) AS i FROM u),
-        |g AS (SELECT user_id, i,
-        |  CASE WHEN user_id >= 75 AND (i + user_id) % 89 = 0
-        |       THEN 255 - ((i * 37 + (user_id % 5) * 11) % 97) * 2
-        |       ELSE ((i * 37 + (user_id % 5) * 11) % 97) * 2 END AS v
-        |  FROM px),
-        |bits AS (SELECT l.user_id, l.i // 9 AS r, l.i % 9 AS c,
-        |    CASE WHEN l.v < rr.v THEN 1 ELSE 0 END AS b
-        |  FROM g l JOIN g rr ON rr.user_id = l.user_id AND rr.i = l.i + 1
-        |  WHERE l.i % 9 < 8),
-        |h AS (SELECT user_id,
-        |    SUM(CASE WHEN r < 4 THEN b * (CAST(1 AS BIGINT) << (r * 8 + c))
-        |             ELSE 0 END) AS hi,
-        |    SUM(CASE WHEN r >= 4 THEN b * (CAST(1 AS BIGINT) << ((r - 4) * 8 + c))
-        |             ELSE 0 END) AS lo
-        |  FROM bits GROUP BY 1),
-        |bands AS (SELECT user_id, j,
-        |    CASE WHEN j < 4 THEN (hi >> (8 * j)) & 255
-        |         ELSE (lo >> (8 * (j - 4))) & 255 END AS bv
-        |  FROM h, (SELECT unnest(generate_series(0, 7)) AS j)),
-        |cand AS (SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
-        |  FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
-        |    AND a.user_id < b.user_id),
-        |p AS (SELECT id_a, id_b,
-        |    bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hamming
-        |  FROM cand JOIN h ha ON ha.user_id = id_a JOIN h hb ON hb.user_id = id_b)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM p WHERE hamming <= 4""".stripMargin,
+      s"""WITH $dhashPairsCtes
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM p WHERE hamming <= 4""".stripMargin,
+
+    // the m7 chain + the d6 recursive-reachability component labels
+    "m8_image_clusters" ->
+      s"""WITH RECURSIVE $dhashPairsCtes,
+         |pp AS (SELECT id_a, id_b FROM p WHERE hamming <= 4),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pp
+         |          UNION SELECT id_b, id_a FROM pp),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT l.id AS user_id, l.cluster_id, CAST(c.n AS BIGINT) AS cluster_size
+         |FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c
+         |  USING (cluster_id)""".stripMargin,
 
     "m2_bmp_features" ->
       """SELECT user_id AS content_id,
