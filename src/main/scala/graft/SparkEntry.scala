@@ -2473,6 +2473,39 @@ object SparkEntry {
           docs(s, dir).select(col("doc_id")), col("doc_id"), shards = 8)
         .select(col("doc_id"), col("pos"), col("shard"))),
 
+    // X12 — SPLIT-LEAKAGE audit: near-dup candidate pairs that straddle
+    // the x5 train/validation/test boundary — the eval-hygiene number
+    // (a test doc with a train near-twin inflates benchmark scores; x4
+    // checks cross-CORPUS contamination, this checks the split itself).
+    // Hash-splitting is per-doc independent, so near-dup pairs land across
+    // splits at the mixing rate — the audit quantifies it: total LSH
+    // pairs, within/cross counts, cross rate in bp, and the count of
+    // distinct TEST docs with an out-of-split twin (the rows you'd
+    // quarantine). All integers.
+    "x12_split_leakage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val split = graft.ops.Sampling.hashSplit(d, col("doc_id"),
+        SparkEntry.splitFractions).select(col("doc_id"), col("split"))
+      val pairs = DedupOps.lshCandidatePairs(d, "doc_id", "text", 16, 4)
+        .select(col("id_a"), col("id_b"))
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      val testLeaks = pairs.filter(col("sa") =!= col("sb"))
+        .select(explode(array(
+          struct(col("id_a").as("id"), col("sa").as("sp")),
+          struct(col("id_b").as("id"), col("sb").as("sp")))).as("x"))
+        .filter(col("x.sp") === "test")
+        .select(col("x.id")).distinct()
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          count(when(col("sa") === col("sb"), lit(1))).as("n_within"),
+          count(when(col("sa") =!= col("sb"), lit(1))).as("n_cross"))
+        .crossJoin(testLeaks.agg(count(lit(1)).as("n_test_leaked")))
+        .select(col("n_pairs"), col("n_within"), col("n_cross"),
+          expr("CASE WHEN n_pairs = 0 THEN NULL ELSE n_cross * 10000 div n_pairs END")
+            .as("cross_bp"),
+          col("n_test_leaked"))
+    }),
+
     // D7 — cross-document duplicated n-gram fractions (span-dedup signal,
     // Lee et al. 2022): distinct 4-grams per doc that occur in >= 2 docs.
     // Both exchanges key on the gram hash; skew lands in one count row.
@@ -5478,6 +5511,33 @@ object SparkEntry {
         .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
         .mkString(" ")
       s"""SELECT doc_id, lang, CASE $ladder END AS split FROM documents""".stripMargin
+    },
+
+    // x5's split ladder + the shared LSH pair CTEs; leak set recomputed
+    // relationally.
+    "x12_split_leakage" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+        .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+        .mkString(" ")
+      s"""WITH $minhashCtes,
+         |sp AS (SELECT doc_id, CASE $ladder END AS split FROM documents),
+         |pj AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb
+         |  FROM pairs p JOIN sp sa ON sa.doc_id = p.id_a
+         |  JOIN sp sb ON sb.doc_id = p.id_b),
+         |tl AS (SELECT COUNT(DISTINCT id) AS n_test_leaked FROM (
+         |  SELECT id_a AS id, sa AS s FROM pj WHERE sa <> sb
+         |  UNION ALL SELECT id_b, sb FROM pj WHERE sa <> sb) WHERE s = 'test')
+         |SELECT (SELECT COUNT(*) FROM pj) AS n_pairs,
+         |  (SELECT COUNT(*) FROM pj WHERE sa = sb) AS n_within,
+         |  (SELECT COUNT(*) FROM pj WHERE sa <> sb) AS n_cross,
+         |  CASE WHEN (SELECT COUNT(*) FROM pj) = 0 THEN NULL
+         |       ELSE (SELECT COUNT(*) FROM pj WHERE sa <> sb) * 10000
+         |            // (SELECT COUNT(*) FROM pj) END AS cross_bp,
+         |  tl.n_test_leaked
+         |FROM tl""".stripMargin
     },
 
     "x6_shuffle" -> {
