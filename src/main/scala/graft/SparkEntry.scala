@@ -2788,6 +2788,30 @@ object SparkEntry {
           col("n"))
     }),
 
+    // MON10 — ROBUST outlier quarantine via MAD (median absolute
+    // deviation): the mean/σ screens (mon6's 3σ) are themselves dragged by
+    // the outliers they hunt; median/MAD have a 50% breakdown point. Flag
+    // |x − med| > 4.4478·MAD (3σ-equivalent under normality; the constant
+    // ships as ONE literal, never derived arithmetic). Both medians are
+    // exact interpolated percentiles — the a14 cross-engine parity — and
+    // the per-group stats relation is metadata-sized and broadcast back.
+    "mon10_mad_outliers" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+      val mad = e.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          Exact.fmt(first(col("med")), 4).as("med_r"),
+          Exact.fmt(first(col("mad")), 4).as("mad_r"),
+          count(when(abs(col("value") - col("med")) >
+            expr("CAST('4.4478' AS DOUBLE)") * col("mad"), lit(1)))
+            .as("n_outliers"))
+    }),
+
     // MON9 — seasonal-trend decomposition (STL-lite) of the hourly series:
     // trend = centered 25-hour moving average (null at the edges — partial
     // frames are surfaced, not silently averaged), seasonal = per
@@ -5985,6 +6009,21 @@ object SparkEntry {
         |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM truth GROUP BY 1""".stripMargin,
+
+    "mon10_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    quantile_cont(value, CAST('0.5' AS DOUBLE)) AS med, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |    quantile_cont(abs(e.value - m.med), CAST('0.5' AS DOUBLE)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, m.n,
+        |  printf('%.4f', m.med) AS med_r,
+        |  printf('%.4f', d.mad) AS mad_r,
+        |  COUNT(CASE WHEN abs(e.value - m.med) > CAST('4.4478' AS DOUBLE) * d.mad
+        |        THEN 1 END) AS n_outliers
+        |FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        |GROUP BY e.event_type, m.n, m.med, d.mad""".stripMargin,
 
     // Same 1e-10 integer grid, same 25-row centered frame (COUNT-gated
     // edges), same truncating integer division (DuckDB // and Spark div
