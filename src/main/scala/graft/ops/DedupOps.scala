@@ -338,8 +338,14 @@ object DedupOps {
                       shingleSize: Int = 3, tauNum: Int = 8,
                       tauDen: Int = 10): DataFrame = {
     require(tauNum > 0 && tauDen >= tauNum)
+    // cached: the shingle relation feeds FOUR subtrees (document
+    // frequencies, the per-doc prefix ranking, and both sides of the
+    // verification join) — uncached, the regex tokenize + explode re-runs
+    // per subtree (the scrubBase lesson). Callers release it via the
+    // bench/verify harnesses' clearCache().
     val tok = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), shingleSize))).as("t"))
+      .cache()
     val dfreq = tok.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     import org.apache.spark.sql.expressions.Window
