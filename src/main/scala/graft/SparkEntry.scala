@@ -252,6 +252,44 @@ object SparkEntry {
         GROUP BY o_orderpriority""")
     }),
 
+    // Q9 — NOT IN with tri-valued NULL semantics: the third subquery
+    // de-correlation path after q7 (scalar) and q8 (EXISTS). `x NOT IN (S)`
+    // is NOT an anti join when NULLs are involved: a NULL anywhere in S makes
+    // the predicate non-TRUE for every probe row (branch 'null_list' must
+    // emit ZERO groups), and a NULL probe never passes (branch 'null_probe'
+    // silently drops those customers). A plain-anti-join rewrite gets both
+    // branches wrong, so this is a semantics gate, not just a plan shape:
+    // Spark must plan its null-aware anti join (BroadcastHashJoin … NAAJ,
+    // pinned in PlansSpec) and DuckDB agrees from first principles. The
+    // NULLs are injected deterministically (every 1-URGENT order's custkey
+    // in 'null_list'; every custkey ≡ 0 (mod 10) probe in 'null_probe') so
+    // all three SFs exercise both poisoned paths.
+    "q9_not_in" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q9_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("q9_customer")
+      s.sql("""
+        SELECT 'plain' AS branch, c_mktsegment, COUNT(*) AS n_cust
+        FROM q9_customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM q9_orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'null_list', c_mktsegment, COUNT(*)
+        FROM q9_customer
+        WHERE c_custkey NOT IN
+          (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                       ELSE o_custkey END
+           FROM q9_orders)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'null_probe', c_mktsegment, COUNT(*)
+        FROM q9_customer
+        WHERE (CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END)
+          NOT IN (SELECT o_custkey FROM q9_orders
+                  WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -264,6 +302,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           Exact.sumD(col("value"), 2).as("sum_value"))),
+
+    // P13 — semi-structured ingestion through Spark 4's VARIANT type. The
+    // open-content envelope (reference: source-schema.json's free-form
+    // detail payload) is parsed ONCE into the binary variant encoding, then
+    // four typed extractions read the parsed tree — vs p1's
+    // get_json_object, which re-parses the JSON string per extraction.
+    // Exercised semantics: nested path ($.meta.type), array index
+    // ($.meta.ids[1]), explicit JSON null vs MISSING path (both surface as
+    // SQL NULL from variant_get, counted separately against exact
+    // expectations). The nested document is synthesized deterministically
+    // from typed columns (integers + enum strings only — no float
+    // formatting), so the DuckDB oracle states the same truth directly
+    // from the source columns, blind to the variant machinery.
+    "p13_variant" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("j", format_string(
+          """{"k": %s, "meta": {"type": "%s", "ids": [%s, %s]}, "opt": %s}""",
+          col("k"), col("event_type"), col("user_id"), col("event_id"),
+          when(col("k") % 7 === 0, lit("null")).otherwise(col("k").cast("string"))))
+        .withColumn("v", parse_json(col("j")))
+        .select(
+          expr("variant_get(v, '$.meta.type', 'string')").as("mtype"),
+          expr("variant_get(v, '$.k', 'int')").as("vk"),
+          expr("variant_get(v, '$.meta.ids[1]', 'bigint')").as("id1"),
+          expr("variant_get(v, '$.opt', 'int')").as("opt"),
+          expr("variant_get(v, '$.absent', 'int')").as("absent"))
+        .groupBy(col("mtype"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vk")).as("sum_k"),
+          sum(col("id1")).as("sum_id1"),
+          count(when(col("opt").isNull, 1)).as("n_opt_null"),
+          count(when(col("absent").isNull, 1)).as("n_absent_null"))),
 
     // P2/S8 — keyed latest-wins dedup (online-store get_record semantics,
     // read_feature_store.ipynb; latest event per key).
@@ -3253,6 +3324,18 @@ object SparkEntry {
       graft.streaming.StreamSession.run(s, ev(s, dir), work)
     }),
 
+    // E2E transformWithState (§2.8, Spark 4's arbitrary-state API): the
+    // per-user running profile replayed through typed ValueState +
+    // MapState on the RocksDB store — the modern successor to the
+    // [flatM|m]apGroupsWithState paths StreamDedup/StreamCdc exercise.
+    // Integer-only state arithmetic makes the final latest-wins snapshot
+    // a pure function of the row SET (batch-slicing-independent), so the
+    // oracle is the plain batch recomputation (see streaming/StreamTws).
+    "e2e_tws_profile" -> ((s, dir) => {
+      val work = scratch("e2etws")
+      graft.streaming.StreamTws.run(s, ev(s, dir), work)
+    }),
+
     // Watermark DISCARD semantics (the reference's core lateness contract,
     // resources/flink/main.py:77): a deterministic subset of events arrives
     // a full microbatch-group of files late, beyond the 60 s watermark; the
@@ -4300,6 +4383,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
+    // Truth stated directly from the source columns, blind to the variant
+    // machinery: mtype=event_type, vk=k, ids[1]=event_id, opt null iff
+    // k≡0 (mod 7), $.absent always missing → always NULL.
+    "p13_variant" ->
+      """SELECT event_type AS mtype, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id1,
+        |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        |             THEN 1 END) AS n_opt_null,
+        |  COUNT(*) AS n_absent_null
+        |FROM events GROUP BY 1""".stripMargin,
+
     "p2_dedup_latest" ->
       """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
@@ -4806,6 +4901,31 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // Same tri-valued NOT IN semantics from first principles — DuckDB plans
+    // its own mark join; both engines must drop ALL rows in 'null_list' and
+    // the NULL probes in 'null_probe'.
+    "q9_not_in" ->
+      """SELECT 'plain' AS branch, c_mktsegment, COUNT(*) AS n_cust
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'null_list', c_mktsegment, COUNT(*)
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+        |               ELSE o_custkey END
+        |   FROM orders)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'null_probe', c_mktsegment, COUNT(*)
+        |FROM customer
+        |WHERE (CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END)
+        |  NOT IN (SELECT o_custkey FROM orders
+        |          WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment""".stripMargin,
 
     // Same correlated form — DuckDB de-correlates it with its own
     // unnesting; the integer threshold keeps membership engine-identical.
@@ -6301,6 +6421,17 @@ object SparkEntry {
         |SELECT user_id, min(t) AS session_start_us, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // Batch recomputation of the transformWithState running profile: the
+    // processor's integer state arithmetic is slicing-independent, so the
+    // final snapshot per user must equal this direct aggregate.
+    "e2e_tws_profile" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
 
     // Clean recomputation EXCLUDING exactly the deterministically-delayed
     // subset (event_id % 13 = 0, not an overlap-dup candidate, outside the

@@ -105,4 +105,38 @@ class PlansSpec extends SparkSpec {
     // order 3: qty 10 → semi-drop
     assert(q.as[(String, Long)].collect().toMap === Map("H" -> 1L))
   }
+
+  test("NOT IN plans a null-aware anti join and honours NULL poisoning (q9 shape)") {
+    import spark.implicits._
+    Seq((1L, "A"), (2L, "A"), (3L, "B"), (10L, "B"))
+      .toDF("c_custkey", "c_mktsegment").createOrReplaceTempView("plans_q9_c")
+    Seq((Some(2L), "1-URGENT"), (Some(3L), "2-HIGH"))
+      .toDF("o_custkey", "o_orderpriority").createOrReplaceTempView("plans_q9_o")
+    val plain = spark.sql("""
+      SELECT c_custkey FROM plans_q9_c
+      WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM plans_q9_o WHERE o_orderpriority = '1-URGENT')""")
+    // single-column NOT IN over a broadcastable subquery → Spark's
+    // null-aware anti join, not a nested loop. In simpleString the NAAJ
+    // flag is the trailing `true` of "LeftAnti, BuildRight, true"
+    // (formatted explain spells it NAAJ).
+    val phys = plain.queryExecution.executedPlan.toString
+    assert(phys.contains("LeftAnti, BuildRight, true"),
+      s"expected null-aware anti join:\n$phys")
+    assert(plain.as[Long].collect().sorted === Array(1L, 3L, 10L))
+    // a NULL in the list poisons every probe row
+    val nullList = spark.sql("""
+      SELECT c_custkey FROM plans_q9_c
+      WHERE c_custkey NOT IN
+        (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                     ELSE o_custkey END FROM plans_q9_o)""")
+    assert(nullList.collect().isEmpty, "NULL in NOT IN list must drop all rows")
+    // a NULL probe never passes
+    val nullProbe = spark.sql("""
+      SELECT c_custkey FROM plans_q9_c
+      WHERE (CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey END)
+        NOT IN (SELECT o_custkey FROM plans_q9_o
+                WHERE o_orderpriority = '1-URGENT')""")
+    assert(nullProbe.as[Long].collect().sorted === Array(1L, 3L))
+  }
 }
