@@ -1602,6 +1602,46 @@ object SparkEntry {
           col("in_core"))
     }),
 
+    // G4 — bounded multi-source BFS (4 hops) from a deterministic seed set
+    // (vec_id ≡ 0 mod 97) over the k-NN graph: seed-expansion distance as
+    // a propagation-based quality prior. Per round only the FRONTIER joins
+    // the edge relation (plus one anti join against the settled set) — the
+    // moving set is what shuffles, not the graph. Integer distances, −1
+    // beyond the horizon (the g1/g3 fixed-iteration contract).
+    "g4_bfs_dist" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val seeds = nodes.filter(col("vec_id") % 97 === 0).select(col("vec_id"))
+      graft.ops.GraphOps.bfsHops(nodes, edges, "vec_id", "src", "dst",
+          seeds, rounds = 4)
+        .select(col("id").as("vec_id"), col("dist"))
+    }),
+
+    // G5 — common-neighbor link prediction over the k-NN graph: for every
+    // non-adjacent pair sharing ≥2 neighbors, the three classic
+    // neighborhood scores (common-neighbor count, Jaccard in basis points,
+    // Resource Allocation Σ1/deg(z) on the exact 1e10 grid). Intermediates
+    // above deg 64 are excluded from wedge formation BY CONTRACT — the
+    // documented hub mitigation that bounds the wedge relation at cap·m
+    // under any skew (a super-hub carries ~zero RA signal anyway).
+    // All-integer output.
+    "g5_linkpred" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.linkPrediction(nodes, edges, "vec_id", "src", "dst",
+          degCap = 64, minCn = 2)
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -3562,6 +3602,68 @@ object SparkEntry {
        |WHERE 10 * i.ni >= 8 * (sa.n + sb.n - i.ni)""".stripMargin
   }
 
+  /** Shared k-NN graph prefix for the g4/g5 oracles: the same s13 edge
+    * relation as g1/g2/g3 plus its undirected closure and neighbor/degree
+    * relations. */
+  private def knnUndirectedCtes: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |nbr AS (SELECT a AS id, b AS nb FROM und
+       |        UNION ALL SELECT b AS id, a AS nb FROM und),
+       |dg AS (SELECT id, COUNT(*) AS deg FROM nbr GROUP BY 1)""".stripMargin
+
+  /** g4 oracle: four unrolled BFS rounds from the mod-97 seed set —
+    * frontier k = neighbors of frontier k−1 minus everything settled. */
+  private def bfsOracle: String = {
+    val settledThrough = (k: Int) =>
+      (0 to k).map(i => s"SELECT id FROM s$i").mkString(" UNION ")
+    val rounds = (1 to 4).map { k =>
+      s"""s$k AS (SELECT DISTINCT nb AS id FROM nbr
+         |  WHERE id IN (SELECT id FROM s${k - 1})
+         |    AND nb NOT IN (${settledThrough(k - 1)}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnUndirectedCtes,
+       |s0 AS (SELECT id FROM spine WHERE id % 97 = 0),
+       |$rounds
+       |SELECT spine.id AS vec_id,
+       |  CAST(CASE WHEN id IN (SELECT id FROM s0) THEN 0
+       |            WHEN id IN (SELECT id FROM s1) THEN 1
+       |            WHEN id IN (SELECT id FROM s2) THEN 2
+       |            WHEN id IN (SELECT id FROM s3) THEN 3
+       |            WHEN id IN (SELECT id FROM s4) THEN 4
+       |            ELSE -1 END AS BIGINT) AS dist
+       |FROM spine""".stripMargin
+  }
+
+  /** g5 oracle: wedges through deg≤64 intermediates, pair scores, the
+    * non-adjacency anti join, and the three integer scores. */
+  private def linkPredOracle: String =
+    s"""WITH $knnUndirectedCtes,
+       |mid AS (SELECT nr.nb AS z, nr.id, d.deg AS degz
+       |        FROM nbr nr JOIN dg d ON d.id = nr.nb WHERE d.deg <= 64),
+       |sc AS (SELECT m1.id AS id_a, m2.id AS id_b, COUNT(*) AS cn,
+       |         SUM(10000000000 // m1.degz) AS ra
+       |       FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.id < m2.id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |na AS (SELECT * FROM sc WHERE NOT EXISTS
+       |        (SELECT 1 FROM und WHERE und.a = sc.id_a AND und.b = sc.id_b))
+       |SELECT na.id_a, na.id_b, CAST(na.cn AS BIGINT) AS cn,
+       |  CAST(na.cn * 10000 // (da.deg + db.deg - na.cn) AS BIGINT) AS jacc_bp,
+       |  CAST(na.ra AS BIGINT) AS ra_e10
+       |FROM na JOIN dg da ON da.id = na.id_a
+       |JOIN dg db ON db.id = na.id_b""".stripMargin
+
   /** g3 oracle: the g1/g2 edge-chain prefix + three unrolled peel rounds
     * (round 1 on full degree, rounds 2-3 on induced degree), survivor
     * flags left-joined per round — integer arithmetic only. */
@@ -4969,6 +5071,8 @@ object SparkEntry {
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,
     "g3_kcore" -> kCoreOracle,
+    "g4_bfs_dist" -> bfsOracle,
+    "g5_linkpred" -> linkPredOracle,
 
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.

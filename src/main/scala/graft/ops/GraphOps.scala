@@ -115,6 +115,98 @@ object GraphOps {
       coalesce(col(s"__f${flags.size - 1}"), lit(0L)).as("in_core"))
   }
 
+  /** Bounded multi-source BFS over the undirected closure of `edges`:
+    * hop distance from the nearest seed, up to `rounds` hops, −1 beyond.
+    * The curation reading: distance from a trusted/curated seed set is a
+    * propagation-based quality prior (seed expansion), and the bounded
+    * horizon is the deterministic, oracle-unrollable form of it (the g1/g3
+    * fixed-iteration contract).
+    *
+    * Execution shape per round: one key-partitioned join of the CURRENT
+    * FRONTIER against the edge relation + one anti join against the
+    * settled set — the frontier, not the graph, is what moves, so a round
+    * costs O(edges incident to the frontier) and nothing data-sized is
+    * broadcast. Distances are exact integers.
+    *
+    * Returns one row per node in `nodes`: (id, dist) with dist ∈ [0,
+    * rounds] or −1 if unreached within the horizon. */
+  def bfsHops(nodes: DataFrame, edges: DataFrame, idCol: String,
+              srcCol: String, dstCol: String, seeds: DataFrame,
+              rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbr = und.select(col("a").as("id"), col("b").as("nb"))
+      .union(und.select(col("b").as("id"), col("a").as("nb")))
+    var settled = seeds.select(col(idCol).as("id")).distinct()
+      .join(spine, Seq("id"), "left_semi")
+      .withColumn("dist", lit(0L))
+    var frontier = settled.select(col("id"))
+    for (d <- 1 to rounds) {
+      val next = nbr.join(frontier, Seq("id"), "left_semi")
+        .select(col("nb").as("id")).distinct()
+        .join(settled.select(col("id")), Seq("id"), "left_anti")
+      frontier = next
+      settled = settled.unionByName(next.withColumn("dist", lit(d.toLong)))
+    }
+    spine.join(settled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
+  /** Common-neighbor link prediction over the undirected closure of
+    * `edges`: for every NON-adjacent pair with at least `minCn` shared
+    * neighbors, the three classic neighborhood scores — common-neighbor
+    * count, Jaccard (basis points, integer division), and Resource
+    * Allocation Σ 1/deg(z) (floored to exact 1e10 units per the g1 grid
+    * discipline, so the sum is an order-independent integer).
+    *
+    * The wedge enumeration at an intermediate z materializes deg(z)² pairs
+    * — the hub hazard triangle counting dodges by orientation, which is
+    * NOT available here (every common-neighbor pair is output, not a
+    * count). The standard production mitigation is explicit: intermediates
+    * with deg(z) > `degCap` are excluded from wedge formation — part of
+    * the operator contract (a super-hub shared by millions of pairs
+    * carries ~zero link-prediction signal anyway; RA would weight it
+    * 1/deg ≈ 0), mirrored in the oracle, and the work bound becomes
+    * Σ_{deg(z)≤cap} deg(z)² ≤ cap·m regardless of skew.
+    *
+    * Returns (id_a, id_b, cn, jacc_bp, ra_e10), id_a < id_b, all
+    * integers. */
+  def linkPrediction(nodes: DataFrame, edges: DataFrame, idCol: String,
+                     srcCol: String, dstCol: String, degCap: Int,
+                     minCn: Int): DataFrame = {
+    require(degCap >= 1 && minCn >= 1)
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nbr = und.select(col("a").as("id"), col("b").as("nb"))
+      .union(und.select(col("b").as("id"), col("a").as("nb")))
+    val deg = nbr.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // wedges through bounded-degree intermediates only
+    val mid = nbr.select(col("nb").as("z"), col("id"))
+      .join(deg.filter(col("deg") <= degCap)
+        .select(col("id").as("z"), col("deg").as("degz")), "z")
+    val m1 = mid.select(col("z"), col("id").as("id_a"), col("degz"))
+    val m2 = mid.select(col("z"), col("id").as("id_b"))
+    val scored = m1.join(m2, "z").filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${10000000000L} div degz")).as("ra_e10"))
+      .filter(col("cn") >= minCn)
+    val nonAdj = scored.join(und,
+      scored("id_a") === und("a") && scored("id_b") === und("b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("id").as("id_a"), col("deg").as("da")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("db")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cn"),
+        expr("cn * 10000 div (da + db - cn)").as("jacc_bp"),
+        col("ra_e10"))
+  }
+
   /** Per-node triangle counts and local clustering coefficients over the
     * UNDIRECTED closure of `edges` — the community-density signal beside
     * PageRank's centrality (dense neighborhoods = topical clusters;

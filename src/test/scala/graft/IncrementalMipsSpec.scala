@@ -236,6 +236,51 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(got.values.filter(_._3 == 1L).forall(_._2 == 3L))
   }
 
+  test("bfs hops: multi-source, horizon cutoff, unreachable component") {
+    import graft.ops.GraphOps
+    // path 1-2-3-4-5-6 plus a disconnected pair 7-8; seeds {1, 8}.
+    val nodes = (1L to 9L).toDF("id") // 9 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(1L, 8L).toDF("id")
+    val got = GraphOps.bfsHops(nodes, edges, "id", "src", "dst", seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, 6L -> -1L, // beyond the 3-hop horizon
+      7L -> 1L, 8L -> 0L, 9L -> -1L))
+  }
+
+  test("link prediction: scores, adjacency exclusion, degree cap") {
+    import graft.ops.GraphOps
+    // wedge fan: z1 connects {1,2,3}; z2 connects {1,2}. Pair (1,2) has
+    // common neighbors {z1=10, z2=11} (cn=2); pairs (1,3),(2,3) share only
+    // z1 (cn=1 < minCn). Adjacent pair (4,5) shares {10} but is excluded.
+    val nodes = (1L to 11L).toDF("id")
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L), (11L, 2L),
+      (4L, 10L), (5L, 10L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphOps.linkPrediction(nodes, edges, "id", "src", "dst",
+        degCap = 64, minCn = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // deg(z1=10)=5, deg(z2=11)=2; RA(1,2) = floor(1e10/5) + floor(1e10/2)
+    assert(got.contains((1L, 2L)))
+    val (cn, jacc, ra) = got((1L, 2L))
+    assert(cn === 2L)
+    // deg(1)=deg(2)=2 → jacc = 2·10⁴/(2+2−2)
+    assert(jacc === 10000L)
+    assert(ra === 2000000000L + 5000000000L)
+    assert(!got.contains((4L, 5L)), "adjacent pair excluded")
+    assert(!got.keySet.exists(p => p == ((1L, 3L)) || p == ((2L, 3L))),
+      "below minCn")
+    // with the cap below deg(z1)=5, z1 wedges vanish: (1,2) falls to cn=1
+    // and drops; (10,11) — common neighbors {1,2}, both deg 2 — survives
+    val capped = GraphOps.linkPrediction(nodes, edges, "id", "src", "dst",
+        degCap = 4, minCn = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped === Map((10L, 11L) -> 2L))
+  }
+
   test("time travel: readAsOf reconstructs each historical state") {
     val dir = tmpDir("asof")
     val t = new KeyedParquetTable(s"$dir/t", "k", partitioned = false)
