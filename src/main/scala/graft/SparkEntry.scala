@@ -1239,6 +1239,24 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S18 — EXACT cosine range search (all matches with sim ≥ 0.3 per
+    // query) with lossless spherical-cap cell pruning: the radius-query
+    // twin of s2's fixed-nprobe top-k. The per-cell angular-radius bound
+    // (plus a 1e-9 slack dominating the fp error of the dot/sqrt chain)
+    // can never discard a cell containing a true match, so the oracle is
+    // the NAIVE brute-force τ-scan — equality holds by mathematics, not
+    // recall luck. Queries are the mod-100 subset.
+    "s18_range_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      SimilarityOps.rangeSearch(assigned, centroids,
+          e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", tau = 0.3)
+        .select(col("query_id"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -2921,6 +2939,51 @@ object SparkEntry {
           count(when(abs(col("value") - col("med")) >
             expr("CAST('4.4478' AS DOUBLE)") * col("mad"), lit(1)))
             .as("n_outliers"))
+    }),
+
+    // MON11 — Population Stability Index per event type: THE standard
+    // serving-vs-training drift metric an ML monitoring loop runs over
+    // feature distributions. Baseline = first 15 event-time days, current
+    // = the rest (day index relative to min day — no wall clock); fixed
+    // 10-bin value grid (floor(value/50) clamped to [0,9] — integer
+    // binning, engine-identical); Laplace +1 smoothing so empty bins
+    // contribute finitely; PSI = Σ (p−q)·ln(p/q) with ln's argument
+    // assembled as ONE double division of exact integer products (every
+    // product < 2^53 — bit-identical across engines) and each term
+    // truncated to DECIMAL(30,10) before the exact sum (the t18 ln
+    // contract). The bin spine is types × 10 literal bins (broadcast,
+    // metadata-sized) so zero-count bins are present on both sides.
+    "mon11_psi" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val minDay = e.agg(min(col("day")).as("d0"))
+      val binned = e.crossJoin(broadcast(minDay))
+        .withColumn("bin", least(greatest(
+          floor(col("value") / 50).cast("int"), lit(0)), lit(9)))
+        .withColumn("side", when(col("day") - col("d0") < 15, lit("base"))
+          .otherwise(lit("cur")))
+      val counts = binned.groupBy(col("event_type"), col("bin"))
+        .agg(count(when(col("side") === "base", 1)).as("cb0"),
+          count(when(col("side") === "cur", 1)).as("cc0"))
+      val spine = e.select(col("event_type")).distinct()
+        .crossJoin(s.range(10).select(col("id").cast("int").as("bin")))
+      val full = spine.join(counts, Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("bin"),
+          coalesce(col("cb0"), lit(0L)).as("cb"),
+          coalesce(col("cc0"), lit(0L)).as("cc"))
+      val wT = Window.partitionBy(col("event_type"))
+      val terms = full
+        .withColumn("nb", sum(col("cb")).over(wT))
+        .withColumn("nc", sum(col("cc")).over(wT))
+        .withColumn("p", (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double"))
+        .withColumn("q", (col("cc") + 1).cast("double") / (col("nc") + 10).cast("double"))
+        .withColumn("term", (col("p") - col("q")) *
+          log(((col("cb") + 1) * (col("nc") + 10)).cast("double") /
+            ((col("cc") + 1) * (col("nb") + 10)).cast("double")))
+      terms.groupBy(col("event_type"))
+        .agg(first(col("nb")).as("n_base"), first(col("nc")).as("n_cur"),
+          Exact.fmt(sum(col("term").cast("decimal(30,10)")).cast("double"), 4)
+            .as("psi_r"))
     }),
 
     // MON9 — seasonal-trend decomposition (STL-lite) of the hourly series:
@@ -5216,6 +5279,18 @@ object SparkEntry {
 
     "s1_ann_topk" -> annOracle,
 
+    // Naive τ-scan truth for the pruned range search — the pruning is
+    // lossless by the spherical-cap bound, so no mirroring needed.
+    "s18_range_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  printf('%.4f', list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm)) AS sim_r
+        |FROM n q JOIN n c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id
+        |WHERE list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm)
+        |      >= CAST('0.3' AS DOUBLE)""".stripMargin,
+
     "s2_ann_ivf" -> ivfOracle,
     // the s2 chain + one candidate-side metadata join — the commuting-
     // intersection identity the Spark side exploits, written directly
@@ -6233,6 +6308,39 @@ object SparkEntry {
         |  ) * (CAST(2 AS DOUBLE) / sum(abs(v))) / 3) AS wql_r,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM truth GROUP BY 1""".stripMargin,
+
+    // Same integer binning, Laplace smoothing, and one-division ln
+    // argument; terms truncated DECIMAL(30,10) before the exact sum.
+    "mon11_psi" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    LEAST(GREATEST(CAST(floor(value / 50) AS INTEGER), 0), 9) AS bin
+        |  FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM e),
+        |c AS (SELECT event_type, bin,
+        |    COUNT(CASE WHEN day - (SELECT d0 FROM d0) < 15 THEN 1 END) AS cb,
+        |    COUNT(CASE WHEN day - (SELECT d0 FROM d0) >= 15 THEN 1 END) AS cc
+        |  FROM e GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT event_type FROM e),
+        |bins AS (SELECT CAST(unnest(range(0, 10)) AS INTEGER) AS bin),
+        |f AS (SELECT s.event_type, b.bin,
+        |    COALESCE(c.cb, 0) AS cb, COALESCE(c.cc, 0) AS cc
+        |  FROM spine s CROSS JOIN bins b
+        |  LEFT JOIN c ON c.event_type = s.event_type AND c.bin = b.bin),
+        |t AS (SELECT event_type, cb, cc,
+        |    SUM(cb) OVER (PARTITION BY event_type) AS nb,
+        |    SUM(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM f),
+        |terms AS (SELECT event_type, nb, nc,
+        |    (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)
+        |     - CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |    * ln(CAST((cb + 1) * (nc + 10) AS DOUBLE)
+        |         / CAST((cc + 1) * (nb + 10) AS DOUBLE)) AS term
+        |  FROM t)
+        |SELECT event_type, CAST(MAX(nb) AS BIGINT) AS n_base,
+        |  CAST(MAX(nc) AS BIGINT) AS n_cur,
+        |  printf('%.4f', CAST(SUM(CAST(term AS DECIMAL(30,10))) AS DOUBLE)) AS psi_r
+        |FROM terms GROUP BY 1""".stripMargin,
 
     "mon10_mad_outliers" ->
       """WITH med AS (SELECT event_type,

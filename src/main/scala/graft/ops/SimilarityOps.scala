@@ -382,6 +382,54 @@ object SimilarityOps {
       probeCellsTiered(queries, centroids, topCentroids, idCol, vecCol, nprobe, probeTop),
       idCol, vecCol, k)
 
+  /** EXACT cosine range search (all corpus vectors with sim ≥ `tau` per
+    * query) with provably LOSSLESS IVF cell pruning — the radius-query twin
+    * of [[ivfTopK]], whose fixed-`nprobe` probing is approximate. The
+    * spherical triangle inequality gives, for any x in a cell with centroid
+    * c: angle(q,x) ≥ angle(q,c) − max_cell_angle(c,·), so
+    *   cos(q,x) ≤ ca·cb + √(1−ca²)·√(1−cb²)   (ca = cos(q,c), cb = the
+    * cell's min member cosine — its angular radius), and = 1 when q lies
+    * inside the cap. Cells whose bound (plus a 1e-9 slack that dominates
+    * the ~1e-13 fp error of the dot/sqrt chain, so rounding can never
+    * cause a false dismissal) is below τ cannot contain a match and are
+    * skipped WITHOUT loss: the result equals brute force by mathematics,
+    * not by recall luck — which is exactly why its oracle can be the naive
+    * τ-threshold scan.
+    *
+    * Scale shape: per-cell radii are one narrow aggregate over the
+    * assigned relation; the (query × surviving-cell) probe relation is
+    * metadata-sized and broadcast; only surviving cells' members are
+    * scored. Selective τ at 100 TB ⇒ most cells never leave the parquet
+    * scan (partition-pruned in the on-disk IVF layout, same as s4). */
+  def rangeSearch(corpusAssigned: DataFrame, centroids: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  tau: Double): DataFrame = {
+    val c = corpusAssigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"), col("centroid_id"))
+      .filter(nonZero(col("cv")))
+    val cent = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("cent_v"))
+      .filter(nonZero(col("cent_v")))
+    val radius = c.join(broadcast(cent), "centroid_id")
+      .groupBy(col("centroid_id"))
+      .agg(min(cosine(col("cv"), col("cent_v"))).as("cb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    val probes = q.crossJoin(broadcast(cent.join(radius, "centroid_id")))
+      .withColumn("ca", cosine(col("qv"), col("cent_v")))
+      .withColumn("bound", when(col("ca") >= col("cb"), lit(1.0))
+        .otherwise(col("ca") * col("cb") +
+          sqrt(lit(1.0) - col("ca") * col("ca")) *
+            sqrt(lit(1.0) - col("cb") * col("cb"))))
+      .filter(col("bound") + lit(1e-9) >= tau)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    c.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * bucketed by SimHash-of-embedding-signs (random-hyperplane LSH without
     * randomness: the sign pattern of selected dimensions is the bucket key,

@@ -236,6 +236,33 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(got.values.filter(_._3 == 1L).forall(_._2 == 3L))
   }
 
+  test("range search equals brute force at any tau (lossless pruning)") {
+    val rnd = new scala.util.Random(11)
+    // two tight clusters + noise so cells have genuinely different radii
+    // and the cap bound prunes the far cluster for most queries
+    val base = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+    val vs = (0L until 60L).map { i =>
+      val v =
+        if (i < 25) base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        else if (i < 50) base.map(x => (-x + rnd.nextGaussian() * 0.05).toFloat)
+        else Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val cents = vs.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val assigned = SimilarityOps.assignToCentroids(vs, cents, "vec_id", "embedding")
+    val queries = vs.filter($"vec_id" % 7 === 0)
+    for (tau <- Seq(0.3, 0.8, 0.995)) {
+      val got = SimilarityOps.rangeSearch(assigned, cents, queries,
+          "vec_id", "embedding", tau)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      val truth = SimilarityOps.bruteForceTopK(vs, queries, "vec_id", "embedding", k = 60)
+        .filter($"sim" >= tau)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      assert(got === truth, s"range search diverged from brute force at tau=$tau")
+    }
+  }
+
   test("bfs hops: multi-source, horizon cutoff, unreachable component") {
     import graft.ops.GraphOps
     // path 1-2-3-4-5-6 plus a disconnected pair 7-8; seeds {1, 8}.
