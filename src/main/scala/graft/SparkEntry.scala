@@ -290,6 +290,43 @@ object SparkEntry {
         GROUP BY c_mktsegment""")
     }),
 
+    // Q10 — WITH RECURSIVE through the SQL surface (Spark 4's UnionLoop,
+    // pinned in PlansSpec): g4's seed-expansion BFS restated as the
+    // anchor + self-referencing-join recursion a SQL user would write.
+    // UNION ALL recursion enumerates paths (bounded: dist < 4 and out-deg
+    // ≤ 2k on the k-NN graph), MIN(dist) collapses them to the hop
+    // distance; only reached nodes appear (g4's spine carries the −1s).
+    // The edge relation is built once in the DataFrame API and handed to
+    // the recursion as a temp view — recursion is the surface under test,
+    // not the graph construction.
+    "q10_recursive_bfs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      und.select(col("a").as("id"), col("b").as("nb"))
+        .union(und.select(col("b").as("id"), col("a").as("nb")))
+        .createOrReplaceTempView("q10_nbr")
+      nodes.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
+        .createOrReplaceTempView("q10_seeds")
+      s.sql("""
+        WITH RECURSIVE walk(id, dist) AS (
+          SELECT vec_id AS id, 0 AS dist FROM q10_seeds
+          UNION ALL
+          SELECT n.nb, w.dist + 1 FROM walk w JOIN q10_nbr n ON n.id = w.id
+          WHERE w.dist < 4
+        )
+        SELECT id AS vec_id, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY id""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1472,6 +1509,19 @@ object SparkEntry {
           total = 200)
         .select(col("stratum").as("lang"), col("key").as("doc_id"),
           col("pick_rank"))),
+
+    // X13 — √-temperature language rebalancing (quota ∝ √n_lang): the
+    // multilingual mixture sampler between x11's proportional allocation
+    // and a uniform one. α = 1/2 because sqrt is correctly rounded
+    // (pow(·,0.7) is libm-ULP-exposed); weights floor onto the 1e10 grid
+    // and every downstream seat count is integer largest-remainder — see
+    // ops/Sampling.temperatureExact. n_s and quota ride along so the gate
+    // pins the allocation itself, not just membership.
+    "x13_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureExact(docs(s, dir), col("doc_id"), col("lang"),
+          total = 200)
+        .select(col("stratum").as("lang"), col("key").as("doc_id"),
+          col("pick_rank"), col("n_s"), col("quota"))),
 
     // P12 — CSV round-trip ingest: the aggregate written as header-CSV and
     // read back under an EXPLICIT schema — the reference's own batch IO
@@ -5137,6 +5187,19 @@ object SparkEntry {
     "g4_bfs_dist" -> bfsOracle,
     "g5_linkpred" -> linkPredOracle,
 
+    // DuckDB's own recursive CTE over the same edge relation — path
+    // enumeration bounded by dist < 4, collapsed by MIN.
+    "q10_recursive_bfs" ->
+      s"""WITH RECURSIVE $knnUndirectedCtes,
+         |seeds AS (SELECT id FROM spine WHERE id % 97 = 0),
+         |walk(id, dist) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION ALL
+         |  SELECT n.nb, w.dist + 1 FROM walk w JOIN nbr n ON n.id = w.id
+         |  WHERE w.dist < 4)
+         |SELECT id AS vec_id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM walk GROUP BY 1""".stripMargin,
+
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.
     "p11_corrupt_ingest" ->
@@ -6239,6 +6302,31 @@ object SparkEntry {
          |        AS pick_rank
          |      FROM documents)
          |SELECT h.stratum AS lang, h.doc_id, h.pick_rank
+         |FROM h JOIN q USING (stratum) WHERE h.pick_rank <= q.quota""".stripMargin
+    },
+
+    // √n weights floored to the 1e10 grid; allocation integer throughout.
+    "x13_temperature_mix" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('temp:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH sz AS (SELECT lang AS stratum, COUNT(*) AS n_s FROM documents GROUP BY 1),
+         |w AS (SELECT stratum, n_s,
+         |      CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e10) AS BIGINT) AS w10 FROM sz),
+         |wt AS (SELECT SUM(w10) AS w_tot FROM w),
+         |q0 AS (SELECT stratum, n_s, 200 * w10 // w_tot AS q_floor,
+         |       (200 * w10) % w_tot AS rem FROM w CROSS JOIN wt),
+         |qr AS (SELECT stratum, n_s, q_floor, rem,
+         |       row_number() OVER (ORDER BY rem DESC, stratum) AS extra_rank,
+         |       200 - SUM(q_floor) OVER () AS n_extra FROM q0),
+         |q AS (SELECT stratum, n_s,
+         |      CAST(q_floor + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+         |      FROM qr),
+         |h AS (SELECT lang AS stratum, doc_id,
+         |      row_number() OVER (PARTITION BY lang ORDER BY ($hexVal), doc_id)
+         |        AS pick_rank
+         |      FROM documents)
+         |SELECT h.stratum AS lang, h.doc_id, h.pick_rank, q.n_s, q.quota
          |FROM h JOIN q USING (stratum) WHERE h.pick_rank <= q.quota""".stripMargin
     },
 

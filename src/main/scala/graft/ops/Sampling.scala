@@ -97,6 +97,53 @@ object Sampling {
       .select(col("stratum"), col("key"), col("pick_rank"))
   }
 
+  /** √-temperature stratified allocation — the multilingual-balancing
+    * sampler (quota_l ∝ n_l^(1/2)): big languages are down-weighted, small
+    * ones up-weighted relative to proportional sampling, the standard
+    * rebalancing an LLM data mixture applies before interleaving. α = 1/2
+    * is chosen DELIBERATELY: sqrt is IEEE-correctly-rounded (engine-
+    * identical), whereas pow(x, 0.7) is libm-ULP-exposed — the constraint
+    * that picks the exponent, stated rather than hidden. Each weight
+    * floors onto the exact 1e10 grid (floor, not a rounding DECIMAL cast
+    * — the g1 lesson) and ALL allocation arithmetic downstream is integer
+    * (quota floor + largest remainder, x11's machinery), so seat counts
+    * can never drift by a remainder ULP across engines.
+    *
+    * Plan shape is x11's: strata-sized quota relation broadcast back, a
+    * WindowGroupLimit-bounded per-stratum hash-order fill. */
+  def temperatureExact(df: DataFrame, key: Column, stratum: Column,
+                       total: Int, salt: String = "temp"): DataFrame = {
+    require(total >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w10",
+        floor(sqrt(col("n_s").cast("double")) * lit(1e10)).cast("long"))
+    val withW = sizes.crossJoin(broadcast(
+      sizes.agg(sum(col("w10")).as("w_tot"))))
+    val floorsSum = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = withW.select(col("stratum"), col("n_s"),
+        expr(s"$total * w10 div w_tot").as("q_floor"),
+        expr(s"($total * w10) % w_tot").as("rem"))
+      .withColumn("extra_rank",
+        row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("n_extra",
+        (lit(total) - sum(col("q_floor")).over(floorsSum)).cast("long"))
+      .select(col("stratum"), col("n_s"),
+        (col("q_floor") +
+          when(col("extra_rank") <= col("n_extra"), 1L).otherwise(0L))
+          .as("quota"))
+    df.select(stratum.as("stratum"), key.as("key"))
+      .withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(hash32(col("key"), salt), col("key"))))
+      .join(broadcast(quotas), "stratum")
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("stratum"), col("key"), col("pick_rank"),
+        col("n_s"), col("quota"))
+  }
+
   /** Domain-weighted mixture in ONE pass: each row keeps with its domain's
     * rate (domains absent from `rates` drop). One scan, one codegen'd
     * filter — not a union of per-domain samples. */

@@ -106,6 +106,25 @@ class PlansSpec extends SparkSpec {
     assert(q.as[(String, Long)].collect().toMap === Map("H" -> 1L))
   }
 
+  test("WITH RECURSIVE plans a UnionLoop and converges (q10 shape)") {
+    import spark.implicits._
+    // path 1-2-3-4 with a shortcut 1-3: MIN(dist) must pick the short way
+    Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L)).toDF("id", "nb").createOrReplaceTempView("plans_q10_nbr")
+    val q = spark.sql("""
+      WITH RECURSIVE walk(id, dist) AS (
+        SELECT 1L AS id, 0 AS dist
+        UNION ALL
+        SELECT n.nb, w.dist + 1 FROM walk w JOIN plans_q10_nbr n ON n.id = w.id
+        WHERE w.dist < 3
+      )
+      SELECT id, MIN(dist) AS dist FROM walk GROUP BY id""")
+    val phys = q.queryExecution.executedPlan.toString
+    assert(phys.contains("UnionLoop"), s"expected recursive UnionLoop:\n$phys")
+    assert(q.as[(Long, Int)].collect().toMap ===
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("NOT IN plans a null-aware anti join and honours NULL poisoning (q9 shape)") {
     import spark.implicits._
     Seq((1L, "A"), (2L, "A"), (3L, "B"), (10L, "B"))
