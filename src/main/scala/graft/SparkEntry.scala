@@ -311,8 +311,11 @@ object SparkEntry {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
+      // lineage cut: UnionLoop re-evaluates the recursive term's view each
+      // iteration — uncut, every round would rebuild the k-NN graph
       und.select(col("a").as("id"), col("b").as("nb"))
         .union(und.select(col("b").as("id"), col("a").as("nb")))
+        .localCheckpoint()
         .createOrReplaceTempView("q10_nbr")
       nodes.select(col("vec_id")).filter(col("vec_id") % 97 === 0)
         .createOrReplaceTempView("q10_seeds")
@@ -1540,6 +1543,18 @@ object SparkEntry {
           "total_fee_1min DOUBLE, avg_fee_1min DOUBLE")
         .option("header", "true")
         .csv(s"$work/csv")
+    }),
+
+    // P14 — ORC round-trip ingest: p12's format gate for the second
+    // columnar format Spark ships natively. ORC is typed (unlike CSV's
+    // text hop) so the gate pins the format bridge itself — logical types,
+    // nullability, column order — rather than parse fidelity; the oracle
+    // is again a1's, blind to the hop.
+    "p14_orc_roundtrip" -> ((s, dir) => {
+      val work = scratch("p14orc")
+      MinuteAggregate(ev(s, dir), "ts", "value")
+        .write.mode("overwrite").orc(s"$work/orc")
+      s.read.orc(s"$work/orc")
     }),
 
     // D11 — EXACT set-similarity join via prefix filtering (PPJoin
@@ -3461,6 +3476,17 @@ object SparkEntry {
     // sides, append sink. Ordered day-chunked replay ⇒ eviction cannot
     // race arrival (streaming/StreamJoin.scala doc), so the sink holds
     // exactly the batch join the oracle recomputes.
+    // E2E stream-stream LEFT OUTER join (§2.8): the semantics twin of
+    // e2e_stream_join whose hard part is the NULL side — an unmatched
+    // click may only emit after the watermark proves no match can arrive,
+    // and the trailing clicks need a sentinel PAIR (per-side filters mean
+    // per-side watermarks; the global one is their min) to seal. Sink must
+    // equal the batch LEFT JOIN row set exactly (see StreamJoin.runLeftOuter).
+    "e2e_stream_outer_join" -> ((s, dir) => {
+      val work = scratch("e2ejo")
+      graft.streaming.StreamJoin.runLeftOuter(s, ev(s, dir), work)
+    }),
+
     "e2e_stream_join" -> ((s, dir) => {
       val work = scratch("e2ej")
       graft.streaming.StreamJoin.run(s, ev(s, dir), work)
@@ -4578,6 +4604,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "a1_minute_agg" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // identical to a1's oracle: the ORC hop must be invisible
+    "p14_orc_roundtrip" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
         |  COUNT(*) AS total_nb_trx_1min,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
@@ -6706,6 +6740,17 @@ object SparkEntry {
         |  ON c.user_id = e.user_id
         | AND c.event_type = 'click' AND e.event_type = 'error'
         | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts""".stripMargin,
+
+    // Every click exactly once: matched rows with err_id, unmatched with
+    // NULL — the outer sink equals the batch LEFT JOIN.
+    "e2e_stream_outer_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, e.event_id AS err_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_t_us
+        |FROM events c LEFT JOIN events e
+        |  ON c.user_id = e.user_id
+        | AND e.event_type = 'error'
+        | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts
+        |WHERE c.event_type = 'click'""".stripMargin,
 
     // Batch sessionization (a11's gap-split) + per-session decimal-exact
     // value sums — the streaming replay's sink must reproduce it exactly.

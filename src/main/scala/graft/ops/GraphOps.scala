@@ -139,18 +139,24 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // lineage cuts (the d6/s8 localCheckpoint pattern): without them round
+    // k's plan re-derives the (possibly expensive) edge relation once per
+    // union branch — measured 46.7 s → ~1 s on the sf0.1 k-NN graph.
     val nbr = und.select(col("a").as("id"), col("b").as("nb"))
       .union(und.select(col("b").as("id"), col("a").as("nb")))
+      .localCheckpoint()
     var settled = seeds.select(col(idCol).as("id")).distinct()
       .join(spine, Seq("id"), "left_semi")
-      .withColumn("dist", lit(0L))
+      .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = settled.select(col("id"))
     for (d <- 1 to rounds) {
       val next = nbr.join(frontier, Seq("id"), "left_semi")
         .select(col("nb").as("id")).distinct()
         .join(settled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
       frontier = next
       settled = settled.unionByName(next.withColumn("dist", lit(d.toLong)))
+        .localCheckpoint()
     }
     spine.join(settled, Seq("id"), "left")
       .select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
@@ -179,10 +185,13 @@ object GraphOps {
                      srcCol: String, dstCol: String, degCap: Int,
                      minCn: Int): DataFrame = {
     require(degCap >= 1 && minCn >= 1)
+    // one lineage cut: und feeds the wedge join, the degree relation AND
+    // the non-adjacency anti join — uncut, the edge derivation runs 4×.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val nbr = und.select(col("a").as("id"), col("b").as("nb"))
       .union(und.select(col("b").as("id"), col("a").as("nb")))
     val deg = nbr.groupBy(col("id")).agg(count(lit(1)).as("deg"))

@@ -99,4 +99,63 @@ object StreamJoin {
     q.awaitTermination()
     spark.read.parquet(s"$workDir/sink")
   }
+
+  /** LEFT OUTER variant of [[run]] — the semantics twin whose hard part is
+    * the NULL side: an unmatched click can only be emitted (err_id NULL)
+    * when the watermark proves no qualifying error can still arrive, i.e.
+    * at state eviction — so outer results trail the inner ones by the
+    * interval width, and the trailing clicks of the whole replay would
+    * stay unemitted forever behind the final watermark (it stops 60 s
+    * short of max ts). The StreamSession sentinel discipline seals them —
+    * but here the watermark is the MIN across both sides, and each side
+    * computes its own from the rows passing ITS event-type filter, so ONE
+    * sentinel advances one side only and the global watermark stays
+    * pinned: a sentinel PAIR (one click, one error, 2 days past max ts)
+    * is required. Their own rows never seal (nothing ever passes their
+    * eviction point) and are excluded by the user_id ≥ 0 read-back filter.
+    *
+    * Contract: sink = the batch LEFT JOIN row set exactly — every click
+    * appears, matched rows with their err_id, unmatched ones once with
+    * NULL. Same eviction-vs-arrival ordering argument as [[run]]. */
+  def runLeftOuter(spark: SparkSession, events: DataFrame, workDir: String,
+                   windowSeconds: Long = 21600L,
+                   maxFilesPerTrigger: Int = 4): DataFrame = {
+    import spark.implicits._
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 2L * 86400L * 1000L)
+    val sentinels = Seq((-1L, far, -1L, "click", 0.0, "{}"),
+        (-2L, far, -2L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val evs = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+    writeDayChunkedParquet(spark, evs.unionByName(sentinels), workDir, "ts")
+    val schema = evs.schema
+    def source() = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema).parquet(s"$workDir/data")
+    val clicks = source().filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "60 seconds")
+    val errors = source().filter(col("event_type") === "error")
+      .select(col("user_id").as("err_user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "60 seconds")
+    val joined = clicks.join(errors,
+      col("user_id") === col("err_user_id") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("err_ts") <= col("click_ts"),
+      "left_outer")
+    val q = joined
+      .select(col("user_id"), col("click_id"), col("err_id"),
+        unix_micros(col("click_ts")).as("click_t_us"))
+      .writeStream.format("parquet")
+      .option("path", s"$workDir/sink")
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$workDir/sink").filter(col("user_id") >= 0)
+  }
 }
