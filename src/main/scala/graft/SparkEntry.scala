@@ -1545,6 +1545,49 @@ object SparkEntry {
         .csv(s"$work/csv")
     }),
 
+    // O33 — DYNAMIC partition overwrite: the backfill-correction surface
+    // (INSERT OVERWRITE of one day) on a day-partitioned table. Static
+    // overwrite mode would TRUNCATE THE WHOLE TABLE on the second write —
+    // the classic backfill footgun — dynamic replaces exactly the
+    // partitions present in the incoming frame. The replay: full
+    // per-day/type aggregate lands, then day d0+5 is re-landed with a
+    // correction (event_id ≡ 0 mod 10 excluded); the read-back must show
+    // the corrected day AND the untouched others — the oracle recomputes
+    // with the per-day predicate. Conf override is scoped and restored.
+    "o33_dynamic_overwrite" -> ((s, dir) => {
+      val work = scratch("o33dp")
+      val e = ev(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      def agg(df: DataFrame) = df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Exact.sumD(col("value"), 2).as("sum_value"))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try {
+        agg(e).write.mode("overwrite").partitionBy("day").parquet(s"$work/t")
+        agg(e.filter(col("day") === d0 + 5 && col("event_id") % 10 =!= 0))
+          .write.mode("overwrite").partitionBy("day").parquet(s"$work/t")
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(s"$work/t")
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+    }),
+
+    // D12 — sorted-neighborhood near-dup (SortingLSH): the third candidate
+    // geometry next to d2's banding and d11's prefix filtering — sort by
+    // (simhash, id), compare each doc with its next 4 successors, keep
+    // hamming ≤ 3. Candidate volume is EXACTLY 4n by construction (immune
+    // to bucket skew; stated recall trade for pairs far apart in the sort
+    // order). Global rank via the two-pass ranged rank, successor pairing
+    // as a position equi-join. All-integer.
+    "d12_sorted_neardup" -> ((s, dir) =>
+      DedupOps.sortedNearDup(docs(s, dir), "doc_id", "text",
+          window = 4, maxHamming = 3)),
+
     // P14 — ORC round-trip ingest: p12's format gate for the second
     // columnar format Spark ships natively. ORC is typed (unlike CSV's
     // text hop) so the gate pins the format bridge itself — logical types,
@@ -3933,6 +3976,19 @@ object SparkEntry {
        |SELECT doc_id, CAST($compose AS BIGINT) AS simhash FROM agg""".stripMargin
   }
 
+  /** d12 oracle: the d3 simhash chain + one global (simhash, id) rank +
+    * the bounded successor window, hamming via xor bit_count. */
+  private def sortedNearDupOracle: String =
+    s"""WITH sh AS ($simhashOracle),
+       |r AS (SELECT doc_id, simhash,
+       |      row_number() OVER (ORDER BY simhash, doc_id) AS pos FROM sh),
+       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+       |      bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |      FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + 4)
+       |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+       |  CAST(hamming AS BIGINT) AS hamming
+       |FROM p WHERE hamming <= 3""".stripMargin
+
   /** Mixture weights for x1 (lang → sampling rate); the oracle SQL is
     * generated from this same map so the two can never drift. */
   private[graft] val mixtureRates: Map[String, Double] =
@@ -4609,6 +4665,18 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The corrected day uses the backfill predicate, every other day the
+    // original — the dynamic overwrite must leave them byte-identical.
+    "o33_dynamic_overwrite" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    event_type, event_id, value FROM events),
+        |d0 AS (SELECT MIN(day) AS d0 FROM e),
+        |k AS (SELECT * FROM e
+        |      WHERE day <> (SELECT d0 + 5 FROM d0) OR event_id % 10 <> 0)
+        |SELECT CAST(day AS BIGINT) AS day, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+        |FROM k GROUP BY 1, 2""".stripMargin,
 
     // identical to a1's oracle: the ORC hop must be invisible
     "p14_orc_roundtrip" ->
@@ -5544,6 +5612,7 @@ object SparkEntry {
       "vec_id % (SELECT stride FROM params) = (SELECT stride FROM params) // 2"),
 
     "d3_simhash" -> simhashOracle,
+    "d12_sorted_neardup" -> sortedNearDupOracle,
 
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),

@@ -739,4 +739,36 @@ object DedupOps {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Sorted-neighborhood near-dup detection (SortingLSH): order the corpus
+    * by (simhash, id) and compare each doc against its next `window`
+    * successors only — the THIRD candidate-generation geometry next to
+    * banding (d2: hash-bucket joins) and prefix filtering (d11: inverted
+    * rare-token lists). Its scale niche: candidate volume is EXACTLY
+    * n·window by construction — immune to bucket skew (a degenerate corpus
+    * that floods one LSH bucket produces a quadratic join there; here it
+    * just sorts adjacent) — at the stated recall trade that near docs can
+    * sit far apart in one sort order (production stacks rotate bit
+    * permutations; one rotation here keeps the oracle 1:1).
+    *
+    * The global order comes from [[Ranking.globalRowNumber]]'s two-pass
+    * range-partitioned rank (never a single-partition window), and the
+    * successor pairing is an EQUI-join on position (each row explodes into
+    * its `window` successor slots) — no range join, no self cross join.
+    * Output pairs are id-canonicalized, all-integer. */
+  def sortedNearDup(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, maxHamming: Int): DataFrame = {
+    require(window >= 1 && maxHamming >= 0)
+    val sh = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+    val ranked = Ranking.globalRowNumber(sh, Seq(col("sh"), col("id")), "pos")
+      .localCheckpoint() // feeds both sides of the successor join
+    val probes = ranked.select(col("id").as("ida"), col("sh").as("sha"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pos"))
+    probes.join(ranked.select(col("id").as("idb"), col("sh").as("shb"),
+        col("pos")), "pos")
+      .withColumn("hamming", hamming(col("sha"), col("shb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+  }
 }
