@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, MinKDistinctLongs, TopKDoubles}
+import graft.expressions.{CosineSimilarity, MinKDistinctLongs, NfcNormalize,
+  TopKDoubles}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL users.
@@ -29,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinKDistinctLongs].getName, "mink_distinct"),
       (exprs: Seq[Expression]) =>
         MinKDistinctLongs(exprs.head, exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
     // bounded aggregate automatically (see BoundedTopKRewrite's contract)
     e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)

@@ -330,6 +330,47 @@ object SparkEntry {
         FROM walk GROUP BY id""")
     }),
 
+    // Q11 — LATERAL correlated derived table with ORDER BY + LIMIT: the
+    // "top-N per outer row" surface form. The subquery references the outer
+    // customer, so a naive evaluation is one orders scan PER customer;
+    // Spark must decorrelate it into a single ranked join (DomainJoin →
+    // window rank over one exchange — the plan that survives 100× on both
+    // sides). Semantics gates: a customer with FEWER than 2 orders emits
+    // just their rows (not padded), one with none vanishes (inner lateral),
+    // and the LIMIT applies per-customer, not globally. Ties broken by
+    // o_orderkey so the row set is unique. o_totalprice passes through
+    // unarithmeticked — raw-double exact across engines.
+    "q11_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+        .createOrReplaceTempView("q11_cust")
+      Tables.orders(s, dir).createOrReplaceTempView("q11_orders")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM q11_cust c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM q11_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""")
+    }),
+
+    // Q12 — UNPIVOT: four measure columns melted to (metric, val) rows —
+    // the wide→long reshape every metrics store and training-feature
+    // pipeline does before a per-metric aggregate. Spark plans Expand (each
+    // input row fans out to 4 in-place, NO shuffle, no self-union rescan);
+    // the oracle states the semantics from first principles as a 4-way
+    // UNION ALL — including the default EXCLUDE NULLS contract, which the
+    // explicit IS NOT NULL guard makes visible on both sides. Sums are
+    // decimal-exact (Exact.sumD discipline, inline in SQL).
+    "q12_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q12_lineitem")
+      s.sql("""
+        SELECT l_returnflag, metric, COUNT(*) AS n,
+               CAST(SUM(CAST(val AS DECIMAL(30,4))) AS DOUBLE) AS sum_val
+        FROM q12_lineitem
+        UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        WHERE val IS NOT NULL
+        GROUP BY l_returnflag, metric""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1254,6 +1295,30 @@ object SparkEntry {
     "t4_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
+    // T22 — Unicode NFC canonicalization via the engine's native codegen'd
+    // expression (expressions/TextExpressions.scala): mixed composed/
+    // decomposed encodings of the same text silently break every
+    // byte-keyed operator (d1 fingerprints, d2/d11 shingle hashes, groupBy
+    // keys); NFC at ingest is the standard fix and Spark ships no builtin.
+    // The corpus is ASCII, so each row gets a deterministic decomposed
+    // suffix (three base+combining-mark pairs); the gate pins codepoint
+    // shrinkage (−3/row), inequality of the two encodings, and — the real
+    // contract — that the NORMALIZED bytes hash identically to DuckDB's
+    // utf8proc-based nfc_normalize (both implement the same published
+    // Unicode tables).
+    "t22_nfc_normalize" -> ((s, dir) => {
+      val raw = concat(substring(col("text"), 1, 40), lit(nfcSuffix))
+      docs(s, dir)
+        .select(col("lang"), raw.as("raw"),
+          graft.expressions.TextExpressions.nfcNormalize(raw).as("norm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("raw"))).as("sum_len_raw"),
+          sum(length(col("norm"))).as("sum_len_norm"),
+          count(when(col("raw") =!= col("norm"), 1)).as("n_changed"),
+          countDistinct(substring(md5(col("norm")), 1, 8)).as("n_fp"))
+    }),
+
     // S1 — brute-force cosine top-10 for query vectors vec_id < 5.
     "s1_ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1294,6 +1359,66 @@ object SparkEntry {
       SimilarityOps.rangeSearch(assigned, centroids,
           e.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", tau = 0.3)
         .select(col("query_id"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S19 — recall eval for the FILTERED search path (the s6 pattern
+    // applied to s17): truth = brute force over the FILTERED corpus — the
+    // correct filtered-retrieval truth; comparing against unfiltered truth
+    // would punish the filter itself. Closes the serve/eval matrix:
+    // s2/s6 (plain), s12b/s14 (MIPS), s17/s19 (filtered).
+    "s19_filtered_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val en = docs(s, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      val corpusEn = e.join(en, Seq("vec_id"), "left_semi")
+      val brute = SimilarityOps.bruteForceTopK(
+          corpusEn, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      SimilarityOps.ivfTopK(assigned.join(en, Seq("vec_id"), "left_semi"),
+          centroids, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / 5).as("recall_at_5"))
+    }),
+
+    // S20 — Matryoshka prefix-dimension retrieval: stage 1 ranks by cosine
+    // over the first 16 of 64 components (a scan that column-prunes to 1/4
+    // of the vector bytes when the prefix is stored as its own column),
+    // stage 2 reranks the per-query top-20 shortlist by full-dim exact
+    // cosine. The third byte-reduction lever after IVF (read fewer ROWS)
+    // and PQ (read coded BYTES) — prefix reads fewer COMPONENTS, no
+    // codebook to train. Oracle replays both stages with DuckDB list
+    // slicing; ties pinned by neighbor_id at both stages.
+    "s20_prefix_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.prefixRerankTopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, shortlistK = 20, prefixDim = 16)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
+    // S21 — SQ8 scalar-quantization ANN: per-dimension min/max codebook
+    // (a dim-row broadcast literal — no training iterations), 1-byte codes,
+    // asymmetric serve (float query vs midpoint reconstruction). Completes
+    // the compression family: IVF reads fewer rows (s2), PQ reads coded
+    // bytes (s7), prefix reads fewer components (s20), SQ8 reads 1 byte/
+    // component with no codebook training. Every step is a fixed
+    // left-to-right IEEE chain, so the oracle's relational replay (unnest →
+    // per-dim MIN/MAX → encode → reconstruct → in-order list rebuild)
+    // produces bit-identical sims before the 4-decimal rendering.
+    "s21_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.sq8TopK(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
@@ -2144,6 +2269,31 @@ object SparkEntry {
     // oracle's generated ladder. Exact per-day COUNT(DISTINCT) rides along
     // for the error column (affordable at bench scale; at 100 TB you'd
     // ship only the sketch).
+    // O34 — 7-day SLIDING distinct users per day from the o15/o16 daily
+    // register partials: each day-d register serves target days d..d+6
+    // (explode into ≤7 narrow rows), min-merge per (day, bucket), one
+    // estimator row per day — EXACTLY the direct sketch of each window's
+    // union by min-merge idempotence. The exact rolling COUNT(DISTINCT)
+    // rides along for the eval columns (o15's pattern); at 100 TB only
+    // the register path survives — stated in Sketches.hllSlidingBy.
+    "o34_hll_sliding" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      val days = e.select(col("day")).distinct()
+      val sk = graft.ops.Sketches.hllSlidingBy(e, col("day"), col("user_id"),
+        windowDays = 7, b = 12)
+      val exact = e
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(sk, "day")
+        .select(col("day"), col("n_exact"), col("nonzero_buckets"),
+          Exact.fmt(col("n_hll"), 4).as("n_hll_r"),
+          Exact.fmt((col("n_hll") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 4).as("rel_err_r"))
+    }),
+
     "o15_hll_by_day" -> ((s, dir) => {
       val e = ev(s, dir)
       val grp = date_format(col("ts"), "yyyy-MM-dd")
@@ -2582,6 +2732,23 @@ object SparkEntry {
             sort_array(collect_list(struct(col("pos"), col("tid")))),
             x => x.getField("tid").cast("string"))).as("ids"))
         .filter(col("doc_id") < 100)
+    }),
+
+    // T23 — sliding-window token CHUNKING with overlap (size 64, stride 48,
+    // overlap 16): the context-window chunker every RAG and pretraining
+    // pipeline runs before embedding/packing. Contract pinned: chunk i
+    // starts at 48·i; a non-first start is emitted only if it adds ≥1 new
+    // token past its predecessor (no pure-suffix chunks); trailing chunk
+    // may be short. Chunk CONTENT is pinned by an md5 fingerprint of the
+    // space-joined slice — order-sensitive, so a wrong slice bound or
+    // off-by-one start hashes differently. Oracle restates the same
+    // start-ladder with range() + 1-based list slicing.
+    "t23_chunk_overlap" -> ((s, dir) => {
+      TextOps.chunkWithOverlap(docs(s, dir), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("fp8"))
     }),
 
     // T12 — bigram PMI collocations (Church & Hanks): which adjacent word
@@ -3253,6 +3420,40 @@ object SparkEntry {
           col("cluster_size"))
     }),
 
+    // M9 — ORDER-SENSITIVE audio segmentation through the real WAV byte
+    // round trip: per-user sample stream (ordered by event_id, amplitudes
+    // 0/±16384/8192 from event_id mod 5) encoded with encodeWavPcm16,
+    // decoded back sample-by-sample with decodeWavPcm16Mono (the m1
+    // feature decoder only exposes order-insensitive aggregates — this is
+    // the sample-level path), then energy-gate VAD segmentation
+    // (|s| > 4096). Unlike every other m* gate the compared features
+    // (segment count, longest voiced run) depend on sample ORDER, so the
+    // byte layout of the container is pinned end to end; the oracle
+    // restates segmentation relationally as gaps-and-islands over the same
+    // event_id-ordered stream. Scale shape: one bounded payload per user
+    // assembled map-side; at 100 TB payloads arrive as binary columns and
+    // the decode+VAD runs embarrassingly parallel per row.
+    "m9_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      val samples = ev(s, dir).select(col("user_id"), col("event_id"),
+        when(pmod(col("event_id"), lit(5)) === 0, 16384)
+          .when(pmod(col("event_id"), lit(5)) === 1, -16384)
+          .when(pmod(col("event_id"), lit(5)) === 2, 8192)
+          .otherwise(0).as("amp"))
+      samples.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("amp"))))
+          .as("seq"))
+        .select(col("user_id"), expr("transform(seq, x -> x.amp)").as("amps"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, amps) =>
+          val decoded =
+            Multimodal.decodeWavPcm16Mono(Multimodal.encodeWavPcm16(amps))
+          val (nSeg, nVoiced, maxRun) = Multimodal.segmentVoiced(decoded, 4096)
+          (uid, decoded.length.toLong, nSeg, nVoiced, maxRun)
+        }
+        .toDF("user_id", "n_samples", "n_segments", "n_voiced", "max_run")
+    }),
+
     // M3 — multimodal image decode through the COMPRESSED container: the
     // same per-user pixel construction as M2 but encoded as a real PNG
     // (zlib IDAT, per-row rotating scanline filters) and decoded back
@@ -3535,6 +3736,17 @@ object SparkEntry {
       graft.streaming.StreamJoin.run(s, ev(s, dir), work)
     }),
 
+    // E2E stream-STATIC broadcast enrichment (§2.8's third join topology):
+    // stateless per-micro-batch hash join against a storage-resident
+    // dimension — no watermark, no keyed state, firehose never shuffled.
+    // Users ≡ 0 (mod 17) are withheld from the dim to exercise the
+    // dim-miss → 'unknown' contract. Sink must equal the batch LEFT JOIN
+    // row for row (see streaming/StreamEnrich.scala).
+    "e2e_stream_enrich" -> ((s, dir) => {
+      val work = scratch("e2een")
+      graft.streaming.StreamEnrich.run(s, ev(s, dir), work)
+    }),
+
     // E2E streaming session windows (§2.8): the one windowed aggregate
     // whose state MERGES (a new event can fuse two open sessions). Ordered
     // day-chunked replay ⇒ eviction cannot race a merge (gap in place of
@@ -3619,6 +3831,11 @@ object SparkEntry {
   )
 
   // ---- DuckDB oracles ---------------------------------------------------
+
+  /** Decomposed suffix for t22: e+U+0301, a+U+0300, o+U+0302 — one Scala
+    * constant interpolated into BOTH the query and the oracle so the two
+    * can never drift. */
+  private val nfcSuffix = "e\u0301a\u0300o\u0302"
 
   private val fpSql = raw"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
   private val toksSql = raw"regexp_split_to_array(trim(text), '\s+')"
@@ -4532,6 +4749,46 @@ object SparkEntry {
 
   /** Oracle for o15: [[hllOracle]] with the day group carried through every
     * stage — same digit ladder, same estimator branches, per group. */
+  /** o34 oracle: the hllByOracle chain on integer days, registers expanded
+    * to their ≤7 target days before the per-(day, bucket) MIN. */
+  private def hllSlidingOracle: String = {
+    def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+    val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
+      .mkString(" + ")
+    val w = (0 until 8).map(i => s"${hexDigit(4 + i)} * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val m = "CAST('4096.0' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $m)"
+    s"""WITH h AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d0,
+       |             user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+       |days AS (SELECT DISTINCT d0 AS day FROM h),
+       |dd AS (SELECT d0, $bucket AS bucket, $w AS w FROM h),
+       |t0 AS (SELECT d0, bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+       |       FROM dd GROUP BY d0, bucket),
+       |ex0 AS (SELECT d0, bucket, t, unnest(range(d0, d0 + 7)) AS day FROM t0),
+       |t AS (SELECT day, bucket, MIN(t) AS t FROM ex0
+       |      JOIN days USING (day) GROUP BY day, bucket),
+       |a AS (SELECT day, SUM(t) AS present_sum, COUNT(*) AS nonzero_buckets
+       |      FROM t GROUP BY day),
+       |s AS (SELECT day, CAST(present_sum + (4096 - nonzero_buckets) * ${1L << 33} AS BIGINT)
+       |        AS sum_int, nonzero_buckets FROM a),
+       |r AS (SELECT day, sum_int, nonzero_buckets,
+       |        $alpha * $m * $m / (CAST(sum_int AS DOUBLE) / CAST('8589934592.0' AS DOUBLE)) AS raw,
+       |        CAST(4096 - nonzero_buckets AS DOUBLE) AS zeros FROM s),
+       |f AS (SELECT day, nonzero_buckets,
+       |        CASE WHEN raw <= CAST('2.5' AS DOUBLE) * $m AND zeros > 0
+       |             THEN $m * ln($m / zeros) ELSE raw END AS n_hll FROM r),
+       |exx AS (SELECT d0, user_id, unnest(range(d0, d0 + 7)) AS day FROM h),
+       |ex AS (SELECT day, COUNT(DISTINCT user_id) AS n_exact FROM exx
+       |       JOIN days USING (day) GROUP BY day)
+       |SELECT ex.day, ex.n_exact,
+       |  CAST(f.nonzero_buckets AS BIGINT) AS nonzero_buckets,
+       |  printf('%.4f', f.n_hll) AS n_hll_r,
+       |  printf('%.4f', (f.n_hll - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE))
+       |    AS rel_err_r
+       |FROM f JOIN ex USING (day)""".stripMargin
+  }
+
   private def hllByOracle: String = {
     def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
     val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
@@ -5302,6 +5559,28 @@ object SparkEntry {
          |SELECT id AS vec_id, CAST(MIN(dist) AS BIGINT) AS dist
          |FROM walk GROUP BY 1""".stripMargin,
 
+    // DuckDB's own LATERAL evaluation of the identical query — both
+    // engines implement the published SQL semantics (per-outer-row LIMIT,
+    // inner-join vanishing for order-less customers).
+    "q11_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+
+    // UNPIVOT semantics stated from first principles: a 4-way UNION ALL
+    // with the EXCLUDE NULLS default made explicit.
+    "q12_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, metric, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(30,4))) AS DOUBLE) AS sum_val
+        |FROM u WHERE val IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.
     "p11_corrupt_ingest" ->
@@ -5456,6 +5735,40 @@ object SparkEntry {
         |WHERE list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm)
         |      >= CAST('0.3' AS DOUBLE)""".stripMargin,
 
+    // sq8TopK replayed relationally: unnest → per-dim MIN/MAX (exact on
+    // doubles, order-free) → the same clamp/floor encode → midpoint
+    // reconstruct → in-order list rebuild → exact cosine rank. Every
+    // arithmetic step mirrors the Spark chain left to right, so the sims
+    // agree bit-for-bit before the 4-decimal rendering.
+    "s21_sq8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve FROM v WHERE list_inner_product(ve, ve) > 0),
+        |u AS (SELECT vec_id, i AS dim, ve[i] AS x
+        |      FROM n, (SELECT unnest(generate_series(1, len(ve))) AS i)),
+        |mm AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY dim),
+        |enc AS (SELECT vec_id, dim,
+        |          CASE WHEN mx > mn THEN CAST(least(CAST('255.0' AS DOUBLE),
+        |                 floor((x - mn) / (mx - mn) * CAST('256.0' AS DOUBLE))) AS INT)
+        |               ELSE 0 END AS code
+        |        FROM u JOIN mm USING (dim)),
+        |rc AS (SELECT vec_id, dim,
+        |         mn + (CAST(code AS DOUBLE) + CAST('0.5' AS DOUBLE)) * (mx - mn)
+        |           / CAST('256.0' AS DOUBLE) AS r
+        |       FROM enc JOIN mm USING (dim)),
+        |rec AS (SELECT vec_id, list(r ORDER BY dim) AS rv FROM rc GROUP BY vec_id),
+        |recn AS (SELECT vec_id, rv FROM rec WHERE list_inner_product(rv, rv) > 0),
+        |q AS (SELECT vec_id, ve FROM n WHERE vec_id < 5)
+        |SELECT query_id, rank, neighbor_id, sim_r FROM (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.ve, r.rv) /
+        |        (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(r.rv, r.rv))) DESC,
+        |      r.vec_id) AS rank,
+        |    printf('%.4f', list_inner_product(q.ve, r.rv) /
+        |      (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(r.rv, r.rv)))) AS sim_r
+        |  FROM q JOIN recn r ON q.vec_id <> r.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+
     "s2_ann_ivf" -> ivfOracle,
     // the s2 chain + one candidate-side metadata join — the commuting-
     // intersection identity the Spark side exploits, written directly
@@ -5533,6 +5846,7 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
     "o15_hll_by_day" -> hllByOracle,
+    "o34_hll_sliding" -> hllSlidingOracle,
     "o16_hll_merge" -> hllMergeOracle,
     "o17_cms_merge" -> cmsMergeOracle,
     "o27_kmv_distinct" -> kmvOracle,
@@ -5613,6 +5927,19 @@ object SparkEntry {
 
     "d3_simhash" -> simhashOracle,
     "d12_sorted_neardup" -> sortedNearDupOracle,
+
+    // utf8proc-based nfc_normalize against the engine's native expression;
+    // the suffix constant is the same Scala literal on both sides.
+    "t22_nfc_normalize" ->
+      s"""WITH r AS (SELECT lang, substr(text, 1, 40) || '$nfcSuffix' AS raw
+         |           FROM documents),
+         |n AS (SELECT lang, raw, nfc_normalize(raw) AS norm FROM r)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(length(raw)) AS BIGINT) AS sum_len_raw,
+         |  CAST(SUM(length(norm)) AS BIGINT) AS sum_len_norm,
+         |  COUNT(CASE WHEN raw <> norm THEN 1 END) AS n_changed,
+         |  COUNT(DISTINCT substr(md5(norm), 1, 8)) AS n_fp
+         |FROM n GROUP BY 1""".stripMargin,
 
     "d5_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -5827,6 +6154,23 @@ object SparkEntry {
            |  COUNT(*) FILTER (WHERE tid = -1) AS n_oov,
            |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids
            |FROM ids WHERE doc_id < 100 GROUP BY doc_id""".stripMargin,
+
+    // t23: the same start-ladder (multiples of 48, keep start 0 plus any
+    // start adding ≥1 token: start + 16 < n) over the same whitespace
+    // tokens, chunks cut with DuckDB's 1-based inclusive list slicing.
+    "t23_chunk_overlap" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n FROM d),
+         |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM n),
+         |k AS (SELECT doc_id, toks, start FROM st
+         |      WHERE start = 0 OR start + 16 < n),
+         |c AS (SELECT doc_id, start // 48 AS chunk_id, start AS chunk_start,
+         |        toks[start + 1 : start + 64] AS chunk FROM k)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  substr(md5(array_to_string(chunk, ' ')), 1, 8) AS fp8
+         |FROM c""".stripMargin,
 
     // Mirrors TextOps.bigramPmi: same ≥2-token doc filter on both counts,
     // same integer counts, one mirrored IEEE chain inside the ln.
@@ -6226,6 +6570,75 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Both stages of the prefix-rerank replayed with list slicing: prefix
+    // cosine over ve[1:16] ranks the shortlist, full-dim cosine reranks.
+    "s20_prefix_rerank" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |p AS (SELECT vec_id, ve, ve[1:16] AS vp FROM v
+        |      WHERE list_inner_product(ve, ve) > 0
+        |        AND list_inner_product(ve[1:16], ve[1:16]) > 0),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.vp, c.vp) /
+        |        (sqrt(list_inner_product(q.vp, q.vp)) * sqrt(list_inner_product(c.vp, c.vp))) DESC,
+        |      c.vec_id) AS prank
+        |  FROM p q JOIN p c ON q.vec_id < 5 AND q.vec_id <> c.vec_id)
+        |  WHERE prank <= 20)
+        |SELECT query_id, rank, neighbor_id, sim_r FROM (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    row_number() OVER (PARTITION BY s.query_id ORDER BY
+        |      list_inner_product(q.ve, c.ve) /
+        |        (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(c.ve, c.ve))) DESC,
+        |      s.neighbor_id) AS rank,
+        |    printf('%.4f', list_inner_product(q.ve, c.ve) /
+        |      (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(c.ve, c.ve)))) AS sim_r
+        |  FROM short s JOIN p q ON q.vec_id = s.query_id
+        |  JOIN p c ON c.vec_id = s.neighbor_id)
+        |WHERE rank <= 5""".stripMargin,
+
+    // s6's chain with the en-filter applied to BOTH the brute-force truth
+    // corpus and the served candidates (filtered-retrieval truth).
+    "s19_filtered_recall" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |$adaptiveParamsSql,
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0),
+        |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+        |                    c.vec_id) AS rank
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  JOIN en ON en.doc_id = c.vec_id) WHERE rank <= 5),
+        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id % (SELECT stride FROM params) = 0),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+        |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+        |  FROM probes p JOIN assign a ON a.cid = p.cid
+        |  JOIN n x ON x.vec_id = a.vec_id JOIN n q ON q.vec_id = p.qid
+        |  JOIN en ON en.doc_id = x.vec_id
+        |  WHERE x.vec_id <> p.qid),
+        |ivf AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5)
+        |SELECT i.query_id,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
+        |FROM ivf i LEFT JOIN brute b USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
 
     "s6_ann_recall" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
@@ -6674,6 +7087,38 @@ object SparkEntry {
          |FROM lab l JOIN (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1) c
          |  USING (cluster_id)""".stripMargin,
 
+    // m9: VAD segmentation restated as gaps-and-islands over the same
+    // event_id-ordered per-user amplitude stream — a segment starts at a
+    // voiced row whose predecessor (if any) is silent; run lengths come
+    // from grouping voiced rows by their running segment id.
+    "m9_audio_segments" ->
+      """WITH s AS (SELECT user_id, event_id,
+        |    CASE event_id % 5 WHEN 0 THEN 16384 WHEN 1 THEN -16384
+        |         WHEN 2 THEN 8192 ELSE 0 END AS amp
+        |  FROM events),
+        |f AS (SELECT user_id, event_id,
+        |        CASE WHEN abs(amp) > 4096 THEN 1 ELSE 0 END AS v FROM s),
+        |f2 AS (SELECT user_id, event_id, v,
+        |         CASE WHEN v = 1 AND COALESCE(lag(v) OVER
+        |               (PARTITION BY user_id ORDER BY event_id), 0) = 0
+        |              THEN 1 ELSE 0 END AS seg_start
+        |       FROM f),
+        |g AS (SELECT user_id, event_id, v,
+        |        SUM(seg_start)
+        |          OVER (PARTITION BY user_id ORDER BY event_id
+        |                ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f2),
+        |runs AS (SELECT user_id, sid, COUNT(*) AS run_len FROM g
+        |         WHERE v = 1 GROUP BY user_id, sid),
+        |agg AS (SELECT user_id, COUNT(*) AS n_samples,
+        |          CAST(SUM(v) AS BIGINT) AS n_voiced FROM g GROUP BY user_id),
+        |r AS (SELECT user_id, COUNT(*) AS n_segments, MAX(run_len) AS max_run
+        |      FROM runs GROUP BY user_id)
+        |SELECT a.user_id, a.n_samples,
+        |  COALESCE(r.n_segments, 0) AS n_segments, a.n_voiced,
+        |  CAST(COALESCE(r.max_run, 0) AS BIGINT) AS max_run
+        |FROM agg a LEFT JOIN r USING (user_id)""".stripMargin,
+
     "m2_bmp_features" ->
       """SELECT user_id AS content_id,
         |  CAST(8 AS BIGINT) AS width,
@@ -6820,6 +7265,20 @@ object SparkEntry {
         | AND e.event_type = 'error'
         | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts
         |WHERE c.event_type = 'click'""".stripMargin,
+
+    // Stream-static enrichment sink equals the plain batch LEFT JOIN
+    // against the frozen dimension (dim withholds user_id ≡ 0 mod 17;
+    // those rows must surface as 'unknown', never drop).
+    "e2e_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT user_id,
+        |    CASE WHEN COUNT(*) >= 20 THEN 'heavy'
+        |         WHEN COUNT(*) >= 10 THEN 'mid'
+        |         ELSE 'light' END AS tier
+        |  FROM events GROUP BY user_id HAVING user_id % 17 <> 0)
+        |SELECT e.user_id, e.event_id,
+        |  COALESCE(d.tier, 'unknown') AS tier, e.value
+        |FROM events e LEFT JOIN dim d USING (user_id)""".stripMargin,
 
     // Batch sessionization (a11's gap-split) + per-session decimal-exact
     // value sums — the streaming replay's sink must reproduce it exactly.

@@ -468,6 +468,61 @@ object Multimodal {
     bb.array()
   }
 
+  /** Decode a mono PCM16 WAV back to its raw sample values —
+    * [[encodeWavPcm16]]'s exact inverse, sharing [[BuiltinDecoder]]'s
+    * chunk-walk discipline (extra chunks legal, word-aligned lengths,
+    * negative lengths rejected). Sample-level access is what the
+    * segmentation pipeline needs; the feature decoder only exposes
+    * aggregate stats. */
+  def decodeWavPcm16Mono(bytes: Array[Byte]): Array[Int] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44 && b.getInt(0) == 0x46464952 &&
+      b.getInt(8) == 0x45564157, "not RIFF/WAVE")
+    var off = 12
+    var channels = 0; var bits = 0; var rate = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || rate == 0)) {
+      val id = b.getInt(off)
+      val len = b.getInt(off + 4)
+      require(len >= 0, s"negative chunk length $len")
+      if (id == 0x20746d66) { // "fmt "
+        require(b.getShort(off + 8) == 1, "non-PCM WAV unsupported")
+        channels = b.getShort(off + 10).toInt
+        rate = b.getInt(off + 12)
+        bits = b.getShort(off + 22).toInt
+      } else if (id == 0x61746164) { // "data"
+        dataOff = off + 8
+        dataLen = math.min(len, bytes.length - dataOff)
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+    require(bits == 16 && channels == 1, "mono PCM16 expected")
+    Array.tabulate(dataLen / 2)(i => b.getShort(dataOff + 2 * i).toInt)
+  }
+
+  /** Energy-gate voice-activity segmentation over a decoded sample stream:
+    * a voiced segment is a maximal run of consecutive samples with
+    * |s| > threshold. Returns (nSegments, nVoicedSamples, longestRun) —
+    * the speech-detection summary an audio curation pipeline keys its
+    * keep/drop and chunking decisions on. One forward pass, O(1) state;
+    * runs per payload inside a partition, so scale comes from the
+    * DataFrame partitioning, not from this function. */
+  def segmentVoiced(samples: Array[Int], threshold: Int): (Long, Long, Long) = {
+    var nSeg = 0L; var nVoiced = 0L; var maxRun = 0L; var run = 0L
+    var i = 0
+    while (i < samples.length) {
+      if (math.abs(samples(i)) > threshold) {
+        if (run == 0) nSeg += 1
+        run += 1; nVoiced += 1
+        if (run > maxRun) maxRun = run
+      } else run = 0
+      i += 1
+    }
+    (nSeg, nVoiced, maxRun)
+  }
+
   /** Encode packed 0xRRGGBB pixels as an uncompressed 24-bit bottom-up BMP
     * (the write side of [[BuiltinDecoder]]'s "bmp" path; also the fixture
     * synthesizer for the multimodal image oracle query). `height` is

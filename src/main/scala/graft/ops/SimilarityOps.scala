@@ -743,6 +743,101 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Matryoshka-style prefix-dimension two-stage retrieval: candidates are
+    * ranked by cosine over only the FIRST `prefixDim` components, then the
+    * per-query shortlist is reranked by full-dimension exact cosine.
+    *
+    * Why this shape at 100 TB: with prefix-trained embeddings (MRL) the
+    * leading components carry most of the signal, so stage 1 reads
+    * prefixDim/dim of the vector bytes — stored as its OWN column, the
+    * candidate scan column-prunes past the full vector entirely (the same
+    * lever as PQ's codes, without a codebook). Stage 2 re-fetches full
+    * vectors for only |Q|·shortlistK ids (broadcast-joined against the
+    * corpus — a point fetch, not a rescan, when the table is id-bucketed).
+    * Recall is bounded by stage 1; ranking within the shortlist is exact. */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, shortlistK: Int,
+                       prefixDim: Int): DataFrame = {
+    require(shortlistK >= k, "shortlist must be at least the final k")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    val qb = broadcast(q
+      .withColumn("qp", slice(col("qv"), 1, prefixDim))
+      .filter(nonZero(col("qp"))))
+    // stage 1: prefix-only projection of the corpus — the narrow scan
+    val cPrefix = corpus.select(col(idCol).as("neighbor_id"),
+        slice(col(vecCol).cast("array<double>"), 1, prefixDim).as("cp"))
+      .filter(nonZero(col("cp")))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(col("psim").desc, col("neighbor_id"))
+    val short = cPrefix.join(qb, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qp"), col("cp")).as("psim"))
+      .withColumn("prank", row_number().over(wPre))
+      .filter(col("prank") <= shortlistK)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: full-vector point fetch for the shortlist, exact rerank
+    val full = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(short.join(q, "query_id")).join(full, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(wFull)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Per-dimension min/max scalar-quantization (SQ8) ANN — the fourth
+    * member of the compression family (flat → IVF reads fewer rows, PQ
+    * reads coded bytes, prefix reads fewer components; SQ8 reads 1 byte
+    * per component with NO codebook training and NO recall loss from
+    * subspace coupling). Train: per-dimension [min, max] over the corpus —
+    * a `dim`-row relation, collected as a broadcast literal (the same
+    * metadata-sized driver list as the IVF probe set). Encode: one narrow
+    * pass, code = clamp(⌊(x−mn)/(mx−mn)·256⌋, 255) (degenerate dims → 0).
+    * Serve: asymmetric — the float query against midpoint-reconstructed
+    * corpus values (mn + (code+½)·(mx−mn)/256), exact cosine ranking over
+    * the reconstruction. At 100 TB the codes table is 8× smaller than
+    * float32 vectors and reconstruction is in-loop arithmetic, no join.
+    * Every arithmetic step is a fixed left-to-right IEEE chain, so a
+    * relational replay produces bit-identical sims. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")).filter(nonZero(col("cv")))
+    // train: dim-count rows — metadata-sized by construction
+    val mm = c.select(posexplode(col("cv")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mnA = array(mm.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxA = array(mm.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    def mn(i: Column) = element_at(mnA, i + 1)
+    def mx(i: Column) = element_at(mxA, i + 1)
+    // encode (the stored representation) then midpoint-reconstruct; kept
+    // as one plan so the whole path is exercised end to end
+    val codes = c.select(col("neighbor_id"),
+      transform(col("cv"), (x, i) =>
+        when(mx(i) > mn(i),
+          least(lit(255.0), floor((x - mn(i)) / (mx(i) - mn(i)) * lit(256.0)))
+            .cast("int"))
+          .otherwise(lit(0))).as("codes"))
+    val rec = codes.select(col("neighbor_id"),
+      transform(col("codes"), (cde, i) =>
+        mn(i) + (cde.cast("double") + lit(0.5)) * (mx(i) - mn(i)) / lit(256.0))
+        .as("rv"))
+      .filter(nonZero(col("rv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rec.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("rv")).as("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** IVF-PQ: ADC restricted to the probed cells. `codes` must carry the
     * vector's `centroid_id` (pqEncode with carry — at 100 TB the codes table
     * is WRITTEN partitioned by cell, so the probe join IS partition

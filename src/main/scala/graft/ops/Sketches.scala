@@ -125,6 +125,43 @@ object Sketches {
           .otherwise(col("raw")).as("n_hll"))
   }
 
+  /** SLIDING-window per-day distinct estimate by register merge: the
+    * rolling "7-day active users" question, answered from the SAME daily
+    * partials [[hllRegistersBy]] lands — no re-read of the data, no
+    * (day × key) shuffle. Each day-d register row serves target days
+    * d..d+w−1 (an explode into ≤ w narrow rows — days×m total, metadata
+    * scale), registers merge per (target day, bucket) by MIN, and each
+    * day's estimate is EXACTLY the direct sketch of its window's union
+    * (min-merge idempotence — the o16 contract, applied per frame).
+    * An exact rolling COUNT(DISTINCT) would shuffle every (day, key) pair
+    * w times; the sketch exchange carries registers only. */
+  def hllSlidingBy(df: DataFrame, dayCol: Column, keyCol: Column,
+                   windowDays: Int, b: Int = 12): DataFrame = {
+    require(windowDays >= 1)
+    val m = buckets(b)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val days = df.select(dayCol.as("day")).distinct()
+    hllRegistersBy(df, dayCol, keyCol, b)
+      .select(explode(sequence(col("part"), col("part") + (windowDays - 1)))
+        .as("day"), col("bucket"), col("t"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"), col("bucket")).agg(min(col("t")).as("t"))
+      .groupBy(col("day"))
+      .agg(sum(col("t")).as("present_sum"), count(lit(1)).as("nonzero_buckets"))
+      .select(col("day"),
+        (col("present_sum") + (lit(m.toLong) - col("nonzero_buckets")) * lit(1L << 33))
+          .as("sum_int"),
+        col("nonzero_buckets"))
+      .select(col("day"), col("sum_int"), col("nonzero_buckets"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_int").cast("double") / lit((1L << 33).toDouble))).as("raw"),
+        (lit(m.toLong) - col("nonzero_buckets")).cast("double").as("zeros"))
+      .select(col("day"), col("sum_int"), col("nonzero_buckets"),
+        when(col("raw") <= lit(2.5) * lit(m.toDouble) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_hll"))
+  }
+
   /** Per-group HLL distinct estimates: [[hllDistinct]] with a group key
     * carried through both aggregations — the "distinct users per day"
     * question at 100 TB, where an exact per-group COUNT(DISTINCT) shuffles

@@ -193,6 +193,36 @@ object TextOps {
       .filter(col("vocab_id") < topK)
   }
 
+  /** Sliding-window token chunking with overlap — the context-window
+    * chunker a RAG / pretraining pipeline runs before embedding or packing.
+    * Chunk i covers tokens [i·stride, i·stride + chunkSize); a start beyond
+    * the first is emitted only if it contributes at least one token past
+    * its predecessor's end (start + chunkSize − stride < n), so no chunk is
+    * a pure suffix of the previous one. The trailing chunk may be short.
+    *
+    * Built entirely from codegen'd array builtins (sequence → filter →
+    * explode → slice): per-document work, no shuffle, and the explode
+    * happens AFTER tokenization so the wide text column itself never fans
+    * out — each output row carries only its ≤chunkSize token slice. At
+    * 100 TB this is scan-bandwidth-bound, embarrassingly parallel. */
+  def chunkWithOverlap(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, chunkSize: Int,
+                       stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && 0 < stride && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    corpus.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col(idCol),
+        explode(filter(sequence(lit(0), col("n") - 1, lit(stride)),
+          p => (p === 0) || (p + lit(chunkSize - stride) < col("n"))))
+          .as("start"),
+        col("toks"))
+      .select(col(idCol),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("chunk_start"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
+  }
+
   def bigramLmScore(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val bg = corpus.select(col(idCol).as("id"),

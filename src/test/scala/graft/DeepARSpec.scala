@@ -108,6 +108,36 @@ class DeepARSpec extends SparkSpec {
     assert(math.abs(m.getDouble(1) - 2.0) < 1e-12)
   }
 
+  test("multimodal: WAV sample-level decode is encodeWavPcm16's exact inverse") {
+    val samples = Array(0, 16384, -16384, 8192, 0, 0, -1, 32767, -32768, 1)
+    val decoded = Multimodal.decodeWavPcm16Mono(Multimodal.encodeWavPcm16(samples))
+    assert(decoded.toSeq === samples.toSeq, "order and values preserved exactly")
+    // clamping applies on encode, not decode
+    assert(Multimodal.decodeWavPcm16Mono(
+      Multimodal.encodeWavPcm16(Array(40000, -40000))).toSeq === Seq(32767, -32768))
+    assert(Multimodal.decodeWavPcm16Mono(
+      Multimodal.encodeWavPcm16(Array.empty[Int])).isEmpty)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16Mono("notawavnotawavnotawavnotawavnotawavnotawavnotawav".getBytes)
+    }
+  }
+
+  test("multimodal: energy-gate segmentation counts runs, order-sensitively") {
+    import Multimodal.segmentVoiced
+    //                          |--v--|  s |v| s  |---v---|
+    val s1 = Array(8000, 9000, 0, 5000, 0, 0, 6000, 7000, 8000)
+    assert(segmentVoiced(s1, 4096) === ((3L, 6L, 3L)))
+    assert(segmentVoiced(Array.empty[Int], 4096) === ((0L, 0L, 0L)))
+    assert(segmentVoiced(Array(0, 0, 0), 4096) === ((0L, 0L, 0L)), "all silence")
+    assert(segmentVoiced(Array(5000, 5000), 4096) === ((1L, 2L, 2L)), "all voiced")
+    assert(segmentVoiced(Array(-5000), 4096) === ((1L, 1L, 1L)), "negative amplitude is energy")
+    assert(segmentVoiced(Array(4096), 4096) === ((0L, 0L, 0L)), "threshold is strict")
+    // permuting samples changes the segmentation — the order-sensitivity m9 pins
+    val s2 = Array(5000, 0, 5000, 0, 5000, 0)
+    assert(segmentVoiced(s2, 4096)._1 === 3L)
+    assert(segmentVoiced(s2.sorted, 4096)._1 === 1L)
+  }
+
   test("multimodal: decode pipeline preserves ids, dims, and determinism") {
     implicit val s = spark
     val payloads = Seq((1L, "abc".getBytes), (2L, "defgh".getBytes), (3L, Array.emptyByteArray))

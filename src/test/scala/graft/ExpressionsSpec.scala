@@ -24,6 +24,28 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize composes decomposed sequences and is codegen-stable") {
+    import graft.expressions.TextExpressions.nfcNormalize
+    val decomposed = "e\u0301a\u0300o\u0302"
+    val composed = "\u00e9\u00e0\u00f4"
+    val df = Seq(("x" + decomposed), composed, "plain ascii", "")
+      .toDF("s")
+      .select($"s", nfcNormalize($"s").as("n"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(rows("x" + decomposed) === "x" + composed)
+    assert(rows(composed) === composed, "already-NFC input is a fixpoint")
+    assert(rows("plain ascii") === "plain ascii")
+    assert(rows("") === "")
+    // null-safe
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(nfcNormalize($"s")).head().isNullAt(0))
+    // interpreted eval (the non-codegen fallback) agrees
+    val lit = graft.expressions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+    assert(lit.eval(null).toString === composed)
+  }
+
   test("cosine_sim registers for SQL via GraftExtensions") {
     val prev = spark // ensure the shared session exists first
     SparkSession.clearActiveSession()

@@ -1005,6 +1005,33 @@ class OpsSpec extends SparkSpec {
     assert(f === 3.25)
   }
 
+  test("chunking: start ladder, overlap, no pure-suffix chunks, short tail") {
+    def chunks(text: String, size: Int, stride: Int) =
+      TextOps.chunkWithOverlap(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", size, stride)
+        .select($"chunk_id", $"chunk_start", $"chunk")
+        .as[(Long, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val ten = (0 until 10).map(i => s"t$i").mkString(" ")
+    // size 4 / stride 3: starts 0,3,6 emitted; 9 adds nothing (prev end=10)
+    assert(chunks(ten, 4, 3) === Seq(
+      (0L, 0L, Seq("t0", "t1", "t2", "t3")),
+      (1L, 3L, Seq("t3", "t4", "t5", "t6")),
+      (2L, 6L, Seq("t6", "t7", "t8", "t9"))))
+    // doc shorter than one chunk → single short chunk
+    assert(chunks("a b", 4, 3) === Seq((0L, 0L, Seq("a", "b"))))
+    // short TAIL chunk kept when it adds a token: n=5 → start 3 adds t4
+    assert(chunks((0 until 5).map(i => s"t$i").mkString(" "), 4, 3) === Seq(
+      (0L, 0L, Seq("t0", "t1", "t2", "t3")), (1L, 3L, Seq("t3", "t4"))))
+    // stride == size → disjoint chunks, no overlap
+    assert(chunks(ten, 5, 5) === Seq(
+      (0L, 0L, (0 until 5).map(i => s"t$i")),
+      (1L, 5L, (5 until 10).map(i => s"t$i"))))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWithOverlap(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", 4, 5)
+    }
+  }
+
   test("bigram PMI: hand computation, short-doc exclusion, minCount membership") {
     val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
     val out = TextOps.bigramPmi(corpus, "text", 2L)
