@@ -1422,6 +1422,20 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S22 — binary (1-bit sign) quantization ANN: each vector packs to one
+    // BIGINT of sign bits, distance = bit_count(XOR) — the most aggressive
+    // compression tier (512× smaller than float64 at dim 64) and the
+    // standard first-stage filter ahead of exact rerank. All-integer
+    // scoring: no FP anywhere, cross-engine agreement exact by
+    // construction. The oracle never reconstructs the packed word (that's
+    // an engine optimization); it restates the SEMANTIC — count of
+    // sign-mismatched dimensions — from first principles.
+    "s22_binary_hamming" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.binaryHammingTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -5767,6 +5781,23 @@ object SparkEntry {
         |    printf('%.4f', list_inner_product(q.ve, r.rv) /
         |      (sqrt(list_inner_product(q.ve, q.ve)) * sqrt(list_inner_product(r.rv, r.rv)))) AS sim_r
         |  FROM q JOIN recn r ON q.vec_id <> r.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+
+    // Hamming = COUNT of dimensions whose strict-positive sign differs —
+    // the packed-word XOR is equivalent by construction.
+    "s22_binary_hamming" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |u AS (SELECT vec_id, i AS dim, ve[i] > 0 AS s
+        |      FROM v, (SELECT unnest(generate_series(1, len(ve))) AS i)),
+        |q AS (SELECT vec_id, dim, s FROM u WHERE vec_id < 5),
+        |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        COUNT(*) FILTER (WHERE q.s <> c.s) AS hamming
+        |      FROM q JOIN u c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+        |      GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM (SELECT query_id, neighbor_id, hamming,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY hamming ASC, neighbor_id) AS rank FROM h)
         |WHERE rank <= 10""".stripMargin,
 
     "s2_ann_ivf" -> ivfOracle,

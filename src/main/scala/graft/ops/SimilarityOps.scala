@@ -838,6 +838,47 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Pack the sign bits of the first ≤64 vector components into ONE long:
+    * bit i set ⟺ component i > 0 (strict — zeros and negatives are 0).
+    * Built from shift/OR only, so it is wrap-free under ANSI arithmetic;
+    * for dim > 64, segment the vector and pack one word per segment. */
+  def signBits(v: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    def bit(i: Column) = GraftBridge.column(
+      ShiftLeft(GraftBridge.expression(lit(1L)), GraftBridge.expression(i)))
+    aggregate(
+      transform(v, (x, i) => when(x > 0, bit(i)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Binary (1-bit) quantization ANN: vectors collapse to their sign
+    * pattern, distance is the Hamming distance between patterns —
+    * `bit_count(qcode XOR ccode)`, two instructions per candidate. The
+    * most aggressive member of the compression family (SQ8 keeps 8 bits/
+    * component; this keeps 1): at 100 TB a 64-dim corpus is ONE BIGINT per
+    * vector — 512× smaller than float64 — and the serve scan is
+    * bandwidth-trivial, the standard first-stage filter in front of an
+    * exact reranker (compose with [[bruteForceTopK]] over the shortlist,
+    * as [[prefixRerankTopK]] does for prefixes). All-integer scoring: no
+    * FP anywhere, so cross-engine agreement is exact by construction.
+    * Ranking ties (hamming ∈ 0..64 is coarse) break by neighbor id. */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      signBits(col(vecCol).cast("array<double>")).as("ccode"))
+    val q = queries.select(col(idCol).as("query_id"),
+      signBits(col(vecCol).cast("array<double>")).as("qcode"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qcode").bitwiseXOR(col("ccode"))).cast("long")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+  }
+
   /** IVF-PQ: ADC restricted to the probed cells. `codes` must carry the
     * vector's `centroid_id` (pqEncode with carry — at 100 TB the codes table
     * is WRITTEN partitioned by cell, so the probe join IS partition

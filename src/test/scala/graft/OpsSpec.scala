@@ -950,6 +950,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("binary quantization: sign packing and Hamming ranking, all-integer") {
+    // signBits: strict positivity, bit order, bit 63 reachable without
+    // ANSI overflow (shift/OR only)
+    val enc = Seq((1L, Array(1.0, 0.0, -2.0, 0.5)), (2L, Array.fill(64)(1.0)))
+      .toDF("id", "v")
+      .select($"id", SimilarityOps.signBits($"v").as("code"))
+      .as[(Long, Long)].collect().toMap
+    assert(enc(1L) === ((1L << 0) | (1L << 3)), "bits 0 and 3 only; 0.0 is not positive")
+    assert(enc(2L) === -1L, "64 positive components = all bits set (bit 63 wraps sign)")
+    // end-to-end: hand-checkable 4-dim corpus, query id 0 = (+,+,-,-)
+    val corpus = Seq(
+      (0L, Array(1.0, 1.0, -1.0, -1.0)),  // query
+      (1L, Array(2.0, 3.0, -9.0, -0.1)),  // same signs → hamming 0
+      (2L, Array(1.0, 1.0, -1.0, 1.0)),   // 1 flip
+      (3L, Array(-1.0, -1.0, 1.0, 1.0)),  // all 4 flipped
+      (4L, Array(0.0, 1.0, -1.0, -1.0))   // dim0 0 vs + → 1 flip
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.binaryHammingTopK(
+        corpus, corpus.filter($"vec_id" === 0), "vec_id", "embedding", 10)
+      .select($"rank", $"neighbor_id", $"hamming")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1, 1L, 0L), (2, 2L, 1L), (3, 4L, 1L), (4, 3L, 4L)),
+      "ranked by hamming asc, ties by neighbor id")
+  }
+
   test("embedding near-dup pairs find same-direction vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 1.0f, 0.2f, 0.1f, 0.5f, 0.3f, 0.9f)),
