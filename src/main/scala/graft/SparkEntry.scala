@@ -3750,6 +3750,18 @@ object SparkEntry {
       graft.streaming.StreamJoin.run(s, ev(s, dir), work)
     }),
 
+    // E2E streaming dedup replay (S10's OWN gate — previously covered only
+    // by unit specs + the batch p2 oracle): the firehose re-emits an exact
+    // copy of every third event; dropDuplicatesWithinWatermark on event_id
+    // must land the ORIGINAL row set exactly. Copies are byte-identical
+    // (kept-arrival unobservable) and the 48 h delay dwarfs the ≤1-day
+    // original→copy arrival gap a chunk-splitting trigger can introduce,
+    // so eviction can never race a duplicate (StreamDedupReplay doc).
+    "e2e_stream_dedup" -> ((s, dir) => {
+      val work = scratch("e2ededup")
+      graft.streaming.StreamDedupReplay.run(s, ev(s, dir), work)
+    }),
+
     // E2E stream-STATIC broadcast enrichment (§2.8's third join topology):
     // stateless per-micro-batch hash join against a storage-resident
     // dimension — no watermark, no keyed state, firehose never shuffled.
@@ -7296,6 +7308,12 @@ object SparkEntry {
         | AND e.event_type = 'error'
         | AND e.ts >= c.ts - INTERVAL 21600 SECOND AND e.ts <= c.ts
         |WHERE c.event_type = 'click'""".stripMargin,
+
+    // The deduped sink is exactly the original events relation — every
+    // injected copy dropped, every original kept once.
+    "e2e_stream_dedup" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |FROM events""".stripMargin,
 
     // Stream-static enrichment sink equals the plain batch LEFT JOIN
     // against the frozen dimension (dim withholds user_id ≡ 0 mod 17;
