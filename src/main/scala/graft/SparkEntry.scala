@@ -371,6 +371,21 @@ object SparkEntry {
         GROUP BY l_returnflag, metric""")
     }),
 
+    // Q13 — PIVOT (long→wide, q12's twin): explicit value list, so Spark
+    // plans ONE aggregate with conditional projections (PivotFirst) — a
+    // single scan + single exchange, not one scan per pivot value; exactly
+    // what survives when the fact side is 100 TB. The oracle states the
+    // same reshape as conditional aggregation. Cells with no rows are NULL
+    // in both engines (SUM over empty); sums decimal-exact.
+    "q13_pivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Exact.sumD(col("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1737,6 +1752,30 @@ object SparkEntry {
       MinuteAggregate(ev(s, dir), "ts", "value")
         .write.mode("overwrite").orc(s"$work/orc")
       s.read.orc(s"$work/orc")
+    }),
+
+    // P15 — PERMISSIVE JSON ingest with corrupt-record ACCOUNTING (p1
+    // parses the happy path; real scraped feeds carry truncated payloads
+    // and the pipeline must count, not crash): every event_id ≡ 0 (mod 7)
+    // props is truncated by one char (always drops the closing brace →
+    // unparseable), from_json maps malformed to null — the engine-side
+    // equivalent of the reference's tolerate-and-type-on-read ingestion —
+    // and the gate pins the per-type malformed census plus the sum over
+    // surviving payloads. Oracle replays the truncation and gates
+    // validity with DuckDB's json_valid. Row-local: no shuffle beyond the
+    // final narrow census aggregate.
+    "p15_json_permissive" -> ((s, dir) => {
+      val raw = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 1)")).otherwise(col("props"))
+      ev(s, dir).select(col("event_type"), raw.as("raw"))
+        .withColumn("k",
+          from_json(col("raw"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("k").isNull, 1)).as("n_malformed"),
+          sum(col("k")).as("sum_k_valid"))
     }),
 
     // D11 — EXACT set-similarity join via prefix filtering (PPJoin
@@ -4962,6 +5001,24 @@ object SparkEntry {
         |FROM k GROUP BY 1, 2""".stripMargin,
 
     // identical to a1's oracle: the ORC hop must be invisible
+    // the same deterministic truncation, validity via json_valid; a
+    // truncated object always loses its closing brace, so malformed ≡
+    // event_id % 7 = 0 — but the oracle derives it from the JSON, not
+    // the id, to keep the parse semantics the thing under test
+    "p15_json_permissive" ->
+      """WITH r AS (SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN substr(props, 1, length(props) - 1)
+        |         ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type,
+        |        CASE WHEN json_valid(raw)
+        |             THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+        |      FROM r)
+        |SELECT event_type, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE k IS NULL) AS n_malformed,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k_valid
+        |FROM p GROUP BY 1""".stripMargin,
+
     "p14_orc_roundtrip" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
         |  COUNT(*) AS total_nb_trx_1min,
@@ -5594,6 +5651,16 @@ object SparkEntry {
         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin,
+
+    // PIVOT restated as conditional aggregation — the canonical long→wide
+    // identity; empty cells NULL on both sides.
+    "q13_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |                THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |                THEN CAST(l_quantity AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // UNPIVOT semantics stated from first principles: a 4-way UNION ALL
     // with the EXCLUDE NULLS default made explicit.
