@@ -386,6 +386,117 @@ object SparkEntry {
         .withColumnRenamed("O", "qty_o")
     }),
 
+    // Q14 — time-RANGE window frame: trailing-90-day revenue per customer at
+    // every order. The frame is defined by the ORDER-BY VALUE (an interval
+    // back from each row's o_orderdate), not a row count — the semantics
+    // ROWS BETWEEN cannot express when order dates are irregular. Spark
+    // plans one exchange on o_custkey + one sort; the frame sum is a
+    // sliding accumulator over the sorted run (no per-row rescan), which is
+    // the shape that survives 100×: cost stays O(rows per customer), not
+    // O(rows²). Peers (same customer, same date) are IN the frame per the
+    // SQL standard on both engines; the DECIMAL accumulator makes the
+    // running sum order-independent and bit-identical to the oracle.
+    "q14_window_range" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q14_orders")
+      s.sql("""
+        SELECT o_custkey, o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate
+            RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS rev90
+        FROM q14_orders""")
+    }),
+
+    // Q15 — GROUP BY ALL (Spark 3.4+/DuckDB shared surface): the grouping
+    // key set is inferred as every non-aggregate select item. Semantics
+    // gate, not sugar: the inference must pick exactly {status, priority}
+    // and not the aggregate; a wrong inference changes the row count.
+    "q15_group_by_all" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q15_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        FROM q15_orders GROUP BY ALL""")
+    }),
+
+    // Q16 — calendar arithmetic surface: quarter bucketing
+    // (date_trunc('quarter')), month-end (last_day), and day-granularity
+    // differences — all codegen'd builtins, no UDF. Both engines implement
+    // the same published proleptic-Gregorian calendar, so days-to-month-end
+    // sums are integer-exact. The quarter is cast to DATE on BOTH sides so
+    // the compared column renders identically (Spark's date_trunc returns a
+    // timestamp, DuckDB's a date — the cast is the deliberate parity point).
+    "q16_date_arith" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q16_orders")
+      s.sql("""
+        SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+          COUNT(*) AS n,
+          SUM(CAST(datediff(last_day(o_orderdate), CAST(o_orderdate AS DATE))
+              AS BIGINT)) AS days_to_month_end
+        FROM q16_orders GROUP BY 1""")
+    }),
+
+    // Q17 — ordered string aggregation: listagg ... WITHIN GROUP (ORDER BY)
+    // (Spark 4.0's SQL:2016 form; DuckDB states the same contract as
+    // string_agg with an ORDER BY argument). The ORDER BY inside the
+    // aggregate is the gate — without it the rendered list depends on
+    // partial-aggregation order and no distributed engine could hash-match.
+    // Grouped on the 5-row region dim; the aggregate runs over a broadcast
+    // join, one exchange for the group.
+    "q17_listagg" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("q17_nation")
+      Tables.region(s, dir).createOrReplaceTempView("q17_region")
+      s.sql("""
+        SELECT r.r_name, listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+          AS nations
+        FROM q17_nation n JOIN q17_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""")
+    }),
+
+    // Q18 — bag-semantics set operations (INTERSECT ALL / EXCEPT ALL),
+    // closing the multiset half of the o8 set-ops gate. Multiplicity is the
+    // contract: a suppkey appearing m₁ times among returned lines and m₂
+    // among finished lines yields max(0, m₁−m₂) EXCEPT ALL rows and
+    // min(m₁, m₂) INTERSECT ALL rows (SQL standard, both engines). Spark
+    // rewrites each to ONE count-aggregate per side + a replicate Generate —
+    // multiplicities, not rows, cross the exchange, so a key duplicated a
+    // million times at 100 TB still ships as one (key, count) pair.
+    "q18_set_ops_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val returned = li.filter(col("l_returnflag") === "R").select(col("l_suppkey"))
+      val finished = li.filter(col("l_linestatus") === "F").select(col("l_suppkey"))
+      returned.exceptAll(finished).withColumn("set_op", lit("returned_minus_finished"))
+        .unionByName(returned.intersectAll(finished)
+          .withColumn("set_op", lit("bag_intersection")))
+    }),
+
+    // Q19 — analytic window-function surface: ntile, percent_rank,
+    // cume_dist, first_value, nth_value. Every ORDER BY is made a TOTAL
+    // order (orderkey tiebreak) — with ties, peer-group functions
+    // (percent_rank/cume_dist) and ntile are engine-dependent and no
+    // distributed engine could hash-match. nth_value gets an explicit
+    // UNBOUNDED/UNBOUNDED frame: its default frame stops at CURRENT ROW,
+    // which would yield NULL for row 1 on both engines but is the kind of
+    // implicit contract worth pinning. One exchange on o_custkey serves all
+    // five functions (same partition spec), one sort per ORDER BY key.
+    "q19_window_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("q19_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+          ntile(4) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS quartile,
+          CAST(percent_rank() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_pr,
+          CAST(cume_dist() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_cd,
+          first_value(o_orderkey) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS first_ok,
+          nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        FROM q19_orders""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1752,6 +1863,24 @@ object SparkEntry {
       MinuteAggregate(ev(s, dir), "ts", "value")
         .write.mode("overwrite").orc(s"$work/orc")
       s.read.orc(s"$work/orc")
+    }),
+
+    // P16 — XML round-trip ingest: the third text-format gate (CSV p12,
+    // JSON p15). Spark 4 ships the XML data source natively; the gate pins
+    // element-per-row encode/decode with an explicit schema (schema
+    // inference over 100 TB of XML would be its own full scan) and Java's
+    // shortest-round-trip double rendering through the text hop. Oracle is
+    // a1's, blind to the hop.
+    "p16_xml_roundtrip" -> ((s, dir) => {
+      val work = scratch("p16xml")
+      MinuteAggregate(ev(s, dir), "ts", "value")
+        .write.mode("overwrite").option("rowTag", "minute")
+        .format("xml").save(s"$work/xml")
+      s.read
+        .schema("tx_minute STRING, total_nb_trx_1min BIGINT, " +
+          "total_fee_1min DOUBLE, avg_fee_1min DOUBLE")
+        .option("rowTag", "minute")
+        .format("xml").load(s"$work/xml")
     }),
 
     // P15 — PERMISSIVE JSON ingest with corrupt-record ACCOUNTING (p1
@@ -3636,6 +3765,45 @@ object SparkEntry {
           element_at(col("features"), 6).cast("long").as("n_bright"))
     }),
 
+    // M10 — scene-change detection over the SAME per-user MJPEG AVI m5
+    // builds, decoding EVERY frame (m5's clip summary samples stride 2;
+    // shot boundaries need the full time series). The codec layer emits one
+    // bright-pixel mass per frame ([[Multimodal.frameBrightness]]); the
+    // TEMPORAL operator — diff consecutive frames, flag |Δ| ≥ 128 px (two
+    // 8×8 blocks) as a cut — is declarative: posexplode → lag window →
+    // conditional count, all on the user_id partitioning the build groupBy
+    // already established, so frame rows never re-shuffle. At 100 TB the
+    // decode is embarrassingly parallel per clip and only (clip, frame,
+    // mass) triples — not pixels — reach the window operator.
+    "m10_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val wBlocks = 6; val nFrames = 4
+      val px = ev(s, dir).select(col("user_id"), col("event_id"))
+      val brights = px.groupBy(col("user_id"))
+        .agg(collect_list(col("event_id")).as("ids"))
+        .as[(Long, Array[Long])]
+        .map { case (uid, ids) =>
+          val frames = (0 until nFrames).map { f =>
+            val vals = ids.filter(_ % nFrames == f)
+              .map(id => if (id % 3 == 0) 255 else 0)
+            graft.ops.Jpeg.encodeGrayBlocks(if (vals.isEmpty) Array(0) else vals, wBlocks)
+          }
+          val rows0 = (math.max(ids.count(_ % nFrames == 0), 1) + wBlocks - 1) / wBlocks
+          val avi = graft.ops.Avi.encodeMjpeg(frames, wBlocks * 8, rows0 * 8, fps = 10)
+          (uid, Multimodal.frameBrightness(avi))
+        }
+        .toDF("user_id", "brights")
+      val perFrame = brights.select(col("user_id"),
+        posexplode(col("brights")).as(Seq("frame_idx", "bright")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("frame_idx"))
+      perFrame
+        .withColumn("delta", col("bright") - lag(col("bright"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(abs(col("delta")) >= 128, 1L).otherwise(0L)).as("n_cuts"),
+          max(abs(col("delta"))).as("max_abs_delta"))
+    }),
+
     // O10/S7 — offline full-history scan: the reference's Athena `SELECT *`
     // quietly returns duplicate minutes, one per upsert version
     // (pipelines/blockchain/preprocess.py:77-87 dedups them downstream;
@@ -5026,6 +5194,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
         |FROM events GROUP BY 1""".stripMargin,
 
+    // identical to a1's oracle: the XML hop must be invisible
+    "p16_xml_roundtrip" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
+        |  COUNT(*) AS total_nb_trx_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin,
+
     // identical to a1's oracle: the CSV hop must be invisible
     "p12_csv_roundtrip" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
@@ -5673,6 +5849,70 @@ object SparkEntry {
         |SELECT l_returnflag, metric, COUNT(*) AS n,
         |  CAST(SUM(CAST(val AS DECIMAL(30,4))) AS DOUBLE) AS sum_val
         |FROM u WHERE val IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // Same interval-RANGE frame evaluated by DuckDB's window engine; the
+    // DECIMAL accumulator makes the trailing sum bit-identical.
+    "q14_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev90
+        |FROM orders""".stripMargin,
+
+    // DuckDB originated GROUP BY ALL; both engines must infer the same
+    // {status, priority} key set.
+    "q15_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ALL""".stripMargin,
+
+    // Same calendar arithmetic through DuckDB's function surface
+    // (date_diff/last_day); the DATE cast is the shared render point.
+    "q16_date_arith" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      last_day(CAST(o_orderdate AS DATE))) AS BIGINT)) AS BIGINT)
+        |    AS days_to_month_end
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // string_agg with in-aggregate ORDER BY — DuckDB's spelling of the
+    // same SQL:2016 ordered-listagg contract.
+    "q17_listagg" ->
+      """SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin,
+
+    // SQL-standard multiset semantics: max(0, m1−m2) / min(m1, m2)
+    // multiplicities per key on both engines.
+    "q18_set_ops_all" ->
+      """SELECT l_suppkey, 'returned_minus_finished' AS set_op FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')
+        |UNION ALL
+        |SELECT l_suppkey, 'bag_intersection' AS set_op FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_linestatus = 'F')""".stripMargin,
+
+    // Same five analytic functions with identical total-order ORDER BYs and
+    // the same explicit nth_value frame.
+    "q19_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS quartile,
+        |  CAST(percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_pr,
+        |  CAST(cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS DOUBLE) AS price_cd,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS first_ok,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders""".stripMargin,
 
     // Expected good/corrupt split recomputed relationally: corrupt = the
     // deterministic truncation set, partial leaks must be zero.
@@ -7307,6 +7547,27 @@ object SparkEntry {
         |            + CEIL(GREATEST(COUNT(*) FILTER (WHERE event_id % 4 = 2), 1) / 6.0)) AS BIGINT) AS n_px,
         |  CAST(64 * COUNT(*) FILTER (WHERE event_id % 4 IN (0, 2) AND event_id % 3 = 0) AS BIGINT) AS n_bright
         |FROM events GROUP BY 1""".stripMargin,
+
+    // Frame f's bright mass is exactly 64·|{id : id≡f (mod 4), id≡0 (mod
+    // 3)}| (uniform blocks round-trip the codec losslessly), so the scene
+    // cuts recompute relationally: four frame rows per user, lag, |Δ|≥128.
+    "m10_scene_cuts" ->
+      """WITH pf AS (
+        |  SELECT e.user_id, f.frame_idx,
+        |    64 * COUNT(*) FILTER (WHERE e.event_id % 4 = f.frame_idx
+        |                            AND e.event_id % 3 = 0) AS bright
+        |  FROM events e CROSS JOIN (VALUES (0), (1), (2), (3)) AS f(frame_idx)
+        |  GROUP BY 1, 2
+        |), d AS (
+        |  SELECT user_id,
+        |    bright - lag(bright) OVER (PARTITION BY user_id ORDER BY frame_idx)
+        |      AS delta
+        |  FROM pf
+        |)
+        |SELECT user_id, COUNT(*) AS n_frames,
+        |  CAST(COUNT(*) FILTER (WHERE abs(delta) >= 128) AS BIGINT) AS n_cuts,
+        |  CAST(MAX(abs(delta)) AS BIGINT) AS max_abs_delta
+        |FROM d GROUP BY 1""".stripMargin,
 
     // Versioned-store contract: minutes upserted twice (days 1-15) surface
     // two identical versions in the full-history scan; the rest one.

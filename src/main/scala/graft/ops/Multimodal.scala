@@ -451,6 +451,29 @@ object Multimodal {
     }
   }
 
+  /** Per-frame bright-pixel mass of an MJPEG AVI clip: decodes EVERY frame
+    * (unlike [[BuiltinDecoder]]'s strided clip summary) and returns one
+    * count per frame — the time series that temporal operators (scene-cut
+    * detection, shot segmentation) consume. Brightness uses the same
+    * channel-sum > 3·127 gate as the clip decoder, so uniform-block
+    * fixtures stay relationally exact. The heavy work (entropy decode)
+    * happens here, once per clip, executor-side; the DIFFING is left to
+    * the declarative layer (posexplode + lag window), where Catalyst
+    * plans it. */
+  def frameBrightness(bytes: Array[Byte]): Array[Long] = {
+    val v = Avi.decodeMjpeg(bytes)
+    v.frames.map { f =>
+      val (_, _, rgb) = Jpeg.decodeRgb(f)
+      var n = 0L; var j = 0
+      while (j < rgb.length) {
+        val p = rgb(j)
+        if (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff) > 3 * 127) n += 1
+        j += 1
+      }
+      n
+    }.toArray
+  }
+
   /** Encode 16-bit mono PCM samples as a WAV payload (the write side of
     * [[BuiltinDecoder]]'s "wav" path; also the fixture synthesizer for the
     * multimodal oracle query). Samples are clamped to int16. */
