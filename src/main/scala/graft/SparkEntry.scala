@@ -497,6 +497,37 @@ object SparkEntry {
         FROM q19_orders""")
     }),
 
+    // Q20 — statistical aggregates (stddev, Pearson correlation) made
+    // distribution-safe: the BUILT-IN corr/stddev use Welford-style partial
+    // merges whose float error depends on partition order — the same query
+    // on 32 threads and 1000 executors returns different last bits, and no
+    // cross-engine hash could match. Instead: moments (n, Σx, Σx², Σy, Σy²,
+    // Σxy) accumulate EXACTLY (decimal for doubles — the Exact.sumD
+    // contract — BIGINT for ints; per-row products are single IEEE ops,
+    // deterministic), then ONE mirrored double formula per statistic. Still
+    // one partial-aggregated exchange — exactness costs nothing structural.
+    "q20_moment_stats" -> ((s, dir) => {
+      ev(s, dir).createOrReplaceTempView("q20_events")
+      s.sql("""
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+            CAST(SUM(user_id) AS DOUBLE) AS sy,
+            CAST(SUM(user_id * user_id) AS DOUBLE) AS syy,
+            CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(38,4)))
+                 AS DOUBLE) AS sxy
+          FROM q20_events GROUP BY event_type)
+        SELECT event_type, n,
+          format_string('%.4f', sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))))
+            AS std_r,
+          format_string('%.6f', (CAST(n AS DOUBLE) * sxy - sx * sy) /
+            (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+             sqrt(CAST(n AS DOUBLE) * syy - sy * sy))) AS corr_r
+        FROM m""")
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1764,6 +1795,27 @@ object SparkEntry {
             .as("precision_bp"))
     }),
 
+    // T24 — cross-doc n-gram NOVELTY: per doc, the fraction (basis points)
+    // of its distinct 3-word shingles whose GLOBAL first occurrence (min
+    // doc_id over the corpus) is the doc itself — the memorization /
+    // template-reuse curation signal (a doc whose shingles all appeared
+    // earlier is boilerplate; a high-novelty doc carries new text). One
+    // window min over the shared shingle relation (first-occurrence idiom:
+    // no self-join, ONE exchange on the shingle + one on doc_id), integer
+    // basis points end to end. At 100 TB the shingle relation is the same
+    // one d2/d11 already shuffle; novelty adds no wider exchange.
+    "t24_ngram_novelty" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("t"))
+      val first = tok.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("t"))))
+      first.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+    }),
+
     // X11 — stratified sample of EXACTLY 200 docs with largest-remainder
     // (Hamilton) allocation across langs: quotas ⌊200·N_s/N⌋ + one seat
     // for the largest remainders so Σ quotas = 200 EXACTLY (the property
@@ -2342,6 +2394,51 @@ object SparkEntry {
           Exact.fmt(col("n_hll"), 4).as("n_hll_r"),
           Exact.fmt((col("n_hll") - col("n_exact").cast("double")) /
             col("n_exact").cast("double"), 4).as("rel_err_r"))
+    }),
+
+    // O35 — ANALYZE-TABLE column statistics: per-column row/null counts,
+    // numeric min/max, and sketched NDV — the optimizer's CBO inputs
+    // (selectivity, join-size estimates) and the first job a warehouse runs
+    // over a new 100 TB table. Shape is the point: ONE scan serves every
+    // column — the stats aggregate is a single global row, and the NDVs
+    // come from [[graft.ops.Sketches.hllMultiCol]]'s per-row fanout into
+    // (column, bucket, term) registers, so the exchange carries ≤ 4·4096
+    // register rows regardless of data volume (a per-column re-read would
+    // multiply the dominant scan cost by the column count). The double
+    // column's NDV is over its DECIMAL(18,4) rendering — the one string
+    // form both engines print identically (raw double-to-string exponent
+    // styles diverge); documented as value-at-4dp cardinality.
+    "o35_stats_collect" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val ndv = graft.ops.Sketches.hllMultiCol(e, Seq(
+          "event_id" -> col("event_id"),
+          "user_id" -> col("user_id"),
+          "event_type" -> col("event_type"),
+          "value" -> col("value").cast("decimal(18,4)")), b = 12)
+        .select(col("cname").as("column_name"),
+          Exact.fmt(col("n_hll"), 4).as("ndv_r"))
+      val agg = e.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("nn_event_id"),
+        min(col("event_id")).cast("double").as("mn_event_id"),
+        max(col("event_id")).cast("double").as("mx_event_id"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nn_user_id"),
+        min(col("user_id")).cast("double").as("mn_user_id"),
+        max(col("user_id")).cast("double").as("mx_user_id"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nn_event_type"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn_value"),
+        min(col("value")).as("mn_value"),
+        max(col("value")).as("mx_value"))
+      val rows = agg.selectExpr("n_rows",
+        """stack(4,
+          |  'event_id',   nn_event_id,   mn_event_id,            mx_event_id,
+          |  'user_id',    nn_user_id,    mn_user_id,             mx_user_id,
+          |  'event_type', nn_event_type, CAST(NULL AS DOUBLE),   CAST(NULL AS DOUBLE),
+          |  'value',      nn_value,      mn_value,               mx_value
+          |) AS (column_name, n_nulls, min_num, max_num)""".stripMargin)
+      rows.join(ndv, Seq("column_name"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"),
+          col("min_num"), col("max_num"), col("ndv_r"))
     }),
 
     // O27 — KMV (k-minimum-values / bottom-k) distinct sketch: the k=256
@@ -4104,6 +4201,25 @@ object SparkEntry {
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** t24 oracle: the same distinct-shingle relation (same tokenizer, same
+    * short-doc fallback), first occurrence as a window MIN, novelty in
+    * truncating integer basis points. */
+  private def noveltyOracle: String = {
+    val shingleSql =
+      """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |     ELSE list_transform(range(1, len(tk) - 1),
+        |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
+    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
+       |fst AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY t) AS first_doc
+       |        FROM tok)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |  COUNT(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+       |  CAST((COUNT(*) FILTER (WHERE first_doc = doc_id) * 10000) // COUNT(*)
+       |       AS BIGINT) AS novelty_bp
+       |FROM fst GROUP BY 1""".stripMargin
+  }
+
   /** d10 oracle: exact shingle-Jaccard truth on the doc_id < 500 subset vs
     * the band-collision candidates (per-doc banding → subset-filtering the
     * full pairs relation equals banding the subset). */
@@ -4869,6 +4985,57 @@ object SparkEntry {
        |  printf('%.4f', (f.n_hll - CAST(e.n_exact AS DOUBLE)) / CAST(e.n_exact AS DOUBLE))
        |    AS rel_err_r
        |FROM f CROSS JOIN (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events) e""".stripMargin
+  }
+
+  /** Oracle for the column-statistics pass (o35): one [[hllOracle]]-style
+    * register chain per column (same hex-digit arithmetic, same
+    * [[graft.ops.Sketches.termSql]] ladder, same estimator tail — generated
+    * from the same loops), null-filtered like the engine's fanout, the
+    * double column hashed through its DECIMAL(18,4) rendering (the shared
+    * cross-engine string form), and the exact min/max/null stats stated
+    * directly. */
+  private def statsOracle: String = {
+    def hexDigit(i: Int) = s"(strpos('0123456789abcdef', substr(hx, $i, 1)) - 1)"
+    val bucket = (1 to 3).map(i => s"${hexDigit(i)} * ${math.pow(16, 3 - i).toLong}")
+      .mkString(" + ")
+    val w = (0 until 8).map(i => s"${hexDigit(4 + i)} * ${1L << (4 * (7 - i))}")
+      .mkString(" + ")
+    val m = "CAST('4096.0' AS DOUBLE)"
+    val alpha = s"CAST('0.7213' AS DOUBLE) / (CAST('1.0' AS DOUBLE) + CAST('1.079' AS DOUBLE) / $m)"
+    val cols = Seq(
+      ("event_id", "CAST(event_id AS VARCHAR)",
+        "CAST(MIN(event_id) AS DOUBLE)", "CAST(MAX(event_id) AS DOUBLE)",
+        "COUNT(*) FILTER (WHERE event_id IS NULL)"),
+      ("user_id", "CAST(user_id AS VARCHAR)",
+        "CAST(MIN(user_id) AS DOUBLE)", "CAST(MAX(user_id) AS DOUBLE)",
+        "COUNT(*) FILTER (WHERE user_id IS NULL)"),
+      ("event_type", "event_type",
+        "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+        "COUNT(*) FILTER (WHERE event_type IS NULL)"),
+      ("value", "CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR)",
+        "MIN(value)", "MAX(value)",
+        "COUNT(*) FILTER (WHERE value IS NULL)"))
+    val chains = cols.map { case (tag, key, _, _, _) =>
+      s"""h_$tag AS (SELECT md5($key) AS hx FROM events WHERE $key IS NOT NULL),
+         |d_$tag AS (SELECT $bucket AS bucket, $w AS w FROM h_$tag),
+         |t_$tag AS (SELECT bucket, MIN(${graft.ops.Sketches.termSql("w")}) AS t
+         |           FROM d_$tag GROUP BY bucket),
+         |a_$tag AS (SELECT SUM(t) AS ps, COUNT(*) AS nz FROM t_$tag),
+         |r_$tag AS (SELECT $alpha * $m * $m /
+         |    (CAST(CAST(ps + (4096 - nz) * ${1L << 33} AS BIGINT) AS DOUBLE) /
+         |     CAST('8589934592.0' AS DOUBLE)) AS raw,
+         |    CAST(4096 - nz AS DOUBLE) AS zeros FROM a_$tag),
+         |f_$tag AS (SELECT CASE WHEN raw <= CAST('2.5' AS DOUBLE) * $m AND zeros > 0
+         |    THEN $m * ln($m / zeros) ELSE raw END AS n_hll FROM r_$tag)""".stripMargin
+    }
+    val selects = cols.map { case (tag, _, mn, mx, nn) =>
+      s"""SELECT '$tag' AS column_name, (SELECT COUNT(*) FROM events) AS n_rows,
+         |  (SELECT $nn FROM events) AS n_nulls,
+         |  (SELECT $mn FROM events) AS min_num,
+         |  (SELECT $mx FROM events) AS max_num,
+         |  (SELECT printf('%.4f', n_hll) FROM f_$tag) AS ndv_r""".stripMargin
+    }
+    s"WITH ${chains.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}"
   }
 
   /** Oracle for the KMV sketch (o27): the same 15-hex-digit integer ladder
@@ -5850,6 +6017,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(val AS DECIMAL(30,4))) AS DOUBLE) AS sum_val
         |FROM u WHERE val IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
+    // Same exact moment accumulation, same sample (n−1) divisor, same
+    // double formula in the same op order.
+    "q20_moment_stats" ->
+      """WITH m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(user_id) AS DOUBLE) AS sy,
+        |    CAST(SUM(user_id * user_id) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(38,4)))
+        |         AS DOUBLE) AS sxy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  printf('%.4f', sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE)))))
+        |    AS std_r,
+        |  printf('%.6f', (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     sqrt(CAST(n AS DOUBLE) * syy - sy * sy))) AS corr_r
+        |FROM m""".stripMargin,
+
     // Same interval-RANGE frame evaluated by DuckDB's window engine; the
     // DECIMAL accumulator makes the trailing sum bit-identical.
     "q14_window_range" ->
@@ -5950,6 +6138,7 @@ object SparkEntry {
     "d2b_minhash_materialized" -> minhashOracle,
 
     "d4_ngram_jaccard" -> blockedJaccardOracle,
+    "t24_ngram_novelty" -> noveltyOracle,
 
     "c1_corpus_clean" -> corpusCleanOracle,
 
@@ -6195,6 +6384,7 @@ object SparkEntry {
     "sd1_semdedup" -> semDedupOracle(2, "0.35"),
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
+    "o35_stats_collect" -> statsOracle,
     "o15_hll_by_day" -> hllByOracle,
     "o34_hll_sliding" -> hllSlidingOracle,
     "o16_hll_merge" -> hllMergeOracle,

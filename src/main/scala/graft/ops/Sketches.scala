@@ -102,6 +102,48 @@ object Sketches {
       .groupBy(col("part"), col("bucket")).agg(min(col("term")).as("t"))
   }
 
+  /** ONE-PASS multi-column HLL: registers for SEVERAL key expressions from
+    * a single scan — the ANALYZE-TABLE shape, where re-reading 100 TB once
+    * per column would multiply the dominant cost by the column count.
+    * Each row fans out into ≤ |keys| narrow (cname, bucket, term) structs
+    * (nulls skipped — NDV counts values, not rows), which collapse in the
+    * same map-side-partial groupBy MIN as [[hllDistinct]]; the exchange
+    * carries at most |keys|·m register rows per partition regardless of
+    * data volume. One estimate row per name: (cname, n_hll). */
+  def hllMultiCol(df: DataFrame, keys: Seq[(String, Column)],
+                  b: Int = 12): DataFrame = {
+    require(keys.nonEmpty)
+    val m = buckets(b)
+    val hexChars = b / 4
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val regs = keys.map { case (name, k) =>
+      val hex = md5(k.cast("string"))
+      val bucket = conv(substring(hex, 1, hexChars), 16, 10).cast("long")
+      val w = conv(substring(hex, hexChars + 1, 8), 16, 10).cast("long")
+      when(k.isNotNull,
+        struct(lit(name).as("cname"), bucket.as("bucket"),
+          termColumn(w).as("term")))
+    }
+    df.select(explode(array(regs: _*)).as("r"))
+      .filter(col("r").isNotNull)
+      .groupBy(col("r.cname").as("cname"), col("r.bucket").as("bucket"))
+      .agg(min(col("r.term")).as("t"))
+      .groupBy(col("cname"))
+      .agg(sum(col("t")).as("present_sum"), count(lit(1)).as("nonzero_buckets"))
+      .select(col("cname"),
+        (col("present_sum") + (lit(m.toLong) - col("nonzero_buckets")) * lit(1L << 33))
+          .as("sum_int"),
+        col("nonzero_buckets"))
+      .select(col("cname"), col("sum_int"), col("nonzero_buckets"),
+        (alpha * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_int").cast("double") / lit((1L << 33).toDouble))).as("raw"),
+        (lit(m.toLong) - col("nonzero_buckets")).cast("double").as("zeros"))
+      .select(col("cname"), col("sum_int"), col("nonzero_buckets"),
+        when(col("raw") <= lit(2.5) * lit(m.toDouble) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")).as("n_hll"))
+  }
+
   /** Merge partial register relations ([[hllRegistersBy]] output, or a
     * union of several) into the single-row estimate — register-wise MIN
     * then the standard estimator tail. Output row matches [[hllDistinct]]:

@@ -525,6 +525,25 @@ class OpsSpec extends SparkSpec {
     assert(solo === soloDirect)
   }
 
+  test("HLL multi-column: one-pass estimates equal per-column direct sketches; nulls skipped") {
+    import graft.ops.Sketches
+    val rows = (0 until 800).map(i =>
+      (i.toLong, (i % 37).toLong, if (i % 5 == 0) null else s"v${i % 100}"))
+      .toDF("a", "b", "c")
+    val multi = Sketches.hllMultiCol(rows,
+        Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"), b = 8)
+      .select($"cname", $"sum_int", $"nonzero_buckets", $"n_hll")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    for ((name, key) <- Seq("a" -> $"a", "b" -> $"b", "c" -> $"c")) {
+      val direct = Sketches.hllDistinct(
+          rows.filter(key.isNotNull).select(key), key, b = 8)
+        .select($"sum_int", $"nonzero_buckets", $"n_hll")
+        .as[(Long, Long, Double)].head()
+      assert(multi(name) === direct,
+        s"column $name: fanout registers must reproduce the single-column sketch bit for bit")
+    }
+  }
+
   test("CMS merge: summed partials equal the direct sketch; replay double-counts") {
     import graft.ops.Sketches
     val rows = (0 until 4).flatMap(p =>
