@@ -723,18 +723,37 @@ object DedupOps {
 
   /** SimHash (32-bit, md5-derived bit planes) of the distinct-token set.
     * Near-dup docs differ in few bits; group by fingerprint bands or compare
-    * popcount(xor) ≤ t downstream. Computed per-row (no shuffle). */
+    * popcount(xor) ≤ t downstream. Computed per-row (no shuffle).
+    *
+    * Written as ONE `aggregate` pass over the per-token hashes. The naive
+    * form — 32 × `size(filter(hashes, bit b set))` — inlines the md5
+    * `hashes` subtree into every bit plane at Column-construction time, so
+    * materializing the column runs md5 32× per token (~10 s for 5 k docs;
+    * invisible under count(*) column pruning, which is how it hid). Here
+    * md5 is the aggregate's INPUT (evaluated once per token) and both
+    * lambdas only touch lambda VARIABLES: the merge bumps a 33-slot
+    * accumulator (32 bit-counts + the token count) via a zip with a
+    * constant mask array, and the finish applies the same majority rule
+    * (2·count ≥ n, ties set the bit) — value-identical to the naive form,
+    * which the d3/d12 oracles pin. */
   def simhash32(text: Column): Column = {
     val toks = distinctTokens(text)
     // per-token 32-bit hash from the first 8 hex chars of md5
     val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    // for each bit b: count of tokens with bit set, vs total
-    val n = size(toks)
-    val bits = (0 until 32).map { b =>
-      val setCnt = size(filter(hashes, h => h.bitwiseAND(lit(1L << b)) =!= 0L))
-      when(setCnt * 2 >= n, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // bit masks for planes 0..31; the 33rd zero slot accumulates n
+    val masks = array((0 until 32).map(b => lit(1L << b)) :+ lit(0L): _*)
+    aggregate(
+      hashes,
+      array_repeat(lit(0L), 33),
+      (acc, h) => zip_with(acc, masks, (c, m) =>
+        when(m === 0L, c + 1L)
+          .otherwise(when(h.bitwiseAND(m) =!= 0L, c + 1L).otherwise(c))),
+      acc => {
+        val n = element_at(acc, 33)
+        (0 until 32).map(b =>
+          when(element_at(acc, b + 1) * 2 >= n, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      })
   }
 
   /** Hamming distance between two simhash values. */
@@ -759,7 +778,13 @@ object DedupOps {
   def sortedNearDup(df: DataFrame, idCol: String, textCol: String,
                     window: Int, maxHamming: Int): DataFrame = {
     require(window >= 1 && maxHamming >= 0)
+    // Materialize the (id, simhash) relation BEFORE ranking: the ranking's
+    // repartitionByRange samples its input to pick boundaries, and that
+    // sampling evaluates the order key through the interpreted (non-codegen)
+    // path — cheap for a stored long, ~2× the whole query for the simhash
+    // expression. Two narrow longs per doc.
     val sh = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sh"))
+      .localCheckpoint()
     val ranked = Ranking.globalRowNumber(sh, Seq(col("sh"), col("id")), "pos")
       .localCheckpoint() // feeds both sides of the successor join
     val probes = ranked.select(col("id").as("ida"), col("sh").as("sha"),
