@@ -528,6 +528,25 @@ object SparkEntry {
         FROM m""")
     }),
 
+    // Q21 — NULL semantics in set operations: INTERSECT/EXCEPT compare
+    // rows by GROUPING equality (NULL matches NULL, per the SQL standard)
+    // — the opposite of join/WHERE predicate equality, where NULL = NULL
+    // is unknown. The gate feeds both sides rows with NULL keys and pins
+    // that NULL-keyed rows DO intersect and DO cancel in EXCEPT; an engine
+    // that lowered set ops onto a plain equi-join would silently drop
+    // every NULL-keyed row. Same count-aggregate plan shape as q18.
+    "q21_setop_nulls" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val a = e.select(
+        when(col("event_id") % 3 === 0, lit(null)).otherwise(col("event_type")).as("k"),
+        (col("event_id") % 5).as("g"))
+      val b = e.select(
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("event_type")).as("k"),
+        (col("event_id") % 5).as("g"))
+      a.intersect(b).withColumn("set_op", lit("intersect"))
+        .unionByName(a.except(b).withColumn("set_op", lit("except")))
+    }),
+
     // A1 — 1-min tumbling count/sum/avg (resources/flink/main.py:105-120).
     "a1_minute_agg" -> ((s, dir) => MinuteAggregate(ev(s, dir), "ts", "value")),
 
@@ -1933,6 +1952,30 @@ object SparkEntry {
           "total_fee_1min DOUBLE, avg_fee_1min DOUBLE")
         .option("rowTag", "minute")
         .format("xml").load(s"$work/xml")
+    }),
+
+    // P17 — parquet schema EVOLUTION: a table whose later batches grew a
+    // column, read back with mergeSchema — early files surface the new
+    // column as NULL (never a default, never an error). The contract every
+    // long-lived 100 TB table depends on (the keyed store already
+    // mergeSchema-reads for its tombstone flag; this gates the ingestion
+    // surface directly). mergeSchema's cost is footer-reads per file — at
+    // scale you bound it by partition-dir, not by skipping it and
+    // resurrecting the o31 bug. The census aggregate pins both the NULL
+    // fill and that the new column's values survive per-batch.
+    "p17_schema_merge" -> ((s, dir) => {
+      val work = scratch("p17sm")
+      val e = ev(s, dir)
+      val dom = dayofmonth(col("ts"))
+      e.filter(dom <= 15).select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$work/t/batch=1")
+      e.filter(dom > 15).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$work/t/batch=2")
+      s.read.option("mergeSchema", "true").parquet(s"$work/t")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          Exact.sumD(col("value"), 4).as("sum_value"))
     }),
 
     // P15 — PERMISSIVE JSON ingest with corrupt-record ACCOUNTING (p1
@@ -5359,6 +5402,30 @@ object SparkEntry {
         |  COUNT(*) AS total_nb_trx_1min,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_fee_1min,
         |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value) AS avg_fee_1min
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // Standard multiset grouping equality: NULL-keyed rows intersect and
+    // cancel exactly as any other key.
+    "q21_setop_nulls" ->
+      """WITH a AS (SELECT CASE WHEN event_id % 3 = 0 THEN NULL
+        |                      ELSE event_type END AS k,
+        |                 event_id % 5 AS g FROM events),
+        |b AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+        |                  ELSE event_type END AS k,
+        |             event_id % 5 AS g FROM events)
+        |SELECT k, g, 'intersect' AS set_op
+        |FROM (SELECT k, g FROM a INTERSECT SELECT k, g FROM b)
+        |UNION ALL
+        |SELECT k, g, 'except' AS set_op
+        |FROM (SELECT k, g FROM a EXCEPT SELECT k, g FROM b)""".stripMargin,
+
+    // The merged read ≡ a conditional projection of the source: value
+    // exists only where the batch-2 writer ran (day > 15).
+    "p17_schema_merge" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE extract(day FROM ts) > 15) AS n_with_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,4)))
+        |         FILTER (WHERE extract(day FROM ts) > 15) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
 
     // identical to a1's oracle: the XML hop must be invisible
