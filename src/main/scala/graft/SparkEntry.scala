@@ -1612,6 +1612,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 10)
     }),
 
+    // S23 — maximal-marginal-relevance re-rank: the diversity pass between
+    // ANN retrieval and the prompt (RAG serving's standard redundancy
+    // filter). Top-16 cosine pool per query (vec_id < 3), greedy pick of 5
+    // with λ = 0.7. Every comparison is integer: cosines floored onto the
+    // 1e10 grid (both engines fold dot/norm left-to-right; sqrt and divide
+    // are correctly-rounded IEEE ops, so the doubles are bit-identical —
+    // the same contract g1-g5's raw-cosine row_number ordering already
+    // relies on), scores combined as 7·simS − 3·penS so the argmax never
+    // orders a double. The oracle unrolls the 5 greedy rounds as
+    // pen/score/argmax CTE triples — the pageRank/kmeans fixed-round
+    // pattern, since greedy selection is sequential by nature.
+    "s23_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.mmrRerank(e, e.filter(col("vec_id") < 3),
+        "vec_id", "embedding", poolK = 16, selectK = 5)
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -1835,6 +1852,48 @@ object SparkEntry {
         .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
     }),
 
+    // T25 — HTML STRIP round trip: the web-scrape → plain-text cleaning
+    // stage every pretraining corpus starts with. The synthetic docs carry
+    // no markup, so the gate renders each doc into a deterministic HTML
+    // page first (title/h1 chrome from its metadata, entity-encoded body:
+    // every 7th doc's spaces become &nbsp;, every 'table' token becomes
+    // &lt;table&gt;) — the m*-gate pattern of synthesizing the fixture
+    // from the table so the DECODER is what's under test. The page treats
+    // each 'table' token as the markup-looking string '<table>' in the
+    // author's plain text, so the renderer must entity-escape it
+    // (&lt;table&gt;) and the stripper must give the literal back — the
+    // escape/strip interaction that naive strip-then-decode pipelines get
+    // wrong. Strip = one tag-removal regex (no lookaround: Spark compiles
+    // Java regex, DuckDB RE2 — the gate pins the shared dialect), then
+    // entity decode (&nbsp; first; it contains no sub-entities). n_ok =
+    // n_docs proves byte-exact inversion on every doc against the
+    // independently-built expected text. Pure per-row codegen'd
+    // expressions — scan-bandwidth bound at 100 TB, no shuffle except the
+    // final 1-row agg.
+    "t25_html_strip" -> ((s, dir) => {
+      val body = when(pmod(col("doc_id"), lit(7)) === 0,
+          regexp_replace(col("text"), " ", "&nbsp;"))
+        .otherwise(col("text"))
+      val ent = regexp_replace(body, "table", "&lt;table&gt;")
+      val rendered = concat(
+        lit("<!DOCTYPE html><html><head><title>"), col("source"),
+        lit("</title></head><body><h1 class=\"t\">"), col("lang"),
+        lit("</h1><p id=\"d"), col("doc_id").cast("string"), lit("\">"),
+        ent, lit("</p><br/></body></html>"))
+      val unTagged = regexp_replace(rendered, "<[^>]*>", "")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        unTagged, "&nbsp;", " "), "&lt;", "<"), "&gt;", ">")
+      docs(s, dir)
+        .select(col("doc_id"), rendered.as("rendered"),
+          decoded.as("recovered"), concat(col("source"), col("lang"),
+            regexp_replace(col("text"), "table", "<table>")).as("expected"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("recovered") === col("expected"), 1L).otherwise(0L))
+            .as("n_ok"),
+          sum(length(col("rendered"))).as("raw_chars"),
+          sum(length(col("recovered"))).as("clean_chars"))
+    }),
+
     // X11 — stratified sample of EXACTLY 200 docs with largest-remainder
     // (Hamilton) allocation across langs: quotas ⌊200·N_s/N⌋ + one seat
     // for the largest remainders so Σ quotas = 200 EXACTLY (the property
@@ -1861,6 +1920,38 @@ object SparkEntry {
           total = 200)
         .select(col("stratum").as("lang"), col("key").as("doc_id"),
           col("pick_rank"), col("n_s"), col("quota"))),
+
+    // X14 — LEAKAGE-FREE train/test split: the fix for what x12 audits.
+    // x12 shows a doc-keyed hash split leaks near-dup pairs across splits;
+    // the cure is to split at the near-dup-CLUSTER level — every doc in a
+    // connected component follows its component's hash, so no candidate
+    // pair can ever straddle train/test (both endpoints share a gid by
+    // construction). gid = component label (min doc_id) for clustered
+    // docs, own doc_id for singletons — one shared namespace, one salted
+    // hash ladder over it. Output is the per-split composition (docs,
+    // groups, largest group): the stats a dataset card reports. Scale: the
+    // component labeling is d6's (bucketed LSH + O(log n) propagation);
+    // the split itself adds one narrow left join + one hash — nothing
+    // beyond what d6 already shuffles.
+    "x14_cluster_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = DedupOps.signatures(d, "doc_id", "text", 16)
+      val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val labeled = DedupOps.connectedComponents(pairs)
+      val grp = d.select(col("doc_id"))
+        .join(labeled.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("gid"))
+      val assigned = graft.ops.Sampling.hashSplit(grp, col("gid"),
+        SparkEntry.splitFractions, salt = "csplit")
+      assigned.groupBy(col("split"), col("gid"))
+        .agg(count(lit(1)).as("gsz"))
+        .groupBy(col("split"))
+        .agg(sum(col("gsz")).as("n_docs"), count(lit(1)).as("n_groups"),
+          max(col("gsz")).as("max_group"))
+    }),
 
     // P12 — CSV round-trip ingest: the aggregate written as header-CSV and
     // read back under an EXPLICIT schema — the reference's own batch IO
@@ -1923,6 +2014,39 @@ object SparkEntry {
     "d12_sorted_neardup" -> ((s, dir) =>
       DedupOps.sortedNearDup(docs(s, dir), "doc_id", "text",
           window = 4, maxHamming = 3)),
+
+    // D13 — bounded EDIT-DISTANCE near-dup (the fourth candidate geometry:
+    // deterministic length-band blocking + thresholded Levenshtein over a
+    // fixed prefix). Character-level edits are what the hash families
+    // can't see: minhash/simhash score token-bag overlap, so a doc whose
+    // mutation is a handful of in-word character edits (OCR noise, scrape
+    // mojibake) scores near-identical there and invisible here — and vice
+    // versa. Same-band + adjacent-band equi-joins enumerate exactly the
+    // |lenA−lenB| ≤ 4 predicate join without any non-equi exchange; the
+    // oracle IS that predicate join (DuckDB's un-thresholded levenshtein
+    // filtered to the same bound — equal because Spark's thresholded form
+    // returns the true distance whenever it's within bound).
+    "d13_edit_distance" -> ((s, dir) =>
+      DedupOps.editDistancePairs(docs(s, dir), "doc_id", "text",
+          langCol = "lang", lenCol = "n_chars",
+          prefixLen = 192, maxDist = 5, lenSlack = 4, bandWidth = 8)),
+
+    // D14 — typo/variant candidate mining with a NATIVE Jaro-Winkler
+    // expression ([[graft.expressions.JaroWinkler]], codegen'd): Spark has
+    // no builtin, DuckDB does (`jaro_winkler_similarity`) — so the oracle
+    // checks the expression's exact semantics (match window, transposition
+    // halving, 0.7 boost threshold, prefix cap 4) against an independent
+    // implementation, pair by pair. Self-join runs over the DISTINCT
+    // vocabulary (Heaps-law sublinear), blocked on leading char. Score
+    // rounded to 4 dp on both sides: the two engines compute the same
+    // formula in double precision with possibly different operation order,
+    // so the last-ulp is not contractual — threshold 0.55 sits in a gap of
+    // the score distribution (nearest values 0.528/0.578), never at a
+    // rounding boundary.
+    "d14_jaro_winkler" -> ((s, dir) =>
+      TextOps.typoCandidates(docs(s, dir), "text", minJw = 0.55, maxLenDiff = 2)
+        .select(col("term_a"), col("term_b"),
+          round(col("jw"), 4).as("jw_r"))),
 
     // P14 — ORC round-trip ingest: p12's format gate for the second
     // columnar format Spark ships natively. ORC is typed (unlike CSV's
@@ -2168,6 +2292,30 @@ object SparkEntry {
         .select(col("id").as("src"), col("nbr_id").as("dst"))
       graft.ops.GraphOps.linkPrediction(nodes, edges, "vec_id", "src", "dst",
           degCap = 64, minCn = 2)
+    }),
+
+    // G6 — label PROPAGATION with clamped seeds (weak supervision): every
+    // 10th vector keeps its gold label; 3 synchronous LPA rounds spread
+    // labels over the same kNN graph s13 builds (symmetrized, so a mutual
+    // edge votes once). Majority vote per round, ties → min label, no
+    // labeled neighbor → carry. The oracle UNROLLS the three rounds as
+    // three vote/argmax/update CTE triples over the identical bucketed-kNN
+    // edge set — sync-iteration semantics are exactly what recursive SQL
+    // can't express but unrolling can, which is why rounds is a fixed
+    // contract constant, not a convergence loop. Final labels are
+    // integers; nodes the labels never reached stay NULL (counted, not
+    // hidden).
+    "g6_label_prop" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val seeds = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"))
+      graft.ops.GraphOps.labelPropagation(
+          e.select(col("vec_id"), col("label")), seeds, edges,
+          "vec_id", "label", "src", "dst", rounds = 3)
+        .select(col("id").as("vec_id"), col("label"))
     }),
 
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
@@ -4323,6 +4471,75 @@ object SparkEntry {
        |LEFT JOIN indeg i ON i.dst = spine.id""".stripMargin
   }
 
+  /** g6 oracle: the s13 k-NN edge relation (same prefix as
+    * [[pageRankOracle]]), symmetrized, then THREE UNROLLED label-prop
+    * rounds — each a vote count / (count DESC, label) argmax / clamped
+    * update triple. Sync-iteration semantics can't be expressed by
+    * recursive SQL (each round needs the FULL previous state, not a
+    * frontier), so the round count is a fixed contract constant unrolled
+    * here, exactly like pageRank's iterations. */
+  private def labelPropOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (SELECT e.src AS id, st.label AS nlabel, COUNT(*) AS c
+         |  FROM e2 e JOIN l${i - 1} st ON st.id = e.dst
+         |  WHERE st.label IS NOT NULL GROUP BY 1, 2),
+         |m$i AS (SELECT id, nlabel FROM (
+         |    SELECT id, nlabel, row_number() OVER (PARTITION BY id
+         |      ORDER BY c DESC, nlabel) AS rn FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT l.id, COALESCE(s.label, m.nlabel, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN seeds s ON s.id = l.id
+         |  LEFT JOIN m$i m ON m.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |e2 AS (SELECT DISTINCT src, dst FROM
+       |       (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+       |seeds AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 10 = 0),
+       |spine AS (SELECT vec_id AS id FROM embeddings),
+       |l0 AS (SELECT sp.id, s.label FROM spine sp LEFT JOIN seeds s ON s.id = sp.id),
+       |$rounds
+       |SELECT id AS vec_id, label FROM l3""".stripMargin
+  }
+
+  /** x14 oracle: d6's recursive component labeling (same CTE chain as
+    * [[clusterOracle]]) + the x5 hash ladder applied to the GROUP id. */
+  private def clusterSplitOracle: String = {
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val hexVal = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5('csplit:' || CAST(gid AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+      .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE $minhashCtes,
+       |scored AS (
+       |  SELECT p.id_a, p.id_b FROM pairs p
+       |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+       |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+       |          UNION SELECT id_b, id_a FROM scored),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |grp AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS gid
+       |        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+       |asg AS (SELECT doc_id, gid, CASE $ladder END AS split FROM grp),
+       |gs AS (SELECT split, gid, COUNT(*) AS gsz FROM asg GROUP BY 1, 2)
+       |SELECT split, CAST(SUM(gsz) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_groups, CAST(MAX(gsz) AS BIGINT) AS max_group
+       |FROM gs GROUP BY 1""".stripMargin
+  }
+
   /** g2 oracle: the s13 k-NN edge relation (same prefix as
     * [[pageRankOracle]]) undirected + canonicalized, the same
     * (degree, id)-ordered orientation, wedge closure, and per-node
@@ -4565,6 +4782,64 @@ object SparkEntry {
        |  SELECT query_id, neighbor_id, sim,
        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
+  /** s23 oracle: the annOracle candidate relation (top-16, queries
+    * vec_id < 3) with cosines floored to the 1e10 integer grid, the
+    * pool-pairwise penalty relation, then FIVE UNROLLED greedy MMR rounds —
+    * each a max-penalty / integer-score / argmax CTE triple (greedy
+    * selection is sequential; fixed round count is the contract, exactly
+    * like pageRank's iterations). Scores are BIGINTs (7·simS − 3·penS): no
+    * double ever reaches an ORDER BY. */
+  private def mmrOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""pen$i AS (SELECT cp.query_id, cp.id_a AS neighbor_id, MAX(cp.pen_s) AS mp
+         |  FROM cp JOIN all${i - 1} s
+         |    ON s.query_id = cp.query_id AND s.neighbor_id = cp.id_b
+         |  GROUP BY 1, 2),
+         |sc$i AS (SELECT c.query_id, c.neighbor_id,
+         |    7 * c.qs - 3 * p.mp AS score_s
+         |  FROM cand c
+         |  JOIN pen$i p ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+         |  LEFT JOIN all${i - 1} s
+         |    ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+         |  WHERE s.neighbor_id IS NULL),
+         |sel$i AS (SELECT query_id, $i AS pick, neighbor_id, score_s FROM (
+         |    SELECT query_id, neighbor_id, score_s, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score_s DESC, neighbor_id) AS rn
+         |    FROM sc$i) WHERE rn = 1),
+         |all$i AS (SELECT query_id, neighbor_id FROM all${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT query_id, neighbor_id,
+       |    CAST(floor(sim * 1e10) AS BIGINT) AS qs FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) AS sim,
+       |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |           list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+       |           c.vec_id) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+       |  WHERE rank <= 16),
+       |cv AS (SELECT c.query_id, c.neighbor_id AS id, n.ve, n.nrm
+       |       FROM cand c JOIN n ON n.vec_id = c.neighbor_id),
+       |cp AS (SELECT a.query_id, a.id AS id_a, b.id AS id_b,
+       |    CAST(floor(list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) * 1e10)
+       |      AS BIGINT) AS pen_s
+       |  FROM cv a JOIN cv b ON a.query_id = b.query_id AND a.id <> b.id),
+       |sel1 AS (SELECT query_id, 1 AS pick, neighbor_id, 7 * qs AS score_s FROM (
+       |    SELECT query_id, neighbor_id, qs, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY qs DESC, neighbor_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |all1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |$rounds
+       |SELECT query_id, pick, neighbor_id, score_s FROM sel1
+       |UNION ALL SELECT query_id, pick, neighbor_id, score_s FROM sel2
+       |UNION ALL SELECT query_id, pick, neighbor_id, score_s FROM sel3
+       |UNION ALL SELECT query_id, pick, neighbor_id, score_s FROM sel4
+       |UNION ALL SELECT query_id, pick, neighbor_id, score_s FROM sel5""".stripMargin
   }
 
   private val stopIn = TextOps.defaultStopwords.map(w => s"'$w'").mkString(", ")
@@ -6038,6 +6313,8 @@ object SparkEntry {
     "g3_kcore" -> kCoreOracle,
     "g4_bfs_dist" -> bfsOracle,
     "g5_linkpred" -> linkPredOracle,
+    "g6_label_prop" -> labelPropOracle,
+    "x14_cluster_split" -> clusterSplitOracle,
 
     // DuckDB's own recursive CTE over the same edge relation — path
     // enumeration bounded by dist < 4, collapsed by MIN.
@@ -6207,6 +6484,34 @@ object SparkEntry {
     "d4_ngram_jaccard" -> blockedJaccardOracle,
     "t24_ngram_novelty" -> noveltyOracle,
 
+    // Same render → strip → decode pipeline built from DuckDB's regex/
+    // replace primitives; expected text built independently on both sides.
+    "t25_html_strip" ->
+      """WITH r AS (SELECT doc_id, source, lang, text,
+        |    '<!DOCTYPE html><html><head><title>' || source ||
+        |    '</title></head><body><h1 class="t">' || lang ||
+        |    '</h1><p id="d' || CAST(doc_id AS VARCHAR) || '">' ||
+        |    regexp_replace(
+        |      CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, ' ', '&nbsp;', 'g')
+        |           ELSE text END,
+        |      'table', '&lt;table&gt;', 'g') ||
+        |    '</p><br/></body></html>' AS rendered
+        |  FROM documents),
+        |s AS (SELECT doc_id, rendered,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(rendered, '<[^>]*>', '', 'g'),
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g')
+        |      AS recovered,
+        |    source || lang || regexp_replace(text, 'table', '<table>', 'g')
+        |      AS expected
+        |  FROM r)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN recovered = expected THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_ok,
+        |  CAST(SUM(length(rendered)) AS BIGINT) AS raw_chars,
+        |  CAST(SUM(length(recovered)) AS BIGINT) AS clean_chars
+        |FROM s""".stripMargin,
+
     "c1_corpus_clean" -> corpusCleanOracle,
 
     // c2: t2's quality expression gates the corpus, then the d8 scrub CTEs
@@ -6311,6 +6616,7 @@ object SparkEntry {
         |FROM cell JOIN bt ON cell.lang = bt.lang JOIN bp ON cell.pred = bp.pred""".stripMargin,
 
     "s1_ann_topk" -> annOracle,
+    "s23_mmr_rerank" -> mmrOracle,
 
     // Naive τ-scan truth for the pruned range search — the pruning is
     // lossless by the spherical-cap bound, so no mirroring needed.
@@ -6534,6 +6840,31 @@ object SparkEntry {
 
     "d3_simhash" -> simhashOracle,
     "d12_sorted_neardup" -> sortedNearDupOracle,
+
+    // The predicate join the engine's band blocking must enumerate exactly;
+    // DuckDB's levenshtein is un-thresholded so the bound is a filter.
+    // Levenshtein returns BIGINT here vs Spark's INT — cast to match.
+    "d13_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, substr(text, 1, 192) AS pfx
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 4
+        |WHERE levenshtein(a.pfx, b.pfx) <= 5""".stripMargin,
+
+    // Independent Jaro-Winkler implementation (DuckDB builtin) against the
+    // engine's native expression, pair by pair over the same vocabulary.
+    "d14_jaro_winkler" ->
+      raw"""WITH toks AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |              FROM documents WHERE length(trim(text)) > 0)
+        |SELECT a.t AS term_a, b.t AS term_b,
+        |  round(jaro_winkler_similarity(a.t, b.t), 4) AS jw_r
+        |FROM toks a JOIN toks b
+        |  ON substr(a.t, 1, 1) = substr(b.t, 1, 1) AND a.t < b.t
+        | AND abs(length(a.t) - length(b.t)) <= 2
+        |WHERE jaro_winkler_similarity(a.t, b.t) > 0.55""".stripMargin,
 
     // utf8proc-based nfc_normalize against the engine's native expression;
     // the suffix constant is the same Scala literal on both sides.

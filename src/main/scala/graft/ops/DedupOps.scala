@@ -796,4 +796,53 @@ object DedupOps {
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
   }
+
+  /** Bounded edit-distance near-dup pairs: the FOURTH candidate geometry —
+    * deterministic length-band blocking + thresholded Levenshtein scoring.
+    * Its niche vs the hash families: token-order-insensitive hashes (d2
+    * minhash, d3/d12 simhash bags) cannot distinguish small EDITS from
+    * small vocabulary overlap changes; character-level edit distance is
+    * the score OCR/scrape mutation dedup actually wants.
+    *
+    * Scale shape: never an all-pairs join. Docs are blocked on
+    * (lang, ⌊len/bandWidth⌋) and candidates are the SAME-band plus
+    * ADJACENT-band equi-joins — with `lenSlack < bandWidth`, any pair
+    * within the length tolerance falls in the same or adjacent band, so
+    * the two hash-partitioned equi-joins enumerate exactly the predicate
+    * join `|lenA−lenB| ≤ lenSlack` without a single non-equi comparison
+    * crossing the exchange. Scoring uses Spark's THRESHOLDED
+    * `levenshtein(l, r, maxDist)` — O(len·maxDist) with early exit, not
+    * O(len²) — over a fixed-length prefix so per-comparison cost is capped
+    * regardless of document size. Each equi-join key is (lang, band):
+    * bucket population is bounded by the corpus length histogram, not by
+    * content skew.
+    *
+    * Pairs are id-canonicalized (id_a < id_b), output is
+    * (id_a, id_b, dist), dist ≤ maxDist exact (the threshold form returns
+    * the true distance when within bound). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String, lenCol: String,
+                        prefixLen: Int = 64, maxDist: Int = 5,
+                        lenSlack: Int = 4, bandWidth: Int = 8): DataFrame = {
+    require(lenSlack < bandWidth,
+      "lenSlack must be < bandWidth so adjacent-band joins cover the tolerance")
+    val d = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+      col(lenCol).as("len"),
+      substring(col(textCol), 1, prefixLen).as("pfx"),
+      floor(col(lenCol) / lit(bandWidth)).as("band"))
+    val a = d.select(col("id").as("ida"), col("lang"), col("len").as("lena"),
+      col("pfx").as("pfxa"), col("band").as("banda"))
+    val b = d.select(col("id").as("idb"), col("lang").as("langb"),
+      col("len").as("lenb"), col("pfx").as("pfxb"), col("band").as("bandb"))
+    val same = a.join(b, col("lang") === col("langb") &&
+        col("banda") === col("bandb") && col("ida") < col("idb"))
+    val adjacent = a.join(b, col("lang") === col("langb") &&
+        col("banda") + 1 === col("bandb"))
+    same.unionByName(adjacent)
+      .filter(abs(col("lena") - col("lenb")) <= lenSlack)
+      .withColumn("dist", levenshtein(col("pfxa"), col("pfxb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+  }
 }

@@ -272,4 +272,60 @@ object GraphOps {
           expr("tri * 2 * 10000 div (deg * (deg - 1))"))
           .otherwise(lit(0L)).as("cc_bp"))
   }
+
+  /** Synchronous label propagation (LPA) with clamped seeds — the
+    * weak-supervision labeling pass of a training-data pipeline: a small
+    * hand-labeled seed set spreads over the similarity graph so the corpus
+    * gets machine labels plus an audit trail of how far each label
+    * traveled.
+    *
+    * Semantics (deterministic, oracle-unrollable): each round, every
+    * non-seed node takes the MAJORITY label among its labeled neighbors,
+    * ties broken by MIN label; nodes with no labeled neighbor carry their
+    * previous state; seed nodes are clamped to their given label forever.
+    * Directed input edges are symmetrized + distinct'd here, so a mutual
+    * kNN edge votes once, not twice.
+    *
+    * Scale shape per round: one edge↔state equi-join, one narrow
+    * (node, label) count aggregate, one windowless argmax via
+    * row_number(count DESC, label) bounded per node, two left joins back
+    * onto the spine — nothing wider than the edge relation shuffles, same
+    * as [[pageRank]]. Lineage is cut per round (localCheckpoint): rounds
+    * are sequential by nature; without the cut each round re-plans all
+    * predecessors and analysis time goes quadratic.
+    */
+  def labelPropagation(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+                       idCol: String, labelCol: String, srcCol: String,
+                       dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val sd = seeds.select(col(idCol).as("id"), col(labelCol).as("slabel"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every round; never recompute the kNN
+    var state = spine.join(sd, Seq("id"), "left")
+      .select(col("id"), col("slabel").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(state.filter(col("label").isNotNull)
+          .select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+      val maj = votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+            .orderBy(col("c").desc, col("nlabel"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("nlabel").as("maj"))
+      state = state
+        .join(maj, Seq("id"), "left")
+        .join(sd, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("slabel"), col("maj"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    state
+  }
 }

@@ -948,6 +948,79 @@ object SimilarityOps {
         when(col("nrm") === 0.0, lit(0.0)).otherwise(col("c") / col("nrm")).as("y"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein '98): after
+    * retrieval fetches a `poolK` candidate pool per query, greedily pick
+    * `selectK` results balancing query relevance against redundancy with
+    * what's already picked — the diversity pass RAG/retrieval stacks run
+    * between ANN and the prompt.
+    *
+    * score(d) = λ·sim(q,d) − (1−λ)·max_{s∈picked} sim(d,s), λ = num/den.
+    * All comparisons run on INTEGERS: cosines are floored onto a 1e10 grid
+    * (bit-identical across engines — both fold dot/norm left-to-right, and
+    * IEEE sqrt/divide are correctly rounded), then combined as
+    * num·simS − (den−num)·penS. No double ever reaches an ORDER BY, so the
+    * greedy argmax (ties → min neighbor id) is exactly reproducible — the
+    * same discipline as [[kmeans]]' decimal means and pageRank's floored
+    * contributions. Pick 1 has no redundancy term: score = num·simS.
+    *
+    * Scale shape: the candidate pool is top-poolK per query (window over
+    * the retrieval relation — whatever index produced it); the pairwise
+    * penalty relation is poolK² PER QUERY, built with one equi-join on
+    * query_id — never a corpus×corpus product. The greedy loop is
+    * inherently sequential in selectK (small constant); each round is one
+    * join against the picked set + one argmax window, all keyed on
+    * query_id. localCheckpoint cuts lineage so round r doesn't re-plan
+    * rounds 1..r-1.
+    *
+    * @return (query_id, pick, neighbor_id, score_s) — pick ∈ [1, selectK],
+    *         score_s the scaled-integer MMR score at selection time. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, poolK: Int, selectK: Int,
+                lambdaNum: Int = 7, lambdaDen: Int = 10): DataFrame = {
+    require(selectK >= 1 && poolK >= selectK, "need poolK >= selectK >= 1")
+    require(lambdaNum > 0 && lambdaNum <= lambdaDen, "λ in (0, 1]")
+    val simS = (s: Column) => floor(s * lit(1e10)).cast("long")
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, poolK)
+      .select(col("query_id"), col("neighbor_id"), simS(col("sim")).as("qs"))
+      .localCheckpoint()
+    // candidate vectors (pool-sized) → pairwise penalty sims per query
+    val cv = cand.select(col("query_id"), col("neighbor_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+          col(vecCol).cast("array<double>").as("v")),
+        Seq("neighbor_id"))
+    val pairs = cv.select(col("query_id"), col("neighbor_id").as("id_a"), col("v").as("va"))
+      .join(cv.select(col("query_id"), col("neighbor_id").as("id_b"), col("v").as("vb")),
+        Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        simS(cosine(col("va"), col("vb"))).as("pen_s"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_s").desc, col("neighbor_id"))
+    var picked = cand
+      .withColumn("score_s", lit(lambdaNum.toLong) * col("qs"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("pick"), col("neighbor_id"), col("score_s"))
+      .localCheckpoint()
+    for (i <- 2 to selectK) {
+      val pen = pairs
+        .join(picked.select(col("query_id"), col("neighbor_id").as("id_b")),
+          Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("neighbor_id"))
+        .agg(max(col("pen_s")).as("mp"))
+      val next = cand
+        .join(picked.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(pen, Seq("query_id", "neighbor_id"))
+        .withColumn("score_s", lit(lambdaNum.toLong) * col("qs")
+          - lit((lambdaDen - lambdaNum).toLong) * col("mp"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), lit(i).as("pick"), col("neighbor_id"), col("score_s"))
+      picked = picked.unionByName(next).localCheckpoint()
+    }
+    picked
+  }
+
   private def adcTopK(pairs: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val qnorm = q.select(col("query_id"), norm(col("qv")).as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

@@ -377,4 +377,36 @@ object TextOps {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hit"), Exact.sumD(col("contrib"), 10).as("bm25"))
   }
+
+  /** Typo/variant candidate mining over the corpus vocabulary: distinct
+    * tokens, blocked on (first char, ±maxLenDiff length — enforced as a
+    * post-filter, the block key is the first char), scored with the native
+    * [[graft.expressions.JaroWinkler]] codegen expression (Spark has no
+    * builtin; a UDF here would break codegen inside the |block|² hot loop).
+    *
+    * Scale shape: the self-join runs over the DISTINCT VOCABULARY, not the
+    * corpus — vocabulary grows ~Heaps-law sublinearly with corpus size, and
+    * the equi-join on the leading character keeps candidate enumeration per
+    * block. For CJK-scale alphabets the block key generalizes to a prefix;
+    * for skewed Latin initials production would widen the key to the first
+    * bigram — same plan shape.
+    *
+    * Output (term_a < term_b, jw) for pairs with jw > minJw. */
+  def typoCandidates(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                     minJw: Double, maxLenDiff: Int = 2): org.apache.spark.sql.DataFrame = {
+    val vocab = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("t"))
+      .filter(length(col("t")) > 0)
+      .distinct()
+    val a = vocab.select(col("t").as("term_a"),
+      substring(col("t"), 1, 1).as("c1"))
+    val b = vocab.select(col("t").as("term_b"),
+      substring(col("t"), 1, 1).as("c1b"))
+    a.join(b, col("c1") === col("c1b") && col("term_a") < col("term_b"))
+      .filter(abs(length(col("term_a")) - length(col("term_b"))) <= maxLenDiff)
+      .withColumn("jw", graft.expressions.StringDistance.jaroWinkler(
+        col("term_a"), col("term_b")))
+      .filter(col("jw") > minJw)
+      .select(col("term_a"), col("term_b"), col("jw"))
+  }
 }

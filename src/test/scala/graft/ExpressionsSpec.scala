@@ -139,4 +139,35 @@ class ExpressionsSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
     }
   }
+
+  test("jaro_winkler matches the classic Winkler formulation (DuckDB-pinned cases)") {
+    import graft.expressions.StringDistance.jaroWinkler
+    // Values verified against DuckDB's jaro_winkler_similarity builtin —
+    // the pairs pin each branch: transpositions, the 0.7 boost threshold
+    // (prefix bonus NOT applied at jaro<=0.7), the prefix cap at 4, the
+    // empty-string zero, and prefix-0 high-jaro.
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // 1 transposition + 3-prefix
+      ("dixon", "dicksonx", 0.8133333333333332),  // 2-prefix boost
+      ("abcdvwxyz", "abcdefghi", 0.6296296296296297), // 4-prefix but jaro<0.7: NO boost
+      ("aaaaaaaaab", "aaaaaaaaac", 0.96),         // 9-prefix capped at 4
+      ("crate", "trace", 0.7333333333333334),     // jaro>0.7, prefix 0: boost is +0
+      ("abcdef", "abcdef", 1.0),
+      ("a", "a", 1.0),
+      ("ab", "", 0.0), ("", "-", 0.0), ("", "", 0.0), ("x", "y", 0.0))
+    val df = cases.toDF("a", "b", "want")
+      .select($"want", jaroWinkler($"a", $"b").as("got")).collect()
+    df.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"want ${r.getDouble(0)} got ${r.getDouble(1)}")
+    }
+    // null-safe
+    assert(Seq((Option.empty[String], Option("x"))).toDF("a", "b")
+      .select(jaroWinkler($"a", $"b")).head().isNullAt(0))
+    // symmetric
+    val sym = Seq(("dwayne", "duane"), ("dixon", "dicksonx")).toDF("a", "b")
+      .select(jaroWinkler($"a", $"b").as("f"), jaroWinkler($"b", $"a").as("r"))
+      .collect()
+    sym.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
 }

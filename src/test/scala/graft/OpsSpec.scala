@@ -1110,4 +1110,52 @@ class OpsSpec extends SparkSpec {
     // same tf and idf, longer doc → lower score (the b·dl/avgdl penalty)
     assert(out(4L)._2 > out(2L)._2, "length normalization must penalize doc 2")
   }
+
+  test("editDistancePairs: band blocking enumerates exactly the length-tolerance predicate join") {
+    // Corpus engineered around band boundaries (bandWidth=8, slack=4):
+    // lengths 7/8 straddle a band edge (adjacent-band pair), 8/12 same
+    // tolerance different bands, 30/36 exceed slack (must NOT pair), and
+    // two exact dups plus a 2-edit mutation.
+    val mk = (id: Long, lang: String, t: String) => (id, lang, t, t.length.toLong)
+    val rows = Seq(
+      mk(1, "en", "aaaaaaa"),          // len 7, band 0
+      mk(2, "en", "aaaaaaax"),         // len 8, band 1 — adjacent-band, dist 1
+      mk(3, "en", "aaaaaaaxyzwv"),     // len 12, band 1 — |12-7|=5 > slack vs 1;
+                                       // |12-8|=4 ≤ slack vs 2 (same band, dist 4)
+      mk(4, "en", "hello world one"),
+      mk(5, "en", "hello world one"),  // exact dup of 4 → dist 0
+      mk(6, "en", "hello worxd oze"),  // 2 edits from 4/5
+      mk(7, "de", "hello world one"),  // other lang: never pairs with en
+      mk(8, "en", "b" * 30),
+      mk(9, "en", "b" * 36))           // |36-30|=6 > slack: no pair
+    val df = rows.toDF("doc_id", "lang", "text", "n_chars")
+    val got = DedupOps.editDistancePairs(df, "doc_id", "text", "lang", "n_chars",
+        prefixLen = 64, maxDist = 5, lenSlack = 4, bandWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1), (2L, 3L, 4), (4L, 5L, 0), (4L, 6L, 2),
+      (5L, 6L, 2)), s"got $got")
+    // cross-check against the brute-force predicate join the blocking claims
+    // to equal (any pair, same lang, |len diff| <= 4, dist <= 5)
+    val a = df.select($"doc_id".as("ia"), $"lang".as("la"), $"n_chars".as("na"), $"text".as("ta"))
+    val b = df.select($"doc_id".as("ib"), $"lang".as("lb"), $"n_chars".as("nb"), $"text".as("tb"))
+    val brute = a.crossJoin(b)
+      .filter($"la" === $"lb" && $"ia" < $"ib" && abs($"na" - $"nb") <= 4)
+      .withColumn("d", levenshtein(substring($"ta", 1, 64), substring($"tb", 1, 64)))
+      .filter($"d" <= 5)
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Int]("d"))).toSet
+    assert(got === brute)
+  }
+
+  test("typoCandidates blocks on leading char and applies the jw threshold") {
+    val docs = Seq(
+      (1L, "spark spork sprk batch"),
+      (2L, "table cable batch bitch"),   // c-block vs t-block never compared
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.typoCandidates(docs, "text", minJw = 0.80, maxLenDiff = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // spark/spork (1 sub, jw .89), spark/sprk + spork/sprk (deletions),
+    // batch/bitch (1 sub, .87); NOT table/cable (first char differs).
+    assert(got === Set(("spark", "spork"), ("spark", "sprk"), ("spork", "sprk"),
+      ("batch", "bitch")), s"got $got")
+  }
 }
