@@ -924,6 +924,64 @@ object SparkEntry {
           Exact.sumD(col("value"), 2).as("sum_value"))
     }),
 
+    // A22 — first-order Markov transition matrix over per-user event
+    // sequences: P(next event type | current), the session-model behind
+    // next-action prediction and funnel simulation. One window pass
+    // (lead over user_id, ordered by ts with event_id tie-break — the
+    // mon4 ordering contract) produces the transition stream; counts and
+    // the row-conditional probability (integer basis points: n·10⁴ div
+    // n_from) are two narrow aggregates. Scale: the sort is per-user
+    // within the hash-partitioned window — no global sort; transition
+    // cardinality is |types|², dimension-sized.
+    "a22_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("event_type")).agg(sum(col("n")).as("n_from"))
+      tr.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
+          expr("n * 10000 div n_from").as("p_bp"))
+    }),
+
+    // Q22 — market-basket co-purchase mining (A-priori round 2): brand
+    // pairs co-occurring in an order, with support counts and integer-bp
+    // lift. The per-order distinct-brand relation joins part as a
+    // BROADCAST (dimension table); the pair enumeration is a self-join on
+    // l_orderkey — bounded by basket size squared per order, never
+    // corpus², and hash-partitioned on the order key. The A-priori prune
+    // (drop infrequent items before pairing) is plan-only here: any pair
+    // with n_ab ≥ minSup necessarily has n_a, n_b ≥ minSup, so the oracle
+    // states the unpruned semantics and the engine's prune is a pure
+    // candidate-reduction optimization, exactly how it behaves at scale.
+    "q22_copurchase" -> ((s, dir) => {
+      val minSup = 5
+      val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand")).distinct()
+      val nOrders = ob.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val freq = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
+      val frequent = freq.filter(col("n_s") >= minSup) // A-priori item prune
+      val obf = ob.join(broadcast(frequent.select(col("p_brand"))), Seq("p_brand"))
+      val pairs = obf.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+        .join(obf.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+          Seq("l_orderkey"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minSup)
+      pairs
+        .join(broadcast(freq.select(col("p_brand").as("brand_a"), col("n_s").as("n_a"))), Seq("brand_a"))
+        .join(broadcast(freq.select(col("p_brand").as("brand_b"), col("n_s").as("n_b"))), Seq("brand_b"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * n_orders * 10000 div (n_a * n_b)").as("lift_bp"))
+    }),
+
     // MON4 — CUSUM mean-shift statistic per user (Page 1954, the k=0
     // one-sided form): S_i = cum_i − min_{j≤i} cum_j over deviations from
     // the spec'd target level — the standard drift DETECTOR beside mon2's
@@ -2630,6 +2688,58 @@ object SparkEntry {
       rows.join(ndv, Seq("column_name"))
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
           col("min_num"), col("max_num"), col("ndv_r"))
+    }),
+
+    // O36 — data-quality audit (the Deequ/Great-Expectations constraint
+    // pass every production ingest runs before admitting data): null,
+    // range, and accepted-value checks FOLDED INTO ONE SCAN per table as
+    // conditional sums (the naive scan-per-constraint audit reads a 100 TB
+    // table N times; this reads it once), plus the two genuinely relational
+    // checks — key uniqueness (one hash aggregate, no self-join) and
+    // FK orphans (anti joins; parent key sides are dimension-sized →
+    // broadcast). Output is (check, n_bad, n_rows) exact integers, so
+    // admission thresholds compare counts, never pre-rounded ratios. The
+    // synthetic tables are clean — n_bad = 0 everywhere except the checks
+    // violated by construction, and the oracle recomputes every count
+    // independently, so a zero is a verified zero, not a vacuous one. The
+    // synthetic tables are TOO clean to exercise the detectors, so the
+    // audit runs over a deterministically DIRTIED view (negated quantities
+    // every 97th order, out-of-domain returnflags every 101st, orphaned
+    // part keys every 89th, nulled customer keys every 103rd order) — the
+    // m*-gate fixture pattern: both engines corrupt identically, so each
+    // violation count has a known nonzero truth. Clean-column checks
+    // (discount range, orders uniqueness) stay as zero controls, and
+    // lineitem's order-key "uniqueness" counts the genuinely multi-line
+    // orders.
+    "o36_dq_audit" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      val li = Tables.lineitem(s, dir).select(
+        when(pmod(col("l_orderkey"), lit(97)) === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")).as("l_quantity"),
+        when(pmod(col("l_orderkey"), lit(101)) === 0, lit("X"))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        when(pmod(col("l_orderkey"), lit(89)) === 0, -col("l_partkey"))
+          .otherwise(col("l_partkey")).as("l_partkey"),
+        col("l_orderkey"), col("l_discount"))
+      val od = Tables.orders(s, dir).select(
+        when(pmod(col("o_orderkey"), lit(103)) === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("o_custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      val cu = Tables.customer(s, dir)
+      val pt = Tables.part(s, dir)
+      audit(Seq(
+        rowChecks(li, "lineitem", Seq(
+          "qty_range" -> !col("l_quantity").between(1, 50),
+          "discount_range" -> !col("l_discount").between(0.0, 1.0),
+          "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"))),
+        rowChecks(od, "orders", Seq(
+          "null_custkey" -> col("o_custkey").isNull,
+          "totalprice_positive" -> (col("o_totalprice") <= 0))),
+        uniqueness(od, "orders", Seq("o_orderkey")),
+        uniqueness(li, "lineitem", Seq("l_orderkey")),
+        refIntegrity(od, "orders", "o_custkey", cu, "c_custkey"),
+        refIntegrity(li, "lineitem", "l_orderkey", od, "o_orderkey"),
+        refIntegrity(li, "lineitem", "l_partkey", pt, "p_partkey")))
     }),
 
     // O27 — KMV (k-minimum-values / bottom-k) distinct sketch: the k=256
@@ -5851,6 +5961,35 @@ object SparkEntry {
         |WHERE user_id BETWEEN 10 AND 19
         |  AND CAST(floor(value) AS BIGINT) BETWEEN 100 AND 119""".stripMargin,
 
+    "a22_markov" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_type
+        |  FROM events),
+        |tr AS (SELECT event_type, next_type, COUNT(*) AS n FROM t
+        |       WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+        |SELECT tr.event_type, tr.next_type, tr.n, tot.n_from,
+        |  tr.n * 10000 // tot.n_from AS p_bp
+        |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
+
+    // Unpruned co-occurrence semantics: the engine's A-priori item prune
+    // cannot change the output (n_ab ≤ min(n_a, n_b) makes it lossless).
+    "q22_copurchase" ->
+      """WITH pb AS (SELECT DISTINCT l_orderkey, p_brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM pb),
+        |f AS (SELECT p_brand, COUNT(*) AS n_s FROM pb GROUP BY 1),
+        |pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+        |       FROM pb a JOIN pb b
+        |         ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |       GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, pr.n_ab, fa.n_s AS n_a, fb.n_s AS n_b,
+        |  pr.n_ab * n.n_orders * 10000 // (fa.n_s * fb.n_s) AS lift_bp
+        |FROM pr JOIN f fa ON fa.p_brand = brand_a
+        |        JOIN f fb ON fb.p_brand = brand_b, n
+        |WHERE pr.n_ab >= 5""".stripMargin,
+
     // GROUPING() bitmask matches Spark's grouping_id (leftmost key =
     // most significant bit).
     "a21_grouping_sets" ->
@@ -6758,6 +6897,53 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
     "o35_stats_collect" -> statsOracle,
+
+    // Every audit count recomputed independently over the identically
+    // dirtied views; zero controls are verified zeros.
+    "o36_dq_audit" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_orderkey % 97 = 0 THEN -l_quantity ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN l_orderkey % 101 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+        |    CASE WHEN l_orderkey % 89 = 0 THEN -l_partkey ELSE l_partkey END AS l_partkey,
+        |    l_orderkey, l_discount FROM lineitem),
+        |od AS (SELECT
+        |    CASE WHEN o_orderkey % 103 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+        |    o_orderkey, o_totalprice FROM orders)
+        |SELECT 'lineitem.qty_range' AS check_name,
+        |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  COUNT(*) AS n_rows FROM li
+        |UNION ALL SELECT 'lineitem.discount_range',
+        |  CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM li
+        |UNION ALL SELECT 'lineitem.returnflag_domain',
+        |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM li
+        |UNION ALL SELECT 'orders.null_custkey',
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM od
+        |UNION ALL SELECT 'orders.totalprice_positive',
+        |  CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM od
+        |UNION ALL SELECT 'orders.unique_o_orderkey',
+        |  CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT),
+        |  CAST(SUM(cnt) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS cnt FROM od GROUP BY o_orderkey)
+        |UNION ALL SELECT 'lineitem.unique_l_orderkey',
+        |  CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT),
+        |  CAST(SUM(cnt) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS cnt FROM li GROUP BY l_orderkey)
+        |UNION ALL SELECT 'orders.fk_o_custkey',
+        |  (SELECT COUNT(*) FROM od LEFT JOIN customer c ON od.o_custkey = c.c_custkey
+        |   WHERE c.c_custkey IS NULL),
+        |  (SELECT COUNT(*) FROM od)
+        |UNION ALL SELECT 'lineitem.fk_l_orderkey',
+        |  (SELECT COUNT(*) FROM li LEFT JOIN od ON li.l_orderkey = od.o_orderkey
+        |   WHERE od.o_orderkey IS NULL),
+        |  (SELECT COUNT(*) FROM li)
+        |UNION ALL SELECT 'lineitem.fk_l_partkey',
+        |  (SELECT COUNT(*) FROM li LEFT JOIN part p ON li.l_partkey = p.p_partkey
+        |   WHERE p.p_partkey IS NULL),
+        |  (SELECT COUNT(*) FROM li)""".stripMargin,
     "o15_hll_by_day" -> hllByOracle,
     "o34_hll_sliding" -> hllSlidingOracle,
     "o16_hll_merge" -> hllMergeOracle,

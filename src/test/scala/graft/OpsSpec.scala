@@ -1158,4 +1158,31 @@ class OpsSpec extends SparkSpec {
     assert(got === Set(("spark", "spork"), ("spark", "sprk"), ("spork", "sprk"),
       ("batch", "bitch")), s"got $got")
   }
+
+  test("DataQuality: row checks share one scan; uniqueness and FK count exactly") {
+    import graft.ops.DataQuality._
+    val child = Seq((1L, Some(10L), 5.0), (2L, Some(10L), -1.0),
+      (3L, Some(99L), 2.0), (4L, None, 3.0), (2L, Some(11L), 7.0))
+      .toDF("id", "fk", "v")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val report = audit(Seq(
+      rowChecks(child, "child", Seq(
+        "v_range" -> !col("v").between(0.0, 6.0),
+        "null_fk" -> col("fk").isNull)),
+      uniqueness(child, "child", Seq("id")),
+      refIntegrity(child, "child", "fk", parent, "pk")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(report("child.v_range") === ((2L, 5L)))    // -1.0 and 7.0
+    assert(report("child.null_fk") === ((1L, 5L)))
+    assert(report("child.unique_id") === ((2L, 5L)))  // both id=2 rows count
+    assert(report("child.fk_fk") === ((2L, 5L)))      // orphan 99 + the null
+    // one-scan contract: the row-local report must come from a single
+    // aggregate over the table (no scan-per-constraint fan-out)
+    val plan = rowChecks(child, "child", Seq(
+      "a" -> (col("v") < 0), "b" -> col("fk").isNull, "c" -> (col("id") > 3)))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
+    assert(scans.size === 1, s"expected one scan, got ${scans.size}")
+  }
 }
