@@ -2376,6 +2376,51 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("label"))
     }),
 
+    // G7 — HITS hub/authority over the k-NN graph (the second classic
+    // link-analysis scorer beside g1's PageRank; in a corpus graph the
+    // authority rank surfaces canonical documents, the hub rank surfaces
+    // survey-like ones). UNNORMALIZED integer form, 2 rounds: HITS ranks
+    // are invariant to the textbook per-round rescaling, so every score
+    // stays an exact BIGINT and the oracle unrolls the mutual recursion
+    // with no floating grid at all.
+    "g7_hits" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+        .select(col("vec_id"))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.hits(nodes, edges, "vec_id", "src", "dst", rounds = 2)
+        .select(col("id").as("vec_id"), col("auth"), col("hub"))
+    }),
+
+    // MON12 — hysteresis (two-threshold) alarm: enter above hi=100, leave
+    // only below lo=25 — the flap-suppressed alarm every paging system
+    // runs instead of a9's single threshold. The state machine is a prefix
+    // scan, but its closed form is window-expressible: mark crossings
+    // (≥hi → 1, ≤lo → 0, else NULL), state = LAST crossing seen
+    // (last_value IGNORE NULLS over the per-user time order), entries =
+    // 0→1 state transitions via lag. Two window passes over ONE per-user
+    // sort, no iteration. Per-user output: entries, rows-in-alarm, rows.
+    "mon12_hysteresis" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("value") >= 100.0, 1).when(col("value") <= 25.0, 0).as("marker"))
+        .withColumn("state", coalesce(
+          last(col("marker"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          lit(0)))
+        .withColumn("entered", (col("state") === 1 &&
+          coalesce(lag(col("state"), 1).over(w), lit(0)) === 0).cast("int"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("entered")).as("n_enter"),
+          sum(col("state").cast("long")).as("n_alarm_rows"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -4619,6 +4664,35 @@ object SparkEntry {
        |SELECT id AS vec_id, label FROM l3""".stripMargin
   }
 
+  /** g7 oracle: the s13 k-NN edge relation (same prefix as
+    * [[pageRankOracle]], directed) + two unrolled HITS rounds in pure
+    * BIGINT arithmetic — h₀=1 makes round-1 authority the indegree, and
+    * every later score an exact integer sum, so there is no floating grid
+    * to reconcile. */
+  private def hitsOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |a1 AS (SELECT e.dst AS id, COUNT(*) AS v FROM e GROUP BY 1),
+       |h1 AS (SELECT e.src AS id, CAST(SUM(COALESCE(a1.v, 0)) AS BIGINT) AS v
+       |       FROM e LEFT JOIN a1 ON a1.id = e.dst GROUP BY 1),
+       |a2 AS (SELECT e.dst AS id, CAST(SUM(COALESCE(h1.v, 0)) AS BIGINT) AS v
+       |       FROM e LEFT JOIN h1 ON h1.id = e.src GROUP BY 1),
+       |h2 AS (SELECT e.src AS id, CAST(SUM(COALESCE(a2.v, 0)) AS BIGINT) AS v
+       |       FROM e LEFT JOIN a2 ON a2.id = e.dst GROUP BY 1)
+       |SELECT spine.id AS vec_id, CAST(COALESCE(a2.v, 0) AS BIGINT) AS auth,
+       |  CAST(COALESCE(h2.v, 0) AS BIGINT) AS hub
+       |FROM spine LEFT JOIN a2 ON a2.id = spine.id
+       |           LEFT JOIN h2 ON h2.id = spine.id""".stripMargin
+
   /** x14 oracle: d6's recursive component labeling (same CTE chain as
     * [[clusterOracle]]) + the x5 hash ladder applied to the GROUP id. */
   private def clusterSplitOracle: String = {
@@ -6453,6 +6527,27 @@ object SparkEntry {
     "g4_bfs_dist" -> bfsOracle,
     "g5_linkpred" -> linkPredOracle,
     "g6_label_prop" -> labelPropOracle,
+    "g7_hits" -> hitsOracle,
+
+    // Same closed-form state machine: last crossing marker carried
+    // forward, entries = 0→1 transitions.
+    "mon12_hysteresis" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value >= 100 THEN 1 WHEN value <= 25 THEN 0 END AS marker
+        |  FROM events),
+        |st AS (SELECT user_id, ts, event_id,
+        |    COALESCE(last_value(marker IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |  FROM m),
+        |tr AS (SELECT user_id, state,
+        |    CASE WHEN state = 1 AND COALESCE(lag(state) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+        |    THEN 1 ELSE 0 END AS entered
+        |  FROM st)
+        |SELECT user_id, CAST(SUM(entered) AS BIGINT) AS n_enter,
+        |  CAST(SUM(state) AS BIGINT) AS n_alarm_rows, COUNT(*) AS n_rows
+        |FROM tr GROUP BY 1""".stripMargin,
     "x14_cluster_split" -> clusterSplitOracle,
 
     // DuckDB's own recursive CTE over the same edge relation — path

@@ -328,4 +328,40 @@ object GraphOps {
     }
     state
   }
+
+  /** HITS hub/authority scores (Kleinberg '99) — UNNORMALIZED integer
+    * form: h₀ = 1, then aᵣ(i) = Σ_{j→i} hᵣ₋₁(j) and hᵣ(i) = Σ_{i→j} aᵣ(j)
+    * for a fixed round count. HITS rankings are invariant to the positive
+    * per-round rescaling the textbook normalization applies, so dropping
+    * it keeps every score an EXACT BIGINT — no double ever crosses the
+    * engine/oracle boundary (the discipline pageRank needs a 1e10 floor
+    * grid for comes free here). Magnitudes grow ~(d²)ʳ per round; with
+    * bounded-degree graphs (k-NN, k≤64) and r≤4 they sit far inside Long.
+    *
+    * Scale shape per round: two edge-sized equi-joins + two narrow keyed
+    * sums — identical exchange profile to [[pageRank]]. Nodes without
+    * in/out edges score 0, not NULL. */
+  def hits(nodes: DataFrame, edges: DataFrame, idCol: String, srcCol: String,
+           dstCol: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "at least one round")
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    var h = spine.withColumn("h", lit(1L))
+    var a = spine.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      val aSum = e.join(h.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s"))
+      a = spine.join(aSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
+        .localCheckpoint()
+      val hSum = e.join(a.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("s"))
+      h = spine.join(hSum, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    spine.join(a, "id").join(h, "id")
+      .select(col("id"), col("a").as("auth"), col("h").as("hub"))
+  }
 }

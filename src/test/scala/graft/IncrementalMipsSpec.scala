@@ -349,6 +349,19 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(got(6L) === None, "isolated node never labeled")
   }
 
+  test("hits: two unrolled integer rounds match the hand computation") {
+    import graft.ops.GraphOps
+    // 1→2, 3→2, 2→4; node 5 isolated.
+    // a1 = indeg: a1(2)=2, a1(4)=1. h1(1)=h1(3)=2, h1(2)=1.
+    // a2(2)=h1(1)+h1(3)=4, a2(4)=h1(2)=1. h2(1)=h2(3)=4, h2(2)=1.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val got = GraphOps.hits(nodes, edges, "id", "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((0L, 4L)), 2L -> ((4L, 1L)), 3L -> ((0L, 4L)),
+      4L -> ((1L, 0L)), 5L -> ((0L, 0L))))
+  }
+
   test("mmr: diversity pick beats the plain top-k order, then recovers it") {
     // q = e_x. A (id 1) most relevant; E (id 2) second-most relevant but a
     // near-duplicate of A; B (id 3) slightly less relevant than E yet far
