@@ -935,14 +935,18 @@ object SparkEntry {
     // cardinality is |types|², dimension-sized.
     "a22_markov" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val tr = ev(s, dir)
+      ev(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
-      val tot = tr.groupBy(col("event_type")).agg(sum(col("n")).as("n_from"))
-      tr.join(tot, Seq("event_type"))
+        // row-conditional total via a window over the |types|²-sized
+        // transition relation — a groupBy+join here would re-run the
+        // whole events window pass for the totals branch (Catalyst does
+        // not share subtrees across self-join arms)
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("event_type"))))
         .select(col("event_type"), col("next_type"), col("n"), col("n_from"),
           expr("n * 10000 div n_from").as("p_bp"))
     }),
@@ -960,9 +964,13 @@ object SparkEntry {
     "q22_copurchase" -> ((s, dir) => {
       val minSup = 5
       val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+      // materialized once: five plan arms (both pair sides, item
+      // frequencies, the prune, the order count) would otherwise each
+      // re-run the scan+broadcast-join+distinct
       val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand")).distinct()
+        .localCheckpoint()
       val nOrders = ob.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val freq = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
