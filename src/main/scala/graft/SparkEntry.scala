@@ -951,6 +951,29 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // A23 — Wilson-lower-bound rate ranking: the confidence-adjusted
+    // success rate (Wilson '27) that sorts a low-n 100% above nothing but
+    // below a high-n 95% — how production ranks conversion/error rates
+    // instead of the raw p̂ a3-style aggregates give. One grouped aggregate
+    // (n, successes), then a single fixed-order IEEE formula mirrored
+    // token-for-token by the oracle (z=1.96 parsed from the same literal,
+    // every +,−,×,÷,√ correctly rounded and in the same order → bit-equal,
+    // the Holt/mon9 discipline), rendered at 6 dp.
+    "a23_wilson" -> ((s, dir) => {
+      val z = lit(1.96)
+      val zz = z * z
+      val nD = col("n").cast("double")
+      val p = col("x").cast("double") / nD
+      val lower = (p + zz / (lit(2.0) * nD)
+        - z * sqrt(p * (lit(1.0) - p) / nD + zz / ((lit(4.0) * nD) * nD))) /
+        (lit(1.0) + zz / nD)
+      ev(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("x"))
+        .select(col("event_type"), col("n"), col("x"),
+          Exact.fmt(lower, 6).as("wilson_r"))
+    }),
+
     // Q22 — market-basket co-purchase mining (A-priori round 2): brand
     // pairs co-occurring in an order, with support counts and integer-bp
     // lift. The per-order distinct-brand relation joins part as a
@@ -1374,6 +1397,29 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+
+    // D15 — canonical-normalization dedup (the C4/mC4 cleaning step): docs
+    // that differ only in case, punctuation, or whitespace runs collapse to
+    // one canonical fingerprint — what d1's byte-exact hash structurally
+    // misses. The corpus is already canonical, so the gate synthesizes the
+    // messy variants it must catch (the m*-fixture pattern): every 5th doc
+    // rides in twice — original + an UPPERCASED copy with ", " noise
+    // injected at every space — in a disjoint id space. Normalize = lower →
+    // non-alnum→space → collapse runs → trim (Java∩RE2 regex dialect);
+    // correct behavior re-unites each variant with exactly its original.
+    // Pure per-row codegen'd string ops + one fingerprint groupBy — d1's
+    // scan-bound scale shape.
+    "d15_canonical_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val messy = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+          upper(regexp_replace(col("text"), " ", " , ")).as("text"))
+      val canon = regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "), "^ +| +$", "")
+      d.select(col("doc_id"), col("text")).unionByName(messy)
+        .groupBy(md5(canon).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    }),
 
     // D2 — MinHash-LSH near-dup candidate pairs (16 hashes, 4 bands × 4 rows).
     "d2_minhash_lsh" -> ((s, dir) =>
@@ -6055,6 +6101,24 @@ object SparkEntry {
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
 
+    // Token-for-token mirror of the engine's Wilson formula (same operand
+    // order, z from the same string literal).
+    "a23_wilson" ->
+      """WITH g AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT event_type, n, x,
+        |    CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |    CAST('1.96' AS DOUBLE) * CAST('1.96' AS DOUBLE) AS zz,
+        |    CAST(n AS DOUBLE) AS nd
+        |  FROM g)
+        |SELECT event_type, n, x,
+        |  printf('%.6f',
+        |    (p + zz / (2.0 * nd)
+        |     - CAST('1.96' AS DOUBLE) * sqrt(p * (1.0 - p) / nd + zz / ((4.0 * nd) * nd)))
+        |    / (1.0 + zz / nd)) AS wilson_r
+        |FROM w""".stripMargin,
+
     // Unpruned co-occurrence semantics: the engine's A-priori item prune
     // cannot change the output (n_ab ≤ min(n_a, n_b) makes it lossless).
     "q22_copurchase" ->
@@ -6525,6 +6589,22 @@ object SparkEntry {
     "d1_dedup_exact" ->
       s"""SELECT $fpSql AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // Same normalize chain from DuckDB's regex primitives over the same
+    // synthesized messy union.
+    "d15_canonical_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, upper(regexp_replace(text, ' ', ' , ', 'g'))
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'),
+        |      '^ +| +$', '', 'g') AS canon
+        |  FROM u)
+        |SELECT md5(canon) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM c GROUP BY 1""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
