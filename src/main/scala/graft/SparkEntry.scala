@@ -3512,6 +3512,49 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"),
           Exact.fmt(col("mean_logp"), 4).as("mean_logp_r"))),
 
+    // T26 — feature hashing (the "hashing trick", Weinberger '09): tokens
+    // hashed into 16 signed buckets — the fixed-width featurizer that
+    // needs NO vocabulary pass, which is exactly why it scales where t21's
+    // vocab join can't (no dictionary to build, broadcast, or keep
+    // consistent across 100 TB re-runs). bucket = md5 hex digit 1, sign =
+    // digit 2's parity (collision bias cancels in expectation — the
+    // signed-sum property the trick depends on); one explode + one
+    // (doc, bucket) partial-aggregated sum, scan-bound.
+    "t26_feature_hash" -> ((s, dir) =>
+      docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .withColumn("hx", md5(col("t")))
+        .withColumn("bucket", conv(substring(col("hx"), 1, 1), 16, 10).cast("long"))
+        .withColumn("sgn", when(
+          conv(substring(col("hx"), 2, 1), 16, 10).cast("int") % 2 === 0,
+          1L).otherwise(-1L))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sgn")).as("v"))),
+
+    // X15 — out-of-fold target encoding: the category→mean-target feature
+    // with the leakage guard real ML pipelines need (a row must never see
+    // its own fold's target, or the feature memorizes the label — the
+    // x12/x14 leakage theme at the feature level). The closed form needs
+    // no per-fold re-aggregation: oof_mean = (Σ_total − Σ_fold)/(n_total −
+    // n_fold), with both sums EXACT decimals so the subtraction is exact
+    // and the single double rounding happens once, mirrored. Two narrow
+    // aggregates over one scan — fold count never multiplies the data
+    // pass.
+    "x15_target_encode" -> ((s, dir) => {
+      val f = ev(s, dir)
+        .select(col("event_type"), pmod(col("user_id"), lit(5)).as("fold"),
+          col("value"))
+        .groupBy(col("event_type"), col("fold"))
+        .agg(count(lit(1)).as("n_f"),
+          sum(col("value").cast("decimal(30,4)")).as("s_f"))
+      val t = f.groupBy(col("event_type"))
+        .agg(sum(col("n_f")).as("n_t"), sum(col("s_f")).as("s_t"))
+      f.join(t, Seq("event_type"))
+        .select(col("event_type"), col("fold"), col("n_f"),
+          Exact.fmt((col("s_t") - col("s_f")).cast("double")
+            / (col("n_t") - col("n_f")).cast("double"), 6).as("oof_r"))
+    }),
+
     // X4 — benchmark decontamination: train docs sharing a word 4-gram with
     // the held-out set (doc_id % 17 == 0). 4-grams because the synthetic
     // vocabulary is ~40 words (a real pipeline uses 13-grams; the op is
@@ -6605,6 +6648,29 @@ object SparkEntry {
         |  FROM u)
         |SELECT md5(canon) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM c GROUP BY 1""".stripMargin,
+
+    "t26_feature_hash" ->
+      raw"""WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS t
+        |  FROM documents WHERE length(trim(text, ' ')) > 0),
+        |h AS (SELECT doc_id,
+        |    CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1 AS BIGINT) AS bucket,
+        |    CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM t)
+        |SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS v
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "x15_target_encode" ->
+      """WITH f AS (SELECT event_type, user_id % 5 AS fold, COUNT(*) AS n_f,
+        |    SUM(CAST(value AS DECIMAL(30,4))) AS s_f
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n_f) AS BIGINT) AS n_t, SUM(s_f) AS s_t
+        |      FROM f GROUP BY 1)
+        |SELECT f.event_type, f.fold, f.n_f,
+        |  printf('%.6f', CAST(t.s_t - f.s_f AS DOUBLE)
+        |                 / CAST(t.n_t - f.n_f AS DOUBLE)) AS oof_r
+        |FROM f JOIN t ON f.event_type = t.event_type""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
     "d10_lsh_recall" -> lshRecallOracle,
