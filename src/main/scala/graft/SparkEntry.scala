@@ -2138,10 +2138,15 @@ object SparkEntry {
     // oracle IS that predicate join (DuckDB's un-thresholded levenshtein
     // filtered to the same bound — equal because Spark's thresholded form
     // returns the true distance whenever it's within bound).
+    // Engine side runs the SEGMENTED (PassJoin) blocking — content-keyed
+    // candidates stay linear where the length-band geometry measured 61×
+    // work at 100× data (blocks = the length histogram). The oracle is the
+    // raw predicate join either way: blocking is recall-lossless by the
+    // pigeonhole argument in [[DedupOps.editDistancePairsSegmented]].
     "d13_edit_distance" -> ((s, dir) =>
-      DedupOps.editDistancePairs(docs(s, dir), "doc_id", "text",
+      DedupOps.editDistancePairsSegmented(docs(s, dir), "doc_id", "text",
           langCol = "lang", lenCol = "n_chars",
-          prefixLen = 192, maxDist = 5, lenSlack = 4, bandWidth = 8)),
+          prefixLen = 192, maxDist = 5, lenSlack = 4)),
 
     // D14 — typo/variant candidate mining with a NATIVE Jaro-Winkler
     // expression ([[graft.expressions.JaroWinkler]], codegen'd): Spark has

