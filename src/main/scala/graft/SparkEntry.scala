@@ -1741,6 +1741,34 @@ object SparkEntry {
         "vec_id", "embedding", poolK = 16, selectK = 5)
     }),
 
+    // S24 — reciprocal-rank fusion (RRF, Cormack '09): the standard
+    // hybrid-search combiner — two retrieval lists over the same queries
+    // (cosine and raw inner-product here; dense+sparse in production)
+    // merged by Σ 1/(60 + rank), which needs no score calibration between
+    // lists. Ranks are integers, the fused score is the same two-term
+    // double sum on both engines (identical operand order), ties break on
+    // id. One full-outer join of two top-20 relations per query — the
+    // fusion itself never touches the corpus.
+    "s24_rrf_fusion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 3)
+      val cosL = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("r_cos"))
+      val mipsL = SimilarityOps.mipsTopK(e, q, "vec_id", "embedding", 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("r_mips"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      cosL.join(mipsL, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("score",
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_mips")), lit(0.0)))
+        .withColumn("fused_rank", row_number().over(w))
+        .filter(col("fused_rank") <= 10)
+        .select(col("query_id"), col("fused_rank"), col("neighbor_id"),
+          coalesce(col("r_cos"), lit(0)).as("r_cos"),
+          coalesce(col("r_mips"), lit(0)).as("r_mips"))
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -2082,6 +2110,32 @@ object SparkEntry {
           "total_fee_1min DOUBLE, avg_fee_1min DOUBLE")
         .option("header", "true")
         .csv(s"$work/csv")
+    }),
+
+    // P18 — fixed-width (columnar-text) ingest: the mainframe/legacy-feed
+    // format beside CSV (p12), ORC (p14), XML (p16), JSON (p15) — no
+    // delimiters, widths ARE the schema. Write renders padded lines
+    // (format_string) with a raise_error guard on over-width values (a
+    // silent truncation would corrupt the NEXT column — fail the write,
+    // not the reader); read slices by position + trim + cast under the
+    // same width contract. Integer-only payload so the round trip is
+    // exact; the oracle is the plain aggregate, blind to the text hop.
+    "p18_fixed_width" -> ((s, dir) => {
+      val work = scratch("p18fw")
+      val guarded = when(length(col("event_type")) > 8,
+          raise_error(concat(lit("fixed-width overflow: "), col("event_type"))))
+        .otherwise(col("event_type"))
+      ev(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(format_string("%-10s%-8s%12d", col("day"), guarded, col("n"))
+          .as("value"))
+        .write.mode("overwrite").text(s"$work/fw")
+      s.read.text(s"$work/fw").select(
+        trim(substring(col("value"), 1, 10)).as("day"),
+        trim(substring(col("value"), 11, 8)).as("event_type"),
+        substring(col("value"), 19, 12).cast("long").as("n"))
     }),
 
     // O33 — DYNAMIC partition overwrite: the backfill-correction surface
@@ -5998,6 +6052,12 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     // identical to a1's oracle: the CSV hop must be invisible
+    // Blind to the fixed-width text hop, like every p* format oracle.
+    "p18_fixed_width" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "p12_csv_roundtrip" ->
       """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS tx_minute,
         |  COUNT(*) AS total_nb_trx_1min,
@@ -7083,6 +7143,39 @@ object SparkEntry {
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
 
     // Exact MIPS: rank by the raw inner product, ties by neighbor id.
+    // Both lists restated (cosine over the zero-norm-guarded relation,
+    // MIPS over the raw one), fused by the identical two-term double sum.
+    "s24_rrf_fusion" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0),
+        |cosl AS (SELECT query_id, neighbor_id, rank AS r_cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+        |           c.vec_id) AS rank
+        |  FROM n q JOIN n c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 20),
+        |mipsl AS (SELECT query_id, neighbor_id, rank AS r_mips FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_inner_product(q.ve, c.ve) DESC, c.vec_id) AS rank
+        |  FROM v q JOIN v c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 20),
+        |f AS (SELECT COALESCE(c.query_id, m.query_id) AS query_id,
+        |    COALESCE(c.neighbor_id, m.neighbor_id) AS neighbor_id,
+        |    c.r_cos, m.r_mips,
+        |    COALESCE(CAST(1 AS DOUBLE) / (60 + c.r_cos), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + m.r_mips), 0) AS score
+        |  FROM cosl c FULL OUTER JOIN mipsl m
+        |    ON c.query_id = m.query_id AND c.neighbor_id = m.neighbor_id)
+        |SELECT query_id, fused_rank, neighbor_id,
+        |  CAST(COALESCE(r_cos, 0) AS INT) AS r_cos,
+        |  CAST(COALESCE(r_mips, 0) AS INT) AS r_mips
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, neighbor_id) AS fused_rank FROM f)
+        |WHERE fused_rank <= 10""".stripMargin,
+
     "s12_mips" -> mipsExactOracle,
 
     // Band pruning is provably lossless, so s15 sits under the SAME exact
