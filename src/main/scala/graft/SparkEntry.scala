@@ -951,6 +951,28 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // GEO1 — grid-blocked radius join (the spatial candidate geometry:
+    // ⌊coord/g⌋ cells + 3×3 neighborhood probes turn the naive cartesian
+    // "all points within ε" into one equi-join with full recall when
+    // g ≥ ε). Coordinates are synthesized deterministically per customer
+    // from md5 (the m*-fixture pattern — the tables carry no geo columns);
+    // verification is planar squared-degree distance, pure +,×,≤
+    // arithmetic so engine and oracle agree bit-for-bit (production swaps
+    // haversine into the same plan; transcendentals aren't
+    // correctly-rounded in either engine, so the GATE pins the geometry,
+    // not libm).
+    "geo1_radius_join" -> ((s, dir) => {
+      val hv = (tag: String) =>
+        conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))), 1, 6),
+          16, 10).cast("long")
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        ((hv("lat:") % 1600000L).cast("double") / lit(10000.0) - lit(80.0)).as("lat"),
+        ((hv("lon:") % 3600000L).cast("double") / lit(10000.0) - lit(180.0)).as("lon"))
+      graft.ops.GeoOps.gridRadiusJoin(pts, pts.filter(col("id") % 50 === 0),
+          "id", "lat", "lon", eps = 12.0, gridSize = 12.0)
+        .select(col("query_id"), col("point_id"), Exact.fmt(col("d2"), 6).as("d2_r"))
+    }),
+
     // A23 — Wilson-lower-bound rate ranking: the confidence-adjusted
     // success rate (Wilson '27) that sorts a low-n 100% above nothing but
     // below a high-n 95% — how production ranks conversion/error rates
@@ -6208,6 +6230,27 @@ object SparkEntry {
         |SELECT tr.event_type, tr.next_type, tr.n, tot.n_from,
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
+
+    // Brute-force predicate join over the identically synthesized
+    // coordinates — the grid blocking is recall-lossless (g ≥ ε), so the
+    // oracle never needs cells.
+    "geo1_radius_join" -> {
+      def hv(tag: String) = (1 to 6).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (6 - j))}")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |    CAST((${hv("lat:")}) % 1600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(80 AS DOUBLE) AS lat,
+         |    CAST((${hv("lon:")}) % 3600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(180 AS DOUBLE) AS lon
+         |  FROM customer)
+         |SELECT q.id AS query_id, p.id AS point_id,
+         |  printf('%.6f', (q.lat - p.lat) * (q.lat - p.lat)
+         |                 + (q.lon - p.lon) * (q.lon - p.lon)) AS d2_r
+         |FROM p q JOIN p ON q.id % 50 = 0 AND q.id <> p.id
+         |WHERE (q.lat - p.lat) * (q.lat - p.lat)
+         |      + (q.lon - p.lon) * (q.lon - p.lon) <= 144.0""".stripMargin
+    },
 
     // Token-for-token mirror of the engine's Wilson formula (same operand
     // order, z from the same string literal).

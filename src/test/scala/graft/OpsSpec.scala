@@ -1197,6 +1197,29 @@ class OpsSpec extends SparkSpec {
       ("batch", "bitch")), s"got $got")
   }
 
+  test("gridRadiusJoin: 3x3 neighborhood equals brute force across cell boundaries") {
+    import graft.ops.GeoOps
+    // pairs straddling cell edges and corners (grid=1, eps=1), one exactly
+    // at distance eps (inclusive), negatives (floor, not truncate), one far
+    val pts = Seq(
+      (1L, 0.95, 0.95), (2L, 1.05, 1.05),   // diagonal corner straddle
+      (3L, 0.0, 0.0), (4L, 0.0, 1.0),       // exactly eps apart (inclusive)
+      (5L, -0.5, -0.5), (6L, -1.2, -0.5),   // negative coords, adjacent cells
+      (7L, 50.0, 50.0)).toDF("id", "lat", "lon")
+    val got = GeoOps.gridRadiusJoin(pts, pts, "id", "lat", "lon",
+        eps = 1.0, gridSize = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pts.select($"id".as("qa"), $"lat".as("la"), $"lon".as("lo"))
+    val b = pts.select($"id".as("qb"), $"lat".as("lb"), $"lon".as("lb2"))
+    val brute = a.crossJoin(b).filter($"qa" =!= $"qb" &&
+        ($"la" - $"lb") * ($"la" - $"lb") + ($"lo" - $"lb2") * ($"lo" - $"lb2") <= 1.0)
+      .select($"qa", $"qb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, s"got $got vs brute $brute")
+    assert(got.contains((1L, 2L)) && got.contains((3L, 4L)) && got.contains((5L, 6L)))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+  }
+
   test("DataQuality: row checks share one scan; uniqueness and FK count exactly") {
     import graft.ops.DataQuality._
     val child = Seq((1L, Some(10L), 5.0), (2L, Some(10L), -1.0),
