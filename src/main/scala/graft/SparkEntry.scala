@@ -951,6 +951,21 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // Q24 — customer-distribution (TPC-H Q13 shape): the
+    // distribution-of-a-distribution query — orders per customer (LEFT
+    // join so zero-order customers keep their bucket), then customers per
+    // order-count. Two narrow aggregates around one key-partitioned join;
+    // COUNT(col) vs COUNT(*) null semantics is the point being pinned.
+    "q24_order_dist" -> ((s, dir) => {
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
     // GEO1 — grid-blocked radius join (the spatial candidate geometry:
     // ⌊coord/g⌋ cells + 3×3 neighborhood probes turn the naive cartesian
     // "all points within ε" into one equi-join with full recall when
@@ -2554,6 +2569,28 @@ object SparkEntry {
         .agg(sum(col("entered")).as("n_enter"),
           sum(col("state").cast("long")).as("n_alarm_rows"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // MON13 — rolling MEDIAN smoother (±5-row frame per user): the robust
+    // denoiser a single spike can't drag, beside mon2's EWMA (which it
+    // can). Exact: the frame's values are collected and sorted per row
+    // (bounded 11-element arrays — frame size is the contract, cost is
+    // O(frame log frame) per row, never corpus-wide), median = the middle
+    // element, or for even edge frames the same (a+b)/2 double op the
+    // oracle states explicitly — NOT DuckDB's median() (quantile_cont
+    // interpolates as a+(b−a)/2, a different IEEE op order).
+    "mon13_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-5, 5)
+      ev(s, dir)
+        .withColumn("arr", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .select(col("user_id"), col("event_id"),
+          Exact.fmt(when(col("n") % 2 === 1,
+              element_at(col("arr"), ((col("n") + 1) / 2).cast("int")))
+            .otherwise((element_at(col("arr"), (col("n") / 2).cast("int"))
+              + element_at(col("arr"), (col("n") / 2 + 1).cast("int"))) / lit(2.0)),
+            4).as("med_r"))
     }),
 
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
@@ -4236,6 +4273,28 @@ object SparkEntry {
     // event_id-ordered stream. Scale shape: one bounded payload per user
     // assembled map-side; at 100 TB payloads arrive as binary columns and
     // the decode+VAD runs embarrassingly parallel per row.
+    // M11 — Netpbm PGM (P5) round trip: the simplest real raster container
+    // (scientific/scanner feeds), closing the uncompressed-format ladder
+    // under BMP/PNG/JPEG. Per-user grayscale fixture (event_id ≡ 0 mod 3 →
+    // 200, else 17) through encodePgm → the strict header-grammar parser →
+    // integer features (dims, bright count, exact gray sum). Zero-padding
+    // of the last row changes height, never the bright count or sum.
+    "m11_pgm_features" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir).select(col("user_id"), col("event_id"),
+          when(pmod(col("event_id"), lit(3)) === 0, 200).otherwise(17).as("g"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("event_id"), col("g")))).as("seq"))
+        .select(col("user_id"), expr("transform(seq, x -> x.g)").as("grays"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, grays) =>
+          val (w, h, px) = Multimodal.decodePgm(Multimodal.encodePgm(grays, 8))
+          (uid, w.toLong, h.toLong, px.count(_ > 127).toLong,
+            px.map(_.toLong).sum)
+        }
+        .toDF("user_id", "width", "height", "n_bright", "sum_gray")
+    }),
+
     "m9_audio_segments" -> ((s, dir) => {
       import s.implicits._
       val samples = ev(s, dir).select(col("user_id"), col("event_id"),
@@ -6231,6 +6290,13 @@ object SparkEntry {
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
 
+    "q24_order_dist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
     // Brute-force predicate join over the identically synthesized
     // coordinates — the grid blocking is recall-lossless (g ≥ ε), so the
     // oracle never needs cells.
@@ -6790,6 +6856,22 @@ object SparkEntry {
     "g5_linkpred" -> linkPredOracle,
     "g6_label_prop" -> labelPropOracle,
     "g7_hits" -> hitsOracle,
+
+    // Same frame, same explicit element picks and the same (a+b)/2 —
+    // deliberately NOT DuckDB's median()/quantile_cont (different op
+    // order on even frames).
+    "mon13_rolling_median" ->
+      """WITH f AS (SELECT user_id, event_id,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS arr
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  printf('%.4f', CASE WHEN len(arr) % 2 = 1
+        |    THEN arr[(len(arr) + 1) // 2]
+        |    ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / CAST(2 AS DOUBLE)
+        |  END) AS med_r
+        |FROM f""".stripMargin,
 
     // Same closed-form state machine: last crossing marker carried
     // forward, entries = 0→1 transitions.
@@ -8605,6 +8687,17 @@ object SparkEntry {
     // event_id-ordered per-user amplitude stream — a segment starts at a
     // voiced row whose predecessor (if any) is silent; run lengths come
     // from grouping voiced rows by their running segment id.
+    // Features restated relationally; padding affects only the height
+    // ceiling.
+    "m11_pgm_features" ->
+      """SELECT user_id, CAST(8 AS BIGINT) AS width,
+        |  CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS height,
+        |  CAST(COUNT(*) FILTER (WHERE event_id % 3 = 0) AS BIGINT) AS n_bright,
+        |  CAST(200 * COUNT(*) FILTER (WHERE event_id % 3 = 0)
+        |       + 17 * COUNT(*) FILTER (WHERE event_id % 3 <> 0) AS BIGINT)
+        |    AS sum_gray
+        |FROM events GROUP BY 1""".stripMargin,
+
     "m9_audio_segments" ->
       """WITH s AS (SELECT user_id, event_id,
         |    CASE event_id % 5 WHEN 0 THEN 16384 WHEN 1 THEN -16384

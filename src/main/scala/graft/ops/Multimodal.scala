@@ -491,6 +491,61 @@ object Multimodal {
     bb.array()
   }
 
+  /** Encode grayscale pixels as binary Netpbm PGM (P5): ASCII header
+    * `P5\n<w> <h>\n255\n`, then one unsigned byte per pixel row-major —
+    * the simplest real raster container (scientific/scanner pipelines);
+    * the write side of [[decodePgm]] and the m11 fixture synthesizer.
+    * The last row is zero-padded to a full width. Values clamp to [0,255]. */
+  def encodePgm(gray: Array[Int], width: Int): Array[Byte] = {
+    require(width >= 1, "width >= 1")
+    val h = (gray.length + width - 1) / width
+    val header = s"P5\n$width $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + width * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < gray.length) {
+      out(header.length + i) = math.max(0, math.min(255, gray(i))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Strict P5 parser — [[encodePgm]]'s inverse plus the format's full
+    * header grammar: any whitespace run between tokens and `#` comments
+    * (legal per the Netpbm spec even though our encoder never emits them).
+    * Maxval must be 255 (single-byte samples). Returns (width, height,
+    * row-major pixels 0..255). */
+  def decodePgm(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5', "not P5")
+    var off = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && off < bytes.length) {
+        val c = bytes(off)
+        if (c == '#') { while (off < bytes.length && bytes(off) != '\n') off += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') off += 1
+        else go = false
+      }
+    }
+    def token(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (off < bytes.length && bytes(off) >= '0' && bytes(off) <= '9') {
+        v = v * 10 + (bytes(off) - '0'); any = true; off += 1
+      }
+      require(any, "malformed PGM header token")
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    require(w >= 1 && h >= 1, s"bad dimensions ${w}x$h")
+    require(maxval == 255, s"only maxval 255 supported, got $maxval")
+    // exactly ONE whitespace byte separates maxval from raster data
+    require(off < bytes.length, "truncated before raster")
+    off += 1
+    require(bytes.length - off >= w * h, "truncated raster")
+    (w, h, Array.tabulate(w * h)(i => bytes(off + i) & 0xff))
+  }
+
   /** Decode a mono PCM16 WAV back to its raw sample values —
     * [[encodeWavPcm16]]'s exact inverse, sharing [[BuiltinDecoder]]'s
     * chunk-walk discipline (extra chunks legal, word-aligned lengths,

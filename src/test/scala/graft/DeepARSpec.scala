@@ -122,6 +122,29 @@ class DeepARSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: PGM round trip, header grammar, padding, truncation") {
+    val gray = Array(0, 17, 200, 255, 128, 1, 254, 99, 42)
+    val (w, h, px) = Multimodal.decodePgm(Multimodal.encodePgm(gray, 4))
+    assert((w, h) === ((4, 3)), "9 px at width 4 → 3 rows")
+    assert(px.take(9).toSeq === gray.toSeq, "values exact")
+    assert(px.drop(9).forall(_ == 0), "last row zero-padded")
+    // clamping on encode
+    assert(Multimodal.decodePgm(Multimodal.encodePgm(Array(300, -5), 2))
+      ._3.toSeq === Seq(255, 0))
+    // header grammar the encoder never emits but the spec allows:
+    // comments and arbitrary whitespace runs between tokens
+    val exotic = "P5 # comment\n#another\n 3\t1 # w h\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30)
+    assert(Multimodal.decodePgm(exotic)._3.toSeq === Seq(10, 20, 30))
+    intercept[IllegalArgumentException] { Multimodal.decodePgm("P6\n1 1\n255\nx".getBytes) }
+    intercept[IllegalArgumentException] { // truncated raster
+      Multimodal.decodePgm("P5\n4 4\n255\nab".getBytes)
+    }
+    intercept[IllegalArgumentException] { // 16-bit maxval unsupported
+      Multimodal.decodePgm("P5\n1 1\n65535\nxx".getBytes)
+    }
+  }
+
   test("multimodal: energy-gate segmentation counts runs, order-sensitively") {
     import Multimodal.segmentVoiced
     //                          |--v--|  s |v| s  |---v---|
