@@ -1197,6 +1197,48 @@ class OpsSpec extends SparkSpec {
       ("batch", "bitch")), s"got $got")
   }
 
+  test("editDistancePairsSegmented: randomized mutation corpus, recall equals brute force") {
+    // 120 docs: 30 bases (seeded random over a 4-char alphabet, lengths
+    // 10-60 straddling the 24-char prefix) + 3 mutants each with 0-6
+    // random edits (sub/ins/del) — mutants within lev<=5 of their base
+    // MUST all be found; pairs crossing the length tolerance must not.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcd"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(4))).mkString
+    val docs = (0 until 30).flatMap { b =>
+      val base = randStr(10 + rnd.nextInt(51))
+      val variants = (1 to 3).map { v =>
+        var t = base
+        (1 to rnd.nextInt(7)).foreach { _ =>
+          val p = rnd.nextInt(math.max(1, t.length))
+          rnd.nextInt(3) match {
+            case 0 => t = t.updated(p, alpha(rnd.nextInt(4)))
+            case 1 => t = t.take(p) + alpha(rnd.nextInt(4)) + t.drop(p)
+            case 2 if t.length > 1 => t = t.take(p) + t.drop(p + 1)
+            case _ =>
+          }
+        }
+        t
+      }
+      (base +: variants).zipWithIndex.map { case (t, i) =>
+        (b * 10L + i, "en", t, t.length.toLong) }
+    }
+    val df = docs.toDF("doc_id", "lang", "text", "n_chars")
+    val seg = DedupOps.editDistancePairsSegmented(df, "doc_id", "text",
+        "lang", "n_chars", prefixLen = 24, maxDist = 5, lenSlack = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = df.select($"doc_id".as("ia"), $"n_chars".as("na"), $"text".as("ta"))
+    val b = df.select($"doc_id".as("ib"), $"n_chars".as("nb"), $"text".as("tb"))
+    val brute = a.crossJoin(b)
+      .filter($"ia" < $"ib" && abs($"na" - $"nb") <= 4)
+      .withColumn("d", levenshtein(substring($"ta", 1, 24), substring($"tb", 1, 24)))
+      .filter($"d" <= 5).select($"ia", $"ib", $"d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg === brute,
+      s"missing=${brute.diff(seg).take(5)} extra=${seg.diff(brute).take(5)} (|brute|=${brute.size})")
+    assert(brute.size > 50, s"corpus must exercise the blocking (got ${brute.size} pairs)")
+  }
+
   test("gridRadiusJoin: 3x3 neighborhood equals brute force across cell boundaries") {
     import graft.ops.GeoOps
     // pairs straddling cell edges and corners (grid=1, eps=1), one exactly
