@@ -951,6 +951,30 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // A24 — last-touch attribution: each purchase attributed to the
+    // user's most recent PRIOR click within a 1-hour lookback — the
+    // marketing-analytics join that needs NO join: one per-user window
+    // pass carries the last-click timestamp forward (last_value IGNORE
+    // NULLS over a strictly-preceding frame, so a click at the purchase's
+    // own timestamp never self-attributes), and the lookback is integer
+    // microsecond arithmetic. Same exchange profile as mon12: one
+    // hash-partitioned per-user sort, then a narrow rollup.
+    "a24_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, dir)
+        .withColumn("lc", last(
+          when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(col("lc").isNotNull &&
+            unix_micros(col("ts")) - col("lc") <= 3600L * 1000000L, 1L)
+            .otherwise(0L).as("attributed"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("attributed")).as("n_attributed"))
+    }),
+
     // Q24 — customer-distribution (TPC-H Q13 shape): the
     // distribution-of-a-distribution query — orders per customer (LEFT
     // join so zero-order customers keep their bucket), then customers per
@@ -4683,6 +4707,18 @@ object SparkEntry {
       graft.streaming.StreamTws.run(s, ev(s, dir), work)
     }),
 
+    // Streaming sibling of mon12: the hysteresis alarm as RESIDENT per-key
+    // state (flatMapGroupsWithState) over the day-chunked replay. The op
+    // is order-sensitive — determinism comes from ordered file feed across
+    // batches + an explicit per-key (ts, event_id) sort within each batch
+    // (see graft.streaming.StreamHysteresis). Oracle = mon12's batch
+    // recomputation, so any state carried wrong across a batch boundary
+    // hash-mismatches.
+    "e2e_hysteresis" -> ((s, dir) => {
+      val work = scratch("e2ehyst")
+      graft.streaming.StreamHysteresis.run(s, ev(s, dir), work)
+    }),
+
     // Watermark DISCARD semantics (the reference's core lateness contract,
     // resources/flink/main.py:77): a deterministic subset of events arrives
     // a full microbatch-group of files late, beyond the 60 s watermark; the
@@ -6290,6 +6326,20 @@ object SparkEntry {
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
 
+    // Same strictly-preceding frame and integer-microsecond lookback.
+    "a24_attribution" ->
+      """WITH o AS (SELECT user_id, event_type, ts,
+        |    last_value(CASE WHEN event_type = 'click'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CASE WHEN lc IS NOT NULL
+        |    AND epoch_us(CAST(ts AS TIMESTAMP)) - lc <= 3600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+        |FROM o WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+
     "q24_order_dist" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
         |  SELECT c_custkey, COUNT(o_custkey) AS c_count
@@ -6872,6 +6922,25 @@ object SparkEntry {
         |    ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1]) / CAST(2 AS DOUBLE)
         |  END) AS med_r
         |FROM f""".stripMargin,
+
+    // The streaming replay must equal the batch closed form exactly.
+    "e2e_hysteresis" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN value >= 100 THEN 1 WHEN value <= 25 THEN 0 END AS marker
+        |  FROM events),
+        |st AS (SELECT user_id, ts, event_id,
+        |    COALESCE(last_value(marker IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+        |  FROM m),
+        |tr AS (SELECT user_id, state,
+        |    CASE WHEN state = 1 AND COALESCE(lag(state) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 0) = 0
+        |    THEN 1 ELSE 0 END AS entered
+        |  FROM st)
+        |SELECT user_id, CAST(SUM(entered) AS BIGINT) AS n_enter,
+        |  CAST(SUM(state) AS BIGINT) AS n_alarm_rows, COUNT(*) AS n_rows
+        |FROM tr GROUP BY 1""".stripMargin,
 
     // Same closed-form state machine: last crossing marker carried
     // forward, entries = 0→1 transitions.
