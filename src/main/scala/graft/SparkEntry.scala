@@ -951,6 +951,29 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // A25 — RFM segmentation: the classic customer-base slicing into
+    // recency/frequency/monetary quartiles. Quartile assignment is pure
+    // integer rank arithmetic — q = (rank−1)·4 div n + 1 over a total
+    // (metric, user) order — so segment membership is engine-identical
+    // with no percentile interpolation anywhere; monetary sums are exact
+    // decimals. Three windows over ONE per-metric sort of the USER-level
+    // rollup (users, not events, cross the exchanges).
+    "a25_rfm" -> ((s, dir) => {
+      val base = ev(s, dir).groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("r_us"),
+          count(lit(1)).as("f"),
+          sum(col("value").cast("decimal(30,4)")).as("m"))
+      val n = count(lit(1)).over(Window.partitionBy())
+      def quartile(order: Column*) = (
+        (row_number().over(Window.orderBy(order: _*)) - 1) * 4 / n + 1).cast("int")
+      base
+        .withColumn("rq", quartile(col("r_us").desc, col("user_id")))
+        .withColumn("fq", quartile(col("f").desc, col("user_id")))
+        .withColumn("mq", quartile(col("m").desc, col("user_id")))
+        .groupBy(col("rq"), col("fq"), col("mq"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // A24 — last-touch attribution: each purchase attributed to the
     // user's most recent PRIOR click within a 1-hour lookback — the
     // marketing-analytics join that needs NO join: one per-user window
@@ -2929,6 +2952,31 @@ object SparkEntry {
       rows.join(ndv, Seq("column_name"))
         .select(col("column_name"), col("n_rows"), col("n_nulls"),
           col("min_num"), col("max_num"), col("ndv_r"))
+    }),
+
+    // O37 — dataset content fingerprint (Merkle-style): the "are these two
+    // 100 TB tables equal?" answer without a full compare — per-row md5 of
+    // a canonical rendering, bucketed by the fingerprint's first two hex
+    // digits (uniform by construction), each bucket reduced to
+    // md5(sorted-concat of its row fingerprints). Equal relations ⇔ equal
+    // (bucket, n_rows, bucket_fp) sets, a 256-row comparison; a divergence
+    // localizes to its buckets, which is the incremental-sync use. Scale:
+    // one scan + one hash-partitioned groupBy; per-bucket sorted lists are
+    // corpus/256 — production raises the digit count (or nests another
+    // level) to keep buckets bounded, same plan. Doubles render via %.2f
+    // (the stored precision; a 2 dp-rounded double's exact expansion never
+    // sits on the half-cent tie where Java and C printf could differ).
+    "o37_dataset_fingerprint" -> ((s, dir) => {
+      val rowFp = md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        format_string("%.2f", col("o_totalprice")),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        col("o_orderpriority")))
+      Tables.orders(s, dir)
+        .select(rowFp.as("fp"))
+        .groupBy(substring(col("fp"), 1, 2).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          md5(concat_ws("", sort_array(collect_list(col("fp"))))).as("bucket_fp"))
     }),
 
     // O36 — data-quality audit (the Deequ/Great-Expectations constraint
@@ -6326,6 +6374,23 @@ object SparkEntry {
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
 
+    // Quartiles as integer rank arithmetic over the same total orders.
+    "a25_rfm" ->
+      """WITH base AS (SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS r_us, COUNT(*) AS f,
+        |    SUM(CAST(value AS DECIMAL(30,4))) AS m
+        |  FROM events GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM base),
+        |q AS (SELECT user_id,
+        |    CAST((row_number() OVER (ORDER BY r_us DESC, user_id) - 1) * 4
+        |         // (SELECT n FROM nn) + 1 AS INT) AS rq,
+        |    CAST((row_number() OVER (ORDER BY f DESC, user_id) - 1) * 4
+        |         // (SELECT n FROM nn) + 1 AS INT) AS fq,
+        |    CAST((row_number() OVER (ORDER BY m DESC, user_id) - 1) * 4
+        |         // (SELECT n FROM nn) + 1 AS INT) AS mq
+        |  FROM base)
+        |SELECT rq, fq, mq, COUNT(*) AS n_users FROM q GROUP BY 1, 2, 3""".stripMargin,
+
     // Same strictly-preceding frame and integer-microsecond lookback.
     "a24_attribution" ->
       """WITH o AS (SELECT user_id, event_type, ts,
@@ -7438,6 +7503,19 @@ object SparkEntry {
     "o12_cms_heavy" -> cmsOracle,
     "o11_hll_distinct" -> hllOracle,
     "o35_stats_collect" -> statsOracle,
+
+    // Same canonical rendering, same bucket scheme, string_agg ORDER BY
+    // restates the sorted concat.
+    "o37_dataset_fingerprint" ->
+      """WITH r AS (SELECT md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        |    || '|' || o_orderstatus || '|' || printf('%.2f', o_totalprice)
+        |    || '|' || strftime(o_orderdate, '%Y-%m-%d')
+        |    || '|' || o_orderpriority) AS fp
+        |  FROM orders)
+        |SELECT substr(fp, 1, 2) AS bucket, COUNT(*) AS n_rows,
+        |  md5(string_agg(fp, '' ORDER BY fp)) AS bucket_fp
+        |FROM r GROUP BY 1""".stripMargin,
 
     // Every audit count recomputed independently over the identically
     // dirtied views; zero controls are verified zeros.
