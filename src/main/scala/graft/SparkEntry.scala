@@ -2222,6 +2222,32 @@ object SparkEntry {
         substring(col("value"), 19, 12).cast("long").as("n"))
     }),
 
+    // P19 — multiLine JSON ARRAY ingest: the API-dump shape (one document,
+    // `[ {...}, {...} ]`) that line-delimited JSON readers (p13/p15's
+    // path) cannot parse — Spark's multiLine mode reads the whole file as
+    // one document and explodes the array. The fixture is BUILT driver-
+    // side by necessity (a JSON array is a single document with one
+    // writer; the 150-row aggregate is metadata-sized), with rows
+    // deliberately pretty-printed across lines so a line-oriented reader
+    // would see garbage. Oracle = the plain aggregate, blind to the hop.
+    "p19_multiline_json" -> ((s, dir) => {
+      import s.implicits._
+      val work = scratch("p19ml")
+      val rows = ev(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(to_json(struct(col("day"), col("event_type"), col("n"))))
+        .as[String].collect().sorted
+      val doc = rows.map(r => "  " + r.replace(",", ",\n   "))
+        .mkString("[\n", ",\n", "\n]\n")
+      val p = java.nio.file.Paths.get(s"$work/arr")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("dump.json"), doc)
+      s.read.option("multiLine", "true")
+        .schema("day STRING, event_type STRING, n BIGINT")
+        .json(p.toString)
+    }),
+
     // O33 — DYNAMIC partition overwrite: the backfill-correction surface
     // (INSERT OVERWRITE of one day) on a day-partitioned table. Static
     // overwrite mode would TRUNCATE THE WHOLE TABLE on the second write —
@@ -3743,6 +3769,30 @@ object SparkEntry {
         .select(col("event_type"), col("fold"), col("n_f"),
           Exact.fmt((col("s_t") - col("s_f")).cast("double")
             / (col("n_t") - col("n_f")).cast("double"), 6).as("oof_r"))
+    }),
+
+    // X16 — RAG prompt packing: per query, retrieved candidates admitted
+    // in relevance order while the RUNNING token total stays within the
+    // context budget (256) — the few-shot/context-window assembly step
+    // between retrieval and the model. Admission contract is the prefix
+    // form (keep rows whose cumulative total ≤ budget): monotone and
+    // order-faithful — a greedy skip-the-big-doc variant would reorder
+    // relevance, which is a different operator. One prefix-sum window
+    // over the per-query rank order (a top-20 relation, never the
+    // corpus) joined to the doc token counts.
+    "x16_prompt_pack" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cands = SimilarityOps.bruteForceTopK(e, e.filter(col("vec_id") < 3),
+          "vec_id", "embedding", 20)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      val toks = docs(s, dir).select(col("doc_id").as("neighbor_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+      cands.join(toks, Seq("neighbor_id"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 256)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("n_tok"), col("cum_tok"))
     }),
 
     // X4 — benchmark decontamination: train docs sharing a word 4-gram with
@@ -6217,6 +6267,12 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
 
     // identical to a1's oracle: the CSV hop must be invisible
+    // Blind to the JSON-array hop, like every p* format oracle.
+    "p19_multiline_json" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     // Blind to the fixed-width text hop, like every p* format oracle.
     "p18_fixed_width" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
@@ -6937,6 +6993,30 @@ object SparkEntry {
         |  FROM u)
         |SELECT md5(canon) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM c GROUP BY 1""".stripMargin,
+
+    // annOracle's candidate relation at rank ≤ 20 + the t1 token count +
+    // a running-sum window, prefix-admitted at 256.
+    "x16_prompt_pack" ->
+      raw"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+        |      WHERE list_inner_product(ve, ve) > 0),
+        |cand AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+        |           c.vec_id) AS rank
+        |  FROM n q JOIN n c ON q.vec_id < 3 AND q.vec_id <> c.vec_id)
+        |  WHERE rank <= 20),
+        |tk AS (SELECT doc_id AS neighbor_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |packed AS (SELECT query_id, rank, cand.neighbor_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY query_id ORDER BY rank) AS cum_tok
+        |  FROM cand JOIN tk ON tk.neighbor_id = cand.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM packed WHERE cum_tok <= 256""".stripMargin,
 
     "t26_feature_hash" ->
       raw"""WITH t AS (SELECT doc_id,
