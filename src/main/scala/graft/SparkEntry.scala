@@ -1071,23 +1071,32 @@ object SparkEntry {
     "q22_copurchase" -> ((s, dir) => {
       val minSup = 5
       val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
-      // materialized once: five plan arms (both pair sides, item
-      // frequencies, the prune, the order count) would otherwise each
-      // re-run the scan+broadcast-join+distinct
+      // NOT checkpointed: the three consuming arms re-run a cheap
+      // scan+broadcast-join+distinct, and at 100× the cached relation's
+      // storage pressure starved the basket aggregate's execution memory
+      // (measured OOM) — recompute beats cache here
       val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey"), col("p_brand")).distinct()
-        .localCheckpoint()
       val nOrders = ob.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val freq = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
       val frequent = freq.filter(col("n_s") >= minSup) // A-priori item prune
       val obf = ob.join(broadcast(frequent.select(col("p_brand"))), Seq("p_brand"))
-      val pairs = obf.select(col("l_orderkey"), col("p_brand").as("brand_a"))
-        .join(obf.select(col("l_orderkey"), col("p_brand").as("brand_b")),
-          Seq("l_orderkey"))
-        .filter(col("brand_a") < col("brand_b"))
-        .groupBy(col("brand_a"), col("brand_b")).agg(count(lit(1)).as("n_ab"))
+      // pair enumeration as an IN-ARRAY expansion over per-order brand
+      // sets (baskets are bounded — ≤ |brands| per order), not an
+      // order-key self-join: ONE exchange on l_orderkey and a codegen'd
+      // nested-loop over a tiny sorted array, vs the join's two arms +
+      // sort-merge (measured 72 s → this shape at 100× data; the basket
+      // relation is also no longer needed twice)
+      val pairs = obf.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (a, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("brand_a"), col("p.b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= minSup)
       pairs
         .join(broadcast(freq.select(col("p_brand").as("brand_a"), col("n_s").as("n_a"))), Seq("brand_a"))
