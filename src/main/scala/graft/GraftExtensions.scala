@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) =>
+        graft.expressions.JaroWinkler(exprs.head, exprs(1))))
     // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
     // bounded aggregate automatically (see BoundedTopKRewrite's contract)
     e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)

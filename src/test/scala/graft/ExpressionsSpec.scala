@@ -58,6 +58,8 @@ class ExpressionsSpec extends SparkSpec {
       val r = s2.sql(
         "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS s").head().getDouble(0)
       assert(r === 1.0)
+      val jw = s2.sql("SELECT jaro_winkler('martha', 'marhta') AS j").head().getDouble(0)
+      assert(math.abs(jw - 0.9611111111111111) < 1e-15)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
