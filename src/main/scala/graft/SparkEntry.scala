@@ -951,6 +951,31 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // A26 — market-share shift: per (month, brand) revenue share in exact
+    // basis points (decimal-exact revenue sums, integer division against
+    // the month total) plus the month-over-month share delta via lag —
+    // the BI staple that composes a two-level aggregate with a window on
+    // the SMALL (month × brand) relation, never re-windowing fact rows.
+    "a26_share_shift" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"), col("p_brand"))
+        // q6's product-to-decimal mirror, then scaled to an exact integral
+        // decimal so the share is pure integer division — engine decimal
+        // DIVISION scale rules differ and never touch this plan
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")) * 10000).cast("decimal(38,0)").as("rev_u"))
+      val tot = Window.partitionBy(col("month"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("month"))
+      rev
+        .withColumn("tot_u", sum(col("rev_u")).over(tot))
+        .withColumn("share_bp", expr("CAST((rev_u * 10000) div tot_u AS BIGINT)"))
+        .withColumn("delta_bp",
+          col("share_bp") - coalesce(lag(col("share_bp"), 1).over(w), col("share_bp")))
+        .select(col("month"), col("p_brand"), col("share_bp"), col("delta_bp"))
+    }),
+
     // A25 — RFM segmentation: the classic customer-base slicing into
     // recency/frequency/monetary quartiles. Quartile assignment is pure
     // integer rank arithmetic — q = (rank−1)·4 div n + 1 over a total
@@ -1032,6 +1057,26 @@ object SparkEntry {
         ((hv("lon:") % 3600000L).cast("double") / lit(10000.0) - lit(180.0)).as("lon"))
       graft.ops.GeoOps.gridRadiusJoin(pts, pts.filter(col("id") % 50 === 0),
           "id", "lat", "lon", eps = 12.0, gridSize = 12.0)
+        .select(col("query_id"), col("point_id"), Exact.fmt(col("d2"), 6).as("d2_r"))
+    }),
+
+    // GEO2 — nearest-neighbor spatial lookup: geo1's candidate relation
+    // reduced to the single closest point per query (ties → min id) — the
+    // reverse-geocode/store-finder serve. Queries with NO point within ε
+    // are absent (a bounded-radius NN, the production contract: beyond ε
+    // you show "no results", not a continent-away match).
+    "geo2_nearest" -> ((s, dir) => {
+      val hv = (tag: String) =>
+        conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))), 1, 6),
+          16, 10).cast("long")
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        ((hv("lat:") % 1600000L).cast("double") / lit(10000.0) - lit(80.0)).as("lat"),
+        ((hv("lon:") % 3600000L).cast("double") / lit(10000.0) - lit(180.0)).as("lon"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("point_id"))
+      graft.ops.GeoOps.gridRadiusJoin(pts, pts.filter(col("id") % 50 === 0),
+          "id", "lat", "lon", eps = 12.0, gridSize = 12.0)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("point_id"), Exact.fmt(col("d2"), 6).as("d2_r"))
     }),
 
@@ -6439,6 +6484,22 @@ object SparkEntry {
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
 
+    // Same integral-decimal scaling; HUGEINT carries the ×10⁴ numerator.
+    "a26_share_shift" ->
+      """WITH rev AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |      AS DECIMAL(30,4))) * 10000 AS HUGEINT) AS rev_u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT month, p_brand,
+        |    CAST(rev_u * 10000 // SUM(rev_u) OVER (PARTITION BY month) AS BIGINT)
+        |      AS share_bp
+        |  FROM rev)
+        |SELECT month, p_brand, share_bp,
+        |  share_bp - COALESCE(lag(share_bp) OVER (
+        |    PARTITION BY p_brand ORDER BY month), share_bp) AS delta_bp
+        |FROM sh""".stripMargin,
+
     // Quartiles as integer rank arithmetic over the same total orders.
     "a25_rfm" ->
       """WITH base AS (SELECT user_id,
@@ -6496,6 +6557,29 @@ object SparkEntry {
          |FROM p q JOIN p ON q.id % 50 = 0 AND q.id <> p.id
          |WHERE (q.lat - p.lat) * (q.lat - p.lat)
          |      + (q.lon - p.lon) * (q.lon - p.lon) <= 144.0""".stripMargin
+    },
+
+    // geo1's brute-force predicate join reduced to the per-query argmin.
+    "geo2_nearest" -> {
+      def hv(tag: String) = (1 to 6).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (6 - j))}")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT c_custkey AS id,
+         |    CAST((${hv("lat:")}) % 1600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(80 AS DOUBLE) AS lat,
+         |    CAST((${hv("lon:")}) % 3600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(180 AS DOUBLE) AS lon
+         |  FROM customer),
+         |d AS (SELECT q.id AS query_id, p.id AS point_id,
+         |    (q.lat - p.lat) * (q.lat - p.lat)
+         |      + (q.lon - p.lon) * (q.lon - p.lon) AS d2
+         |  FROM p q JOIN p ON q.id % 50 = 0 AND q.id <> p.id
+         |  WHERE (q.lat - p.lat) * (q.lat - p.lat)
+         |        + (q.lon - p.lon) * (q.lon - p.lon) <= 144.0)
+         |SELECT query_id, point_id, printf('%.6f', d2) AS d2_r FROM (
+         |  SELECT query_id, point_id, d2, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2, point_id) AS rn FROM d)
+         |WHERE rn = 1""".stripMargin
     },
 
     // Token-for-token mirror of the engine's Wilson formula (same operand
