@@ -3782,6 +3782,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"),
           Exact.fmt(col("mean_logp"), 4).as("mean_logp_r"))),
 
+    // T27 — held-out perplexity scoring (the CCNet-style filter shape):
+    // test docs (doc_id ≡ 0 mod 7) scored under a bigram LM trained on
+    // the REST of the corpus, add-one smoothed, OOV mapped to a reserved
+    // symbol — unseen bigrams get finite mass, unlike t9's self-scored
+    // unsmoothed form. The ln sits behind avgD(10)+%.4f (the t9/t12
+    // transcendental discipline); counts and V are exact integers.
+    "t27_heldout_ppl" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.heldOutLmScore(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_oov"),
+          Exact.fmt(col("mean_logp"), 4).as("mean_logp_r"))
+    }),
+
     // T26 — feature hashing (the "hashing trick", Weinberger '09): tokens
     // hashed into 16 signed buckets — the fixed-width featurizer that
     // needs NO vocabulary pass, which is exactly why it scales where t21's
@@ -8168,6 +8184,50 @@ object SparkEntry {
         |    - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(30,10)))
         |           AS DOUBLE) / SUM(c)) AS entropy_r
         |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    // Same smoothed formula from first principles: train counts, vocab
+    // map with the reserved OOV symbol, per-doc window pairing.
+    "t27_heldout_ppl" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents
+        |  WHERE length(trim(text, ' ')) > 0
+        |    AND len(string_split_regex(trim(text, ' '), '\s+')) >= 2),
+        |tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+        |te AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+        |trbg AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                          i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM tr),
+        |cb AS (SELECT gram, COUNT(*) AS nb FROM trbg GROUP BY 1),
+        |cc AS (SELECT string_split(gram, ' ')[1] AS ctx, COUNT(*) AS nc
+        |       FROM trbg GROUP BY 1),
+        |vocab AS (SELECT DISTINCT unnest(toks) AS tok FROM tr),
+        |vv AS (SELECT COUNT(*) AS v FROM vocab),
+        |tetok0 AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM te, (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |tetok AS (SELECT doc_id, pos,
+        |    CASE WHEN vc.tok IS NULL THEN '<unk>' ELSE t0.tok END AS m
+        |  FROM tetok0 t0 LEFT JOIN vocab vc ON vc.tok = t0.tok),
+        |tebg AS (SELECT doc_id, pos, m,
+        |    lead(m) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM tetok),
+        |sc AS (SELECT doc_id,
+        |    ln(CAST(COALESCE(cb.nb, 0) + 1 AS DOUBLE)
+        |       / CAST(COALESCE(cc.nc, 0) + (SELECT v FROM vv) + 1 AS DOUBLE)) AS logp
+        |  FROM tebg
+        |  LEFT JOIN cb ON cb.gram = tebg.m || ' ' || tebg.nxt
+        |  LEFT JOIN cc ON cc.ctx = tebg.m
+        |  WHERE tebg.nxt IS NOT NULL),
+        |oov AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN m = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tetok GROUP BY 1)
+        |SELECT sc.doc_id, COUNT(*) AS n_bigrams, o.n_oov,
+        |  printf('%.4f',
+        |    CAST(SUM(CAST(logp AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*))
+        |    AS mean_logp_r
+        |FROM sc JOIN oov o ON o.doc_id = sc.doc_id
+        |GROUP BY sc.doc_id, o.n_oov""".stripMargin,
 
     "t9_lm_score" ->
       """WITH t AS (

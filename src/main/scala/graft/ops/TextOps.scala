@@ -378,6 +378,65 @@ object TextOps {
       .agg(count(lit(1)).as("n_hit"), Exact.sumD(col("contrib"), 10).as("bm25"))
   }
 
+  /** Held-out bigram-LM scoring with add-one smoothing — the perplexity
+    * filter shape (CCNet-style: score candidate text under a model trained
+    * on a REFERENCE corpus) with an n-gram model standing in for the
+    * neural one. Differs from [[bigramLmScore]] (self-scored, unsmoothed)
+    * exactly where it matters for filtering: unseen bigrams and
+    * out-of-vocabulary tokens get finite smoothed mass instead of being
+    * structurally impossible.
+    *
+    * Model: P(w|v) = (c(v,w)+1) / (c(v)+V+1) with counts from `train`,
+    * V = |train vocabulary| (+1 absorbs the OOV class); test tokens
+    * outside the vocabulary map to a reserved symbol first. Docs with
+    * < 2 tokens are excluded from both sides (no bigram to score).
+    *
+    * Scale shape: train counts are two partial-aggregated token-sized
+    * groupBys; the vocabulary map join and the count joins are all keyed
+    * on tokens/bigrams (vocabulary-sized right sides); the test-side
+    * bigram pairing is one per-doc window over (doc, position) — nothing
+    * wider than the token stream shuffles, and V is one broadcast row.
+    *
+    * @return (id, n_bigrams, n_oov, mean_logp) per test doc. */
+  def heldOutLmScore(train: org.apache.spark.sql.DataFrame,
+                     test: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unk = "<unk>"
+    def toked(df: org.apache.spark.sql.DataFrame) =
+      df.filter(tokenCount(col(textCol)) >= 2)
+    val trBg = toked(train).select(
+        explode(graft.expressions.MinHashExpressions.wordGrams(col(textCol), 2)).as("gram"))
+      .withColumn("ctx", split(col("gram"), " ").getItem(0))
+    val cb = trBg.groupBy(col("gram")).agg(count(lit(1)).as("nb"))
+    val cc = trBg.groupBy(col("ctx")).agg(count(lit(1)).as("nc"))
+    val vocab = toked(train)
+      .select(explode(tokens(col(textCol))).as("tok")).distinct()
+    val vv = vocab.agg(count(lit(1)).as("v"))
+    val teTok = toked(test).select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .join(vocab.withColumn("hit", lit(1)), Seq("tok"), "left")
+      .select(col("id"), col("pos"),
+        when(col("hit").isNull, lit(unk)).otherwise(col("tok")).as("m"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val teBg = teTok
+      .withColumn("nxt", lead(col("m"), 1).over(w))
+      .withColumn("oov", when(col("m") === unk, 1L).otherwise(0L))
+    val scored = teBg.filter(col("nxt").isNotNull)
+      .withColumn("gram", concat(col("m"), lit(" "), col("nxt")))
+      .join(cb, Seq("gram"), "left")
+      .join(cc.withColumnRenamed("ctx", "m"), Seq("m"), "left")
+      .crossJoin(broadcast(vv))
+      .withColumn("logp", log(
+        (coalesce(col("nb"), lit(0L)) + 1L).cast("double") /
+        (coalesce(col("nc"), lit(0L)) + col("v") + 1L).cast("double")))
+    val oov = teBg.groupBy(col("id")).agg(sum(col("oov")).as("n_oov"))
+    scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), Exact.avgD(col("logp"), 10).as("mean_logp"))
+      .join(oov, "id")
+      .select(col("id"), col("n_bigrams"), col("n_oov"), col("mean_logp"))
+  }
+
   /** Typo/variant candidate mining over the corpus vocabulary: distinct
     * tokens, blocked on (first char, ±maxLenDiff length — enforced as a
     * post-filter, the block key is the first char), scored with the native
