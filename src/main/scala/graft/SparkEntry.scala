@@ -1072,12 +1072,17 @@ object SparkEntry {
       val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
         ((hv("lat:") % 1600000L).cast("double") / lit(10000.0) - lit(80.0)).as("lat"),
         ((hv("lon:") % 3600000L).cast("double") / lit(10000.0) - lit(180.0)).as("lon"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("point_id"))
+      // argmin as a MIN over (d2, id) structs — partial-aggregated
+      // map-side, so the per-query candidate pile (which grows with point
+      // density) never sorts through a window exchange; struct ordering
+      // IS the (distance, id) tie-break. Measured 43.9 s → this shape at
+      // 100× density.
       graft.ops.GeoOps.gridRadiusJoin(pts, pts.filter(col("id") % 50 === 0),
           "id", "lat", "lon", eps = 12.0, gridSize = 12.0)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("query_id"), col("point_id"), Exact.fmt(col("d2"), 6).as("d2_r"))
+        .groupBy(col("query_id"))
+        .agg(min(struct(col("d2"), col("point_id"))).as("best"))
+        .select(col("query_id"), col("best.point_id").as("point_id"),
+          Exact.fmt(col("best.d2"), 6).as("d2_r"))
     }),
 
     // A23 — Wilson-lower-bound rate ranking: the confidence-adjusted
