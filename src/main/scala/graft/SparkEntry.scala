@@ -1541,6 +1541,24 @@ object SparkEntry {
       docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
 
+    // D16 — INCREMENTAL near-dup admission: the production dedup shape —
+    // the standing corpus (doc_id ≢ 0 mod 11) keeps a materialized
+    // signature TABLE; the incoming batch computes only its own
+    // signatures and band-joins against the union. Per-batch work is
+    // O(batch) + a batch-sided bucket join; the result equals full-corpus
+    // banding restricted to pairs with an incoming side, which is exactly
+    // what the oracle states.
+    "d16_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val work = scratch("d16inc")
+      val standing = DedupOps.materializeSignatures(
+        d.filter(pmod(col("doc_id"), lit(11)) =!= 0), "doc_id", "text",
+        s"$work/sigs")
+      val incoming = DedupOps.signatures(
+        d.filter(pmod(col("doc_id"), lit(11)) === 0), "doc_id", "text")
+      DedupOps.incrementalPairs(standing, incoming)
+    }),
+
     // D15 — canonical-normalization dedup (the C4/mC4 cleaning step): docs
     // that differ only in case, punctuation, or whitespace runs collapse to
     // one canonical fingerprint — what d1's byte-exact hash structurally
@@ -7156,6 +7174,13 @@ object SparkEntry {
         |FROM f JOIN t ON f.event_type = t.event_type""".stripMargin,
 
     "d2_minhash_lsh" -> minhashOracle,
+
+    // Full-corpus banding restricted to pairs with an incoming side: the
+    // incremental path must find exactly what a from-scratch run finds
+    // about the new batch.
+    "d16_incremental_dedup" ->
+      (minhashOracle + "\nWHERE p.id_a % 11 = 0 OR p.id_b % 11 = 0"),
+
     "d10_lsh_recall" -> lshRecallOracle,
     "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,

@@ -270,6 +270,40 @@ object DedupOps {
       .distinct()
   }
 
+  /** Incremental near-dup admission: candidate pairs for an INCOMING batch
+    * against an EXISTING signature relation plus itself — the production
+    * shape of corpus dedup (yesterday's 100 TB corpus keeps its
+    * materialized signatures; today's batch computes only its own, then
+    * band-joins against the union). Work per batch is O(batch) signature
+    * computation + a bucket join whose new side is batch-sized — never a
+    * full-corpus recompute or full self-join. The pair set equals the
+    * full-corpus banding restricted to pairs with ≥ 1 incoming side
+    * (new×old and new×new both land through the new-side probe; new×new
+    * dedups via canonicalization).
+    *
+    * @param existing (id, sig) relation, typically a materialized table
+    * @param incoming (id, sig) for the new batch (ids disjoint from existing)
+    * @return (id_a, id_b, est_jaccard), id_a < id_b, distinct */
+  def incrementalPairs(existing: DataFrame, incoming: DataFrame,
+                       numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val all = existing.select(col("id"), col("sig"))
+      .unionByName(incoming.select(col("id"), col("sig")))
+    val bAll = bandedSignatures(all, numHashes, rowsPerBand)
+      .select(col("band"), col("band_sig"), col("id").as("idb"))
+    val bNew = bandedSignatures(incoming, numHashes, rowsPerBand)
+      .select(col("band"), col("band_sig"), col("id").as("ida"))
+    val cand = bNew.join(bAll, Seq("band", "band_sig"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"))
+      .distinct()
+    cand
+      .join(all.select(col("id").as("id_a"), col("sig").as("siga")), "id_a")
+      .join(all.select(col("id").as("id_b"), col("sig").as("sigb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        estJaccard(col("siga"), col("sigb"), numHashes).as("est_jaccard"))
+  }
+
   /** Exact token-set Jaccard over MinHash-band blocked candidates — the
     * scale-safe form of prefix-blocked n-gram dedup: candidates come from
     * LSH banding (similarity-proportional bucket sizes), scores are the
