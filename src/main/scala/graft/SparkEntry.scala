@@ -951,6 +951,29 @@ object SparkEntry {
           expr("n * 10000 div n_from").as("p_bp"))
     }),
 
+    // A27 — DAU/MAU stickiness: exact daily actives over exact trailing
+    // 30-day actives, in basis points — the engagement ratio product
+    // analytics reports. COUNT DISTINCT over a sliding window isn't
+    // window-expressible; the exact formulation explodes each distinct
+    // (user, active-day) into the 30 report days it covers (bounded ×30
+    // fanout of the user-day relation — at 100 TB that relation is the
+    // small distinct rollup, not raw events), then one distinct count per
+    // day. Report days are restricted to days with activity (the dau
+    // spine). o15/o34 are the sketched siblings; this is the exact one.
+    "a27_stickiness" -> ((s, dir) => {
+      val ud = ev(s, dir)
+        .select(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+        .distinct()
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val mau = ud
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 29)).as("rday"))
+        .distinct()
+        .groupBy(col("rday").as("day")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          expr("dau * 10000 div mau").as("stickiness_bp"))
+    }),
+
     // A26 — market-share shift: per (month, brand) revenue share in exact
     // basis points (decimal-exact revenue sums, integer division against
     // the month total) plus the month-over-month share delta via lag —
@@ -1021,6 +1044,25 @@ object SparkEntry {
             .otherwise(0L).as("attributed"))
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_purchases"), sum(col("attributed")).as("n_attributed"))
+    }),
+
+    // Q26 — value-share HAVING filter (TPC-H Q11 shape): brands whose
+    // revenue exceeds 1/50 of the corpus total — a scalar aggregate
+    // subquery inside the group filter. Threshold compared as exact
+    // integers (50·brand_u > tot_u over the a26 integral-decimal scaling);
+    // Catalyst plans the scalar subquery as a broadcast one-row join, so
+    // the fact table scans once per side, never per group.
+    "q26_value_share" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")) * 10000).cast("decimal(38,0)").as("rev_u"))
+      val tot = rev.agg(sum(col("rev_u")).cast("decimal(38,0)").as("tot_u"))
+      rev.crossJoin(broadcast(tot))
+        .filter(col("rev_u") * 50 > col("tot_u"))
+        .select(col("p_brand"), col("rev_u").cast("long").as("rev_u"))
     }),
 
     // Q24 — customer-distribution (TPC-H Q13 shape): the
@@ -6522,6 +6564,32 @@ object SparkEntry {
         |SELECT tr.event_type, tr.next_type, tr.n, tot.n_from,
         |  tr.n * 10000 // tot.n_from AS p_bp
         |FROM tr JOIN tot ON tr.event_type = tot.event_type""".stripMargin,
+
+    // Exact trailing-30-day actives via the same explode-to-report-days
+    // construction; report days restricted to the dau spine.
+    "a27_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        |cov AS (SELECT DISTINCT user_id, rday FROM (
+        |  SELECT user_id, unnest(generate_series(day, day + 29)) AS rday
+        |  FROM ud)),
+        |mau AS (SELECT rday AS day, COUNT(*) AS mau FROM cov GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau,
+        |  dau.dau * 10000 // mau.mau AS stickiness_bp
+        |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin,
+
+    // Scalar-total threshold restated as exact integer comparison.
+    "q26_value_share" ->
+      """WITH rev AS (SELECT p_brand,
+        |    CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |      AS DECIMAL(30,4))) * 10000 AS HUGEINT) AS rev_u
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT p_brand, CAST(rev_u AS BIGINT) AS rev_u
+        |FROM rev
+        |WHERE rev_u * 50 > (SELECT SUM(rev_u) FROM rev)""".stripMargin,
 
     // Same integral-decimal scaling; HUGEINT carries the ×10⁴ numerator.
     "a26_share_shift" ->
