@@ -158,4 +158,36 @@ class PlansSpec extends SparkSpec {
                 WHERE o_orderpriority = '1-URGENT')""")
     assert(nullProbe.as[Long].collect().sorted === Array(1L, 3L))
   }
+
+  test("gate plan shapes: a22 one scan, a24 join-free, geo2 window-free") {
+    // run the REGISTERED gates against a miniature testdata dir so the
+    // plan properties this round's explain audit fixed stay pinned:
+    //  - a22_markov: the row-conditional totals must NOT re-run the events
+    //    window pass as a second join arm (one parquet scan total);
+    //  - a24_attribution: the lookback needs no join at all;
+    //  - geo2_nearest: the argmin is a partial aggregate, never a
+    //    window sort over the candidate pile.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plans-gates").toString
+    (1L to 40L).map(i => (i, new java.sql.Timestamp(1700000000000L + i * 60000),
+        i % 5, Seq("click", "view", "purchase")(i.toInt % 3), (i % 7) * 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    (1L to 60L).map(i => (i, s"n$i", i % 3, i * 1.5, "SEG"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Scan parquet"))
+    val a22 = SparkEntry.queries("a22_markov")(spark, dir)
+    assert(scans(a22) === 1, "a22 totals must ride a window, not a second scan")
+    assert(a22.count() > 0)
+    val a24 = SparkEntry.queries("a24_attribution")(spark, dir)
+    assert(!a24.queryExecution.optimizedPlan.toString.contains("Join"),
+      "a24 must not join")
+    assert(a24.count() > 0)
+    val geo2 = SparkEntry.queries("geo2_nearest")(spark, dir)
+    assert(!geo2.queryExecution.executedPlan.toString.contains("Window"),
+      "geo2 argmin must be a partial aggregate, not a window sort")
+  }
 }
