@@ -15,11 +15,59 @@ import graft.expressions.{CosineSimilarity, MinKDistinctLongs, NfcNormalize,
   * ([[graft.expressions.VectorExpressions]]) works without installation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Builder-time arity check: the standard WRONG_NUM_ARGS AnalysisException
+    * the built-in function builders raise (checkInputDataTypes never runs if
+    * an out-of-bounds exprs(i) throws first — ADVICE r10). */
+  private def requireArity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> s"`$fn`", "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Parameter args of the signature expressions (hash count, shingle size)
+    * shape the generated code itself, so they must be literal ints — the
+    * same restriction Spark's own parameterized builders impose. */
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> s"`${other.sql}`",
+        "paramType" -> "\"INT\""))
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("cosine_sim", exprs, 2)
+        CosineSimilarity(exprs.head, exprs(1))
+      }))
+    // SQL surface for the dedup primitives (r10 verdict stretch task 9):
+    // minhash_sig(text, numHashes, shingleSize) and
+    // word_grams(text, shingleSize) give SQL-only users the same codegen'd
+    // kernels d2/d4/d16 run — a signature table is one INSERT…SELECT away.
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[graft.expressions.MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        requireArity("minhash_sig", exprs, 3)
+        graft.expressions.MinHashSignature(exprs.head,
+          intLit("minhash_sig", exprs(1)), intLit("minhash_sig", exprs(2)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("word_grams"),
+      new ExpressionInfo(
+        classOf[graft.expressions.WordGrams].getName, "word_grams"),
+      (exprs: Seq[Expression]) => {
+        requireArity("word_grams", exprs, 2)
+        graft.expressions.WordGrams(exprs.head,
+          intLit("word_grams", exprs(1)))
+      }))
     e.injectFunction((
       FunctionIdentifier("topk_vals"),
       new ExpressionInfo(classOf[TopKDoubles].getName, "topk_vals"),
@@ -37,8 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[graft.expressions.JaroWinkler].getName, "jaro_winkler"),
-      (exprs: Seq[Expression]) =>
-        graft.expressions.JaroWinkler(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        requireArity("jaro_winkler", exprs, 2)
+        graft.expressions.JaroWinkler(exprs.head, exprs(1))
+      }))
     // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
     // bounded aggregate automatically (see BoundedTopKRewrite's contract)
     e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)

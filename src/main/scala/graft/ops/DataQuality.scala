@@ -67,5 +67,5 @@ object DataQuality {
   /** Union of check relations into the audit report, ordered by check name
     * (deterministic output relation; each input is a handful of rows). */
   def audit(checks: Seq[DataFrame]): DataFrame =
-    checks.reduce(_.unionByName(_))
+    checks.reduce(_.unionByName(_)).orderBy(col("check_name"))
 }

@@ -900,6 +900,15 @@ object DedupOps {
     * near-dup signal itself), not the length histogram — candidate volume
     * stays linear in corpus size under any length distribution.
     *
+    * Prefixes shorter than maxDist+1 chars admit no (maxDist+1)-way
+    * segment partition; pairs with exactly ONE short side are still
+    * reached (the short side probes, the ≥maxDist+1 side is indexed), but
+    * BOTH-short pairs would be silently unreachable. Those route through a
+    * dedicated distinct-VALUE pairing block: the short-string universe is
+    * bounded (≤ |Σ|^maxDist distinct values no matter the corpus size), so
+    * pairing distinct values and re-attaching ids is corpus-size-
+    * independent work — no quadratic block even on an all-short corpus.
+    *
     * Per-doc fanout is a constant: ≤ (2·lenSlack+1 length layouts) ×
     * (maxDist+1 segments) × (2·maxDist+1 positions) probe keys and
     * maxDist+1 index keys — independent of corpus size. Both relations are
@@ -964,10 +973,33 @@ object DedupOps {
       .distinct()
     val pa = d.select(col("id").as("id_a"), col("pfx").as("pfxa"))
     val pb = d.select(col("id").as("id_b"), col("pfx").as("pfxb"))
-    cands.join(pa, "id_a").join(pb, "id_b")
+    val mainPairs = cands.join(pa, "id_a").join(pb, "id_b")
       .withColumn("dist", levenshtein(col("pfxa"), col("pfxb"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
+    // Both-short block (see scaladoc): pl < nSeg forces len = pl (a doc can
+    // only have a short PREFIX by being short outright, since nSeg ≤
+    // prefixLen), so the length filter runs on the values themselves and
+    // id re-attachment needs no extra columns. Disjoint from mainPairs by
+    // construction — every mainPairs pair has an indexed side with
+    // pl ≥ nSeg — so the union needs no dedup.
+    val shortD = d.filter(col("pl") < nSeg)
+    val shortVals = shortD.select(col("lang"), col("pfx")).distinct()
+    val shortValPairs = shortVals
+      .join(shortVals.select(col("lang"), col("pfx").as("pfxb")), Seq("lang"))
+      .withColumn("dist", levenshtein(col("pfx"), col("pfxb"), maxDist))
+      .filter(col("dist") >= 0 &&
+        abs(length(col("pfx")) - length(col("pfxb"))) <= lenSlack)
+    val shortPairs = shortValPairs
+      .join(shortD.select(col("lang"), col("pfx"), col("id").as("ida")),
+        Seq("lang", "pfx"))
+      .join(shortD.select(col("lang"), col("pfx").as("pfxb"),
+        col("id").as("idb")), Seq("lang", "pfxb"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("dist"))
+      .distinct() // both-short pairs arise in both (value-a, value-b) orders
+    mainPairs.unionByName(shortPairs)
   }
 
   /** 0-based, length-parameterized substring as a Column (Spark's

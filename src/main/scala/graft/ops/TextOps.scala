@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines: tokenization
@@ -467,5 +467,67 @@ object TextOps {
         col("term_a"), col("term_b")))
       .filter(col("jw") > minJw)
       .select(col("term_a"), col("term_b"), col("jw"))
+  }
+
+  /** Separator between BPE symbols inside a packed word string (U+001F unit
+    * separator — cannot occur in whitespace-split tokens). */
+  val BpeSep = "\u001f"
+
+  /** Learned BPE merge table (Sennrich et al. '16 training loop, t28): R
+    * rounds of [count adjacent symbol pairs over the vocabulary, weighted
+    * by word frequency → merge the most frequent pair everywhere]. Returns
+    * one row per learned merge: (round, a, b, n) with n the pair's corpus
+    * count at selection time; ties break (n desc, a asc, b asc) so the
+    * learned table is engine-independent.
+    *
+    * Two design points carry the scale and the oracle:
+    *  - The loop runs over the DISTINCT-word relation (Heaps-law sublinear
+    *    in corpus size), never the corpus: the corpus is scanned once for
+    *    word counts, then R rounds touch only the vocabulary. The argmax
+    *    collect is ONE row per round — the model boundary, like the
+    *    forecaster — and each round is a partial-aggregated pair count
+    *    (shuffle carries one row per distinct pair, not per word).
+    *  - Greedy-leftmost merge application (BPE's contract, incl. the
+    *    overlapping "aaa" case) is exactly left-to-right non-overlapping
+    *    string `replace` on the separator-joined symbol string: replacing
+    *    "a␟a" in "a␟a␟a" yields "aa␟a". Spark and DuckDB share those
+    *    replace semantics, so the oracle unrolls to one (pairs, argmax,
+    *    re-segment) CTE triple per merge round with no procedural code. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var v = docs
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(BpeSep,
+        regexp_extract_all(col("term"), lit("."), lit(0))).as("w"), col("freq"))
+      // vocabulary is metadata-sized (distinct words); checkpoint so the R
+      // per-round plans don't each rescan the corpus for word counts
+      .localCheckpoint()
+    def pairCounts(vocab: DataFrame): DataFrame = vocab
+      .select(col("freq"), split(col("w"), BpeSep).as("syms"))
+      .select(col("freq"), explode(expr(
+        """transform(slice(syms, 1, size(syms) - 1),
+          |  (s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = pairCounts(v)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, n))
+        v = v.withColumn("w",
+          replace(col("w"), lit(a + BpeSep + b), lit(a + b)))
+      }
+      r += 1
+    }
+    merges.result().toDF("round", "a", "b", "n")
   }
 }

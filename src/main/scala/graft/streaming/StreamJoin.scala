@@ -33,11 +33,17 @@ object StreamJoin {
   /** Render `df` into day-chunked parquet fixture files under `dir/data`
     * with ascending modification times (file source replays oldest-first —
     * arrival order tracks event time, the watermark-safety precondition).
+    * `daysPerChunk > 1` coarsens the chunking (r10 verdict task 3: replay
+    * wall time is trigger-count-bound, not row-bound) — every ordering and
+    * eviction-safety argument that holds for day chunks holds a fortiori
+    * for larger ones (fewer, strictly later batch boundaries); only ops
+    * whose correctness bounds the original→copy ARRIVAL gap from above
+    * (StreamDedupReplay's 48 h vs ≤1 day) must keep daysPerChunk = 1.
     * Returns the chunk count. */
   def writeDayChunkedParquet(spark: SparkSession, df: DataFrame, dir: String,
-                             tsCol: String): Int = {
+                             tsCol: String, daysPerChunk: Int = 1): Int = {
     val stage = new Path(dir, "_stage")
-    df.withColumn("chunk", expr(s"unix_timestamp($tsCol) div 86400"))
+    df.withColumn("chunk", expr(s"unix_timestamp($tsCol) div ${86400L * daysPerChunk}"))
       .repartition(col("chunk"))
       .write.partitionBy("chunk").parquet(stage.toString)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,8 +74,9 @@ object StreamJoin {
     * separate sources keep per-side progress independent). */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
           windowSeconds: Long = 21600L,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
-    writeDayChunkedParquet(spark, events, workDir, "ts")
+          maxFilesPerTrigger: Int = 4,
+          daysPerChunk: Int = 1): DataFrame = {
+    writeDayChunkedParquet(spark, events, workDir, "ts", daysPerChunk)
     val schema = events.schema
     def source() = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -119,7 +126,8 @@ object StreamJoin {
     * NULL. Same eviction-vs-arrival ordering argument as [[run]]. */
   def runLeftOuter(spark: SparkSession, events: DataFrame, workDir: String,
                    windowSeconds: Long = 21600L,
-                   maxFilesPerTrigger: Int = 4): DataFrame = {
+                   maxFilesPerTrigger: Int = 4,
+                   daysPerChunk: Int = 1): DataFrame = {
     import spark.implicits._
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 2L * 86400L * 1000L)
@@ -128,7 +136,8 @@ object StreamJoin {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val evs = events.select(col("event_id"), col("ts"), col("user_id"),
       col("event_type"), col("value"), col("props"))
-    writeDayChunkedParquet(spark, evs.unionByName(sentinels), workDir, "ts")
+    writeDayChunkedParquet(spark, evs.unionByName(sentinels), workDir, "ts",
+      daysPerChunk)
     val schema = evs.schema
     def source() = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -28,19 +28,92 @@ import graft.ops.Incremental
   *     is ever consumed. Merged rows land in a NEGATIVE, strictly
   *     decreasing epoch (the [[StreamNearDup.compactEpochs]] convention)
   *     that can never collide with a batchId.
-  *   - remaining crash window: between the compaction rewrite and the
-  *     consumed-dir deletes, a reader would double-count the merged span —
-  *     the swap a table format makes atomic with a manifest commit; serial
-  *     AvailableNow replays (this harness) never observe it.
+  *
+  * ==Manifest commit (r10 verdict task 6)==
+  *
+  * The r10 design had a crash window between the compaction rewrite and the
+  * consumed-dir deletes where a raw directory listing would double-count
+  * the merged span. It is closed the way a table format closes it: an
+  * ATOMIC, generation-numbered manifest is the source of truth for which
+  * epoch dirs are live, and every read resolves through it.
+  *
+  *   - Manifest `_manifest.g<gen>` records `(merged, upTo)`; readers take
+  *     the highest generation. The live set is
+  *     `{merged} ∪ { positive epochs > upTo }` — with no manifest,
+  *     `upTo = -1` and no merged epoch, i.e. "all batch epochs".
+  *   - Commit order: (1) [[stageMerge]] writes the merged rows into their
+  *     new NEGATIVE epoch dir — negative dirs are invisible until a
+  *     manifest references them, so a crash here leaves an ignored
+  *     orphan; (2) [[commitManifest]] writes `_manifest.g<gen+1>.tmp` and
+  *     RENAMEs it into place (the single atomic step — before it the old
+  *     live set serves, after it the new one); (3) [[cleanupAfterCommit]]
+  *     deletes consumed dirs and stale manifests — a crash anywhere in
+  *     (3) leaves garbage the manifest already excludes, swept by the
+  *     next compaction.
+  *   - Orphan merged dirs from a crashed (1) are deterministic re-targets:
+  *     the next compaction over the same live set computes the same new
+  *     epoch and [[writeEpoch]] overwrites the orphan before committing.
+  *
+  * StreamViewSpec injects a crash between every pair of steps and asserts
+  * the served view never double-counts or drops a row.
   *
   * Scale shape: per batch one narrow partial-agg (map-side combined to at
   * most |keys| rows) and one metadata-sized append; compaction shuffles
-  * view rows, never event rows. Serving reads collapse the ≤ compactEvery
-  * surviving epochs with one keyed merge.
+  * view rows, never event rows; the manifest is one small file whose
+  * rename is the commit — no reader ever lists-and-guesses.
   */
 object StreamView {
 
-  private[streaming] def writeEpoch(df: DataFrame, path: String, epoch: Long): Unit = {
+  private val ManifestPrefix = "_manifest.g"
+
+  private[graft] case class Manifest(gen: Long, merged: Option[Long], upTo: Long)
+
+  private[graft] def latestManifest(fs: FileSystem, root: Path): Option[Manifest] = {
+    if (!fs.exists(root)) return None
+    val files = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(ManifestPrefix) && !n.endsWith(".tmp"))
+    if (files.isEmpty) None
+    else {
+      val name = files.maxBy(_.stripPrefix(ManifestPrefix).toLong)
+      val in = fs.open(new Path(root, name))
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val kv = content.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      Some(Manifest(name.stripPrefix(ManifestPrefix).toLong,
+        kv.get("merged").filter(_ != "none").map(_.toLong),
+        kv("upTo").toLong))
+    }
+  }
+
+  /** Live epoch ids under the manifest rule: `{merged} ∪ {positives >
+    * upTo}`. Orphan negative dirs (a crashed stage) and leftover consumed
+    * dirs (a crashed cleanup) are excluded by construction. */
+  private[graft] def liveEpochs(fs: FileSystem, root: Path): Seq[Long] = {
+    if (!fs.exists(root)) return Seq.empty
+    val onDisk = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
+      .map(_.getPath.getName.stripPrefix("__b=").toLong).toSeq
+    val man = latestManifest(fs, root)
+    val upTo = man.map(_.upTo).getOrElse(-1L)
+    val merged = man.flatMap(_.merged)
+    onDisk.filter(e => (e >= 0 && e > upTo) || merged.contains(e))
+  }
+
+  /** The served view relation: manifest-resolved live epochs, one keyed
+    * merge. Every read of the view table goes through here. */
+  def served(spark: SparkSession, path: String, keyNames: Seq[String]): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = liveEpochs(fs, root).map(e => new Path(root, s"__b=$e").toString)
+    require(dirs.nonEmpty, s"no live epochs under $path")
+    Incremental.merge(
+      Seq(spark.read.option("basePath", path).parquet(dirs: _*).drop("__b")),
+      keyNames)
+  }
+
+  private[graft] def writeEpoch(df: DataFrame, path: String, epoch: Long): Unit = {
     val dir = new Path(path, s"__b=$epoch")
     val fs = dir.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
@@ -48,28 +121,70 @@ object StreamView {
       .write.mode(SaveMode.Append).partitionBy("__b").parquet(path)
   }
 
-  /** Merge every epoch dir with id <= `upTo` (committed batches and prior
-    * maintenance epochs) into one negative maintenance epoch, deleting the
-    * consumed dirs. Must run serially with the writer (holds inside
-    * foreachBatch). */
-  def compactMerge(spark: SparkSession, path: String, keyNames: Seq[String],
-                   upTo: Long): Unit = {
+  /** Step 1: write the merged rows of every LIVE epoch `<= upTo` into a
+    * new negative epoch dir (not yet referenced by any manifest — invisible
+    * to readers). Returns (newEpoch, consumedEpochs), or None when fewer
+    * than two live epochs qualify. */
+  private[graft] def stageMerge(spark: SparkSession, path: String,
+                                    keyNames: Seq[String],
+                                    upTo: Long): Option[(Long, Seq[Long])] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
-    val dirs = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__b="))
-      .map(_.getPath)
-      .filter(_.getName.stripPrefix("__b=").toLong <= upTo).toSeq
-    if (dirs.size <= 1) return
-    val epochs = dirs.map(_.getName.stripPrefix("__b=").toLong)
-    val newEpoch = math.min(-1L, epochs.min - 1L)
-    val merged = Incremental.merge(
-      Seq(spark.read.parquet(path).filter(col("__b") <= upTo).drop("__b")),
-      keyNames)
-    writeEpoch(merged, path, newEpoch)
-    dirs.foreach(d => fs.delete(d, true))
+    val consumable = liveEpochs(fs, root).filter(_ <= upTo)
+    if (consumable.size <= 1) None
+    else {
+      val newEpoch = math.min(-1L, consumable.min - 1L)
+      val dirs = consumable.map(e => new Path(root, s"__b=$e").toString)
+      val merged = Incremental.merge(
+        Seq(spark.read.option("basePath", path).parquet(dirs: _*).drop("__b")),
+        keyNames)
+      writeEpoch(merged, path, newEpoch)
+      Some((newEpoch, consumable))
+    }
   }
+
+  /** Step 2 — THE commit: write the next-generation manifest to a temp
+    * file and atomically rename it into place. */
+  private[graft] def commitManifest(spark: SparkSession, path: String,
+                                        merged: Long, upTo: Long): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen = latestManifest(fs, root).map(_.gen).getOrElse(0L) + 1L
+    val tmp = new Path(root, s"$ManifestPrefix$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"merged=$merged\nupTo=$upTo\n".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new Path(root, s"$ManifestPrefix$gen")),
+      s"manifest rename failed for generation $gen")
+  }
+
+  /** Step 3: delete the consumed epoch dirs and all superseded manifests.
+    * Pure garbage collection — the commit already excluded them. */
+  private[graft] def cleanupAfterCommit(spark: SparkSession, path: String,
+                                            consumed: Seq[Long]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    consumed.foreach(e => fs.delete(new Path(root, s"__b=$e"), true))
+    val latest = latestManifest(fs, root).map(_.gen).getOrElse(0L)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith(ManifestPrefix) &&
+          (n.endsWith(".tmp") ||
+            n.stripPrefix(ManifestPrefix).toLong < latest))
+        fs.delete(p, false)
+    }
+  }
+
+  /** Merge every LIVE epoch dir with id <= `upTo` (committed batches and
+    * prior maintenance epochs) into one negative maintenance epoch under
+    * the three-step manifest-commit protocol above. Must run serially with
+    * the writer (holds inside foreachBatch). */
+  def compactMerge(spark: SparkSession, path: String, keyNames: Seq[String],
+                   upTo: Long): Unit =
+    stageMerge(spark, path, keyNames, upTo).foreach { case (newEpoch, consumed) =>
+      commitManifest(spark, path, newEpoch, upTo)
+      cleanupAfterCommit(spark, path, consumed)
+    }
 
   /** Replay `events` day-chunked through the additive-view pipeline and
     * return the served view (user_id, n, s). Asserts the replay really ran
@@ -100,7 +215,6 @@ object StreamView {
     require(nBatches.value > 1,
       s"replay collapsed into ${nBatches.value} micro-batch(es); the " +
         "cross-batch merge is the point of the streaming form")
-    Incremental.merge(
-      Seq(spark.read.parquet(viewPath).drop("__b")), Seq("user_id"))
+    served(spark, viewPath, Seq("user_id"))
   }
 }

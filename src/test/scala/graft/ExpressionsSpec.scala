@@ -60,6 +60,30 @@ class ExpressionsSpec extends SparkSpec {
       assert(r === 1.0)
       val jw = s2.sql("SELECT jaro_winkler('martha', 'marhta') AS j").head().getDouble(0)
       assert(math.abs(jw - 0.9611111111111111) < 1e-15)
+      // wrong arity → clean AnalysisException from the builder (ADVICE
+      // r10: exprs(1) used to throw IndexOutOfBounds during resolution)
+      val arity = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT jaro_winkler('a')").collect()
+      }
+      assert(arity.getMessage.contains("jaro_winkler"))
+      // dedup primitives on the SQL surface (r10 stretch task 9)
+      val wg = s2.sql("SELECT word_grams('a b c', 2) AS g")
+        .head().getSeq[String](0)
+      assert(wg === Seq("a b", "b c"))
+      val mh = s2.sql("SELECT minhash_sig('a b c d', 16, 2) AS sig")
+        .head().getSeq[Long](0)
+      assert(mh.length === 16)
+      // SQL form ≡ the DataFrame-level entry point, component for component
+      val mhDf = s2.sql("SELECT 'a b c d' AS t")
+        .select(graft.expressions.MinHashExpressions
+          .minhashSig(org.apache.spark.sql.functions.col("t"), 16, 2).as("sig"))
+        .head().getSeq[Long](0)
+      assert(mh === mhDf)
+      // parameter args shape codegen → must be literal ints
+      val nonLit = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT minhash_sig('x', 1 + 15, 2)").collect()
+      }
+      assert(nonLit.getMessage.contains("minhash_sig"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)

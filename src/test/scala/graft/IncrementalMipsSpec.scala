@@ -156,6 +156,52 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(epochDirs > 0 && epochDirs < 6, s"epoch dirs: $epochDirs")
   }
 
+  test("streaming view manifest commit: a crash between every compaction step never double-counts or drops") {
+    import graft.streaming.StreamView
+    import graft.ops.Incremental
+    val dir = tmpDir("sview_crash")
+    val path = s"$dir/view"
+    def partial(rows: Seq[(Long, Double)]) =
+      Incremental.partial(rows.toDF("user_id", "value"), Seq($"user_id"), $"value")
+    StreamView.writeEpoch(partial(Seq((1L, 1.0), (2L, 2.0))), path, 0)
+    StreamView.writeEpoch(partial(Seq((1L, 3.0))), path, 1)
+    StreamView.writeEpoch(partial(Seq((3L, 5.0))), path, 2)
+    def snap() = StreamView.served(spark, path, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSet
+    def dirsOnDisk() = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("__b=")).toSet
+    val expect = snap()
+    assert(expect.map(_._1) === Set(1L, 2L, 3L))
+    // CRASH A — after stageMerge, before the manifest rename: the merged
+    // dir exists on disk but no manifest references it → invisible
+    val Some((e1, consumed1)) = StreamView.stageMerge(spark, path, Seq("user_id"), upTo = 1)
+    assert(dirsOnDisk().contains(s"__b=$e1"), "staged dir written")
+    assert(snap() === expect, "orphan merged dir must be invisible to reads")
+    // recovery re-runs the stage over the SAME live set → same target
+    // epoch, overwritten deterministically, then the commit proceeds
+    val Some((e2, consumed2)) = StreamView.stageMerge(spark, path, Seq("user_id"), upTo = 1)
+    assert(e2 === e1 && consumed2 === consumed1)
+    StreamView.commitManifest(spark, path, e2, upTo = 1)
+    // CRASH B — after the commit, before cleanup: consumed dirs remain on
+    // disk but the manifest excludes them → no double count
+    assert(dirsOnDisk().contains("__b=0") && dirsOnDisk().contains("__b=1"),
+      "consumed dirs still present (cleanup has not run)")
+    assert(snap() === expect, "post-commit read must not double-count leftovers")
+    StreamView.cleanupAfterCommit(spark, path, consumed2)
+    assert(snap() === expect)
+    assert(dirsOnDisk() === Set(s"__b=$e1", "__b=2"), "only live dirs survive")
+    // a second generation over the compacted state (covers the
+    // negative-epoch re-consume path and manifest succession)
+    StreamView.writeEpoch(partial(Seq((2L, 0.5))), path, 3)
+    StreamView.compactMerge(spark, path, Seq("user_id"), upTo = 3)
+    val expect2 = Incremental.merge(Seq(
+        partial(Seq((1L, 1.0), (2L, 2.0))), partial(Seq((1L, 3.0))),
+        partial(Seq((3L, 5.0))), partial(Seq((2L, 0.5)))), Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSet
+    assert(snap() === expect2)
+    assert(dirsOnDisk().size === 1, "second generation fully compacts")
+  }
+
   test("knn graph: single-bucket blocking (signDims=0) equals brute-force top-k for every node") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 40L).map(i =>

@@ -1076,6 +1076,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeTrain: hand-computed merges, lexicographic tie-break, greedy overlap") {
+    import graft.ops.TextOps
+    // word freqs: low:4 lower:1 lowest:1 new:1 newer:1 — the Sennrich
+    // paper's worked example family. Hand computation:
+    //  r1: (l,o)=6 ties (o,w)=6 → lexicographic a picks (l,o)
+    //  r2: (lo,w)=6   r3: (e,r)=2 beats (low,e)/(n,e)/(e,w) ties on a,b
+    //  r4: (e,w)=2 beats (n,e) on a
+    val docs = Seq((1L, "low low low lower lowest"), (2L, "new newer low"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(docs, "text", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, "l", "o", 6L), (2L, "lo", "w", 6L),
+      (3L, "e", "r", 2L), (4L, "e", "w", 2L)), s"got ${got.toSeq}")
+    // greedy-leftmost overlap: merging (a,a) in "aaaa" must give [aa][aa],
+    // and the round-1 count is per-SLOT (3 adjacent slots × freq 2)
+    val aaaa = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val g2 = TextOps.bpeTrain(aaaa, "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(g2.toSeq === Seq((1L, "a", "a", 6L), (2L, "aa", "aa", 2L)), s"got ${g2.toSeq}")
+    // fewer real merges than rounds → stop early, no empty-argmax rows
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val g3 = TextOps.bpeTrain(tiny, "text", rounds = 3).collect()
+    assert(g3.length === 1, s"ab merges to one symbol in 1 round, got ${g3.length}")
+  }
+
   test("bigram PMI: hand computation, short-doc exclusion, minCount membership") {
     val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
     val out = TextOps.bigramPmi(corpus, "text", 2L)
@@ -1162,7 +1187,13 @@ class OpsSpec extends SparkSpec {
       mk(12, "en", "thhe quuick brown fox jums"),   // 2 ins + 1 del
       mk(13, "en", "zzzzzzzzzzzzzzzzzzzzzzzzz"),    // same len as 10, far
       mk(14, "en", "x" * 24 + "TAIL-A-LONG-SUFFIX"),
-      mk(15, "en", "x" * 24 + "TAIL-B-LONG-SUFFIY")) // differs beyond prefix
+      mk(15, "en", "x" * 24 + "TAIL-B-LONG-SUFFIY"), // differs beyond prefix
+      // short docs (< maxDist+1 chars): both-short pairs route through the
+      // distinct-value block (ADVICE r10 — they were silently dropped);
+      // short-vs-long pairs must still come out of the main PassJoin path
+      mk(20, "en", "ab"), mk(21, "en", "abc"), mk(22, "en", "ab"),
+      mk(23, "en", "qz"),                  // dist 2 from 20/22 — in bound
+      mk(24, "en", "abcdef"))              // len 6: dist(21)=3, main path
     val df = rows.toDF("doc_id", "lang", "text", "n_chars")
     def norm(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
