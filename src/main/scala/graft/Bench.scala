@@ -72,6 +72,10 @@ object Bench {
       }
       val med = if (times.exists(_ < 0)) -1.0 else median(times)
       val spread = if (med > 0) (times.max - times.min) / med else -1.0
+      // per-query progress on stderr: a sweep run that dies (or a query
+      // that wedges) must still leave every completed timing attributable
+      // — the r11 100× sweep lost 27 min to an unattributable wedge
+      System.err.println(f"[bench] done $name $med%.3f")
       (name, med, spread)
     }
     // The skip set above is excluded from query THROUGHPUT, but those
@@ -95,6 +99,7 @@ object Bench {
           }
           val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           spark.catalog.clearCache()
+          System.err.println(f"[bench] done $name $elapsed%.3f")
           (name, elapsed)
       }
     // r7/r10 postmortem: the driver tail-captures the LAST ~2000 bytes of

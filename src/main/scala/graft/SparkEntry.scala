@@ -29,11 +29,31 @@ object SparkEntry {
   /** m7/m8 shared pipeline: per-user 9×8 avatar tiles through the REAL BMP
     * round trip (encodeBmp24 → dhashBmp parses the container), banded dHash
     * candidates, exact-popcount pairs at hamming ≤ 4. See m7's registration
-    * comment for the fixture design. */
-  private def dhashPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    * comment for the fixture design.
+    *
+    * HASH-CLASS FACTORED (r11 100× sweep finding): the r10 form banded the
+    * per-USER hash relation, so both the band join and the candidate
+    * `distinct` were quadratic in duplicate-class size — and image corpora
+    * saturate (at 100× data, 150k users collapse into 365 distinct images,
+    * max class 5,744, with a REQUIRED output of ~103 M pairs). Worse, AQE
+    * coalesced the metadata-sized hash shuffle to ONE partition, so the
+    * 100-1000× amplifying join ran single-task (measured: wedged >20 min
+    * with a thrashing 2 GB agg map). Factored form: band + verify over
+    * DISTINCT hashes only (bounded by image-space size, not corpus size),
+    * then expand member pairs as pure partitioned output materialization —
+    * no distinct over expanded pairs exists at all. Returns
+    * (members(id, hi, lo, cid), classPairs(cid_a, cid_b, hamming≥1)); the
+    * class id packs (hi, lo) into one collision-free long. */
+  private def dhashRelations(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     import graft.ops.Multimodal
+    // explicit partition count (not bare repartition(col)): AQE coalesces
+    // the tiny distinct-users shuffle to ONE partition, and the 72×
+    // pixel explode + collect_list agg downstream then runs single-task;
+    // REPARTITION_BY_NUM is exempt from AQE coalescing
+    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
     val users = ev(s, dir).select(col("user_id")).distinct()
+      .repartition(shufP, col("user_id"))
     val base = (col("i") * 37 + pmod(col("user_id"), lit(5)) * 11) % 97 * 2
     val px = users.select(col("user_id"), explode(sequence(lit(0), lit(71))).as("i"))
       .withColumn("v",
@@ -49,31 +69,65 @@ object SparkEntry {
       .map { case (uid, pxs) =>
         (uid, Multimodal.encodeBmp24(pxs.map(_.toInt), 9)) }
       .toDF("id", "data")
-    val hashes = payloads.as[(Long, Array[Byte])]
+    // checkpointed: reused by 2-3 arms (same-class, cross-class, per-class
+    // stats) — and metadata-sized (one row per user, two longs)
+    val members = payloads.as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
         val (hi, lo) = Multimodal.dhashBmp(bytes); (id, hi, lo) }
       .toDF("id", "hi", "lo")
-    val bands = hashes.select(col("id"), explode(array((0 until 8).map { j =>
+      .withColumn("cid", expr("shiftleft(hi, 32) + lo"))
+      // AQE coalesces this metadata-sized relation to ONE partition, and
+      // everything downstream (the pair expansions) runs at the probe
+      // side's parallelism — single-task without this. Hash by id, not
+      // cid: a probe row's expansion work is its class size, so
+      // id-hashing balances the skewed classes across all tasks
+      .repartition(shufP, col("id"))
+      .localCheckpoint()
+    val classes = members.select(col("cid"), col("hi"), col("lo")).distinct()
+    val bands = classes.select(col("cid"), explode(array((0 until 8).map { j =>
       val half = if (j < 4) col("hi") else col("lo")
       struct(lit(j).as("j"),
         shiftright(half, 8 * (j % 4)).bitwiseAND(lit(255L)).as("bv"))
     }: _*)).as("b"))
-      .select(col("id"), col("b.j").as("j"), col("b.bv").as("bv"))
-    val cand = bands.select(col("j"), col("bv"), col("id").as("id_a"))
-      .join(bands.select(col("j"), col("bv"), col("id").as("id_b")),
+      .select(col("cid"), col("b.j").as("j"), col("b.bv").as("bv"))
+    // banding is LOSSLESS for hamming ≤ 4: ≤4 differing bits across 8
+    // bands leave ≥4 bands identical (pigeonhole)
+    val candC = bands.select(col("j"), col("bv"), col("cid").as("cid_a"))
+      .join(bands.select(col("j"), col("bv"), col("cid").as("cid_b")),
         Seq("j", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(hashes.select(col("id").as("id_a"), col("hi").as("hi_a"),
-        col("lo").as("lo_a")), "id_a")
-      .join(hashes.select(col("id").as("id_b"), col("hi").as("hi_b"),
-        col("lo").as("lo_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+      .filter(col("cid_a") < col("cid_b"))
+      .select(col("cid_a"), col("cid_b")).distinct()
+    val classPairs = candC
+      .join(classes.select(col("cid").as("cid_a"), col("hi").as("hi_a"),
+        col("lo").as("lo_a")), "cid_a")
+      .join(classes.select(col("cid").as("cid_b"), col("hi").as("hi_b"),
+        col("lo").as("lo_b")), "cid_b")
+      .select(col("cid_a"), col("cid_b"),
         (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= 4)
+    (members, classPairs)
+  }
+
+  /** m7's pair relation from the factored form: identical-hash members
+    * pair at hamming 0 (per-class self-join — skew bounded by class size,
+    * generation-only work); near-class members expand through the verified
+    * class pairs. Both arms emit unique rows, so no distinct runs over the
+    * expanded relation. */
+  private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val (members, classPairs) = dhashRelations(s, dir)
+    val m = members.select(col("cid"), col("id"))
+    val same = m.select(col("cid"), col("id").as("id_a"))
+      .join(m.select(col("cid"), col("id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    val cross = classPairs
+      .join(m.select(col("cid").as("cid_a"), col("id").as("ia")), "cid_a")
+      .join(m.select(col("cid").as("cid_b"), col("id").as("ib")), "cid_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    same.unionByName(cross)
   }
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
@@ -4571,12 +4625,35 @@ object SparkEntry {
     // never drop-id_b-of-every-pair) — the cross-family composition a
     // multimodal curation pipeline actually runs. Oracle reuses the m7
     // pixel-formula chain + the d6 recursive-reachability labels.
+    // CLASS-LEVEL CC (r11 sweep finding, see dhashRelations): identical
+    // images are one node, so the iteration runs over the class graph
+    // (bounded by image-space size — 365 nodes at 100× data, where the
+    // member-pair graph is ~103 M edges) and members inherit their class's
+    // component. cluster_id stays the component's min USER id and
+    // cluster_size the member count, so the output is row-for-row the old
+    // member-level CC's.
     "m8_image_clusters" -> ((s, dir) => {
-      val labels = DedupOps.connectedComponents(
-        dhashPairs(s, dir).select(col("id_a"), col("id_b")))
-      val sizes = labels.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "cluster_id")
+      val (members, classPairs) = dhashRelations(s, dir)
+      val perClass = members.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"))
+      // in-graph classes: ≥2 members (their hamming-0 pairs are edges) or
+      // any cross-class edge; singleton classes with no edge emit nothing
+      val withEdge = classPairs.select(col("cid_a").as("cid"))
+        .unionByName(classPairs.select(col("cid_b").as("cid"))).distinct()
+      val inGraph = perClass.filter(col("n_members") >= 2).select(col("cid"))
+        .unionByName(withEdge).distinct()
+      // self-edges keep isolated multi-member classes as their own
+      // single-class component through the CC contract
+      val edges = classPairs.select(col("cid_a"), col("cid_b"))
+        .unionByName(inGraph.select(col("cid").as("cid_a"),
+          col("cid").as("cid_b")))
+      val comp = DedupOps.connectedComponents(edges, "cid_a", "cid_b")
+        .select(col("id").as("cid"), col("cluster_id").as("comp"))
+      val compAgg = comp.join(perClass, "cid")
+        .groupBy(col("comp"))
+        .agg(min(col("min_id")).as("cluster_id"),
+          sum(col("n_members")).as("cluster_size"))
+      members.join(comp, "cid").join(compAgg, "comp")
         .select(col("id").as("user_id"), col("cluster_id"),
           col("cluster_size"))
     }),

@@ -39,7 +39,17 @@ object Pipeline {
 
   /** Sink half: update-mode upsert into the keyed table via foreachBatch
     * (the reference's put_record-overwrites-by-tx_minute semantics,
-    * delivery_stream_to_featurestore/main.py:54-62). */
+    * delivery_stream_to_featurestore/main.py:54-62).
+    *
+    * `bulk = true`: the update batch arrives in shuffle-partition layout
+    * (32 state partitions), so without hour colocation EVERY touched hour
+    * dir gets up to 32 tiny files PER batch — a 15 s live trigger touches
+    * 1-2 windows and doesn't care, but an AvailableNow REPLAY batch spans
+    * days (hundreds of dirs × 32 → tens of thousands of files per replay;
+    * measured as the dominant e2e_* wall cost at sf0.1, file I/O not
+    * triggers). The colocation exchange moves only the aggregate rows —
+    * for the live trigger that's a few rows, for a replay batch ≤ one row
+    * per open minute — never event rows. */
   def writer(agg: DataFrame, table: KeyedParquetTable,
              checkpoint: String,
              trigger: Trigger = Trigger.ProcessingTime("15 seconds")): DataStreamWriter[Row] =
@@ -47,7 +57,8 @@ object Pipeline {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) => table.upsert(batch, batchId) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        table.upsert(batch, batchId, bulk = true) }
 
   /** Convenience: wire transform + sink and start. */
   def start(rawEnvelopes: DataFrame, table: KeyedParquetTable,
