@@ -1216,27 +1216,38 @@ object SparkEntry {
     // candidate-reduction optimization, exactly how it behaves at scale.
     "q22_copurchase" -> ((s, dir) => {
       val minSup = 5
+      // SINGLE-PASS basket build (r11 sweep): the r10 form recomputed the
+      // scan+broadcast-join+distinct relation THREE times (freq, n_orders,
+      // baskets) — 3 full lineitem scans and 3 wide dedup shuffles were
+      // ~2/3 of the 68 s 100× reading. collect_set IS the dedup, so the
+      // pre-basket `.distinct()` exchange is gone entirely, and the basket
+      // relation persists DISK_ONLY (serialized blocks, zero storage-memory
+      // pressure — the r10 OOM came from a MEMORY cache starving the
+      // aggregate's execution memory, not from persistence per se; bench's
+      // clearCache() drops it between reps). freq and n_orders are then
+      // cheap derived passes: explode + map-side-combinable count shuffles
+      // 25 brand rows per task, not 60 M pairs. The A-priori item prune is
+      // an in-array filter against a ONE-ROW broadcast of the frequent
+      // set — no per-element join, sorted order (and with it the a<b pair
+      // enumeration) preserved.
       val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
-      // NOT checkpointed: the three consuming arms re-run a cheap
-      // scan+broadcast-join+distinct, and at 100× the cached relation's
-      // storage pressure starved the basket aggregate's execution memory
-      // (measured OOM) — recompute beats cache here
-      val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val bs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
-      val nOrders = ob.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val freq = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nOrders = bs.agg(count(lit(1)).as("n_orders"))
+      val freq = bs.select(explode(col("bs")).as("p_brand"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
       val frequent = freq.filter(col("n_s") >= minSup) // A-priori item prune
-      val obf = ob.join(broadcast(frequent.select(col("p_brand"))), Seq("p_brand"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("fb"))
       // pair enumeration as an IN-ARRAY expansion over per-order brand
       // sets (baskets are bounded — ≤ |brands| per order), not an
       // order-key self-join: ONE exchange on l_orderkey and a codegen'd
       // nested-loop over a tiny sorted array, vs the join's two arms +
-      // sort-merge (measured 72 s → this shape at 100× data; the basket
-      // relation is also no longer needed twice)
-      val pairs = obf.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      // sort-merge (measured 72 s → this shape at 100× data)
+      val pairs = bs.crossJoin(broadcast(frequent))
+        .select(expr("filter(bs, b -> array_contains(fb, b))").as("bs"))
         .select(explode(expr(
           """flatten(transform(bs, (a, i) ->
             |  transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"""
@@ -1272,18 +1283,23 @@ object SparkEntry {
     // guarantee, not a constant absolute count that degenerates as
     // n_orders grows. Same one-exchange in-array expansion as q22.
     "q22b_copurchase_apriori" -> ((s, dir) => {
+      // same single-pass DISK_ONLY basket build as q22 (see its comment);
+      // only the item prune differs — semantic fractional support instead
+      // of the lossless absolute count
       val pt = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
-      val ob = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val bs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
         .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("p_brand")).distinct()
-      val nOrders = ob.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val freq = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nOrders = bs.agg(count(lit(1)).as("n_orders"))
+      val freq = bs.select(explode(col("bs")).as("p_brand"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_s"))
         .crossJoin(broadcast(nOrders))
         .filter(col("n_s") * 7 >= col("n_orders")) // semantic item prune
-      val obf = ob.join(broadcast(freq.select(col("p_brand"))), Seq("p_brand"))
-      val pairs = obf.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+      val frequent = freq.agg(sort_array(collect_set(col("p_brand"))).as("fb"))
+      val pairs = bs.crossJoin(broadcast(frequent))
+        .select(expr("filter(bs, b -> array_contains(fb, b))").as("bs"))
         .select(explode(expr(
           """flatten(transform(bs, (a, i) ->
             |  transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"""
