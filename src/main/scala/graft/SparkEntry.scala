@@ -2091,6 +2091,28 @@ object SparkEntry {
           coalesce(col("r_mips"), lit(0)).as("r_mips"))
     }),
 
+    // S26 — margin-based bitext mining (ratio margin, Artetxe & Schwenk
+    // 2019 — the parallel-corpus mining scorer): pairs mined ACROSS two
+    // halves of the label space (labels < 5 as the "source language",
+    // >= 5 as the "target") over the d5 sign-LSH candidate relation, each
+    // cosine normalized by the mean of the two endpoints' top-4 candidate
+    // sims — a pair wins by being closer than its endpoints' OTHER
+    // neighbors, the hub-vs-pair separation an absolute cosine threshold
+    // can't make. Cosines floor onto the 1e10 integer grid at candidate
+    // time; denominators are exact integer sums ÷ counts; the margin
+    // double is then computed from integers only via the same IEEE shape
+    // in the oracle, so even the rank-1 margin ordering is bit-identical
+    // (the g1 floor-grid contract). Emits each source's best target at
+    // margin >= 1.05.
+    "s26_margin_mining" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.marginMining(e, "vec_id", "embedding",
+          col("label") < 5, col("label") >= 5, k = 4,
+          Adaptive.signDims(e.count()), minMargin = 1.05)
+        .select(col("src_id"), col("tgt_id"), col("s_e10"),
+          Exact.fmt(col("margin"), 4).as("margin_r"))
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -3894,6 +3916,18 @@ object SparkEntry {
         .select(col("gram"), col("n_ab"), col("n_a"), col("n_b"),
           Exact.fmt(col("pmi"), 4).as("pmi_r"))),
 
+    // T29 — skip-gram co-occurrence counts at window 3 (the word2vec/GloVe
+    // training-prep relation): t12 sees only ADJACENT pairs; the context
+    // window is what embedding trainers actually consume. Pair generation
+    // is an in-array nested transform (narrow, codegen'd, O(len·window)
+    // per row — never a positional self-join, which would shuffle the
+    // token relation `window` times); the only exchange is the groupBy on
+    // the canonical pair, a vocab²-bounded relation map-side combine
+    // crushes. All-integer output — nothing to format.
+    "t29_skipgram" -> ((s, dir) =>
+      TextOps.skipGramPairs(docs(s, dir), "text", window = 3, minCount = 20L)
+        .select(col("w_a"), col("w_b"), col("n_pair"))),
+
     // T11 — BM25 keyword relevance against a fixed query-term set (the
     // lexical retrieval scorer behind Lucene/Elasticsearch; Lucene-form
     // always-positive idf). k1=1.2 / b=0.75 live as source literals
@@ -4308,6 +4342,35 @@ object SparkEntry {
           ev(s, dir).select(col("value")), "value", bands, "lo", "hi", binWidth = 8.0)
         .groupBy(col("band_id"), col("lo"), col("hi"))
         .agg(count(lit(1)).as("n_events"), Exact.sumD(col("value"), 2).as("sum_value"))
+    }),
+
+    // J9 — keyed interval × interval OVERLAP join (j6 is point-in-interval;
+    // this is the two-sided shape behind span alignment — PII spans vs
+    // chunk boundaries, impressions vs sessions). Per USER, clicks become
+    // [v, v+2) and views [v, v+3) intervals on an integer-cent grid
+    // (2-decimal values → exact decimal cast; overlap arithmetic in doubles
+    // would put a ULP under the boundary predicate). Both sides bin-expand
+    // and equi-join on (user, bin); the OWNER-BIN rule (report only in the
+    // bin holding max(lo_a, lo_b), a point every overlapping pair covers)
+    // makes the join dedup-free — no pair-level DISTINCT exchange. The key
+    // is load-bearing at scale: unkeyed, every new interval overlaps a
+    // constant fraction of an ever-denser axis (quadratic in SF); keyed,
+    // per-user density is constant and the output linear. The oracle is
+    // the NAIVE predicate join, deliberately independent of the binning.
+    "j9_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def cents = (col("value").cast("decimal(12,2)") * 100).cast("long")
+      val a = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("uid_a"), col("event_id").as("id_a"),
+          cents.as("lo_a"), (cents + 200).as("hi_a"))
+      val b = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("uid_b"), col("event_id").as("id_b"),
+          cents.as("lo_b"), (cents + 300).as("hi_b"))
+      graft.ops.RangeJoin.overlapViaBins(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+          binWidth = 400L, keys = Seq("uid_a" -> "uid_b"))
+        .select(col("uid_a").as("user_id"), col("id_a"), col("id_b"),
+          (least(col("hi_a"), col("hi_b")) -
+            greatest(col("lo_a"), col("lo_b"))).as("overlap_c"))
     }),
 
     // S6 — ANN quality metric: recall@5 of the IVF(nprobe=2) plan against
@@ -7937,6 +8000,42 @@ object SparkEntry {
         |        ORDER BY score DESC, neighbor_id) AS fused_rank FROM f)
         |WHERE fused_rank <= 10""".stripMargin,
 
+    // Ratio margin over the sign-LSH candidate relation: 1e10 floor-grid
+    // cosines, integer-exact top-4 sums, margin recomputed from integers
+    // via the same IEEE expression shape as the engine (g1 contract).
+    "s26_margin_mining" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+         |           FROM embeddings),
+         |$adaptiveParamsSql,
+         |n AS (SELECT vec_id, label, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+         |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+         |      WHERE list_inner_product(ve, ve) > 0),
+         |cand AS (SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         |    CAST(floor(list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) * 1e10)
+         |         AS BIGINT) AS s_e10
+         |  FROM n a JOIN n b ON a.bucket = b.bucket
+         |                   AND a.label < 5 AND b.label >= 5),
+         |ds AS (SELECT src_id, SUM(s_e10) AS sum_s, COUNT(*) AS cnt_s FROM (
+         |    SELECT src_id, s_e10, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY s_e10 DESC, tgt_id) AS rk FROM cand)
+         |  WHERE rk <= 4 GROUP BY 1),
+         |dt AS (SELECT tgt_id, SUM(s_e10) AS sum_t, COUNT(*) AS cnt_t FROM (
+         |    SELECT tgt_id, s_e10, row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY s_e10 DESC, src_id) AS rk FROM cand)
+         |  WHERE rk <= 4 GROUP BY 1),
+         |m AS (SELECT c.src_id, c.tgt_id, c.s_e10,
+         |    CAST(c.s_e10 AS DOUBLE) * 2 /
+         |      (CAST(d1.sum_s AS DOUBLE) / d1.cnt_s
+         |       + CAST(d2.sum_t AS DOUBLE) / d2.cnt_t) AS margin
+         |  FROM cand c JOIN ds d1 ON c.src_id = d1.src_id
+         |              JOIN dt d2 ON c.tgt_id = d2.tgt_id
+         |  WHERE CAST(d1.sum_s AS DOUBLE) / d1.cnt_s
+         |        + CAST(d2.sum_t AS DOUBLE) / d2.cnt_t > 0)
+         |SELECT src_id, tgt_id, s_e10, printf('%.4f', margin) AS margin_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin DESC, tgt_id) AS rk FROM m)
+         |WHERE rk = 1 AND margin >= CAST('1.05' AS DOUBLE)""".stripMargin,
+
     "s12_mips" -> mipsExactOracle,
 
     // Band pruning is provably lossless, so s15 sits under the SAME exact
@@ -8442,6 +8541,18 @@ object SparkEntry {
            |                    (CAST(n_a AS DOUBLE) * n_b * n_bg))) AS pmi_r
            |FROM j""".stripMargin,
 
+    // Positional self-join (b.i in (a.i+1 .. a.i+3)) — the naive relational
+    // statement of the window; the engine's in-array generation must agree.
+    "t29_skipgram" ->
+      raw"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+           |p AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+           |      FROM w WHERE len(ws) >= 2),
+           |pr AS (SELECT least(a.w, b.w) AS w_a, greatest(a.w, b.w) AS w_b
+           |       FROM p a JOIN p b ON a.doc_id = b.doc_id
+           |                        AND b.i BETWEEN a.i + 1 AND a.i + 3)
+           |SELECT w_a, w_b, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2
+           |HAVING COUNT(*) >= 20""".stripMargin,
+
     // Mirrors TextOps.bm25 expression-for-expression: every step except ln
     // is an exactly rounded IEEE op on identical operands, the constants
     // are the same parsed doubles, and the per-doc sum is an exact
@@ -8859,6 +8970,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
         |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // NAIVE overlap predicate join — deliberately independent of the
+    // engine's bin-expansion + owner-bin plan (the strongest oracle form:
+    // it gates the SEMANTICS, not a mirrored implementation).
+    "j9_interval_join" ->
+      """WITH a AS (SELECT user_id, event_id AS id_a,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS lo_a
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id, event_id AS id_b,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS lo_b
+        |  FROM events WHERE event_type = 'view')
+        |SELECT a.user_id, id_a, id_b,
+        |  least(lo_a + 200, lo_b + 300) - greatest(lo_a, lo_b) AS overlap_c
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |            AND lo_a < lo_b + 300 AND lo_b < lo_a + 200""".stripMargin,
 
     // Both stages of the prefix-rerank replayed with list slicing: prefix
     // cosine over ve[1:16] ranks the shortlist, full-dim cosine reranks.

@@ -457,6 +457,69 @@ object SimilarityOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** Margin-based cross-set pair mining (the ratio margin of Artetxe &
+    * Schwenk 2019 — the standard parallel-corpus / bitext mining scorer):
+    * candidate pairs come from sign-LSH co-bucketing restricted to
+    * src × tgt, and each candidate's cosine is normalized by the mean of
+    * the two endpoints' top-k candidate similarities —
+    * `margin(x,y) = cos(x,y) / ((meanₖ(x) + meanₖ(y)) / 2)` — so a pair
+    * only wins when it is closer than each endpoint's OTHER neighbors
+    * (absolute-cosine thresholds can't separate hubs from true pairs).
+    * Emits each source's rank-1 target with margin ≥ `minMargin`.
+    *
+    * Determinism contract (the g1 floor-grid discipline): cosines are
+    * floored onto the 1e10 integer grid at candidate time; top-k selection
+    * orders by (s_e10 DESC, id) — pure integer ordering; the denominator
+    * means are exact integer sums ÷ exact counts; the margin double is then
+    * computed from integers only, via the same IEEE expression shape on both
+    * engines, so even the final margin ordering is bit-identical.
+    *
+    * Scale shape: the candidate relation is LSH-bounded exactly like d5
+    * (never |src|·|tgt|); the two top-k means are WindowGroupLimit passes
+    * over candidates keyed by each endpoint; the margin join is keyed on
+    * endpoint ids. At 100 TB the retrieval stage swaps to the IVF path and
+    * the margin re-score is unchanged — the denominator is DEFINED over
+    * whatever the retrieval stage returned (that is how FAISS-based mining
+    * pipelines compute it too, k-NN-over-candidates, not k-NN-over-corpus).
+    *
+    * @return (src_id, tgt_id, s_e10, margin) — margin > 0 only kept when
+    *         both endpoint means are positive (a non-positive denominator
+    *         flips the ratio's sign and means the neighborhood is junk). */
+  def marginMining(corpus: DataFrame, idCol: String, vecCol: String,
+                   srcPred: Column, tgtPred: Column, k: Int, signDims: Int,
+                   minMargin: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        srcPred.as("is_src"), tgtPred.as("is_tgt"))
+      .filter(nonZero(col("v")))
+    val bucket = concat_ws("", (0 until signDims).map(i =>
+      when(col("v")(i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val keyed = v.withColumn("bucket", bucket)
+    val cand = keyed.filter(col("is_src")).as("a")
+      .join(keyed.filter(col("is_tgt")).as("b"), col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("src_id"), col("b.id").as("tgt_id"),
+        floor(cosine(col("a.v"), col("b.v")) * lit(1e10)).cast("long").as("s_e10"))
+    def topKMean(keyCol: String, otherCol: String, sumName: String, cntName: String) =
+      cand.withColumn("rk", row_number().over(
+          Window.partitionBy(col(keyCol)).orderBy(col("s_e10").desc, col(otherCol))))
+        .filter(col("rk") <= k)
+        .groupBy(col(keyCol))
+        .agg(sum(col("s_e10")).as(sumName), count(lit(1)).as(cntName))
+    val dS = topKMean("src_id", "tgt_id", "sum_s", "cnt_s")
+    val dT = topKMean("tgt_id", "src_id", "sum_t", "cnt_t")
+    val scored = cand.join(dS, "src_id").join(dT, "tgt_id")
+      .withColumn("mean_sum",
+        col("sum_s").cast("double") / col("cnt_s") +
+        col("sum_t").cast("double") / col("cnt_t"))
+      .filter(col("mean_sum") > 0)
+      .withColumn("margin", col("s_e10").cast("double") * 2 / col("mean_sum"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id"))))
+      .filter(col("rk") === 1 && col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("s_e10"), col("margin"))
+  }
+
   /** Shared blocking+scoring core of [[embeddingNearDupPairs]] and
     * [[knnGraph]]: DISTINCT same-bucket (any rotation) candidate id pairs
     * (id_a < id_b), vectors joined back once per pair, cosine-scored. */

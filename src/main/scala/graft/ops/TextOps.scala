@@ -255,6 +255,39 @@ object TextOps {
     * (broadcast-small); totals are one broadcast row each. Docs with < 2
     * tokens are excluded from BOTH counts (wordGrams degenerates there).
     */
+  /** Skip-gram co-occurrence counts (the word2vec/GloVe training-prep
+    * relation, Mikolov et al. 2013): every token pairs with the `window`
+    * tokens FOLLOWING it (distance 1..window), pairs canonicalized unordered
+    * (lexicographic least/greatest — binary collation on both engines), and
+    * counted corpus-wide. Distinct from [[bigramPmi]], which sees only
+    * adjacent pairs: the context window is what embedding trainers consume.
+    *
+    * Scale shape: pair generation is NARROW — an in-array nested transform +
+    * flatten + explode, all codegen'd builtins, O(len·window) per row. The
+    * positional-self-join alternative (join tokens on (doc, pos±d)) would
+    * shuffle the token relation `window` times for the same result. The only
+    * exchange is the final groupBy on the pair string, a vocabulary²-bounded
+    * relation that map-side partial aggregation crushes before the shuffle.
+    * Docs with < 2 tokens generate nothing (and are filtered before the
+    * sequence() call — sequence(0,-1) would step downward, not return []). */
+  def skipGramPairs(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                    window: Int, minCount: Long): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ws = tokens(col(textCol))
+    val pairs = flatten(transform(sequence(lit(0), size(ws) - 2), i =>
+      transform(sequence(i + 1, least(i + lit(window), size(ws) - 1)), j => {
+        val a = element_at(ws, i + 1) // element_at is 1-based
+        val b = element_at(ws, j + 1)
+        concat_ws(" ", least(a, b), greatest(a, b))
+      })))
+    corpus.filter(size(tokens(col(textCol))) >= 2)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .select(split(col("pair"), " ").getItem(0).as("w_a"),
+        split(col("pair"), " ").getItem(1).as("w_b"), col("n_pair"))
+  }
+
   def bigramPmi(corpus: org.apache.spark.sql.DataFrame, textCol: String,
                 minCount: Long): org.apache.spark.sql.DataFrame = {
     val t2 = corpus.filter(size(tokens(col(textCol))) >= 2)

@@ -1319,4 +1319,55 @@ class OpsSpec extends SparkSpec {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l }
     assert(scans.size === 1, s"expected one scan, got ${scans.size}")
   }
+
+  test("skipGramPairs: windowed canonical pairs, hand-computed counts") {
+    val corpus = Seq((1L, "a b c a"), (2L, "b a"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    // doc1 [a b c a], w=2: (a,b)(a,c)(b,c)(b,a)(c,a) → "a b"×2 "a c"×2 "b c"×1
+    // doc2 [b a] → "a b"; docs 3/4 generate nothing (< 2 tokens)
+    val out = TextOps.skipGramPairs(corpus, "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("a", "b") -> 3L, ("a", "c") -> 2L, ("b", "c") -> 1L))
+    val cut = TextOps.skipGramPairs(corpus, "text", window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(cut === Set(("a", "b"), ("a", "c")))
+  }
+
+  test("overlapViaBins: overlap semantics, touching excluded, pairs unique") {
+    val left = Seq((1L, 0L, 10L), (2L, 8L, 12L), (3L, 20L, 25L))
+      .toDF("id_a", "lo_a", "hi_a")
+    val right = Seq((10L, 5L, 9L), (11L, 10L, 30L), (12L, 24L, 26L))
+      .toDF("id_b", "lo_b", "hi_b")
+    // binWidth 5 makes every interval span >1 bin — the owner-bin rule is
+    // what keeps each pair single; a regression shows up as duplicates
+    val rows = graft.ops.RangeJoin.overlapViaBins(
+        left, "lo_a", "hi_a", right, "lo_b", "hi_b", binWidth = 5L)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(rows.size === rows.toSet.size, s"duplicate pairs in $rows")
+    // [0,10)×[10,30) touch at 10 — half-open intervals do NOT overlap
+    assert(rows.toSet === Set((1L, 10L), (2L, 10L), (2L, 11L),
+      (3L, 11L), (3L, 12L)))
+  }
+
+  test("marginMining: rank-1 per source by ratio margin, zero vecs dropped") {
+    val df = Seq(
+      (1L, Array(1f, 0.01f)),  // src A — best target is 10 (near-parallel)
+      (2L, Array(0.01f, 1f)),  // src B — best target is 11
+      (3L, Array(0f, 0f)),     // zero vector: filtered, never emitted
+      (10L, Array(1f, 0f)),
+      (11L, Array(0.01f, 1f)),
+      (12L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.marginMining(df, "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") >= 10, k = 2, signDims = 1,
+        minMargin = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(1L, 2L), s"one row per live source: $out")
+    assert(out(1L) === 10L && out(2L) === 11L)
+    // a high minMargin empties the result rather than erroring
+    val none = SimilarityOps.marginMining(df, "vec_id", "embedding",
+        col("vec_id") < 10, col("vec_id") >= 10, k = 2, signDims = 1,
+        minMargin = 99.0).count()
+    assert(none === 0L)
+  }
 }
