@@ -190,4 +190,44 @@ class PlansSpec extends SparkSpec {
     assert(!geo2.queryExecution.executedPlan.toString.contains("Window"),
       "geo2 argmin must be a partial aggregate, not a window sort")
   }
+
+  test("gate plan shapes: t29 join-free, j9 distinct-free equi-join, s26 no nested loop") {
+    // the round-11 additions' load-bearing plan properties:
+    //  - t29_skipgram: pair generation is in-array — no join, one scan;
+    //  - j9_interval_join: the owner-bin rule means NO pair-level dedup
+    //    (no Aggregate/Deduplicate at all) and the overlap predicate rides
+    //    an equi-join on (user, bin), never a nested loop;
+    //  - s26_margin_mining: every join is an equi-join (bucket / id keys) —
+    //    a nested-loop anywhere means the LSH blocking fell out of the plan.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plans-gates2").toString
+    (1L to 40L).map(i => (i, new java.sql.Timestamp(1700000000000L + i * 60000),
+        i % 5, Seq("click", "view", "purchase")(i.toInt % 3), (i % 7) * 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 2}", "en", "s0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (1L to 40L).map(i => (i, Array.tabulate(8)(d =>
+        (((i * 31 + d * 17) % 13) - 6).toFloat / 6f), (i % 10).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val t29 = SparkEntry.queries("t29_skipgram")(spark, dir)
+    val t29Plan = t29.queryExecution.executedPlan.toString
+    assert(!t29Plan.contains("Join"), s"t29 must not join:\n$t29Plan")
+    assert(t29Plan.split("\n").count(_.contains("Scan parquet")) === 1,
+      "t29 reads the corpus once")
+    assert(t29.count() > 0)
+    val j9 = SparkEntry.queries("j9_interval_join")(spark, dir)
+    val j9Plan = j9.queryExecution.executedPlan.toString
+    assert(!j9Plan.contains("NestedLoop") && !j9Plan.contains("CartesianProduct"),
+      s"j9 overlap must ride the bin equi-join:\n$j9Plan")
+    assert(!j9Plan.contains("HashAggregate") && !j9Plan.contains("Deduplicate"),
+      s"owner-bin rule makes j9 dedup-free:\n$j9Plan")
+    assert(j9.count() > 0)
+    val s26 = SparkEntry.queries("s26_margin_mining")(spark, dir)
+    val s26Plan = s26.queryExecution.executedPlan.toString
+    assert(!s26Plan.contains("NestedLoop") && !s26Plan.contains("CartesianProduct"),
+      s"s26 candidates come from the bucket equi-join:\n$s26Plan")
+  }
 }
