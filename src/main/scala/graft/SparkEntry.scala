@@ -2926,6 +2926,43 @@ object SparkEntry {
             4).as("med_r"))
     }),
 
+    // MON14 — exact two-sample Kolmogorov–Smirnov drift per event_type
+    // against the 'click' reference: KS = max |F_t(x) − F_ref(x)| over the
+    // pooled value grid — the bin-free companion of mon11's PSI (PSI sees
+    // only what its bins resolve; KS is exact at every observed point).
+    // Integer-exact end to end by cross-multiplication: the sup compares
+    // |cum_t·n_ref − cum_ref·n_t| (longs), and the statistic ships as basis
+    // points by integral division — no double ever reaches the max or the
+    // output. Scale shape: the windowed (cumulative-count) relation is the
+    // DISTINCT-VALUE grid × type count — value-space-sized (≤49k
+    // two-decimal cents here), CONSTANT in corpus size; the corpus itself
+    // passes through one groupBy and is never windowed.
+    "mon14_ks_drift" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val counts = e.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val grid = counts.select(col("value")).distinct()
+      val types = counts.select(col("event_type")).distinct()
+      val full = grid.crossJoin(broadcast(types))
+        .join(counts, Seq("event_type", "value"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = full.withColumn("cum", sum(col("c")).over(wCum))
+      val totals = counts.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+      val cur = cum.join(totals, "event_type")
+      val ref = cur.filter(col("event_type") === "click")
+        .select(col("value"), col("cum").as("cum_ref"), col("n").as("nr"))
+      cur.filter(col("event_type") =!= "click")
+        .join(ref, "value")
+        .groupBy(col("event_type"))
+        .agg(max(abs(col("cum") * col("nr") - col("cum_ref") * col("n")))
+            .as("ks_num"),
+          max(col("n")).as("n_cur"), max(col("nr")).as("n_ref"))
+        .select(col("event_type"), col("n_cur"), col("n_ref"),
+          expr("ks_num * 10000 div (n_cur * n_ref)").as("ks_bp"))
+    }),
+
     // O5 — ordered series collection (DeepAR target arrays, preprocess.py:123-128).
     "o5_series" -> ((s, dir) => {
       val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -4086,6 +4123,37 @@ object SparkEntry {
         .filter(col("cum_tok") <= 256)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("n_tok"), col("cum_tok"))
+    }),
+
+    // X17 — dedup-aware sampling weights ("soft dedup"): instead of
+    // dropping near-duplicates, every doc gets weight 1/|cluster| over the
+    // d6 near-dup clustering (singletons weigh 1), so a duplicated document
+    // contributes ~once in expectation to the training mixture — the
+    // repetition-aware alternative to hard removal that data-constrained
+    // scaling work (Muennighoff et al. 2023) prefers when the corpus is the
+    // bottleneck. Weights ship as integer basis points (10000 div size —
+    // IntegralDivide, BIGINT on both engines); effective tokens =
+    // n_tokens · weight_bp, still integer — nothing to format. Scale =
+    // d6's (bucketed LSH + CC over the dup-pair graph, linear in corpus)
+    // plus one shuffle join back to the corpus on doc_id.
+    "x17_dedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+      val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val labeled = DedupOps.connectedComponents(pairs)
+      val sizes = labeled.join(
+          labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cs")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cs"))
+      d.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(sizes, Seq("doc_id"), "left")
+        .withColumn("cluster_size", coalesce(col("cs"), lit(1L)))
+        .withColumn("weight_bp", expr("10000 div cluster_size"))
+        .select(col("doc_id"), col("cluster_size"), col("weight_bp"),
+          col("n_tokens"),
+          (col("n_tokens") * col("weight_bp")).as("eff_tokens_bp"))
     }),
 
     // X4 — benchmark decontamination: train docs sharing a word 4-gram with
@@ -7553,6 +7621,32 @@ object SparkEntry {
         |  END) AS med_r
         |FROM f""".stripMargin,
 
+    // Exact KS by cross-multiplication over the pooled value grid — the
+    // naive relational statement; no windowed corpus, no doubles.
+    "mon14_ks_drift" ->
+      """WITH counts AS (SELECT event_type, value, count(*) AS c
+        |    FROM events GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT value FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |filled AS (SELECT t.event_type, g.value, COALESCE(c.c, 0) AS c
+        |  FROM grid g CROSS JOIN types t
+        |  LEFT JOIN counts c ON c.event_type = t.event_type AND c.value = g.value),
+        |cum AS (SELECT event_type, value,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM filled),
+        |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM counts GROUP BY 1),
+        |cur AS (SELECT cm.event_type, cm.value, cm.cum, t.n
+        |  FROM cum cm JOIN tot t USING (event_type)),
+        |ref AS (SELECT value, cum AS cum_ref, n AS nr FROM cur
+        |  WHERE event_type = 'click')
+        |SELECT event_type, max(n) AS n_cur, max(nr) AS n_ref,
+        |  CAST(max(abs(cum * nr - cum_ref * n)) * 10000
+        |       // (max(n) * max(nr)) AS BIGINT) AS ks_bp
+        |FROM cur JOIN ref USING (value) WHERE event_type <> 'click'
+        |GROUP BY 1""".stripMargin,
+
     // The streaming replay must equal the batch closed form exactly.
     "e2e_hysteresis" ->
       """WITH m AS (SELECT user_id, ts, event_id,
@@ -7753,6 +7847,36 @@ object SparkEntry {
     // Same contract, computed by alternating large-star/small-star rounds —
     // the labeling must be identical to d6's.
     "d6b_clusters_alternating" -> clusterOracle,
+
+    // d6's clustering joined back to the FULL corpus: singletons weigh
+    // 10000 bp, members 10000 // size — all-integer soft-dedup weights.
+    "x17_dedup_weights" -> {
+      val eq = (0 until 16).map(i =>
+        s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |scored AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+         |          UNION SELECT id_b, id_a FROM scored),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1),
+         |w AS (SELECT l.id AS doc_id, s.n FROM lab l JOIN sizes s USING (cluster_id)),
+         |base AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len($toksSql) AS BIGINT) END AS n_tokens
+         |  FROM documents)
+         |SELECT b.doc_id, CAST(COALESCE(w.n, 1) AS BIGINT) AS cluster_size,
+         |  CAST(10000 // COALESCE(w.n, 1) AS BIGINT) AS weight_bp,
+         |  b.n_tokens,
+         |  b.n_tokens * CAST(10000 // COALESCE(w.n, 1) AS BIGINT) AS eff_tokens_bp
+         |FROM base b LEFT JOIN w ON b.doc_id = w.doc_id""".stripMargin
+    },
 
     // d2b runs the same logical query against a materialized signature
     // table — the result is identical by construction.

@@ -1350,6 +1350,43 @@ class OpsSpec extends SparkSpec {
       (3L, 11L), (3L, 12L)))
   }
 
+  test("mon14 KS drift: hand-computed cross-multiplied statistic") {
+    // ref (click) = [1,2,3], cur (view) = [2,3,3,4]:
+    // pooled grid 1..4; |cum_v*3 - cum_c*4| = 4,5,3,0 → ks_num 5
+    // → ks_bp = 5*10000 div 12 = 4166 (true KS 5/12)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ks-fixture").toString
+    val rows =
+      Seq(1.0 -> "click", 2.0 -> "click", 3.0 -> "click",
+          2.0 -> "view", 3.0 -> "view", 3.0 -> "view", 4.0 -> "view")
+    rows.zipWithIndex.map { case ((v, t), i) =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000), 1L, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("mon14_ks_drift")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet === Set("view"))
+    assert(out("view") === ((4L, 3L, 4166L)))
+  }
+
+  test("x17 dedup weights: members weigh 10000 div size, singletons 10000") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("w-fixture").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, dup), (2L, dup), (3L, dup), (4L, "one two three four"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x17_dedup_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 3333L, 8L, 8L * 3333L)))
+    assert(out(2L) === ((3L, 3333L, 8L, 8L * 3333L)))
+    assert(out(3L) === ((3L, 3333L, 8L, 8L * 3333L)))
+    assert(out(4L) === ((1L, 10000L, 4L, 40000L)))
+  }
+
   test("marginMining: rank-1 per source by ratio margin, zero vecs dropped") {
     val df = Seq(
       (1L, Array(1f, 0.01f)),  // src A — best target is 10 (near-parallel)
