@@ -66,6 +66,12 @@ object RangeJoin {
     * predicate is a correctness bug, not a tie-break detail). Left and
     * right column names must be disjoint.
     *
+    * EMPTY intervals (hi <= lo) match NOTHING — the set-semantics reading
+    * of [lo, hi). Note this is stricter than the naive SQL predicate
+    * `a.lo < b.hi AND b.lo < a.hi`, which wrongly claims an empty interval
+    * sitting strictly inside a non-empty one "overlaps" it; that predicate
+    * is only a correct overlap test when both intervals are non-empty.
+    *
     * `keys` adds equi-join key pairs (leftCol, rightCol) ALONGSIDE the bin —
     * the production shape: an unkeyed interval join over an axis whose
     * density grows with the corpus is inherently quadratic (every new

@@ -1348,6 +1348,69 @@ class OpsSpec extends SparkSpec {
     // [0,10)×[10,30) touch at 10 — half-open intervals do NOT overlap
     assert(rows.toSet === Set((1L, 10L), (2L, 10L), (2L, 11L),
       (3L, 11L), (3L, 12L)))
+    // empty interval [6,6) inside [5,9): set semantics says no match
+    // (the naive a.lo<b.hi AND b.lo<a.hi predicate would wrongly say yes)
+    val withEmpty = Seq((9L, 6L, 6L)).toDF("id_a", "lo_a", "hi_a")
+    assert(graft.ops.RangeJoin.overlapViaBins(
+      withEmpty, "lo_a", "hi_a", right, "lo_b", "hi_b", binWidth = 5L)
+      .count() === 0L)
+    // keyed form: same intervals only match under equal keys
+    val lk = Seq((1L, 0L, 10L, "u1"), (2L, 0L, 10L, "u2"))
+      .toDF("id_a", "lo_a", "hi_a", "k_a")
+    val rk = Seq((10L, 5L, 9L, "u1")).toDF("id_b", "lo_b", "hi_b", "k_b")
+    val keyed = graft.ops.RangeJoin.overlapViaBins(
+        lk, "lo_a", "hi_a", rk, "lo_b", "hi_b", binWidth = 5L,
+        keys = Seq("k_a" -> "k_b"))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keyed === Set((1L, 10L)))
+  }
+
+  test("overlapViaBins: randomized intervals equal the naive predicate join") {
+    // 150×150 random non-empty intervals, lengths 1-40 over [0,400) with a
+    // binWidth (16) far from any length — bins both under- and over-sized
+    // relative to intervals, so expansion and the owner-bin rule both get
+    // exercised off the happy path
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val lo = rnd.nextInt(400).toLong
+      (tag match { case "a" => i.toLong; case _ => 1000L + i },
+        lo, lo + 1 + rnd.nextInt(40))
+    }
+    val l = mk(150, "a").toDF("id_a", "lo_a", "hi_a")
+    val r = mk(150, "b").toDF("id_b", "lo_b", "hi_b")
+    val got = graft.ops.RangeJoin.overlapViaBins(
+        l, "lo_a", "hi_a", r, "lo_b", "hi_b", binWidth = 16L)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(got.size === got.toSet.size, "owner-bin rule must not duplicate")
+    val naive = l.crossJoin(r)
+      .filter(col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+      .select(col("id_a"), col("id_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.toSet === naive, s"|naive|=${naive.size} |got|=${got.size}")
+    assert(naive.size > 500, s"fixture must exercise the join (${naive.size})")
+  }
+
+  test("skipGramPairs: randomized corpus equals a naive Scala count") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docsL = (0 until 80).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(5)))
+        .mkString(" "))
+    }
+    val w = 3
+    val naive = docsL.flatMap { case (_, t) =>
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.trim.isEmpty || ws.length < 2) Nil
+      else for {
+        i <- ws.indices; j <- (i + 1) to math.min(i + w, ws.length - 1)
+      } yield (Seq(ws(i), ws(j)).min, Seq(ws(i), ws(j)).max)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = TextOps.skipGramPairs(docsL.toDF("doc_id", "text"), "text", w, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === naive, s"diff=${(got.toSet diff naive.toSet).take(5)}")
+    assert(naive.values.sum > 500, "fixture must generate real volume")
   }
 
   test("mon14 KS drift: hand-computed cross-multiplied statistic") {
