@@ -3844,6 +3844,39 @@ object SparkEntry {
           col("n_tokens"), col("seq_first"), col("seq_last"))
     }),
 
+    // C4 — soft-dedup-weighted data mixture, the composed pipeline behind
+    // x17 + x13: near-dup clusters (d6) → per-doc weight 1/|cluster| →
+    // per-SOURCE effective tokens Σ n_tokens·weight_bp → √-temperature
+    // largest-remainder allocation over effective (not raw) mass → salted
+    // hash-rank picks. The composition is the point: a source that padded
+    // itself with near-duplicates gets the share its UNIQUE content earns —
+    // proportional-to-raw-count mixing (x13 on row counts) rewards
+    // duplication; this pipeline removes that incentive without dropping a
+    // single row. All-integer end to end (the weight grid + the 1e6 sqrt
+    // grid + largest remainder); scale = d6's clustering + one corpus join
+    // + a strata-sized quota broadcast.
+    "c4_weighted_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+      val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
+        .filter(col("est_jaccard") >= 0.5)
+      val labeled = DedupOps.connectedComponents(pairs)
+      val sizes = labeled.join(
+          labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cs")),
+          "cluster_id")
+        .select(col("id").as("doc_id"), col("cs"))
+      val weighted = d
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(sizes, Seq("doc_id"), "left")
+        .withColumn("eff_bp",
+          col("n_tokens") * expr("10000 div coalesce(cs, 1)"))
+      graft.ops.Sampling.temperatureExactWeighted(weighted, col("doc_id"),
+          col("source"), col("eff_bp"), total = 300, salt = "c4")
+        .select(col("stratum").as("source"), col("key").as("doc_id"),
+          col("pick_rank"), col("eff_w"), col("quota"))
+    }),
+
     // X2 — sequence packing (LLM dataloader): docs concatenated in doc_id
     // order, sliced into 512-token training sequences with docs splitting
     // at boundaries. The assignment is arithmetic over an exclusive global
@@ -7876,6 +7909,58 @@ object SparkEntry {
          |  b.n_tokens,
          |  b.n_tokens * CAST(10000 // COALESCE(w.n, 1) AS BIGINT) AS eff_tokens_bp
          |FROM base b LEFT JOIN w ON b.doc_id = w.doc_id""".stripMargin
+    },
+
+    // x17's weight chain composed with x13's quota/pick machinery over
+    // per-source EFFECTIVE token mass (1e6 sqrt grid, largest remainder).
+    "c4_weighted_mix" -> {
+      val eq = (0 until 16).map(i =>
+        s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('c4:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $minhashCtes,
+         |scored AS (
+         |  SELECT p.id_a, p.id_b FROM pairs p
+         |  JOIN sig sa ON p.id_a = sa.doc_id JOIN sig sb ON p.id_b = sb.doc_id
+         |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+         |          UNION SELECT id_b, id_a FROM scored),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |csz AS (SELECT cluster_id, count(*) AS n FROM lab GROUP BY 1),
+         |w AS (SELECT l.id AS doc_id, s.n FROM lab l JOIN csz s USING (cluster_id)),
+         |base AS (SELECT doc_id, source,
+         |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(len($toksSql) AS BIGINT) END AS n_tokens
+         |  FROM documents),
+         |eff AS (SELECT b.doc_id, b.source,
+         |    b.n_tokens * CAST(10000 // COALESCE(w.n, 1) AS BIGINT) AS eff_bp
+         |  FROM base b LEFT JOIN w ON b.doc_id = w.doc_id),
+         |sz AS (SELECT source AS stratum, CAST(SUM(eff_bp) AS BIGINT) AS eff_w
+         |  FROM eff GROUP BY 1),
+         |wv AS (SELECT stratum, eff_w,
+         |    CAST(floor(sqrt(CAST(eff_w AS DOUBLE)) * 1e6) AS BIGINT) AS w6
+         |  FROM sz),
+         |wt AS (SELECT CAST(SUM(w6) AS BIGINT) AS w_tot FROM wv),
+         |q0 AS (SELECT stratum, eff_w, 300 * w6 // w_tot AS q_floor,
+         |    (300 * w6) % w_tot AS rem FROM wv CROSS JOIN wt),
+         |qr AS (SELECT stratum, eff_w, q_floor, rem,
+         |    row_number() OVER (ORDER BY rem DESC, stratum) AS extra_rank,
+         |    300 - SUM(q_floor) OVER () AS n_extra FROM q0),
+         |q AS (SELECT stratum, eff_w,
+         |    CAST(q_floor + CASE WHEN extra_rank <= n_extra THEN 1 ELSE 0 END
+         |         AS BIGINT) AS quota
+         |  FROM qr),
+         |h AS (SELECT source AS stratum, doc_id,
+         |    row_number() OVER (PARTITION BY source ORDER BY ($hexVal), doc_id)
+         |      AS pick_rank
+         |  FROM documents)
+         |SELECT h.stratum AS source, h.doc_id, h.pick_rank, q.eff_w, q.quota
+         |FROM h JOIN q USING (stratum) WHERE h.pick_rank <= q.quota""".stripMargin
     },
 
     // d2b runs the same logical query against a materialized signature

@@ -97,6 +97,52 @@ object Sampling {
       .select(col("stratum"), col("key"), col("pick_rank"))
   }
 
+  /** [[temperatureExact]] with a per-row WEIGHT instead of a row count:
+    * strata are sized by Σweight — here soft-dedup effective tokens, so a
+    * source full of near-duplicates gets the share its UNIQUE content
+    * earns, not its inflated row count. Shares follow (Σw)^(1/2) on a 1e6
+    * floor grid — 1e6 rather than temperatureExact's 1e10 because
+    * `total · w` must stay inside BIGINT on BOTH engines at any corpus
+    * size (the q22 overflow lesson, solved by grid choice instead of
+    * decimal promotion: sqrt keeps the grid value ~√Σw·1e6, so even a
+    * 10^18-token stratum stays ~3e15). Quotas by largest remainder, picks
+    * by salted hash rank within the stratum — all integer downstream.
+    *
+    * @return (stratum, key, pick_rank, eff_w, quota) for picked rows. */
+  def temperatureExactWeighted(df: DataFrame, key: Column, stratum: Column,
+                               weight: Column, total: Int,
+                               salt: String = "tempw"): DataFrame = {
+    require(total >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(stratum.as("stratum"), key.as("key"), weight.as("w"))
+    val sizes = rows.groupBy(col("stratum"))
+      .agg(sum(col("w")).as("eff_w"))
+      .withColumn("w6",
+        floor(sqrt(col("eff_w").cast("double")) * lit(1e6)).cast("long"))
+    val withW = sizes.crossJoin(broadcast(
+      sizes.agg(sum(col("w6")).as("w_tot"))))
+    val floorsSum = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val quotas = withW.select(col("stratum"), col("eff_w"),
+        expr(s"$total * w6 div w_tot").as("q_floor"),
+        expr(s"($total * w6) % w_tot").as("rem"))
+      .withColumn("extra_rank",
+        row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
+      .withColumn("n_extra",
+        (lit(total) - sum(col("q_floor")).over(floorsSum)).cast("long"))
+      .select(col("stratum"), col("eff_w"),
+        (col("q_floor") +
+          when(col("extra_rank") <= col("n_extra"), 1L).otherwise(0L))
+          .as("quota"))
+    rows.withColumn("pick_rank", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(hash32(col("key"), salt), col("key"))))
+      .join(broadcast(quotas), "stratum")
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("stratum"), col("key"), col("pick_rank"),
+        col("eff_w"), col("quota"))
+  }
+
   /** √-temperature stratified allocation — the multilingual-balancing
     * sampler (quota_l ∝ n_l^(1/2)): big languages are down-weighted, small
     * ones up-weighted relative to proportional sampling, the standard

@@ -1450,6 +1450,33 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) === ((1L, 10000L, 4L, 40000L)))
   }
 
+  test("c4 weighted mix: duplicate padding earns no extra mixture share") {
+    // source u: 4 distinct 8-token docs → eff 4·8·10000 = 320000
+    // source p: 4 COPIES of one 8-token doc → cluster of 4, weight 2500
+    //   each → eff 80000 — exactly one doc's worth
+    // √-temperature: w_u = 2·w_p exactly (sqrt(4x) = 2·sqrt(x) in IEEE),
+    // so c4's 300 seats split 200/100 with zero remainders — pinned exactly
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("c4-fixture").toString
+    val uniq = (0 until 4).map(i =>
+      (1L + i, (0 until 8).map(j => s"u${i}w$j").mkString(" "), "u"))
+    val dupText = (0 until 8).map(j => s"pw$j").mkString(" ")
+    val padded = (0 until 4).map(i => (11L + i, dupText, "p"))
+    (uniq ++ padded).map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("c4_weighted_mix")(spark, dir).collect()
+    val byCols = out.map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+      r.getLong(3), r.getLong(4)))
+    val quotas = byCols.map(t => t._1 -> t._5).toMap
+    val effs = byCols.map(t => t._1 -> t._4).toMap
+    assert(effs === Map("u" -> 320000L, "p" -> 80000L))
+    assert(quotas === Map("u" -> 200L, "p" -> 100L))
+    // quotas exceed the tiny strata, so every doc is picked — the pinned
+    // fact is the SHARE (2:1 despite equal raw doc counts)
+    assert(byCols.count(_._1 == "u") === 4 && byCols.count(_._1 == "p") === 4)
+  }
+
   test("marginMining: rank-1 per source by ratio margin, zero vecs dropped") {
     val df = Seq(
       (1L, Array(1f, 0.01f)),  // src A — best target is 10 (near-parallel)
