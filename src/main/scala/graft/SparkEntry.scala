@@ -3998,6 +3998,18 @@ object SparkEntry {
       TextOps.skipGramPairs(docs(s, dir), "text", window = 3, minCount = 20L)
         .select(col("w_a"), col("w_b"), col("n_pair"))),
 
+    // T30 — RAKE keyword extraction (Rose et al. 2010): stopword-free token
+    // runs as candidate phrases (gaps-and-islands per doc), scored by the
+    // sum of their words' co-occurrence-degree / frequency ratios — the
+    // phrase-level extraction pass beside t6's unigram top-terms and t11's
+    // query-anchored BM25. Integer-exact: per-word score is deg·1e6 div
+    // freq, phrase score an integer sum — no double reaches the output.
+    // Islands window partitions by DOC; the score join hits the
+    // vocabulary-bounded word-stat relation.
+    "t30_rake_keywords" -> ((s, dir) =>
+      TextOps.rakeKeywords(docs(s, dir), "doc_id", "text")
+        .select(col("phrase"), col("n_words"), col("n_occ"), col("score_e6"))),
+
     // T11 — BM25 keyword relevance against a fixed query-term set (the
     // lexical retrieval scorer behind Lucene/Elasticsearch; Lucene-form
     // always-positive idf). k1=1.2 / b=0.75 live as source literals
@@ -8761,6 +8773,33 @@ object SparkEntry {
            |                        AND b.i BETWEEN a.i + 1 AND a.i + 3)
            |SELECT w_a, w_b, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2
            |HAVING COUNT(*) >= 20""".stripMargin,
+
+    // Islands via pos − row_number over non-stop tokens; deg = Σ(len−1)
+    // over phrase instances; integral per-word score, integer phrase sum.
+    "t30_rake_keywords" ->
+      raw"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents
+           |           WHERE length(trim(text)) > 0),
+           |p0 AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+           |       FROM t),
+           |ns AS (SELECT doc_id, w, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |  FROM p0 WHERE w NOT IN ('the','a','an','and','of','to','in','is')),
+           |ph AS (SELECT doc_id, isl, string_agg(w, ' ' ORDER BY pos) AS phrase,
+           |    count(*) AS n_words FROM ns GROUP BY 1, 2),
+           |ph2 AS (SELECT phrase, CAST(n_words AS INT) AS n_words FROM ph
+           |  WHERE n_words BETWEEN 2 AND 4),
+           |wstat AS (SELECT w, count(*) AS freq,
+           |    CAST(SUM(n_words - 1) AS BIGINT) AS deg
+           |  FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM ph2)
+           |  GROUP BY 1),
+           |wsc AS (SELECT w, deg * 1000000 // freq AS score_e6 FROM wstat),
+           |occ AS (SELECT phrase, n_words, count(*) AS n_occ FROM ph2
+           |  GROUP BY 1, 2 HAVING count(*) >= 1),
+           |ex AS (SELECT phrase, n_words, n_occ,
+           |    unnest(string_split(phrase, ' ')) AS w FROM occ)
+           |SELECT e.phrase, e.n_words, e.n_occ,
+           |  CAST(SUM(s.score_e6) AS BIGINT) AS score_e6
+           |FROM ex e JOIN wsc s USING (w) GROUP BY 1, 2, 3""".stripMargin,
 
     // Mirrors TextOps.bm25 expression-for-expression: every step except ln
     // is an exactly rounded IEEE op on identical operands, the constants

@@ -512,6 +512,59 @@ object TextOps {
     * separator — cannot occur in whitespace-split tokens). */
   val BpeSep = "\u001f"
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs (gaps-and-islands per doc), scored by
+    * summing their words' degree/frequency ratios — words that habitually
+    * co-occur inside long candidate phrases outrank frequent-but-isolated
+    * ones. deg(w) here is Σ over phrase instances containing w of
+    * (len − 1), i.e. CO-OCCURRING positions only (the common RAKE variant
+    * that scores a lone word 0 rather than 1 — stated, since both exist in
+    * the literature); score(w) = deg·1e6 div freq (integer-exact — a
+    * rationals sum via per-word integral division, engine-identical);
+    * phrase score = Σ over its token positions.
+    *
+    * Scale shape: the islands window partitions by DOC (never global); the
+    * phrase/word relations are output-sized; the score join is against the
+    * word-stat relation (vocabulary-bounded). Phrase length is filtered to
+    * [minLen, maxLen] AFTER islanding — an island is doc-bounded, so no
+    * intermediate exceeds the token relation.
+    *
+    * @return (phrase, n_words, n_occ, score_e6). */
+  def rakeKeywords(corpus: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = defaultStopwords,
+                   minLen: Int = 2, maxLen: Int = 4,
+                   minOcc: Long = 1L): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen)
+    import org.apache.spark.sql.expressions.Window
+    val sw = array(stopwords.map(lit): _*)
+    val toks = corpus
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("did"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy(col("did")).orderBy(col("pos"))
+    val phrases = toks.filter(!array_contains(sw, col("w")))
+      .withColumn("isl", col("pos") - row_number().over(wDoc))
+      .groupBy(col("did"), col("isl"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(transform(col("pw"), p => p.getField("w")).as("wsArr"))
+      .withColumn("n_words", size(col("wsArr")))
+      .filter(col("n_words").between(minLen, maxLen))
+      .select(concat_ws(" ", col("wsArr")).as("phrase"), col("n_words"))
+    val scores = phrases.select(col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words") - 1).as("deg"))
+      .select(col("w"), expr("deg * 1000000 div freq").as("score_e6"))
+    phrases.groupBy(col("phrase"), col("n_words"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(scores, "w")
+      .groupBy(col("phrase"), col("n_words"), col("n_occ"))
+      .agg(sum(col("score_e6")).as("score_e6"))
+  }
+
   /** Learned BPE merge table (Sennrich et al. '16 training loop, t28): R
     * rounds of [count adjacent symbol pairs over the vocabulary, weighted
     * by word frequency → merge the most frequent pair everywhere]. Returns

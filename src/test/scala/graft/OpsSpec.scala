@@ -1413,6 +1413,25 @@ class OpsSpec extends SparkSpec {
     assert(naive.values.sum > 500, "fixture must generate real volume")
   }
 
+  test("rakeKeywords: islands, deg/freq scores, within-phrase duplicates") {
+    // doc1 "red fox and blue fox" → islands [red fox], [blue fox]
+    // doc2 "red fox runs" → [red fox runs]
+    // doc3 "go go club" → [go go club] (duplicate word scored per position)
+    // red: freq 2, deg 1+2=3 → 1500000; fox: freq 3, deg 4 → 1333333
+    // blue: 1/1 → 1000000; runs: 1/2 → 2000000; go: 2/4 → 2000000; club: 1/2 → 2000000
+    val corpus = Seq((1L, "red fox and blue fox"), (2L, "red fox runs"),
+      (3L, "go go club"), (4L, "the a of"), (5L, ""))
+      .toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      "red fox" -> ((2, 1L, 2833333L)),
+      "blue fox" -> ((2, 1L, 2333333L)),
+      "red fox runs" -> ((3, 1L, 4833333L)),
+      "go go club" -> ((3, 1L, 6000000L))))
+  }
+
   test("mon14 KS drift: hand-computed cross-multiplied statistic") {
     // ref (click) = [1,2,3], cur (view) = [2,3,3,4]:
     // pooled grid 1..4; |cum_v*3 - cum_c*4| = 4,5,3,0 → ks_num 5
