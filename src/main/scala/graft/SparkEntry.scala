@@ -1156,6 +1156,25 @@ object SparkEntry {
         .select(col("query_id"), col("point_id"), Exact.fmt(col("d2"), 6).as("d2_r"))
     }),
 
+    // GEO3 — grid-density clustering (grid-DBSCAN): the third clustering
+    // family beside s8's k-means (needs k, convex cells) and d6's dup-graph
+    // CC (needs a pairwise predicate) — density thresholding at cell
+    // resolution, arbitrary-shape clusters via 8-adjacency CC over CORE
+    // cells. minPts is corpus-derived (max(2, ⌊3N/2C⌋+1), ~1.5× the mean
+    // occupied-cell load — a fixed threshold flips all-core/none-core
+    // across SFs). One corpus shuffle (cell counts); all else cell-bounded.
+    "geo3_grid_dbscan" -> ((s, dir) => {
+      val hv = (tag: String) =>
+        conv(substring(md5(concat(lit(tag), col("c_custkey").cast("string"))), 1, 6),
+          16, 10).cast("long")
+      val pts = Tables.customer(s, dir).select(
+        ((hv("lat:") % 1600000L).cast("double") / lit(10000.0) - lit(80.0)).as("lat"),
+        ((hv("lon:") % 3600000L).cast("double") / lit(10000.0) - lit(180.0)).as("lon"))
+      graft.ops.GeoOps.gridDbscan(pts, "lat", "lon", cellSize = 20.0,
+          latOrigin = -80.0, lonOrigin = -180.0, nx = 18L)
+        .select(col("cy"), col("cx"), col("n_pts"), col("cluster_id"))
+    }),
+
     // GEO2 — nearest-neighbor spatial lookup: geo1's candidate relation
     // reduced to the single closest point per query (ties → min id) — the
     // reverse-geocode/store-finder serve. Queries with NO point within ε
@@ -7032,6 +7051,42 @@ object SparkEntry {
          |FROM p q JOIN p ON q.id % 50 = 0 AND q.id <> p.id
          |WHERE (q.lat - p.lat) * (q.lat - p.lat)
          |      + (q.lon - p.lon) * (q.lon - p.lon) <= 144.0""".stripMargin
+    },
+
+    // Core cells by the corpus-derived density threshold; CC over the
+    // 8-adjacency predicate (the naive form — independent of the engine's
+    // neighbor-id expansion); min-label components, isolated cores label
+    // themselves.
+    "geo3_grid_dbscan" -> {
+      def hv(tag: String) = (1 to 6).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('$tag' || CAST(c_custkey AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (6 - j))}")
+        .mkString(" + ")
+      s"""WITH RECURSIVE p AS (SELECT
+         |    CAST((${hv("lat:")}) % 1600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(80 AS DOUBLE) AS lat,
+         |    CAST((${hv("lon:")}) % 3600000 AS DOUBLE) / CAST(10000 AS DOUBLE)
+         |      - CAST(180 AS DOUBLE) AS lon
+         |  FROM customer),
+         |cells AS (SELECT CAST(floor((lat + 80) / 20) AS BIGINT) AS cy,
+         |    CAST(floor((lon + 180) / 20) AS BIGINT) AS cx,
+         |    count(*) AS n_pts
+         |  FROM p GROUP BY 1, 2),
+         |st AS (SELECT CAST(SUM(n_pts) AS BIGINT) AS n_total,
+         |    count(*) AS n_cells FROM cells),
+         |core AS (SELECT cy, cx, n_pts, cy * 18 + cx AS cell_id
+         |  FROM cells CROSS JOIN st
+         |  WHERE n_pts >= greatest(2, 3 * n_total // (2 * n_cells) + 1)),
+         |edges AS (SELECT a.cell_id AS src, b.cell_id AS dst
+         |  FROM core a JOIN core b ON abs(a.cy - b.cy) <= 1
+         |    AND abs(a.cx - b.cx) <= 1 AND a.cell_id <> b.cell_id),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT c.cy, c.cx, c.n_pts,
+         |  COALESCE(l.cluster_id, c.cell_id) AS cluster_id
+         |FROM core c LEFT JOIN lab l ON c.cell_id = l.id""".stripMargin
     },
 
     // geo1's brute-force predicate join reduced to the per-query argmin.

@@ -1432,6 +1432,23 @@ class OpsSpec extends SparkSpec {
       "go go club" -> ((3, 1L, 6000000L))))
   }
 
+  test("gridDbscan: adaptive core threshold, 8-adjacency merge, isolated core") {
+    // cells (0,0):20, (0,1):20, (2,2):2, (5,5):2, (3,7):20 → N=64, C=5,
+    // minPts = max(2, 3·64 div 10 + 1) = 20 → cores (0,0),(0,1),(3,7);
+    // the first two are 8-adjacent (one cluster, min id 0), (3,7) isolated
+    // labels itself (id 37); sparse cells are noise and absent
+    val pts = Seq.fill(20)((0.5, 0.5)) ++ Seq.fill(20)((0.5, 1.5)) ++
+      Seq.fill(2)((2.5, 2.5)) ++ Seq.fill(2)((5.5, 5.5)) ++
+      Seq.fill(20)((3.5, 7.5))
+    val df = pts.toDF("lat", "lon")
+    val out = graft.ops.GeoOps.gridDbscan(df, "lat", "lon", cellSize = 1.0,
+        latOrigin = 0.0, lonOrigin = 0.0, nx = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map((0L, 0L) -> ((20L, 0L)), (0L, 1L) -> ((20L, 0L)),
+      (3L, 7L) -> ((20L, 37L))))
+  }
+
   test("mon14 KS drift: hand-computed cross-multiplied statistic") {
     // ref (click) = [1,2,3], cur (view) = [2,3,3,4]:
     // pooled grid 1..4; |cum_v*3 - cum_c*4| = 4,5,3,0 → ks_num 5
