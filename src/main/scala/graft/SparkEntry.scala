@@ -2132,6 +2132,48 @@ object SparkEntry {
           Exact.fmt(col("margin"), 4).as("margin_r"))
     }),
 
+    // S27 — Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003)
+    // + neighbor-agreement audit: quantize the 64-dim corpus to the 1e6
+    // integer grid, project onto 16 deterministic ±1 rows (md5-seeded, the
+    // cross-engine RNG convention), then rank top-5 per query by squared L2
+    // IN THE REDUCED SPACE and flag which of them the exact full-space
+    // top-5 contains. Everything after quantization is BIGINT — reduced and
+    // full distances, ranks, the in_exact flag — so the gate is exact, not
+    // a tolerance test. Scale: the projection is a narrow codegen'd map (the
+    // sign matrix lives as plan literals); the brute-force serve here is the
+    // AUDIT, not the scale path — at 100 TB the reduced vectors feed the
+    // s2 IVF machinery at a quarter of the dot-product cost.
+    "s27_rp_reduce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val proj = SimilarityOps.rpProject(e, "vec_id", "embedding", nProj = 16)
+      val qz = e.select(col("vec_id"), SimilarityOps.quantizeE6(col("embedding")).as("q"))
+      val qsel = col("vec_id") < 5
+      val dRed = broadcast(proj.filter(qsel)
+          .select(col("vec_id").as("query_id"), col("rp").as("qrp")))
+        .join(proj.select(col("vec_id").as("neighbor_id"), col("rp")),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          SimilarityOps.sqDistL(col("qrp"), col("rp")).as("d2_red"))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2_red"), col("neighbor_id"))
+      val redTop = dRed.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 5)
+      val exTop = broadcast(qz.filter(qsel)
+          .select(col("vec_id").as("query_id"), col("q").as("qv")))
+        .join(qz.select(col("vec_id").as("neighbor_id"), col("q")),
+          col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          SimilarityOps.sqDistL(col("qv"), col("q")).as("d2_full"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("d2_full"), col("neighbor_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      redTop.join(exTop, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("d2_red"), coalesce(col("hit"), lit(0)).as("in_exact"))
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -4028,6 +4070,36 @@ object SparkEntry {
     "t30_rake_keywords" -> ((s, dir) =>
       TextOps.rakeKeywords(docs(s, dir), "doc_id", "text")
         .select(col("phrase"), col("n_words"), col("n_occ"), col("score_e6"))),
+
+    // T31 — the published Gopher quality-filter rule battery (Rae et al.
+    // 2021 §A1.1): the document-level keep/drop heuristics a crawl-scale
+    // pipeline runs BEFORE dedup — word-count bounds, mean-word-length
+    // bounds, symbol ratio, bullet/ellipsis line shares, alpha-word share,
+    // stopword presence. The synthetic corpus is newline- and symbol-free
+    // (rules 3-5 would never fire), so — the t8 PII pattern — deterministic
+    // doc_id-keyed augmentation plants the failure shapes on both engines
+    // identically: every 7th doc gets 10 bullet lines (>90% bullet share),
+    // every 11th two trailing ellipsis lines, every 13th a '#'/'...' symbol
+    // tail. Flags are emitted PER RULE (an audit tunes thresholds rule by
+    // rule), each an integer cross-multiplication — no ratio double exists
+    // anywhere. One narrow scan, whole-stage codegen, no exchange.
+    "t31_gopher_rules" -> ((s, dir) => {
+      val bullets = (1 to 10).map(i => s"- item $i").mkString("\n") + "\n"
+      val aug = docs(s, dir)
+        .withColumn("t0",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(lit(bullets), col("text")))
+            .otherwise(col("text")))
+        .withColumn("t1",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("t0"), lit("\nmore to come...\nand then...")))
+            .otherwise(col("t0")))
+        .withColumn("t",
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(col("t1"), lit(" ######## ... ... ...")))
+            .otherwise(col("t1")))
+        .select(col("doc_id"), col("t"))
+      TextOps.gopherRules(aug, "doc_id", "t")
+    }),
 
     // T11 — BM25 keyword relevance against a fixed query-term set (the
     // lexical retrieval scorer behind Lucene/Elasticsearch; Lucene-form
@@ -8171,6 +8243,43 @@ object SparkEntry {
     "s1_ann_topk" -> annOracle,
     "s23_mmr_rerank" -> mmrOracle,
 
+    // Mirrors rpProject/sqDistL end to end: identical 1e6 floor grid,
+    // identical md5-parity sign matrix (DuckDB md5 of the same "rp:j:d"
+    // strings), pure-BIGINT distances, (dist, id) integer rank ordering.
+    "s27_rp_reduce" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS di FROM v),
+        |sgn AS (SELECT j, di,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(di - 1 AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j),
+        |       (SELECT DISTINCT di FROM u)),
+        |p AS (SELECT vec_id, j, CAST(SUM(sg * x) AS BIGINT) AS pv
+        |  FROM u JOIN sgn USING (di) GROUP BY 1, 2),
+        |dr AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(SUM((a.pv - b.pv) * (a.pv - b.pv)) AS BIGINT) AS d2_red
+        |  FROM p a JOIN p b USING (j)
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+        |rt AS (SELECT query_id, neighbor_id, d2_red,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d2_red, neighbor_id) AS rank
+        |  FROM dr QUALIFY rank <= 5),
+        |df AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    SUM((a.x - b.x) * (a.x - b.x)) AS d2_full
+        |  FROM u a JOIN u b USING (di)
+        |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id GROUP BY 1, 2),
+        |et AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY d2_full, neighbor_id) AS rk
+        |    FROM df) WHERE rk <= 5)
+        |SELECT r.query_id, r.rank, r.neighbor_id, r.d2_red,
+        |  CAST(et.query_id IS NOT NULL AS INT) AS in_exact
+        |FROM rt r LEFT JOIN et
+        |  ON r.query_id = et.query_id AND r.neighbor_id = et.neighbor_id""".stripMargin,
+
     // Naive τ-scan truth for the pruned range search — the pruning is
     // lossless by the spherical-cap bound, so no mirroring needed.
     "s18_range_search" ->
@@ -8831,6 +8940,59 @@ object SparkEntry {
 
     // Islands via pos − row_number over non-stop tokens; deg = Σ(len−1)
     // over phrase instances; integral per-word score, integer phrase sum.
+    // Mirrors TextOps.gopherRules counter-for-counter: same augmentation
+    // CASE chain, same '\s+' split with empty-token filter, same
+    // non-overlapping replace() counts for '#'/'...', same LIKE shapes for
+    // bullet/ellipsis lines; every flag an integer cross-multiplication.
+    "t31_gopher_rules" -> {
+      val bulletsSql = (1 to 10).map(i => s"- item $i").mkString("\n") + "\n"
+      raw"""WITH aug AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 13 = 0 THEN t1 || ' ######## ... ... ...'
+           |         ELSE t1 END AS t
+           |  FROM (SELECT doc_id,
+           |      CASE WHEN doc_id % 11 = 0
+           |           THEN t0 || chr(10) || 'more to come...' || chr(10) || 'and then...'
+           |           ELSE t0 END AS t1
+           |    FROM (SELECT doc_id,
+           |        CASE WHEN doc_id % 7 = 0 THEN '$bulletsSql' || text
+           |             ELSE text END AS t0
+           |      FROM documents))),
+           |c AS (SELECT doc_id, t,
+           |    list_filter(regexp_split_to_array(trim(t), '\s+'), w -> w <> '') AS ws,
+           |    string_split(t, chr(10)) AS ls
+           |  FROM aug),
+           |n AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+           |    CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ell,
+           |    CAST(len(ls) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+           |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+           |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'be') AS INT)
+           |      + CAST(list_contains(ws, 'to') AS INT) + CAST(list_contains(ws, 'of') AS INT)
+           |      + CAST(list_contains(ws, 'and') AS INT) + CAST(list_contains(ws, 'that') AS INT)
+           |      + CAST(list_contains(ws, 'have') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+           |      AS n_stop
+           |  FROM c),
+           |f AS (SELECT doc_id, n_words, n_lines,
+           |    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS f_wordcount,
+           |    CAST(sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS INT) AS f_meanlen,
+           |    CAST((n_hash + n_ell) * 10 <= n_words AS INT) AS f_symbol,
+           |    CAST(n_bullet * 10 <= n_lines * 9 AS INT) AS f_bullet,
+           |    CAST(n_ell_lines * 10 <= n_lines * 3 AS INT) AS f_ellipsis,
+           |    CAST(n_alpha * 10 >= n_words * 8 AS INT) AS f_alpha,
+           |    CAST(n_stop >= 2 AS INT) AS f_stop
+           |  FROM n)
+           |SELECT doc_id, n_words, n_lines, f_wordcount, f_meanlen, f_symbol,
+           |  f_bullet, f_ellipsis, f_alpha, f_stop,
+           |  f_wordcount * f_meanlen * f_symbol * f_bullet * f_ellipsis
+           |    * f_alpha * f_stop AS keep
+           |FROM f""".stripMargin
+    },
+
     "t30_rake_keywords" ->
       raw"""WITH t AS (SELECT doc_id, $toksSql AS ws FROM documents
            |           WHERE length(trim(text)) > 0),

@@ -1084,6 +1084,52 @@ object SimilarityOps {
     picked
   }
 
+  /** Deterministic sign for the random-projection matrix: parity of the
+    * first hex digit of md5("rp:j:d") → ±1. md5 is the cross-engine seeded
+    * RNG this suite already standardizes on (the x3 panel / x5 split
+    * pattern): DuckDB's md5() of the same string yields the same hex, so
+    * the oracle reconstructs the identical matrix without shipping it. */
+  def rpSign(j: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$j:$d".getBytes("UTF-8"))
+    if ((((h(0) >> 4) & 0xf) % 2) == 0 // first hex digit = high nibble of byte 0
+    ) 1L else -1L
+  }
+
+  /** Per-dim 1e6 quantization of a float vector to exact longs: float→
+    * double is exact, ×1e6 is one exactly-rounded IEEE op on identical
+    * operands in both engines, floor is exact — so every downstream sum /
+    * squared distance over these is pure BIGINT arithmetic. |x| < 1 in the
+    * corpus → |q| ≤ 1e6; a 64-dim squared L2 is ≤ 2.6e14, far inside long. */
+  def quantizeE6(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Johnson-Lindenstrauss SIGN random projection (Achlioptas 2003's
+    * database-friendly ±1 family): project the 1e6-quantized vector onto
+    * nProj deterministic ±1 rows — p[j] = Σ_d sign(j,d)·q[d], an exact
+    * BIGINT per output dim. This is the dimensionality-reduction leg of the
+    * ANN family: at 100 TB you project once (narrow map, whole-stage
+    * codegen, no exchange — the sign matrix is nProj×dim driver-side
+    * literals, a few KB broadcast inside the plan) and run the s2-style IVF
+    * machinery in the 4×-smaller space; s27 gates how much neighbor
+    * structure the 64→16 squeeze preserves.
+    *
+    * @return (idCol, rp array<long> of length nProj). */
+  def rpProject(corpus: DataFrame, idCol: String, vecCol: String,
+                nProj: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0) // metadata-cheap
+    val q = quantizeE6(col(vecCol))
+    val projCols = (0 until nProj).map { j =>
+      val signs = array((0 until dim).map(d => lit(rpSign(j, d))): _*)
+      aggregate(zip_with(q, signs, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    }
+    corpus.select(col(idCol), array(projCols: _*).as("rp"))
+  }
+
+  /** Exact squared L2 between two long-vector columns (BIGINT throughout). */
+  def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
   private def adcTopK(pairs: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val qnorm = q.select(col("query_id"), norm(col("qv")).as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))

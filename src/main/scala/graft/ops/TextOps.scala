@@ -622,4 +622,68 @@ object TextOps {
     }
     merges.result().toDF("round", "a", "b", "n")
   }
+
+  /** Gopher stopword set (Rae et al. 2021 §A1.1): a doc must contain at
+    * least two of these to pass the stop-word rule. Distinct from
+    * [[defaultStopwords]] (a scoring list) — this is the published filter
+    * list verbatim. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter rule battery (Rae et al. 2021, "Scaling Language
+    * Models: ..." appendix A1.1) — the published document-level heuristics a
+    * crawl-scale pretraining pipeline applies before dedup:
+    *
+    *   1. word count in [50, 100000]
+    *   2. mean word length in [3, 10] characters
+    *   3. symbol-to-word ratio ('#' chars + '...' occurrences) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet ("- " / "* ")
+    *   5. ≤ 30% of lines end with an ellipsis ("...")
+    *   6. ≥ 80% of words contain at least one alphabetic character
+    *   7. ≥ 2 distinct words from [[gopherStopwords]] present
+    *
+    * EVERY rule is an integer cross-multiplication (10·n_sym ≤ n_words, not
+    * n_sym/n_words ≤ 0.1): no ratio double ever exists, so the flags are
+    * bit-identical across engines and immune to the q22 overflow class
+    * (counters are doc-bounded ints; ×10 cannot overflow). Flags are emitted
+    * individually, not only the conjunction — a filtering pipeline tunes and
+    * audits rules one at a time (what fraction failed WHICH rule), and the
+    * per-rule columns are what that audit reads.
+    *
+    * Scale shape: pure per-row narrow expressions over one scan — whole-stage
+    * codegen, no exchange; the only 100 TB cost is scan bandwidth.
+    *
+    * @return input columns idCol + counters (n_words, n_lines) + the seven
+    *         flags (f_*) + keep, all flags int 0/1. */
+  def gopherRules(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = filter(split(trim(t), "\\s+"), w => w =!= "")
+    val lines = split(t, "\n")
+    // counters (all bigint: len/size products stay far inside long range)
+    val nWords = size(ws).cast("long")
+    val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nHash = (length(t) - length(replace(t, lit("#")))).cast("long")
+    // '...' occurrences via non-overlapping leftmost replace — identical
+    // semantics in java.lang.String.replace and DuckDB replace()
+    val nEll = ((length(t) - length(replace(t, lit("...")))) / lit(3)).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val nEllLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val nStop = gopherStopwords
+      .map(s => array_contains(ws, s).cast("long")).reduce(_ + _)
+    def flag(c: Column): Column = c.cast("int")
+    corpus.select(col(idCol),
+      nWords.as("n_words"), nLines.as("n_lines"),
+      flag(nWords >= 50L && nWords <= 100000L).as("f_wordcount"),
+      flag(sumLen >= nWords * 3L && sumLen <= nWords * 10L).as("f_meanlen"),
+      flag((nHash + nEll) * 10L <= nWords).as("f_symbol"),
+      flag(nBullet * 10L <= nLines * 9L).as("f_bullet"),
+      flag(nEllLines * 10L <= nLines * 3L).as("f_ellipsis"),
+      flag(nAlpha * 10L >= nWords * 8L).as("f_alpha"),
+      flag(nStop >= 2L).as("f_stop"))
+      .withColumn("keep",
+        (col("f_wordcount") * col("f_meanlen") * col("f_symbol") * col("f_bullet")
+          * col("f_ellipsis") * col("f_alpha") * col("f_stop")).cast("int"))
+  }
 }

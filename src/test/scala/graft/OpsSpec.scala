@@ -1432,6 +1432,53 @@ class OpsSpec extends SparkSpec {
       "go go club" -> ((3, 1L, 6000000L))))
   }
 
+  test("rpProject: md5-seeded sign matrix, exact-grid linearity") {
+    // values are binary fractions → the 1e6 floor grid is exact, so the
+    // projection is literally linear over the quantized ints
+    val corpus = Seq(
+      (1L, Array(0.25f, 0.5f)),
+      (2L, Array(0.75f, 0.25f)),
+      (3L, Array(1.0f, 0.75f)) // = row1 + row2
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.rpProject(corpus, "vec_id", "embedding", nProj = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // hand recompute from the public sign function
+    def expect(q: Seq[Long]): Seq[Long] =
+      (0 until 4).map(j => (0 until 2).map(d => SimilarityOps.rpSign(j, d) * q(d)).sum)
+    assert(out(1L) === expect(Seq(250000L, 500000L)))
+    assert(out(2L) === expect(Seq(750000L, 250000L)))
+    assert(out(3L) === out(1L).zip(out(2L)).map { case (a, b) => a + b })
+  }
+
+  test("gopherRules: per-rule integer flags, hand-computed") {
+    // doc 1 passes every rule (55 words, mean len 219/55 in [3,10], two
+    // stopwords); docs 2-8 each target one rule's failure shape
+    val passDoc = (Seq.fill(53)("word") ++ Seq("the", "with")).mkString(" ")
+    val bulletDoc = ((1 to 10).map(i => s"- item $i") :+ "plain tail line").mkString("\n")
+    val corpus = Seq(
+      (1L, passDoc),
+      (2L, "just a few little words here"),                       // wordcount
+      (3L, bulletDoc),                                            // bullet 10/11 > 90%
+      (4L, "first line\nsecond trailing...\nthird trailing..."),  // ellipsis 2/3 > 30%
+      (5L, "alpha beta gamma delta epsilon ##"),                  // symbols 2·10 > 6
+      (6L, "1 2 3 4 5 the with alpha"),                           // alpha 3/8 < 80%
+      (7L, "ab cd ef"),                                           // mean len 2 < 3
+      (8L, "alpha beta gamma the")                                // one stopword
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Int = out(id).getAs[Int](name)
+    assert(f(1, "keep") === 1 && out(1L).getAs[Long]("n_words") === 55L)
+    assert(f(2, "f_wordcount") === 0)
+    assert(f(3, "f_bullet") === 0 && out(3L).getAs[Long]("n_lines") === 11L)
+    assert(f(4, "f_ellipsis") === 0)
+    assert(f(5, "f_symbol") === 0)
+    assert(f(6, "f_alpha") === 0)
+    assert(f(7, "f_meanlen") === 0)
+    assert(f(8, "f_stop") === 0)
+    assert((2L to 8L).forall(id => f(id, "keep") === 0))
+  }
+
   test("gridDbscan: adaptive core threshold, 8-adjacency merge, isolated core") {
     // cells (0,0):20, (0,1):20, (2,2):2, (5,5):2, (3,7):20 → N=64, C=5,
     // minPts = max(2, 3·64 div 10 + 1) = 20 → cores (0,0),(0,1),(3,7);
