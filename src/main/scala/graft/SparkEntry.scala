@@ -4261,6 +4261,52 @@ object SparkEntry {
           col("n_tok"), col("cum_tok"))
     }),
 
+    // X18 — deterministic multiplier bootstrap CI for the per-type mean
+    // (the scale-out bootstrap family: hash-seeded weights instead of
+    // resampling, cf. Chamandy et al., "Estimating Uncertainty for Massive
+    // Data Streams" / the multiplier-bootstrap literature): each row gets,
+    // per replica b, weight w ∈ {0,1,2} = Binomial(2,½) (mean 1, var ½)
+    // read from 2 bits of ONE md5 per row — hex digit b of md5("boot:"+id),
+    // so 24 replicas cost one hash, no shuffle of the corpus, and the
+    // oracle reconstructs every weight. Replica means are exact integer
+    // basis-points via the two-step split-division identity
+    // (q·10⁴ + r·10⁴ div n with q = s div n, r = s mod n — never s·10⁴,
+    // so nothing overflows at any corpus size; the q22 lift lesson as a
+    // DESIGN rule, not a patch). CI = 2nd / (B−1)th order statistics of
+    // the 24 replica means (≈ the 4%/96% percentile bootstrap). Scale:
+    // explode ×24 is map-side; partial agg collapses to 24·|types| rows
+    // before the only exchange.
+    "x18_bootstrap_ci" -> ((s, dir) => {
+      val B = 24
+      val base = ev(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        split(md5(concat(lit("boot:"), col("event_id").cast("string"))), "").as("hc"))
+      val withW = base.select(col("event_type"), col("cents"),
+        transform(sequence(lit(0), lit(B - 1)), b => {
+          val v = conv(get(col("hc"), b), 16, 10).cast("int") // 0-based: hex digit b
+          ((pmod(v, lit(4)) + lit(1)) / lit(2)).cast("long")
+        }).as("ws"))
+      val rep = withW.select(col("event_type"), col("cents"),
+          posexplode(col("ws")).as(Seq("b", "w")))
+        .groupBy(col("event_type"), col("b"))
+        .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("event_type"), col("b"),
+          expr("(swx div sw) * 10000 + ((swx % sw) * 10000) div sw").as("mean_bp"))
+      val wRk = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_bp"), col("b"))
+      val rk = rep.withColumn("rnk", row_number().over(wRk))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val pt = base.groupBy(col("event_type")).agg(
+        expr("(sum(cents) div count(1)) * 10000 + ((sum(cents) % count(1)) * 10000) div count(1)")
+          .as("point_bp"))
+      pt.join(rk.filter(col("rnk") === 2)
+            .select(col("event_type"), col("mean_bp").as("lo_bp")), Seq("event_type"))
+        .join(rk.filter(col("rnk") === col("nb") - 1)
+            .select(col("event_type"), col("mean_bp").as("hi_bp")), Seq("event_type"))
+        .select(col("event_type"), col("point_bp"), col("lo_bp"), col("hi_bp"))
+    }),
+
     // X17 — dedup-aware sampling weights ("soft dedup"): instead of
     // dropping near-duplicates, every doc gets weight 1/|cluster| over the
     // d6 near-dup clustering (singletons weigh 1), so a duplicated document
@@ -8019,6 +8065,37 @@ object SparkEntry {
     // Same contract, computed by alternating large-star/small-star rounds —
     // the labeling must be identical to d6's.
     "d6b_clusters_alternating" -> clusterOracle,
+
+    // Mirrors x18 weight-for-weight: same single md5 per row, same hex-
+    // digit → Binomial(2,½) map ((v%4+1)//2), same split-division exact
+    // basis-point means, same (mean_bp, b) order statistics. All operands
+    // are non-negative, so Spark div/% and DuckDB ///% agree.
+    "x18_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    md5('boot:' || CAST(event_id AS VARCHAR)) AS h
+        |  FROM events),
+        |x AS (SELECT event_type, cents, b,
+        |    CAST((((strpos('0123456789abcdef', substr(h, b + 1, 1)) - 1) % 4) + 1) // 2 AS BIGINT) AS w
+        |  FROM e, (SELECT unnest(generate_series(0, 23)) AS b)),
+        |r AS (SELECT event_type, b,
+        |    CAST(SUM(w * cents) AS BIGINT) AS swx, CAST(SUM(w) AS BIGINT) AS sw
+        |  FROM x GROUP BY 1, 2),
+        |m AS (SELECT event_type, b,
+        |    (swx // sw) * 10000 + ((swx % sw) * 10000) // sw AS mean_bp
+        |  FROM r WHERE sw > 0),
+        |rk AS (SELECT event_type, b, mean_bp,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_bp, b) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS nb
+        |  FROM m),
+        |pt AS (SELECT event_type,
+        |    (CAST(SUM(cents) AS BIGINT) // COUNT(*)) * 10000
+        |      + ((CAST(SUM(cents) AS BIGINT) % COUNT(*)) * 10000) // COUNT(*) AS point_bp
+        |  FROM e GROUP BY 1)
+        |SELECT p.event_type, p.point_bp,
+        |  MAX(CASE WHEN rnk = 2 THEN mean_bp END) AS lo_bp,
+        |  MAX(CASE WHEN rnk = nb - 1 THEN mean_bp END) AS hi_bp
+        |FROM pt p JOIN rk USING (event_type) GROUP BY 1, 2""".stripMargin,
 
     // d6's clustering joined back to the FULL corpus: singletons weigh
     // 10000 bp, members 10000 // size — all-integer soft-dedup weights.
