@@ -4261,6 +4261,38 @@ object SparkEntry {
           col("n_tok"), col("cum_tok"))
     }),
 
+    // X19 — length-grouped batching audit (the dataloader "dynamic
+    // batching" trade): fixed-size batches padded to their longest member
+    // waste max−len slots per doc; sorting by length before batching is the
+    // standard fix (any bucketing dataloader). Both strategies are built
+    // with the SAME two-pass range-partitioned global rank (Ranking.
+    // globalRowNumber — never a single-partition window), batch_id =
+    // (pos−1) div 32, and audited exactly: n_pad = Σ_b (max_b·|b|) − Σ len,
+    // waste in integer basis points via the x18 split-division discipline.
+    // Output is one row per strategy — the sorted row's waste_bp is the
+    // number a dataloader owner reads off this audit.
+    "x19_length_batching" -> ((s, dir) => {
+      val bs = 32
+      val base = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      def audit(ordered: DataFrame, strategy: String): DataFrame =
+        ordered.withColumn("batch_id", expr(s"(pos - 1) div $bs"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_in"), sum(col("n_tok")).as("tok"),
+            max(col("n_tok")).as("mx"))
+          .agg(count(lit(1)).as("n_batches"), sum(col("tok")).as("n_tokens"),
+            sum(col("mx") * col("n_in")).as("n_slots"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("n_tokens"), (col("n_slots") - col("n_tokens")).as("n_pad"),
+            expr("""((n_slots - n_tokens) div n_slots) * 10000
+                   + (((n_slots - n_tokens) % n_slots) * 10000) div n_slots""")
+              .as("waste_bp"))
+      audit(graft.ops.Ranking.globalRowNumber(base, Seq(col("doc_id"))), "naive")
+        .unionByName(
+          audit(graft.ops.Ranking.globalRowNumber(base,
+            Seq(col("n_tok"), col("doc_id"))), "length_sorted"))
+    }),
+
     // X18 — deterministic multiplier bootstrap CI for the per-type mean
     // (the scale-out bootstrap family: hash-seeded weights instead of
     // resampling, cf. Chamandy et al., "Estimating Uncertainty for Massive
@@ -8065,6 +8097,34 @@ object SparkEntry {
     // Same contract, computed by alternating large-star/small-star rounds —
     // the labeling must be identical to d6's.
     "d6b_clusters_alternating" -> clusterOracle,
+
+    // Mirrors x19: same t1 token count, same (pos−1)//32 batch assignment
+    // over the same total orders (doc_id | n_tok,doc_id), same split-
+    // division waste basis points.
+    "x19_length_batching" ->
+      raw"""WITH d AS (SELECT doc_id,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len($toksSql) END AS n_tok
+           |  FROM documents),
+           |nv AS (SELECT n_tok,
+           |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch_id FROM d),
+           |so AS (SELECT n_tok,
+           |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS batch_id FROM d),
+           |a1 AS (SELECT batch_id, count(*) AS n_in, SUM(n_tok) AS tok,
+           |    MAX(n_tok) AS mx FROM nv GROUP BY 1),
+           |a2 AS (SELECT batch_id, count(*) AS n_in, SUM(n_tok) AS tok,
+           |    MAX(n_tok) AS mx FROM so GROUP BY 1),
+           |s1 AS (SELECT 'naive' AS strategy, count(*) AS n_batches,
+           |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(mx * n_in) AS BIGINT) AS n_slots FROM a1),
+           |s2 AS (SELECT 'length_sorted' AS strategy, count(*) AS n_batches,
+           |    CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(mx * n_in) AS BIGINT) AS n_slots FROM a2),
+           |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+           |SELECT strategy, n_batches, n_tokens, n_slots - n_tokens AS n_pad,
+           |  ((n_slots - n_tokens) // n_slots) * 10000
+           |    + (((n_slots - n_tokens) % n_slots) * 10000) // n_slots AS waste_bp
+           |FROM u""".stripMargin,
 
     // Mirrors x18 weight-for-weight: same single md5 per row, same hex-
     // digit → Binomial(2,½) map ((v%4+1)//2), same split-division exact
