@@ -1698,6 +1698,36 @@ object SparkEntry {
         .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
     }),
 
+    // Q27 — TPC-H Q2's correlated-min shape ("the supplier(s) achieving
+    // the minimum supply cost for each qualifying part in a region"),
+    // re-based on this schema: supply cost = MIN(l_extendedprice) per
+    // (part, supplier) — pure selection over parquet doubles, zero
+    // arithmetic, so engine equality is bit-exact. Spark-first
+    // decorrelation: the subquery's per-part minimum is a window MIN over
+    // the region-filtered pair relation, ties KEPT by the equality filter
+    // (Q2 keeps all tied suppliers) — the region/nation dims broadcast, the
+    // part filter lands BEFORE the window so the per-part state is
+    // restricted-pairs-sized, and the only wide exchange is the one
+    // hash-partition by part the window needs.
+    "q27_min_cost_supplier" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE"))
+      val p = Tables.part(s, dir).filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val eu = ps.join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+      val wMin = Window.partitionBy(col("p_partkey"))
+      eu.withColumn("min_cost", min(col("cost")).over(wMin))
+        .filter(col("cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name"), col("cost"))
+    }),
+
     // A12 — hierarchical rollup: (event_type, day) with subtotals and a
     // grand total in one pass.
     "a12_rollup" -> ((s, dir) =>
@@ -7689,6 +7719,23 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // Deliberately the NAIVE correlated scalar subquery (DuckDB
+    // decorrelates it itself) — independent of the engine's window-min
+    // plan; ties kept by the equality predicate on both sides.
+    "q27_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (SELECT ps.l_partkey, ps.l_suppkey, ps.cost, s_name, n_name
+        |  FROM ps
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT p_partkey, p_brand, s_name, n_name, cost
+        |FROM part JOIN eu ON p_partkey = l_partkey
+        |WHERE p_size <= 10
+        |  AND cost = (SELECT MIN(e2.cost) FROM eu e2
+        |              WHERE e2.l_partkey = p_partkey)""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
