@@ -4219,6 +4219,25 @@ object SparkEntry {
           Exact.fmt(col("mean_logp"), 4).as("mean_logp_r"))
     }),
 
+    // T32 — interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995,
+    // Chen & Goodman's interpolated form, D = 3/4) on the same 1-in-7
+    // held-out split as t27's add-one baseline: probabilities are exact
+    // long rationals (D = 3/4 clears denominators via ×4), unseen contexts
+    // back off to the continuation distribution, zero-mass bigrams are
+    // counted and excluded from the mean — the published-standard smoother
+    // beside the baseline, sharing its ln/DECIMAL(30,10)/%.4f rendering
+    // contract.
+    "t32_kneser_ney" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.kneserNeyScore(
+          d.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_zero"),
+          when(col("mean_logp").isNull, lit(null: String))
+            .otherwise(Exact.fmt(col("mean_logp"), 4)).as("mean_logp_r"))
+    }),
+
     // T26 — feature hashing (the "hashing trick", Weinberger '09): tokens
     // hashed into 16 signed buckets — the fixed-width featurizer that
     // needs NO vocabulary pass, which is exactly why it scales where t21's
@@ -9260,6 +9279,56 @@ object SparkEntry {
 
     // Same smoothed formula from first principles: train counts, vocab
     // map with the reserved OOV symbol, per-doc window pairing.
+    // Mirrors kneserNeyScore stat-for-stat: same bigram relation as t27,
+    // integer num/den rationals (×4 discount clearing), same backoff CASE,
+    // ln on the identical double division, DECIMAL(30,10) mean, %.4f.
+    "t32_kneser_ney" ->
+      raw"""WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(text, ' '), '\s+') AS toks
+        |  FROM documents
+        |  WHERE length(trim(text, ' ')) > 0
+        |    AND len(string_split_regex(trim(text, ' '), '\s+')) >= 2),
+        |tr AS (SELECT * FROM d WHERE doc_id % 7 <> 0),
+        |te AS (SELECT * FROM d WHERE doc_id % 7 = 0),
+        |trbg AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                          i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM tr),
+        |trbg2 AS (SELECT gram, string_split(gram, ' ')[1] AS ctx,
+        |    string_split(gram, ' ')[2] AS nxt FROM trbg),
+        |cb AS (SELECT gram, COUNT(*) AS c_vw FROM trbg2 GROUP BY 1),
+        |cc AS (SELECT ctx, COUNT(*) AS c_v, COUNT(DISTINCT nxt) AS n1v
+        |       FROM trbg2 GROUP BY 1),
+        |cw AS (SELECT nxt, COUNT(DISTINCT ctx) AS n1w FROM trbg2 GROUP BY 1),
+        |vnbb AS (SELECT COUNT(DISTINCT gram) AS nbb FROM trbg2),
+        |tetok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM te, (SELECT unnest(generate_series(1, len(toks))) AS i)),
+        |tebg AS (SELECT doc_id, tok AS ctx,
+        |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM tetok),
+        |sc AS (SELECT t.doc_id,
+        |    CASE WHEN cc.c_v IS NULL THEN COALESCE(cw.n1w, 0)
+        |         ELSE greatest(COALESCE(cb.c_vw, 0) * 4 - 3, 0) * (SELECT nbb FROM vnbb)
+        |              + 3 * cc.n1v * COALESCE(cw.n1w, 0) END AS num,
+        |    CASE WHEN cc.c_v IS NULL THEN (SELECT nbb FROM vnbb)
+        |         ELSE 4 * cc.c_v * (SELECT nbb FROM vnbb) END AS den
+        |  FROM tebg t
+        |  LEFT JOIN cb ON cb.gram = t.ctx || ' ' || t.nxt
+        |  LEFT JOIN cc ON cc.ctx = t.ctx
+        |  LEFT JOIN cw ON cw.nxt = t.nxt
+        |  WHERE t.nxt IS NOT NULL),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN num = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM sc GROUP BY 1),
+        |mn AS (SELECT doc_id,
+        |    CAST(SUM(CAST(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+        |                  AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mean_logp
+        |  FROM sc WHERE num > 0 GROUP BY 1)
+        |SELECT c.doc_id, c.n_bigrams, c.n_zero,
+        |  CASE WHEN mn.mean_logp IS NULL THEN NULL
+        |       ELSE printf('%.4f', mn.mean_logp) END AS mean_logp_r
+        |FROM cnt c LEFT JOIN mn ON mn.doc_id = c.doc_id""".stripMargin,
+
     "t27_heldout_ppl" ->
       raw"""WITH d AS (SELECT doc_id,
         |    string_split_regex(trim(text, ' '), '\s+') AS toks

@@ -623,6 +623,72 @@ object TextOps {
     merges.result().toDF("round", "a", "b", "n")
   }
 
+  /** Interpolated Kneser-Ney bigram scoring of held-out docs (Kneser & Ney
+    * 1995; the Chen & Goodman 1998 interpolated form with fixed absolute
+    * discount D = 3/4) — the published-standard smoothing beside t27's
+    * add-one baseline:
+    *
+    *   P(w|v) = max(c(v,w) − D, 0)/c(v) + D·N1+(v,•)/c(v) · N1+(•,w)/N1+(••)
+    *
+    * With D = 3/4 every probability is the RATIONAL
+    *   num = max(4·c(v,w) − 3, 0)·N1+(••) + 3·N1+(v,•)·N1+(•,w)
+    *   den = 4·c(v)·N1+(••)
+    * carried as exact longs; an unseen context backs off to the
+    * continuation distribution (num = N1+(•,w), den = N1+(••)). The only
+    * doubles are one division + ln on engine-identical operands, averaged
+    * through the DECIMAL(30,10) accumulator (the t9/t27 contract) behind a
+    * 4-decimal rendering. num = 0 (unseen w with no continuation mass) is
+    * counted per doc and excluded from the mean, mirrored in the oracle.
+    *
+    * Scale shape: three grouped counts + one distinct over the train bigram
+    * relation (one shuffle each, all partial-aggregated), broadcast of the
+    * single N1+(••) row, and per-test-doc windows — nothing pairwise,
+    * nothing driver-sided.
+    *
+    * @return (id, n_bigrams, n_zero, mean_logp). */
+  def kneserNeyScore(train: org.apache.spark.sql.DataFrame,
+                     test: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toked(df: org.apache.spark.sql.DataFrame) =
+      df.filter(tokenCount(col(textCol)) >= 2)
+    val trBg = toked(train).select(
+        explode(graft.expressions.MinHashExpressions.wordGrams(col(textCol), 2)).as("gram"))
+      .withColumn("ctx", split(col("gram"), " ").getItem(0))
+      .withColumn("nxt", split(col("gram"), " ").getItem(1))
+    val cb = trBg.groupBy(col("gram")).agg(count(lit(1)).as("c_vw"))
+    val cc = trBg.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("c_v"), countDistinct(col("nxt")).as("n1v"))
+    val cw = trBg.groupBy(col("nxt")).agg(countDistinct(col("ctx")).as("n1w"))
+    val nbb = trBg.select(col("gram")).distinct().agg(count(lit(1)).as("nbb"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val teBg = toked(test).select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("id"), col("tok").as("ctx"), col("nxt"))
+    val scored = teBg
+      .withColumn("gram", concat(col("ctx"), lit(" "), col("nxt")))
+      .join(cb, Seq("gram"), "left")
+      .join(cc, Seq("ctx"), "left")
+      .join(cw, Seq("nxt"), "left")
+      .crossJoin(broadcast(nbb))
+      .withColumn("num", when(col("c_v").isNull, coalesce(col("n1w"), lit(0L)))
+        .otherwise(
+          greatest(coalesce(col("c_vw"), lit(0L)) * 4L - 3L, lit(0L)) * col("nbb")
+            + lit(3L) * col("n1v") * coalesce(col("n1w"), lit(0L))))
+      .withColumn("den", when(col("c_v").isNull, col("nbb"))
+        .otherwise(lit(4L) * col("c_v") * col("nbb")))
+    val counts = scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("num") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val means = scored.filter(col("num") > 0L)
+      .withColumn("logp", log(col("num").cast("double") / col("den").cast("double")))
+      .groupBy(col("id")).agg(Exact.avgD(col("logp"), 10).as("mean_logp"))
+    counts.join(means, Seq("id"), "left")
+      .select(col("id"), col("n_bigrams"), col("n_zero"), col("mean_logp"))
+  }
+
   /** Gopher stopword set (Rae et al. 2021 §A1.1): a doc must contain at
     * least two of these to pass the stop-word rule. Distinct from
     * [[defaultStopwords]] (a scoring list) — this is the published filter

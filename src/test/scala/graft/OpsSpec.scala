@@ -1432,6 +1432,23 @@ class OpsSpec extends SparkSpec {
       "go go club" -> ((3, 1L, 6000000L))))
   }
 
+  test("kneserNeyScore: hand-computed rationals, backoff, zero-mass count") {
+    // train "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1; c(a)=3 c(b)=2;
+    // N1+(a,.)=2 N1+(b,.)=1; N1+(.,b)=1 N1+(.,a)=1 N1+(.,c)=1; N1+(..)=3
+    // test "a b c d": (a,b) p=(5*3+3*2*1)/(4*3*3)=21/36; (b,c) p=3/24;
+    // (c,d) unseen ctx -> backoff num=N1+(.,d)=0 -> zero-mass
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val test_ = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val r = TextOps.kneserNeyScore(train, test_, "doc_id", "text").collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getLong(1) === 3L && row.getLong(2) === 1L)
+    val want = (BigDecimal(math.log(21.0 / 36.0)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      + BigDecimal(math.log(3.0 / 24.0)).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+      ).toDouble / 2
+    assert(math.abs(row.getDouble(3) - want) < 1e-9)
+  }
+
   test("rpProject: md5-seeded sign matrix, exact-grid linearity") {
     // values are binary fractions → the 1e6 floor grid is exact, so the
     // projection is literally linear over the quantized ints
