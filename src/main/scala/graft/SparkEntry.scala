@@ -2950,6 +2950,52 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("label"))
     }),
 
+    // G8 — Newman modularity of the GROUND-TRUTH labeling over the k-NN
+    // graph (Newman & Girvan 2004): Q = Σ_c [L_c/m − (D_c/2m)²] — the
+    // "does the graph structure agree with the labels" audit an embedding
+    // pipeline runs before trusting either. All counters are exact BIGINTs
+    // (undirected-closure edge count m, intra-community edges L_c, degree
+    // mass D_c); the single double expression (4m·L_c − D_c²)/(4m²) is
+    // computed from those longs with the identical operand order in the
+    // oracle (every value < 2^53 here; at 100 TB the integer counters are
+    // the output and the division moves downstream into DECIMAL). One
+    // shuffle for the undirected closure, two grouped counts — the k-NN
+    // build (s13) dominates, exactly as in g1-g7.
+    "g8_modularity" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val und = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")).distinct()
+      val lab = e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__v"), col("label"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+        .select(col("vec_id").as("id"), col("label").cast("long").as("label"))
+      val m = und.count() // one metadata-cheap long (the s2 count() pattern)
+      val nbr = und.select(col("a").as("id"), col("b").as("nb"))
+        .unionAll(und.select(col("b").as("id"), col("a").as("nb")))
+      val dg = nbr.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val lc = und
+        .join(lab.select(col("id").as("a"), col("label").as("la")), Seq("a"))
+        .join(lab.select(col("id").as("b"), col("label").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la")).agg(count(lit(1)).as("l_c"))
+        .select(col("la").as("label"), col("l_c"))
+      val dc = lab.join(dg, Seq("id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_c"))
+      dc.join(lc, Seq("label"), "left")
+        .withColumn("l_c", coalesce(col("l_c"), lit(0L)))
+        .select(col("label"), col("n_nodes"), col("l_c"), col("d_c"),
+          Exact.fmt(
+            ((lit(4.0) * lit(m.toDouble)) * col("l_c").cast("double")
+              - (col("d_c") * col("d_c")).cast("double"))
+              / ((lit(4.0) * lit(m.toDouble)) * lit(m.toDouble)), 6).as("q_r"))
+    }),
+
     // G7 — HITS hub/authority over the k-NN graph (the second classic
     // link-analysis scorer beside g1's PageRank; in a corpus graph the
     // authority rank surfaces canonical documents, the hub rank surfaces
@@ -7915,6 +7961,28 @@ object SparkEntry {
     "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,
+
+    // Same knn undirected closure as g2-g5; exact integer L_c/D_c/m,
+    // identical double expression order behind the 6-decimal rendering.
+    "g8_modularity" ->
+      s"""WITH $knnUndirectedCtes,
+         |lab AS (SELECT n.vec_id AS id, CAST(e2.label AS BIGINT) AS label
+         |        FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+         |mm AS (SELECT COUNT(*) AS m FROM und),
+         |lc AS (SELECT la.label, COUNT(*) AS l_c
+         |       FROM und u JOIN lab la ON la.id = u.a
+         |       JOIN lab lb2 ON lb2.id = u.b
+         |       WHERE la.label = lb2.label GROUP BY 1),
+         |dc AS (SELECT lab.label, COUNT(*) AS n_nodes,
+         |       CAST(SUM(COALESCE(dg.deg, 0)) AS BIGINT) AS d_c
+         |       FROM lab LEFT JOIN dg ON dg.id = lab.id GROUP BY 1)
+         |SELECT d.label, d.n_nodes,
+         |  CAST(COALESCE(lc.l_c, 0) AS BIGINT) AS l_c, d.d_c,
+         |  printf('%.6f',
+         |    ((CAST('4.0' AS DOUBLE) * (SELECT m FROM mm)) * COALESCE(lc.l_c, 0)
+         |     - d.d_c * d.d_c)
+         |    / ((CAST('4.0' AS DOUBLE) * (SELECT m FROM mm)) * (SELECT m FROM mm))) AS q_r
+         |FROM dc d LEFT JOIN lc ON lc.label = d.label""".stripMargin,
     "g3_kcore" -> kCoreOracle,
     "g4_bfs_dist" -> bfsOracle,
     "g5_linkpred" -> linkPredOracle,
