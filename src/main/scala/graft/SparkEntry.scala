@@ -912,6 +912,48 @@ object SparkEntry {
           row_number().over(w2).as("version"))
     }),
 
+    // J10 — SCD2 temporal enrichment (fact AS-OF dimension): purchases
+    // joined to the user's click-value dimension VERSION valid at event
+    // time — the warehouse shape o18's SCD2 table exists for. Spark-first
+    // plan: NOT a range join (per-user interval predicates go quadratic in
+    // user density) — dim-change rows and fact rows UNION into one
+    // per-user timeline, one window pass carries the last dim version
+    // forward (last ignoreNulls), dim sorting before fact at equal
+    // timestamps gives the >= valid_from semantics exactly. Equivalent to
+    // the interval-predicate join (zero-length versions at duplicate
+    // timestamps match nothing in both formulations); the oracle states
+    // the NAIVE predicate join to keep the equivalence honest. One sort
+    // exchange on user_id — no pair blowup at any density.
+    "j10_scd2_asof" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("t"), col("event_id"))
+      val wd = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+      val dim = e.filter(col("event_type") === "click")
+        .withColumn("prev", lag(col("value"), 1).over(wd))
+        .filter(col("prev").isNull || col("value") =!= col("prev"))
+        .select(col("user_id"), col("t"), col("event_id"),
+          col("value").as("dim_value"))
+        .withColumn("version", row_number().over(wd))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"), col("event_id"))
+      val uni = dim.select(col("user_id"), col("t"), lit(1).as("is_dim"),
+          col("event_id"), col("dim_value"), col("version"))
+        .unionByName(facts.select(col("user_id"), col("t"),
+          lit(0).as("is_dim"), col("event_id"),
+          lit(null).cast("double").as("dim_value"),
+          lit(null).cast("int").as("version")))
+      val wA = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_dim").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      uni
+        .withColumn("v", last(col("version"), ignoreNulls = true).over(wA))
+        .withColumn("dv", last(col("dim_value"), ignoreNulls = true).over(wA))
+        .filter(col("is_dim") === 0)
+        .select(col("event_id"), col("user_id"),
+          col("v").as("version"), col("dv").as("dim_value"))
+    }),
+
     // O19 — Z-order (Morton) clustering key: the multi-dimensional layout
     // move (Delta/Iceberg OPTIMIZE ZORDER) that makes parquet min/max
     // stats selective on TWO dimensions at once. The key is 32 codegen'd
@@ -7437,6 +7479,26 @@ object SparkEntry {
 
     // Mirrors o18_scd2: change rows via lag, intervals via lead/row_number,
     // identical (t, event_id) ordering on both engines.
+    // The NAIVE interval-predicate join over the o18-style SCD2 chain —
+    // deliberately independent of the engine's union+window timeline plan.
+    "j10_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
+        |c AS (SELECT *, lag(value) OVER (PARTITION BY user_id
+        |                                 ORDER BY t, event_id) AS prev
+        |      FROM e WHERE event_type = 'click'),
+        |ch AS (SELECT user_id, value, t, event_id FROM c
+        |       WHERE prev IS NULL OR value <> prev),
+        |d AS (SELECT user_id, value AS dim_value, t AS valid_from_us,
+        |    lead(t) OVER w AS valid_to_us, row_number() OVER w AS version
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |f AS (SELECT user_id, t, event_id FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, d.version, d.dim_value
+        |FROM f LEFT JOIN d ON d.user_id = f.user_id
+        |  AND f.t >= d.valid_from_us
+        |  AND (d.valid_to_us IS NULL OR f.t < d.valid_to_us)""".stripMargin,
+
     "o18_scd2" ->
       """WITH e AS (SELECT user_id, event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events),
