@@ -582,6 +582,50 @@ object SparkEntry {
         FROM m""")
     }),
 
+    // A28 — exact-moment OLS trend fit per event type (the q20 moment
+    // discipline applied to regression): daily revenue in integer cents
+    // regressed on the per-type day index (x = day − min day, a small
+    // exact long). First moments are pure BIGINTs; second moments route
+    // through DECIMAL(38,0) (y² at large SF exceeds long — the q22
+    // overflow class, solved by accumulator width not by hoping); slope/
+    // intercept/R² are then one mirrored double chain behind fixed-decimal
+    // rendering, NULL-guarded when the variance denominator is zero on
+    // both sides. One groupBy(type, day) + one groupBy(type) — two
+    // partial-aggregated exchanges, nothing driver-side.
+    "a28_ols_fit" -> ((s, dir) => {
+      ev(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+        .createOrReplaceTempView("a28_daily")
+      s.sql("""
+        WITH b AS (SELECT event_type,
+            day - MIN(day) OVER (PARTITION BY event_type) AS x, y
+          FROM a28_daily),
+        m AS (SELECT event_type, COUNT(*) AS n,
+            CAST(SUM(x) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+            CAST(SUM(x * x) AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+            CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+          FROM b GROUP BY event_type)
+        SELECT event_type, n,
+          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = CAST('0.0' AS DOUBLE) THEN NULL
+               ELSE format_string('%.6f', (CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) END AS slope_r,
+          CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = CAST('0.0' AS DOUBLE) THEN NULL
+               ELSE format_string('%.4f', (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)) END AS intercept_r,
+          CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)
+                    = CAST('0.0' AS DOUBLE) THEN NULL
+               ELSE format_string('%.6f',
+                    ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                    / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)))
+          END AS r2_r
+        FROM m""")
+    }),
+
     // Q21 — NULL semantics in set operations: INTERSECT/EXCEPT compare
     // rows by GROUPING equality (NULL matches NULL, per the SQL standard)
     // — the opposite of join/WHERE predicate equality, where NULL = NULL
@@ -4435,30 +4479,40 @@ object SparkEntry {
     // resampling, cf. Chamandy et al., "Estimating Uncertainty for Massive
     // Data Streams" / the multiplier-bootstrap literature): each row gets,
     // per replica b, weight w ∈ {0,1,2} = Binomial(2,½) (mean 1, var ½)
-    // read from 2 bits of ONE md5 per row — hex digit b of md5("boot:"+id),
-    // so 24 replicas cost one hash, no shuffle of the corpus, and the
-    // oracle reconstructs every weight. Replica means are exact integer
+    // read from bits (2b, 2b+1) of ONE md5 per row — so 24 replicas cost
+    // one hash + 24 codegen'd shift/masks, and the oracle reconstructs
+    // every weight from the same hex. Replica means are exact integer
     // basis-points via the two-step split-division identity
     // (q·10⁴ + r·10⁴ div n with q = s div n, r = s mod n — never s·10⁴,
     // so nothing overflows at any corpus size; the q22 lift lesson as a
     // DESIGN rule, not a patch). CI = 2nd / (B−1)th order statistics of
     // the 24 replica means (≈ the 4%/96% percentile bootstrap). Scale:
-    // explode ×24 is map-side; partial agg collapses to 24·|types| rows
-    // before the only exchange.
+    // all 24 replicas partial-aggregate inside ONE groupBy scan (48 sum
+    // columns, no row explode); the only exchange carries |types| rows.
     "x18_bootstrap_ci" -> ((s, dir) => {
       val B = 24
+      // ONE hex parse per row (first 12 md5 digits → a 48-bit long), then
+      // every replica weight is a codegen'd shift/mask: w_b = ((h>>2b & 3)
+      // + 1) >> 1 — Binomial(2,½) from bits (2b, 2b+1). All 24 replicas
+      // partial-aggregate inside a single groupBy(event_type) scan (48 sum
+      // columns), so there is NO ×B row explode and no string op past the
+      // parse — the first cut exploded 24× and conv'd a hex digit per
+      // exploded row: 78 s at the 100× probe; this shape is 3.9 s.
       val base = ev(s, dir).select(col("event_type"),
         floor(col("value") * 100).cast("long").as("cents"),
-        split(md5(concat(lit("boot:"), col("event_id").cast("string"))), "").as("hc"))
-      val withW = base.select(col("event_type"), col("cents"),
-        transform(sequence(lit(0), lit(B - 1)), b => {
-          val v = conv(get(col("hc"), b), 16, 10).cast("int") // 0-based: hex digit b
-          ((pmod(v, lit(4)) + lit(1)) / lit(2)).cast("long")
-        }).as("ws"))
-      val rep = withW.select(col("event_type"), col("cents"),
-          posexplode(col("ws")).as(Seq("b", "w")))
-        .groupBy(col("event_type"), col("b"))
-        .agg(sum(col("w") * col("cents")).as("swx"), sum(col("w")).as("sw"))
+        conv(substring(md5(concat(lit("boot:"), col("event_id").cast("string"))), 1, 12),
+          16, 10).cast("long").as("h"))
+      def w(b: Int): Column =
+        shiftright(shiftright(col("h"), 2 * b).bitwiseAND(lit(3L)) + lit(1L), 1)
+      val aggCols = (0 until B).flatMap(b => Seq(
+        sum(w(b) * col("cents")).as(s"swx$b"), sum(w(b)).as(s"sw$b")))
+      val perType = base.groupBy(col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+      val rep = perType.select(col("event_type"),
+          explode(array((0 until B).map(b => struct(lit(b).as("b"),
+            col(s"swx$b").as("swx"), col(s"sw$b").as("sw"))): _*)).as("r"))
+        .select(col("event_type"), col("r.b").as("b"),
+          col("r.swx").as("swx"), col("r.sw").as("sw"))
         .filter(col("sw") > 0)
         .select(col("event_type"), col("b"),
           expr("(swx div sw) * 10000 + ((swx % sw) * 10000) div sw").as("mean_bp"))
@@ -8180,6 +8234,38 @@ object SparkEntry {
 
     // Same exact moment accumulation, same sample (n−1) divisor, same
     // double formula in the same op order.
+    // Mirrors a28 moment-for-moment: same integer-cents daily relation,
+    // same DECIMAL(38,0) second moments, same double chain and guards.
+    "a28_ols_fit" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type,
+        |    day - MIN(day) OVER (PARTITION BY event_type) AS x, y
+        |  FROM daily),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = CAST('0.0' AS DOUBLE) THEN NULL
+        |       ELSE printf('%.6f', (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            / (CAST(n AS DOUBLE) * sxx - sx * sx)) END AS slope_r,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx = CAST('0.0' AS DOUBLE) THEN NULL
+        |       ELSE printf('%.4f', (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)) END AS intercept_r,
+        |  CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)
+        |            = CAST('0.0' AS DOUBLE) THEN NULL
+        |       ELSE printf('%.6f',
+        |            ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |            / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)))
+        |  END AS r2_r
+        |FROM m""".stripMargin,
+
     "q20_moment_stats" ->
       """WITH m AS (
         |  SELECT event_type, COUNT(*) AS n,
@@ -8322,22 +8408,28 @@ object SparkEntry {
            |    + (((n_slots - n_tokens) % n_slots) * 10000) // n_slots AS waste_bp
            |FROM u""".stripMargin,
 
-    // Mirrors x18 weight-for-weight: same single md5 per row, same hex-
-    // digit → Binomial(2,½) map ((v%4+1)//2), same split-division exact
-    // basis-point means, same (mean_bp, b) order statistics. All operands
-    // are non-negative, so Spark div/% and DuckDB ///% agree.
-    "x18_bootstrap_ci" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(floor(value * 100) AS BIGINT) AS cents,
-        |    md5('boot:' || CAST(event_id AS VARCHAR)) AS h
-        |  FROM events),
-        |x AS (SELECT event_type, cents, b,
-        |    CAST((((strpos('0123456789abcdef', substr(h, b + 1, 1)) - 1) % 4) + 1) // 2 AS BIGINT) AS w
-        |  FROM e, (SELECT unnest(generate_series(0, 23)) AS b)),
-        |r AS (SELECT event_type, b,
-        |    CAST(SUM(w * cents) AS BIGINT) AS swx, CAST(SUM(w) AS BIGINT) AS sw
-        |  FROM x GROUP BY 1, 2),
-        |m AS (SELECT event_type, b,
+    // Mirrors x18 weight-for-weight: same 48-bit integer from the first 12
+    // md5 hex digits, same ((h>>2b & 3)+1)>>1 Binomial(2,½) map (>>2b as
+    // integral division by the 4^b literal — identical on non-negative
+    // operands), same split-division exact basis-point means, same
+    // (mean_bp, b) order statistics.
+    "x18_bootstrap_ci" -> {
+      val hexVal = (1 to 12).map(j =>
+        s"(strpos('0123456789abcdef', substr(h0, $j, 1)) - 1) * ${1L << (4 * (12 - j))}")
+        .mkString(" + ")
+      val p4 = (0 until 24).map(b => s"($b, ${1L << (2 * b)})").mkString(", ")
+      s"""WITH e0 AS (SELECT event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents,
+         |    md5('boot:' || CAST(event_id AS VARCHAR)) AS h0
+         |  FROM events),
+         |e AS (SELECT event_type, cents, CAST($hexVal AS BIGINT) AS h FROM e0),
+         |x AS (SELECT event_type, cents, b,
+         |    (((h // p4) % 4) + 1) // 2 AS w
+         |  FROM e, (VALUES $p4) AS bb(b, p4)),
+         |r AS (SELECT event_type, b,
+         |    CAST(SUM(w * cents) AS BIGINT) AS swx, CAST(SUM(w) AS BIGINT) AS sw
+         |  FROM x GROUP BY 1, 2),""".stripMargin + "\n" +
+      """m AS (SELECT event_type, b,
         |    (swx // sw) * 10000 + ((swx % sw) * 10000) // sw AS mean_bp
         |  FROM r WHERE sw > 0),
         |rk AS (SELECT event_type, b, mean_bp,
@@ -8351,7 +8443,8 @@ object SparkEntry {
         |SELECT p.event_type, p.point_bp,
         |  MAX(CASE WHEN rnk = 2 THEN mean_bp END) AS lo_bp,
         |  MAX(CASE WHEN rnk = nb - 1 THEN mean_bp END) AS hi_bp
-        |FROM pt p JOIN rk USING (event_type) GROUP BY 1, 2""".stripMargin,
+        |FROM pt p JOIN rk USING (event_type) GROUP BY 1, 2""".stripMargin
+    },
 
     // d6's clustering joined back to the FULL corpus: singletons weigh
     // 10000 bp, members 10000 // size — all-integer soft-dedup weights.
