@@ -175,6 +175,38 @@ object StreamView {
     }
   }
 
+  /** Orphan sweep (the table-format VACUUM): delete every epoch dir the
+    * latest manifest EXCLUDES and every stale/tmp manifest. This is the
+    * garbage class a crash inside [[cleanupAfterCommit]] leaves behind
+    * permanently otherwise — later compactions delete only their own
+    * consumed set, and an excluded dir is never consumed again, so without
+    * a vacuum the dead bytes accumulate forever. Safe under the manifest
+    * rule: every read resolves through [[liveEpochs]], so anything this
+    * deletes is by construction invisible (crashed-stage negative orphans
+    * included — recovery re-stages over the same live set and overwrites).
+    * Must run serially with compaction, same contract as [[compactMerge]]
+    * (a vacuum between stage and commit would delete the staged dir).
+    *
+    * @return number of paths deleted. */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val live = liveEpochs(fs, root).toSet
+    val latestGen = latestManifest(fs, root).map(_.gen).getOrElse(0L)
+    var n = 0
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val name = p.getName
+      val deadEpoch = name.startsWith("__b=") &&
+        !live.contains(name.stripPrefix("__b=").toLong)
+      val deadManifest = name.startsWith(ManifestPrefix) &&
+        (name.endsWith(".tmp") ||
+          name.stripPrefix(ManifestPrefix).toLong < latestGen)
+      if (deadEpoch || deadManifest) { fs.delete(p, true); n += 1 }
+    }
+    n
+  }
+
   /** Merge every LIVE epoch dir with id <= `upTo` (committed batches and
     * prior maintenance epochs) into one negative maintenance epoch under
     * the three-step manifest-commit protocol above. Must run serially with

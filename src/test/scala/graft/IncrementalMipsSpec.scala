@@ -202,6 +202,53 @@ class IncrementalMipsSpec extends SparkSpec {
     assert(dirsOnDisk().size === 1, "second generation fully compacts")
   }
 
+  test("streaming view vacuum: reclaims crashed-cleanup garbage later compactions never touch") {
+    import graft.streaming.StreamView
+    import graft.ops.Incremental
+    val dir = tmpDir("sview_vacuum")
+    val path = s"$dir/view"
+    def partial(rows: Seq[(Long, Double)]) =
+      Incremental.partial(rows.toDF("user_id", "value"), Seq($"user_id"), $"value")
+    def snap() = StreamView.served(spark, path, Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSet
+    def names() = new java.io.File(path).listFiles().map(_.getName).toSet
+    StreamView.writeEpoch(partial(Seq((1L, 1.0))), path, 0)
+    StreamView.writeEpoch(partial(Seq((2L, 2.0))), path, 1)
+    // generation 1: stage + commit, then CRASH before cleanup — consumed
+    // dirs 0/1 and no leftover sweep
+    val Some((e1, _)) = StreamView.stageMerge(spark, path, Seq("user_id"), upTo = 1)
+    StreamView.commitManifest(spark, path, e1, upTo = 1)
+    val expect = snap()
+    // generation 2 compacts OVER the crash leftovers — and must NOT
+    // reclaim them (it deletes only its own consumed set)
+    StreamView.writeEpoch(partial(Seq((1L, 4.0))), path, 2)
+    StreamView.compactMerge(spark, path, Seq("user_id"), upTo = 2)
+    assert(names().contains("__b=0") && names().contains("__b=1"),
+      "crashed-cleanup garbage survives later compactions — the vacuum's reason to exist")
+    val expect2 = snap()
+    assert(expect2.map(_._1) === Set(1L, 2L))
+    // plant the other garbage classes: a tmp manifest and a crashed-stage
+    // negative orphan unreferenced by any manifest
+    new java.io.File(path, "_manifest.g99.tmp").createNewFile()
+    StreamView.writeEpoch(partial(Seq((9L, 9.0))), path, -99)
+    assert(snap() === expect2, "orphans invisible before vacuum")
+    val removed = StreamView.vacuum(spark, path)
+    assert(removed >= 4, s"0/1/tmp/-99 all reclaimed (got $removed)")
+    assert(snap() === expect2, "vacuum must not change the served view")
+    assert(!names().exists(_.endsWith(".tmp")) && !names().contains("__b=0")
+      && !names().contains("__b=1") && !names().contains("__b=-99"))
+    // the table keeps working: another batch + compaction round trip
+    StreamView.writeEpoch(partial(Seq((2L, 1.0))), path, 3)
+    StreamView.compactMerge(spark, path, Seq("user_id"), upTo = 3)
+    val expect3 = Incremental.merge(Seq(
+        partial(Seq((1L, 1.0))), partial(Seq((2L, 2.0))),
+        partial(Seq((1L, 4.0))), partial(Seq((2L, 1.0)))), Seq("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).doubleValue())).toSet
+    assert(snap() === expect3)
+    assert(StreamView.vacuum(spark, path) >= 0 && snap() === expect3,
+      "vacuum on a clean table is a no-op for reads")
+  }
+
   test("knn graph: single-bucket blocking (signDims=0) equals brute-force top-k for every node") {
     val rnd = new scala.util.Random(7)
     val vs = (0L until 40L).map(i =>
