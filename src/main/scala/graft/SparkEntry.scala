@@ -4505,9 +4505,11 @@ object SparkEntry {
       def w(b: Int): Column =
         shiftright(shiftright(col("h"), 2 * b).bitwiseAND(lit(3L)) + lit(1L), 1)
       val aggCols = (0 until B).flatMap(b => Seq(
-        sum(w(b) * col("cents")).as(s"swx$b"), sum(w(b)).as(s"sw$b")))
+        sum(w(b) * col("cents")).as(s"swx$b"), sum(w(b)).as(s"sw$b"))) ++
+        Seq(sum(col("cents")).as("sc"), count(lit(1)).as("nr")) // point est too
       val perType = base.groupBy(col("event_type"))
         .agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint() // 5 rows; both consumers read it, ONE events scan
       val rep = perType.select(col("event_type"),
           explode(array((0 until B).map(b => struct(lit(b).as("b"),
             col(s"swx$b").as("swx"), col(s"sw$b").as("sw"))): _*)).as("r"))
@@ -4520,9 +4522,8 @@ object SparkEntry {
         .orderBy(col("mean_bp"), col("b"))
       val rk = rep.withColumn("rnk", row_number().over(wRk))
         .withColumn("nb", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      val pt = base.groupBy(col("event_type")).agg(
-        expr("(sum(cents) div count(1)) * 10000 + ((sum(cents) % count(1)) * 10000) div count(1)")
-          .as("point_bp"))
+      val pt = perType.select(col("event_type"),
+        expr("(sc div nr) * 10000 + ((sc % nr) * 10000) div nr").as("point_bp"))
       pt.join(rk.filter(col("rnk") === 2)
             .select(col("event_type"), col("mean_bp").as("lo_bp")), Seq("event_type"))
         .join(rk.filter(col("rnk") === col("nb") - 1)

@@ -230,4 +230,58 @@ class PlansSpec extends SparkSpec {
     assert(!s26Plan.contains("NestedLoop") && !s26Plan.contains("CartesianProduct"),
       s"s26 candidates come from the bucket equi-join:\n$s26Plan")
   }
+
+  test("gate plan shapes: t31 narrow scan, x18 one scan no explode, j10 no interval join, q27 pushdown+broadcast") {
+    // session-3 load-bearing plan properties:
+    //  - t31_gopher_rules: pure per-row rules — one scan, NO exchange;
+    //  - x18_bootstrap_ci: all 24 replicas partial-aggregate in ONE events
+    //    scan and the corpus is never exploded (the 78s→3s fix);
+    //  - j10_scd2_asof: the as-of ride is a window timeline — never a
+    //    nested-loop/cartesian interval join;
+    //  - q27_min_cost_supplier: the p_size filter reaches the part scan
+    //    and the dims broadcast.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plans-gates3").toString
+    (1L to 40L).map(i => (i, new java.sql.Timestamp(1700000000000L + i * 60000),
+        i % 5, Seq("click", "view", "purchase")(i.toInt % 3), (i % 7) * 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 2}", "en", "s0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (1L to 12L).map(i => (i, s"p$i", s"B$i", "T", (i % 15).toInt, i * 2.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    (1L to 6L).map(i => (i, s"s$i", (i % 3).toInt, i * 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    (0 to 2).map(i => (i, s"N$i", i % 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((0, "EUROPE"), (1, "ASIA")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$dir/region.parquet")
+    (1L to 40L).map(i => (i, i % 12 + 1, i % 6 + 1, 1, i % 5 + 1.0, i * 3.0, 0.1, 0.2))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.parquet(s"$dir/lineitem.parquet")
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    val t31 = planOf("t31_gopher_rules")
+    assert(!t31.contains("Exchange"), s"t31 is a narrow map:\n$t31")
+    assert(t31.split("\n").count(_.contains("Scan parquet")) === 1)
+    // x18 checkpoints the 48-column per-type aggregate (5 rows): the ONE
+    // events scan happens inside that job, so the SERVE plan must read the
+    // checkpoint only — zero parquet scans, no corpus explode anywhere.
+    val x18 = planOf("x18_bootstrap_ci")
+    assert(x18.split("\n").count(_.contains("Scan parquet")) === 0 &&
+      x18.contains("Scan ExistingRDD"),
+      s"x18 serves from the checkpointed per-type aggregate:\n$x18")
+    val j10 = planOf("j10_scd2_asof")
+    assert(!j10.contains("NestedLoop") && !j10.contains("CartesianProduct"),
+      s"j10 rides the union+window timeline, not an interval join:\n$j10")
+    val q27 = planOf("q27_min_cost_supplier")
+    assert(q27.contains("BroadcastHashJoin"), s"q27 dims broadcast:\n$q27")
+    assert(q27.contains("LessThanOrEqual(p_size,10)"),
+      s"q27 p_size filter pushed to the part scan:\n$q27")
+  }
 }
