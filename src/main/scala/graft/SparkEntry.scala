@@ -582,6 +582,38 @@ object SparkEntry {
         FROM m""")
     }),
 
+    // A29 — offline changepoint detection (AMOC binary segmentation via
+    // the CUSUM statistic): per event type, the day t maximizing
+    // |n·cum(t) − t·total| over the daily integer-cents series — the
+    // within-type denominator n is CONSTANT, so the integer numerator
+    // ranks identically to the normalized statistic and the argmax is
+    // pure BIGINT (ties → earliest day). The offline complement of mon4's
+    // sequential CUSUM. One groupBy(type, day), one per-type window
+    // cumsum over the days-sized relation, one argmax window.
+    "a29_changepoint" -> ((s, dir) => {
+      val daily = ev(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val scored = daily
+        .withColumn("cum", sum(col("y")).over(wOrd))
+        .withColumn("t", count(lit(1)).over(wOrd))
+        .withColumn("total", sum(col("y")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("t") < col("n")) // a split needs a non-empty right side
+        .withColumn("score", abs(col("n") * col("cum") - col("t") * col("total")))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("score").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("t").as("t_idx"), col("n").as("n_days"), col("score"))
+    }),
+
     // A28 — exact-moment OLS trend fit per event type (the q20 moment
     // discipline applied to regression): daily revenue in integer cents
     // regressed on the per-type day index (x = day − min day, a small
@@ -4598,6 +4630,28 @@ object SparkEntry {
       graft.ops.Sampling.hashSplit(docs(s, dir), col("doc_id"), SparkEntry.splitFractions)
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // X20 — contamination-aware splitting (x4 composed with x5): a doc
+    // sharing benchmark 4-grams must never land in validation/test (it
+    // would leak the benchmark into eval), so the x5 hash split is
+    // overridden to 'train' for every contaminated doc. This is the other
+    // half of the x12 lesson (dedup/decontaminate BEFORE splitting) as an
+    // enforced policy rather than an audit. Scale = x4's gram join (one
+    // bench-sided broadcastable relation) + x5's per-row hash ladder + one
+    // left join on doc_id.
+    "x20_decontam_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      val cont = DedupOps.contaminationCounts(corpus,
+          d.filter(pmod(col("doc_id"), lit(17)) === 0), "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), lit(1).as("is_cont"))
+      graft.ops.Sampling.hashSplit(corpus, col("doc_id"), SparkEntry.splitFractions)
+        .select(col("doc_id"), col("split"))
+        .join(cont, Seq("doc_id"), "left")
+        .withColumn("is_cont", coalesce(col("is_cont"), lit(0)))
+        .withColumn("final_split",
+          when(col("is_cont") === 1, lit("train")).otherwise(col("split")))
+    }),
+
     // X6 — deterministic global shuffle (training-data ordering): rows
     // ranked by salted hash via the two-pass range-partitioned rank (never
     // a single-partition window), sharded for parallel write.
@@ -8235,6 +8289,60 @@ object SparkEntry {
 
     // Same exact moment accumulation, same sample (n−1) divisor, same
     // double formula in the same op order.
+    // x4's gram/bench CTEs + x5's hash ladder, composed: contaminated
+    // docs force-train, everything else keeps its hash split.
+    "x20_decontam_split" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+        .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+        .mkString(" ")
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+           |           ELSE list_transform(generate_series(1, len(toks) - 3),
+           |                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gram
+           |  FROM t),
+           |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0),
+           |cont AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (gram)
+           |         WHERE doc_id % 17 <> 0),
+           |sp AS (SELECT doc_id, CASE $ladder END AS split FROM documents
+           |       WHERE doc_id % 17 <> 0)
+           |SELECT sp.doc_id, sp.split,
+           |  CAST(cont.doc_id IS NOT NULL AS INT) AS is_cont,
+           |  CASE WHEN cont.doc_id IS NOT NULL THEN 'train' ELSE sp.split END
+           |    AS final_split
+           |FROM sp LEFT JOIN cont ON cont.doc_id = sp.doc_id""".stripMargin
+    },
+
+    // Same daily cents relation as a28; the CUSUM numerator is pure
+    // BIGINT, argmax ties break earliest-day on both engines.
+    "a29_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |    CAST(SUM(y) OVER w AS BIGINT) AS cum,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS t,
+        |    CAST(SUM(y) OVER wa AS BIGINT) AS total,
+        |    CAST(COUNT(*) OVER wa AS BIGINT) AS n
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY event_type)),
+        |s AS (SELECT event_type, day, t, n,
+        |    abs(n * cum - t * total) AS score
+        |  FROM c WHERE t < n)
+        |SELECT event_type, day AS cp_day, t AS t_idx, n AS n_days, score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY score DESC, day) AS rk FROM s)
+        |WHERE rk = 1""".stripMargin,
+
     // Mirrors a28 moment-for-moment: same integer-cents daily relation,
     // same DECIMAL(38,0) second moments, same double chain and guards.
     "a28_ols_fit" ->
