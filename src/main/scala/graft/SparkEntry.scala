@@ -4099,6 +4099,39 @@ object SparkEntry {
           col("n_tokens"), col("seq_first"), col("seq_last"))
     }),
 
+    // C5 — the pretraining-prep composition (t31 ∘ x20 ∘ x2): Gopher
+    // quality rules on the RAW corpus (minWords 10, minStopwords 1 —
+    // scaled to the snippet-sized fixture: the published 50/2 empty it;
+    // stated, not hidden) → contamination-aware split (x20's policy: benchmark-gram
+    // docs force-train) → the TRAIN slice packed into 512-token sequences
+    // in doc_id order (x2's exclusive-prefix-sum machinery). Each stage is
+    // individually gated (t31/x20/x2); this gate pins the COMPOSITION —
+    // filters before split, split before pack, packing offsets computed
+    // over exactly the surviving set. Scale: the stages' own shapes; the
+    // composition adds two doc_id equi-joins.
+    "c5_pretrain_prep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      val keepIds = TextOps.gopherRules(corpus, "doc_id", "text",
+          minWords = 10L, minStopwords = 1L)
+        .filter(col("keep") === 1).select(col("doc_id"))
+      val cont = DedupOps.contaminationCounts(corpus,
+          d.filter(pmod(col("doc_id"), lit(17)) === 0), "doc_id", "text", 4)
+        .select(col("id").as("doc_id"), lit(1).as("is_cont"))
+      val train = graft.ops.Sampling.hashSplit(corpus, col("doc_id"),
+          SparkEntry.splitFractions)
+        .select(col("doc_id"), col("text"), col("split"))
+        .join(cont, Seq("doc_id"), "left")
+        .withColumn("is_cont", coalesce(col("is_cont"), lit(0)))
+        .filter(col("split") === "train" || col("is_cont") === 1)
+        .join(keepIds, Seq("doc_id"))
+      graft.ops.Packing.sequenceAssignments(train, Seq(col("doc_id")),
+          TextOps.tokenCount(col("text")), budget = 512L)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("is_cont"), col("seq_first"), col("seq_last"))
+    }),
+
     // C4 — soft-dedup-weighted data mixture, the composed pipeline behind
     // x17 + x13: near-dup clusters (d6) → per-doc weight 1/|cluster| →
     // per-SOURCE effective tokens Σ n_tokens·weight_bp → √-temperature
@@ -8289,6 +8322,76 @@ object SparkEntry {
 
     // Same exact moment accumulation, same sample (n−1) divisor, same
     // double formula in the same op order.
+    // t31's counters (raw text, minWords 10) + x20's gram/ladder CTEs +
+    // x2's exclusive-prefix-sum packing, composed in the same order the
+    // engine composes them.
+    "c5_pretrain_prep" -> {
+      val hexVal = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+        .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+        .mkString(" ")
+      raw"""WITH t AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+           |           ELSE list_transform(generate_series(1, len(toks) - 3),
+           |                               i -> array_to_string(toks[i:i+3], ' ')) END) AS gram
+           |  FROM t),
+           |bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 17 = 0),
+           |cont AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (gram)
+           |         WHERE doc_id % 17 <> 0),
+           |gc AS (SELECT doc_id, text AS tx,
+           |    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws,
+           |    string_split(text, chr(10)) AS ls
+           |  FROM documents WHERE doc_id % 17 <> 0),
+           |gn AS (SELECT doc_id,
+           |    CAST(len(ws) AS BIGINT) AS n_words,
+           |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(length(tx) - length(replace(tx, '#', '')) AS BIGINT) AS n_hash,
+           |    CAST((length(tx) - length(replace(tx, '...', ''))) // 3 AS BIGINT) AS n_ell,
+           |    CAST(len(ls) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS n_bullet,
+           |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ell_lines,
+           |    CAST(list_contains(ws, 'the') AS INT) + CAST(list_contains(ws, 'be') AS INT)
+           |      + CAST(list_contains(ws, 'to') AS INT) + CAST(list_contains(ws, 'of') AS INT)
+           |      + CAST(list_contains(ws, 'and') AS INT) + CAST(list_contains(ws, 'that') AS INT)
+           |      + CAST(list_contains(ws, 'have') AS INT) + CAST(list_contains(ws, 'with') AS INT)
+           |      AS n_stop
+           |  FROM gc),
+           |k AS (SELECT doc_id FROM gn
+           |  WHERE n_words >= 10 AND n_words <= 100000
+           |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+           |    AND (n_hash + n_ell) * 10 <= n_words
+           |    AND n_bullet * 10 <= n_lines * 9
+           |    AND n_ell_lines * 10 <= n_lines * 3
+           |    AND n_alpha * 10 >= n_words * 8
+           |    AND n_stop >= 1),
+           |sp AS (SELECT doc_id, CASE $ladder END AS split FROM documents
+           |       WHERE doc_id % 17 <> 0),
+           |tr AS (SELECT sp.doc_id,
+           |    CAST(cont.doc_id IS NOT NULL AS INT) AS is_cont
+           |  FROM sp LEFT JOIN cont ON cont.doc_id = sp.doc_id
+           |  WHERE sp.split = 'train' OR cont.doc_id IS NOT NULL),
+           |sel AS (SELECT tr.doc_id, tr.is_cont,
+           |    CASE WHEN length(trim(d2.text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(d2.text), '\s+')) END AS n_tokens
+           |  FROM tr JOIN k USING (doc_id) JOIN documents d2 USING (doc_id)),
+           |c AS (SELECT doc_id, is_cont, n_tokens,
+           |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |  FROM sel)
+           |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, is_cont,
+           |  off // 512 AS seq_first,
+           |  CASE WHEN n_tokens <= 0 THEN off // 512
+           |       ELSE (off + n_tokens - 1) // 512 END AS seq_last
+           |FROM c""".stripMargin
+    },
+
     // x4's gram/bench CTEs + x5's hash ladder, composed: contaminated
     // docs force-train, everything else keeps its hash split.
     "x20_decontam_split" -> {

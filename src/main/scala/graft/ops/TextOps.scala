@@ -708,6 +708,11 @@ object TextOps {
     *   6. ≥ 80% of words contain at least one alphabetic character
     *   7. ≥ 2 distinct words from [[gopherStopwords]] present
     *
+    * Rule 1's bounds are parameters (published defaults 50/100 000 words);
+    * a snippet-scale corpus lowers minWords rather than discarding
+    * everything; rule 7's count is likewise a parameter (published default
+    * 2) — the five remaining rules are corpus-independent.
+    *
     * EVERY rule is an integer cross-multiplication (10·n_sym ≤ n_words, not
     * n_sym/n_words ≤ 0.1): no ratio double ever exists, so the flags are
     * bit-identical across engines and immune to the q22 overflow class
@@ -721,7 +726,9 @@ object TextOps {
     *
     * @return input columns idCol + counters (n_words, n_lines) + the seven
     *         flags (f_*) + keep, all flags int 0/1. */
-  def gopherRules(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(corpus: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minStopwords: Long = 2L): DataFrame = {
     val t = col(textCol)
     val ws = filter(split(trim(t), "\\s+"), w => w =!= "")
     val lines = split(t, "\n")
@@ -741,13 +748,13 @@ object TextOps {
     def flag(c: Column): Column = c.cast("int")
     corpus.select(col(idCol),
       nWords.as("n_words"), nLines.as("n_lines"),
-      flag(nWords >= 50L && nWords <= 100000L).as("f_wordcount"),
+      flag(nWords >= minWords && nWords <= maxWords).as("f_wordcount"),
       flag(sumLen >= nWords * 3L && sumLen <= nWords * 10L).as("f_meanlen"),
       flag((nHash + nEll) * 10L <= nWords).as("f_symbol"),
       flag(nBullet * 10L <= nLines * 9L).as("f_bullet"),
       flag(nEllLines * 10L <= nLines * 3L).as("f_ellipsis"),
       flag(nAlpha * 10L >= nWords * 8L).as("f_alpha"),
-      flag(nStop >= 2L).as("f_stop"))
+      flag(nStop >= minStopwords).as("f_stop"))
       .withColumn("keep",
         (col("f_wordcount") * col("f_meanlen") * col("f_symbol") * col("f_bullet")
           * col("f_ellipsis") * col("f_alpha") * col("f_stop")).cast("int"))
