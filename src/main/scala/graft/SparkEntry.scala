@@ -5576,6 +5576,32 @@ object SparkEntry {
           Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
     }),
 
+    // E2E vacuum under the full read gate: the e2e_view_maintain replay,
+    // then EVERY garbage class injected deliberately (a crashed-stage
+    // negative orphan epoch carrying poison rows, a stale .tmp manifest),
+    // then StreamView.vacuum, then serve. The DuckDB truth is the same
+    // per-user rollup over the raw events — so a vacuum that deletes a
+    // LIVE epoch (losing rows) or fails to keep the orphan invisible
+    // (double-count) hash-mismatches here, not just in a unit test. The
+    // runtime complement of IncrementalMipsSpec's crash-injection spec.
+    "e2e_vacuum" -> ((s, dir) => {
+      val work = scratch("e2e_vacuum")
+      graft.streaming.StreamView.run(s, ev(s, dir), work).count()
+      val viewPath = s"$work/view"
+      // poison orphan: would corrupt the rollup if it ever became visible
+      graft.streaming.StreamView.writeEpoch(
+        graft.ops.Incremental.partial(
+          s.range(1).select(lit(1L).as("user_id"), lit(1e9).as("value")),
+          Seq(col("user_id")), col("value")),
+        viewPath, -9999L)
+      new java.io.File(viewPath, "_manifest.g9999.tmp").createNewFile()
+      require(graft.streaming.StreamView.vacuum(s, viewPath) >= 2,
+        "vacuum must reclaim the injected orphan and tmp manifest")
+      graft.streaming.StreamView.served(s, viewPath, Seq("user_id"))
+        .select(col("user_id"), col("n").as("n_events"),
+          Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
+    }),
+
     // E2E streaming KMV sketch maintenance (§2.8): per-micro-batch per-day
     // bottom-k partials landed as epochs, served by value-merge — the
     // sketch-algebra instance of e2e_view_maintain's epoch discipline, and
@@ -10849,6 +10875,13 @@ object SparkEntry {
         |FROM events WHERE extract(day FROM ts) <= 20 GROUP BY 1""".stripMargin,
 
     // The served additive view must equal the all-time batch aggregate.
+    // e2e_vacuum serves the identical relation: a vacuum defect (live
+    // epoch deleted / orphan visible) diverges from this truth.
+    "e2e_vacuum" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  printf('%.4f', CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)) AS sum_r
+        |FROM events GROUP BY 1""".stripMargin,
+
     "e2e_view_maintain" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  printf('%.4f', CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE)) AS sum_r
