@@ -2322,6 +2322,45 @@ object SparkEntry {
           col("d2_red"), coalesce(col("hit"), lit(0)).as("in_exact"))
     }),
 
+    // S28 — deterministic farthest-point seeding (Gonzalez 1985 k-center
+    // traversal, the deterministic cousin of k-means++ D² sampling): seed 0
+    // = the min-id vector, then k−1 rounds of "pick the point maximizing
+    // min distance to the chosen seeds" (ties → min id). Distances are the
+    // s27 integer grid (exact BIGINT squared L2), so the seed SEQUENCE is
+    // engine-identical — the property the s8 stride init can't give
+    // (stride is arbitrary, not coverage-driven) and the reason this init
+    // feeds s8/sd1 at 100 TB: k scans of the corpus, each one narrow agg
+    // with the seed vectors as plan literals (k×dim ints driver-side —
+    // the monitor-boundary collect pattern), no corpus state between
+    // rounds. Output also assigns the corpus to the chosen seeds
+    // (argmin, ties → earliest round) as the coverage audit.
+    "s28_kmeanspp_seed" -> ((s, dir) => {
+      val qv = emb(s, dir).select(col("vec_id"),
+        SimilarityOps.quantizeE6(col("embedding")).as("q"))
+      def d2To(seed: Array[Long]): Column =
+        SimilarityOps.sqDistL(col("q"), array(seed.map(lit): _*))
+      def vecOf(id: Long): Array[Long] =
+        qv.filter(col("vec_id") === id).head().getSeq[Long](1).toArray
+      val firstId = qv.agg(min(col("vec_id"))).head().getLong(0)
+      var seeds = Vector((0, firstId, vecOf(firstId), 0L))
+      for (r <- 1 until 4) {
+        val minD = seeds.map(t => d2To(t._3)).reduce(least(_, _))
+        val pick = qv.select(col("vec_id"), minD.as("d2"))
+          .agg(min(struct((-col("d2")).as("nd"), col("vec_id").as("id"))).as("m"))
+          .select(col("m.nd"), col("m.id")).head()
+        seeds = seeds :+ ((r, pick.getLong(1), vecOf(pick.getLong(1)), -pick.getLong(0)))
+      }
+      val dists = seeds.map(t =>
+        struct(d2To(t._3).as("d"), lit(t._1).as("r")))
+      val counts = qv.select(col("vec_id"),
+          array_min(array(dists: _*)).getField("r").as("round"))
+        .groupBy(col("round")).agg(count(lit(1)).as("n_assigned"))
+      val seedDf = s.createDataFrame(
+        seeds.map(t => (t._1, t._2, t._4))).toDF("round", "seed_id", "picked_d2")
+      seedDf.join(counts, Seq("round"))
+        .select(col("round"), col("seed_id"), col("picked_d2"), col("n_assigned"))
+    }),
+
     // S17 — FILTERED vector search (the "where lang = 'en'" ANN serve —
     // metadata predicates composed with index probing, the production
     // retrieval shape): the s2 index is built over the FULL corpus, the
@@ -4854,6 +4893,50 @@ object SparkEntry {
       graft.ops.Incremental.merge(Seq(snapshot, delta), Seq("event_type", "day"))
         .select(col("event_type"), col("day"), col("n").as("n_events"),
           Exact.fmt(col("s").cast("double"), 4).as("sum_r"))
+    }),
+
+    // O39 — dataset card (the published-dataset manifest: what a datasheet
+    // / dataset-card block reports about a corpus): doc/token totals,
+    // vocabulary-free structural stats, language/source diversity, exact-
+    // duplicate rate in basis points (t4 fingerprints), exact median doc
+    // length (order statistic at (n+1) div 2 — no interpolation), per-lang
+    // token mass. One narrow long-schema (metric, value) relation so the
+    // card is append-only as metrics grow. All BIGINT; the only windows
+    // ride the days-sized... corpus-RANK for the median, computed as a
+    // max-over-filter (rank ≤ (n+1) div 2) — no single-partition window.
+    "o39_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      def row(m: String, v: Column) = Seq(lit(m).as("metric"), v.as("value"))
+      val totals = d.agg(
+        count(lit(1)).as("docs_total"), sum(col("n_tok")).as("tokens_total"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(col("source")).as("sources"),
+        countDistinct(col("fp")).as("distinct_fp"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      val scalar = totals.select(explode(array(
+          struct(row("docs_total", col("docs_total")): _*),
+          struct(row("tokens_total", col("tokens_total")): _*),
+          struct(row("langs_distinct", col("langs")): _*),
+          struct(row("sources_distinct", col("sources")): _*),
+          struct(row("exact_dup_docs", col("docs_total") - col("distinct_fp")): _*),
+          struct(row("exact_dup_bp",
+            expr("(docs_total - distinct_fp) * 10000 div docs_total")): _*),
+          struct(row("min_doc_tokens", col("min_tok")): _*),
+          struct(row("max_doc_tokens", col("max_tok")): _*))).as("r"))
+        .select(col("r.metric"), col("r.value"))
+      // exact median: the (n+1) div 2-th smallest n_tok under (n_tok, doc_id)
+      // order — rank from the two-pass range-partitioned ranker
+      val ranked = graft.ops.Ranking.globalRowNumber(
+        d.select(col("n_tok"), col("doc_id")), Seq(col("n_tok"), col("doc_id")), "pos")
+      val med = ranked.crossJoin(broadcast(totals.select(col("docs_total"))))
+        .filter(col("pos") === expr("(docs_total + 1) div 2"))
+        .select(lit("p50_doc_tokens").as("metric"), col("n_tok").as("value"))
+      val perLang = d.groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("value"))
+        .select(concat(lit("tokens_lang_"), col("lang")).as("metric"), col("value"))
+      scalar.unionByName(med).unionByName(perLang)
     }),
 
     // T16 — pivot (long→wide): per-source token mass cross-tabbed by
@@ -8907,6 +8990,53 @@ object SparkEntry {
     "s1_ann_topk" -> annOracle,
     "s23_mmr_rerank" -> mmrOracle,
 
+    // Four unrolled farthest-point rounds (the g1 fixed-iteration
+    // contract): per round one distance CTE against the new seed, a
+    // running least() min, and ORDER BY d2 DESC, vec_id LIMIT 1 — the
+    // exact argmax/tie rule the engine's min(struct(-d2, id)) computes.
+    "s28_kmeanspp_seed" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS di FROM v),
+        |s0 AS (SELECT min(vec_id) AS id FROM v),
+        |d0 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s0)
+        |       GROUP BY 1),
+        |s1 AS (SELECT vec_id AS id, d2 FROM d0 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s1)
+        |       GROUP BY 1),
+        |m1 AS (SELECT d0.vec_id, least(d0.d2, d1.d2) AS d2
+        |       FROM d0 JOIN d1 USING (vec_id)),
+        |s2 AS (SELECT vec_id AS id, d2 FROM m1 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d2r AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |        FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s2)
+        |        GROUP BY 1),
+        |m2 AS (SELECT m1.vec_id, least(m1.d2, d2r.d2) AS d2
+        |       FROM m1 JOIN d2r USING (vec_id)),
+        |s3 AS (SELECT vec_id AS id, d2 FROM m2 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s3)
+        |       GROUP BY 1),
+        |alld AS (SELECT vec_id, 0 AS round, d2 FROM d0
+        |  UNION ALL SELECT vec_id, 1, d2 FROM d1
+        |  UNION ALL SELECT vec_id, 2, d2 FROM d2r
+        |  UNION ALL SELECT vec_id, 3, d2 FROM d3),
+        |asg AS (SELECT vec_id, round FROM (
+        |    SELECT vec_id, round,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, round) AS rn
+        |    FROM alld) WHERE rn = 1),
+        |cnt AS (SELECT round, COUNT(*) AS n_assigned FROM asg GROUP BY 1),
+        |sd AS (SELECT 0 AS round, (SELECT id FROM s0) AS seed_id,
+        |         CAST(0 AS BIGINT) AS picked_d2
+        |  UNION ALL SELECT 1, (SELECT id FROM s1), (SELECT d2 FROM s1)
+        |  UNION ALL SELECT 2, (SELECT id FROM s2), (SELECT d2 FROM s2)
+        |  UNION ALL SELECT 3, (SELECT id FROM s3), (SELECT d2 FROM s3))
+        |SELECT sd.round, sd.seed_id, sd.picked_d2, cnt.n_assigned
+        |FROM sd JOIN cnt USING (round)""".stripMargin,
+
     // Mirrors rpProject/sqDistL end to end: identical 1e6 floor grid,
     // identical md5-parity sign matrix (DuckDB md5 of the same "rp:j:d"
     // strings), pure-BIGINT distances, (dist, id) integer rank ordering.
@@ -10875,6 +11005,40 @@ object SparkEntry {
         |FROM events WHERE extract(day FROM ts) <= 20 GROUP BY 1""".stripMargin,
 
     // The served additive view must equal the all-time batch aggregate.
+    // Long-schema card mirrored metric-for-metric; the median is the same
+    // (n+1)//2 order statistic under (n_tok, doc_id) order.
+    "o39_dataset_card" ->
+      raw"""WITH d AS (SELECT doc_id, lang, source,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+           |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |  FROM documents),
+           |t AS (SELECT COUNT(*) AS docs_total,
+           |    CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           |    COUNT(DISTINCT lang) AS langs,
+           |    COUNT(DISTINCT source) AS sources,
+           |    COUNT(DISTINCT fp) AS distinct_fp,
+           |    CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           |    CAST(MAX(n_tok) AS BIGINT) AS max_tok
+           |  FROM d),
+           |med AS (SELECT CAST(n_tok AS BIGINT) AS value FROM (
+           |    SELECT n_tok, row_number() OVER (ORDER BY n_tok, doc_id) AS pos FROM d)
+           |  WHERE pos = (SELECT (docs_total + 1) // 2 FROM t)),
+           |s AS (
+           |  SELECT 'docs_total' AS metric, CAST(docs_total AS BIGINT) AS value FROM t
+           |  UNION ALL SELECT 'tokens_total', tokens_total FROM t
+           |  UNION ALL SELECT 'langs_distinct', CAST(langs AS BIGINT) FROM t
+           |  UNION ALL SELECT 'sources_distinct', CAST(sources AS BIGINT) FROM t
+           |  UNION ALL SELECT 'exact_dup_docs', CAST(docs_total - distinct_fp AS BIGINT) FROM t
+           |  UNION ALL SELECT 'exact_dup_bp',
+           |    CAST((docs_total - distinct_fp) * 10000 // docs_total AS BIGINT) FROM t
+           |  UNION ALL SELECT 'min_doc_tokens', min_tok FROM t
+           |  UNION ALL SELECT 'max_doc_tokens', max_tok FROM t
+           |  UNION ALL SELECT 'p50_doc_tokens', value FROM med
+           |  UNION ALL SELECT 'tokens_lang_' || lang,
+           |    CAST(SUM(n_tok) AS BIGINT) FROM d GROUP BY lang)
+           |SELECT metric, value FROM s""".stripMargin,
+
     // e2e_vacuum serves the identical relation: a vacuum defect (live
     // epoch deleted / orphan visible) diverges from this truth.
     "e2e_vacuum" ->
