@@ -5295,6 +5295,31 @@ object SparkEntry {
           element_at(col("features"), 12).cast("long").as("n_red"))
     }),
 
+    // M12 — GIF87a/LZW round trip: the variable-width-LZW member of the
+    // codec ladder (BMP/PGM uncompressed, PNG/DEFLATE, JPEG/DCT) — per
+    // user, palette indices render through the REAL encoder (dictionary
+    // growth, width bumps, KwKwK, 4096-slot clear cycles) and back through
+    // the decoder; only order-independent integer features leave
+    // (collect_list order is partition-dependent, so the byte length — an
+    // order-sensitive LZW artifact — deliberately never surfaces). The
+    // oracle recomputes the features from the pixel formula alone: any
+    // codec drift (lost/duplicated pixel, bad padding, wrong dims)
+    // mismatches.
+    "m12_gif_features" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = ev(s, dir)
+        .select(col("user_id"), pmod(col("event_id"), lit(256)).cast("int").as("idx"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("idx")).as("pxs"))
+        .as[(Long, Array[Int])]
+        .map { case (uid, pxs) => (uid, graft.ops.Gif.encodeGif8(pxs, 8)) }
+        .toDF("id", "data")
+      payloads.as[(Long, Array[Byte])].map { case (id, bytes) =>
+        val (w, h, n, sum) = graft.ops.Gif.gifFeatures(bytes)
+        (id, w.toLong, h.toLong, n, sum)
+      }.toDF("content_id", "width", "height", "n_px", "idx_sum")
+    }),
+
     // M6 — resize: nearest-neighbor ×2 downsample as a real binary→binary
     // media transform (decode → integer-grid sample → re-encode), then
     // features on the RESIZED payload. Pixel order now matters (sampling
@@ -10849,6 +10874,19 @@ object SparkEntry {
     // from grouping voiced rows by their running segment id.
     // Features restated relationally; padding affects only the height
     // ceiling.
+    // Pixel-formula recomputation, blind to the GIF hop: n from the
+    // per-user count, dims from the width-8 zero-padded raster, index sum
+    // from event_id % 256 (padding contributes 0).
+    "m12_gif_features" ->
+      """WITH g AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(event_id % 256) AS BIGINT) AS s
+        |  FROM events GROUP BY 1)
+        |SELECT user_id AS content_id, CAST(8 AS BIGINT) AS width,
+        |  CAST((n + 7) // 8 AS BIGINT) AS height,
+        |  CAST(8 * ((n + 7) // 8) AS BIGINT) AS n_px,
+        |  s AS idx_sum
+        |FROM g""".stripMargin,
+
     "m11_pgm_features" ->
       """SELECT user_id, CAST(8 AS BIGINT) AS width,
         |  CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS height,

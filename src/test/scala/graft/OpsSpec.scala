@@ -1432,6 +1432,41 @@ class OpsSpec extends SparkSpec {
       "go go club" -> ((3, 1L, 6000000L))))
   }
 
+  test("GIF LZW codec: round trips across every code-width boundary") {
+    import graft.ops.Gif
+    def rt(px: Array[Int], w: Int): Unit = {
+      val enc = Gif.encodeGif8(px, w)
+      val (gw, gh, out) = Gif.decodeGif8(enc)
+      val h = (px.length + w - 1) / w
+      assert(gw === w && gh === h)
+      assert(out.toSeq === px.padTo(w * h, 0).toSeq, s"round trip failed for n=${px.length}")
+    }
+    // KwKwK stress: constant and short-period runs hit code==next repeatedly
+    rt(Array.fill(500)(7), 8)
+    rt(Array.tabulate(300)(i => if (i % 2 == 0) 3 else 9), 8)
+    // width growth 9->10 bits: needs > 254 dictionary adds
+    val rnd = new scala.util.Random(42)
+    rt(Array.fill(2000)(rnd.nextInt(256)), 16)
+    // full 4096-slot table -> CLEAR cycle -> rebuild (random bytes add
+    // ~1 entry/byte early, so 30k crosses the cap several times)
+    rt(Array.fill(30000)(rnd.nextInt(256)), 64)
+    // padding: last row zero-filled
+    rt(Array.tabulate(10)(i => i + 1), 8)
+    // structure: header magic, trailer, truncation rejected
+    val enc = Gif.encodeGif8(Array(1, 2, 3), 3)
+    assert(new String(enc.take(6), "US-ASCII") === "GIF87a")
+    assert((enc.last & 0xff) === 0x3B)
+    intercept[IllegalArgumentException] {
+      Gif.decodeGif8(enc.take(enc.length - 10))
+    }
+    // 89a extension blocks are skipped: splice a graphic-control ext in
+    val pre = enc.take(6 + 7 + 768) // header + LSD + palette
+    val post = enc.drop(6 + 7 + 768)
+    val ext = Array(0x21, 0xF9, 4, 0, 0, 0, 0, 0).map(_.toByte)
+    val (_, _, px89) = Gif.decodeGif8(pre ++ ext ++ post)
+    assert(px89.toSeq === Seq(1, 2, 3))
+  }
+
   test("kneserNeyScore: hand-computed rationals, backoff, zero-mass count") {
     // train "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1; c(a)=3 c(b)=2;
     // N1+(a,.)=2 N1+(b,.)=1; N1+(.,b)=1 N1+(.,a)=1 N1+(.,c)=1; N1+(..)=3
