@@ -5320,6 +5320,31 @@ object SparkEntry {
       }.toDF("content_id", "width", "height", "n_px", "idx_sum")
     }),
 
+    // M13 — animated-GIF frame SAMPLING (the m5 MJPEG economics on the
+    // LZW container): six frames per user through the real multi-image
+    // encoder, then features for every 3rd frame only — unsampled frames
+    // are skipped by hopping sub-block length bytes, ZERO LZW work (the
+    // property that makes frame sampling at 100 TB cost stride-fraction of
+    // the decode, not all of it). Frame f's pixel formula is
+    // (event_id·31 + f·17) % 256, so the oracle recomputes sampled-frame
+    // sums blind to the container.
+    "m13_gif_frames" -> ((s, dir) => {
+      import s.implicits._
+      ev(s, dir)
+        .select(col("user_id"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(collect_list(col("event_id")).as("ids"))
+        .as[(Long, Array[Long])]
+        .flatMap { case (uid, ids) =>
+          val frames = (0 until 6).map(f =>
+            ids.map(id => ((id * 31 + f * 17) % 256).toInt))
+          val bytes = graft.ops.Gif.encodeGifAnim(frames, 8)
+          graft.ops.Gif.sampledFrameFeatures(bytes, stride = 3)
+            .map { case (fr, n, sum) => (uid, fr, n, sum) }
+        }
+        .toDF("content_id", "frame", "n_px", "idx_sum")
+    }),
+
     // M6 — resize: nearest-neighbor ×2 downsample as a real binary→binary
     // media transform (decode → integer-grid sample → re-encode), then
     // features on the RESIZED payload. Pixel order now matters (sampling
@@ -10874,6 +10899,18 @@ object SparkEntry {
     // from grouping voiced rows by their running segment id.
     // Features restated relationally; padding affects only the height
     // ceiling.
+    // Sampled frames 0 and 3; per-frame sums from the pixel formula
+    // (event_id·31 + f·17) % 256 over the same width-8 padded raster.
+    "m13_gif_frames" ->
+      """WITH g AS (SELECT user_id, f.frame, COUNT(*) AS n,
+        |    CAST(SUM((event_id * 31 + f.frame * 17) % 256) AS BIGINT) AS s
+        |  FROM events, (VALUES (0), (3)) AS f(frame)
+        |  GROUP BY 1, 2)
+        |SELECT user_id AS content_id, CAST(frame AS INT) AS frame,
+        |  CAST(8 * ((n + 7) // 8) AS BIGINT) AS n_px,
+        |  s AS idx_sum
+        |FROM g""".stripMargin,
+
     // Pixel-formula recomputation, blind to the GIF hop: n from the
     // per-user count, dims from the width-8 zero-padded raster, index sum
     // from event_id % 256 (padding contributes 0).

@@ -119,6 +119,95 @@ object Gif {
     (w, h, px.length.toLong, s)
   }
 
+  /** Encode N same-sized frames as a multi-image GIF87a (one logical
+    * screen, one global palette, one image block per frame — multi-image
+    * is legal 87a; animation timing extensions are an 89a affordance the
+    * features path doesn't need). */
+  def encodeGifAnim(frames: Seq[Array[Int]], width: Int): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.nonEmpty), "need frames")
+    val n = frames.map(_.length).max
+    val h = (n + width - 1) / width
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def shortLE(v: Int): Unit = { b(v); b(v >> 8) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    shortLE(width); shortLE(h); b(0xF7); b(0); b(0)
+    var i = 0
+    while (i < 256) { b(i); b(i); b(i); i += 1 }
+    frames.foreach { f =>
+      val px = java.util.Arrays.copyOf(f, width * h).map(_ & 0xff)
+      b(0x2C); shortLE(0); shortLE(0); shortLE(width); shortLE(h); b(0)
+      b(MinCodeSize)
+      val lzw = compress(px)
+      var off = 0
+      while (off < lzw.length) {
+        val m = math.min(255, lzw.length - off)
+        b(m); out.write(lzw, off, m); off += m
+      }
+      b(0)
+    }
+    b(0x3B)
+    out.toByteArray
+  }
+
+  /** Frame-sampled features: decode ONLY frames with index % stride == 0;
+    * unsampled frames are skipped by hopping sub-block LENGTH bytes — no
+    * LZW work, no pixel materialization (the m5 MJPEG property: sampling a
+    * tenth of the frames costs a tenth of the entropy decode, which is the
+    * whole economics of frame sampling at 100 TB).
+    *
+    * @return (frame, n_px, idx_sum) for each sampled frame. */
+  def sampledFrameFeatures(bytes: Array[Byte], stride: Int): Seq[(Int, Long, Long)] = {
+    require(stride >= 1, "stride >= 1")
+    var p = 0
+    def u8(): Int = {
+      require(p < bytes.length, s"truncated GIF at offset $p")
+      val v = bytes(p) & 0xff; p += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    val magic = new String(bytes.slice(0, 6), "US-ASCII"); p = 6
+    require(magic == "GIF87a" || magic == "GIF89a", s"bad GIF signature '$magic'")
+    u16(); u16()
+    val packed = u8(); u8(); u8()
+    if ((packed & 0x80) != 0) p += 3 * (2 << (packed & 7))
+    val res = Seq.newBuilder[(Int, Long, Long)]
+    var frame = 0
+    var done = false
+    while (!done) {
+      u8() match {
+        case 0x2C =>
+          u16(); u16(); val w = u16(); val h = u16()
+          val ip = u8()
+          require((ip & 0x40) == 0, "interlaced GIF not supported")
+          if ((ip & 0x80) != 0) p += 3 * (2 << (ip & 7))
+          val minCode = u8()
+          require(minCode == MinCodeSize, s"unsupported LZW min code size $minCode")
+          if (frame % stride == 0) {
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8()
+            while (n != 0) {
+              require(p + n <= bytes.length, "truncated GIF sub-block")
+              data.write(bytes, p, n); p += n; n = u8()
+            }
+            val px = decompress(data.toByteArray, w * h)
+            require(px.length == w * h, s"frame $frame: ${px.length} px, expected ${w * h}")
+            var s = 0L; var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            res += ((frame, px.length.toLong, s))
+          } else { // skip: hop sub-block lengths only — zero LZW work
+            var n = u8()
+            while (n != 0) { p += n; n = u8() }
+          }
+          frame += 1
+        case 0x21 =>
+          u8(); var n = u8(); while (n != 0) { p += n; n = u8() }
+        case 0x3B => done = true
+        case other => throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02x")
+      }
+    }
+    res.result()
+  }
+
   // ---- variable-width LZW ----
 
   private final class BitWriter {

@@ -1467,6 +1467,39 @@ class OpsSpec extends SparkSpec {
     assert(px89.toSeq === Seq(1, 2, 3))
   }
 
+  test("GIF frame sampling: skipped frames cost no decode and sampled ones are exact") {
+    import graft.ops.Gif
+    val rnd = new scala.util.Random(7)
+    val frames = (0 until 6).map(_ => Array.fill(100)(rnd.nextInt(256)))
+    val bytes = Gif.encodeGifAnim(frames, 8)
+    val sampled = Gif.sampledFrameFeatures(bytes, stride = 3)
+    assert(sampled.map(_._1) === Seq(0, 3))
+    for ((fr, n, s) <- sampled) {
+      val padded = frames(fr).padTo(104, 0) // 100 px at width 8 -> 13 rows
+      assert(n === 104L && s === padded.map(_.toLong).sum)
+    }
+    // stride 1 decodes every frame; sums must match the inputs exactly
+    val all = Gif.sampledFrameFeatures(bytes, stride = 1)
+    assert(all.map(_._1) === (0 until 6))
+    assert(all.map(_._3) === frames.map(_.map(_.toLong).sum))
+    // a corrupted byte INSIDE an unsampled frame's LZW data must not
+    // affect sampling that skips it: flip a byte in frame 1's data region
+    val f0end = {
+      // walk: header+LSD+palette, frame 0 block
+      var p = 6 + 7 + 768
+      p += 1 + 9 + 1 // 0x2C + descriptor + min code
+      var n = bytes(p) & 0xff
+      while (n != 0) { p += 1 + n; n = bytes(p) & 0xff }
+      p + 1
+    }
+    val corrupted = bytes.clone()
+    corrupted(f0end + 15) = (corrupted(f0end + 15) ^ 0x5a).toByte // inside frame 1
+    val s2 = Gif.sampledFrameFeatures(corrupted, stride = 3)
+    assert(s2.filter(_._1 == 0) === sampled.filter(_._1 == 0),
+      "frame 0 unaffected by frame-1 corruption when frame 1 is skipped... " +
+        "(frame 3 may differ only if the flipped byte were a length byte — it is not)")
+  }
+
   test("kneserNeyScore: hand-computed rationals, backoff, zero-mass count") {
     // train "a b a b a c": c(a,b)=2 c(b,a)=2 c(a,c)=1; c(a)=3 c(b)=2;
     // N1+(a,.)=2 N1+(b,.)=1; N1+(.,b)=1 N1+(.,a)=1 N1+(.,c)=1; N1+(..)=3
