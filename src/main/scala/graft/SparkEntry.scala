@@ -4474,6 +4474,28 @@ object SparkEntry {
             .otherwise(Exact.fmt(col("mean_logp"), 4)).as("mean_logp_r"))
     }),
 
+    // T33 — tokenizer fertility by language (the multilingual-tokenizer
+    // equity metric: subwords per word and characters per subword — a
+    // language whose fertility runs high pays more sequence length per
+    // sentence, the bias tokenizer papers report): t5's BPE-ish subword
+    // count over the t1 word count, aggregated per lang, both ratios in
+    // exact basis points via the x18 split-division identity. One narrow
+    // scan + one |langs|-row aggregate.
+    "t33_fertility" -> ((s, dir) =>
+      docs(s, dir).filter(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_sub"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("words"), sum(col("n_sub")).as("subs"),
+          sum(col("n_chars")).as("chars"))
+        .select(col("lang"), col("words"), col("subs"), col("chars"),
+          expr("(subs div words) * 10000 + ((subs % words) * 10000) div words")
+            .as("fertility_bp"),
+          expr("(chars div subs) * 10000 + ((chars % subs) * 10000) div subs")
+            .as("chars_per_sub_bp"))),
+
     // T26 — feature hashing (the "hashing trick", Weinberger '09): tokens
     // hashed into 16 signed buckets — the fixed-width featurizer that
     // needs NO vocabulary pass, which is exactly why it scales where t21's
@@ -10650,6 +10672,23 @@ object SparkEntry {
 
     // The regex alternation is the tokenizer (see TextOps.bpeishPattern):
     // merges beat the \S fallback under both engines' alternation semantics.
+    // t1's word count + t5's subword regex per doc, lang rollup, x18
+    // split-division basis points.
+    "t33_fertility" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern()}')) AS BIGINT) AS n_sub,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |a AS (SELECT lang, CAST(SUM(n_words) AS BIGINT) AS words,
+         |    CAST(SUM(n_sub) AS BIGINT) AS subs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM d GROUP BY 1)
+         |SELECT lang, words, subs, chars,
+         |  (subs // words) * 10000 + ((subs % words) * 10000) // words AS fertility_bp,
+         |  (chars // subs) * 10000 + ((chars % subs) * 10000) // subs AS chars_per_sub_bp
+         |FROM a""".stripMargin,
+
     "t5_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(lower(text), '${TextOps.bpeishPattern()}')) AS BIGINT) AS n_subwords,
