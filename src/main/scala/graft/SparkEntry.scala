@@ -1846,6 +1846,92 @@ object SparkEntry {
           col("n_name"), col("cost"))
     }),
 
+    // Q28 — TPC-H Q21's shape ("suppliers who kept orders waiting"),
+    // re-based on this schema: the blocking supplier of a multi-supplier
+    // order is the UNIQUE last shipper (its per-order max shipdate is the
+    // strict order-wide max). Spark-first decorrelation of Q21's
+    // EXISTS + NOT EXISTS pair: one groupBy to the (order, supplier)
+    // last-ship relation, then ONE window pass over l_orderkey computing
+    // all three order-wide facts (supplier count, max ship, tie count) in
+    // a single exchange — the not-exists becomes n_at_max = 1, the exists
+    // becomes n_supp > 1. Timestamps compare exactly (pure selection, no
+    // arithmetic), so engine equality is bit-exact.
+    "q28_last_shipper" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val blockers = ps
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("o_max", max(col("last_ship")).over(w))
+        .withColumn("n_at_max",
+          sum(when(col("last_ship") === col("o_max"), 1L).otherwise(0L)).over(w))
+        .filter(col("n_supp") > 1 && col("n_at_max") === 1 &&
+          col("last_ship") === col("o_max"))
+      blockers
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // O41 — incremental maintenance of a JOIN view (the delta-algebra
+    // contract: when only the fact side changes, ΔV = Δfact ⋈ dim, and the
+    // maintained view is merge(V_base, ΔV) — never a re-join of the full
+    // fact). The gate materializes the base view (6/7ths of orders) to
+    // parquet, computes the day-1 delta's join-agg alone, and merges
+    // partials (counts and exact cents both sum-mergeable). Maintenance
+    // cost is O(|Δ| join) + |view| — at 100 TB the full-fact re-join never
+    // happens. The oracle states the flat full-corpus join-agg, proving
+    // merge(base, delta) ≡ recompute.
+    "o41_view_delta_join" -> ((s, dir) => {
+      val work = scratch("o41")
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+      val o = Tables.orders(s, dir)
+      def viewAgg(fact: DataFrame) = fact
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      viewAgg(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0))
+        .write.mode("overwrite").parquet(s"$work/view")
+      val delta = viewAgg(o.filter(pmod(col("o_orderkey"), lit(7)) === 0))
+      s.read.parquet(s"$work/view").unionByName(delta)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("cents")).as("cents"))
+    }),
+
+    // J11 — point-in-time-correct feature join (the feature-store op that
+    // keeps training data leakage-free): for every order, the count and
+    // exact cent-sum of the entity's events STRICTLY BEFORE the order
+    // timestamp. Spark-first: never a correlated subquery or an inequality
+    // join (which would be a per-order scan) — both relations merge into
+    // ONE keyed timeline and a single running-sum window pass answers every
+    // order in one exchange. Strictness is encoded in the sort: at equal
+    // timestamps the order row sorts BEFORE the event rows (kind 0 < 1), so
+    // the inclusive running frame sees exactly the strict past; tied order
+    // rows contribute zero so intra-tie order cannot change any sum. The
+    // 97-way key fold exists only to align the two synthetic id spaces —
+    // with a natural shared entity key the same plan partitions by it.
+    "j11_pit_features" -> ((s, dir) => {
+      val e = ev(s, dir).select(
+        pmod(col("user_id"), lit(97)).as("k"), col("ts"),
+        lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"),
+        lit(1L).as("one"), floor(col("value") * 100).cast("long").as("cents"))
+      val o = Tables.orders(s, dir).select(
+        pmod(col("o_custkey"), lit(97)).as("k"), col("o_orderdate").as("ts"),
+        lit(0).as("kind"), col("o_orderkey"),
+        lit(0L).as("one"), lit(0L).as("cents"))
+      val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("n_prior", sum(col("one")).over(w))
+        .withColumn("cents_prior", sum(col("cents")).over(w))
+        .filter(col("kind") === 0)
+        .select(col("o_orderkey"), col("n_prior"), col("cents_prior"))
+    }),
+
     // A12 — hierarchical rollup: (event_type, day) with subtotals and a
     // grand total in one pass.
     "a12_rollup" -> ((s, dir) =>
@@ -8186,6 +8272,48 @@ object SparkEntry {
         |WHERE p_size <= 10
         |  AND cost = (SELECT MIN(e2.cost) FROM eu e2
         |              WHERE e2.l_partkey = p_partkey)""".stripMargin,
+
+    // Deliberately Q21's NAIVE EXISTS + NOT EXISTS pair over the
+    // (order, supplier) last-ship relation — independent of the engine's
+    // single-window decorrelation. Unique-strict-max equivalence: "no other
+    // supplier shipped at or after me" ⟺ "I am the unique max"; "another
+    // supplier exists" ⟺ n_supp > 1.
+    "q28_last_shipper" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM ps p JOIN supplier ON p.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM ps p2
+        |              WHERE p2.l_orderkey = p.l_orderkey
+        |                AND p2.l_suppkey <> p.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ps p3
+        |                  WHERE p3.l_orderkey = p.l_orderkey
+        |                    AND p3.l_suppkey <> p.l_suppkey
+        |                    AND p3.last_ship >= p.last_ship)
+        |GROUP BY s_name""".stripMargin,
+
+    // Flat full-corpus join-agg — the engine must prove its
+    // base-materialize + delta-join + partial-merge path equals recompute.
+    "o41_view_delta_join" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Deliberately the naive correlated scalar subqueries (DuckDB plans its
+    // own decorrelation) — strictly-before semantics stated as ts <
+    // o_orderdate, independent of the engine's merged-timeline window.
+    "j11_pit_features" ->
+      """SELECT o_orderkey,
+        |  (SELECT COUNT(*) FROM events e
+        |   WHERE e.user_id % 97 = o.o_custkey % 97
+        |     AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate) AS n_prior,
+        |  (SELECT COALESCE(CAST(SUM(CAST(floor(e.value * 100) AS BIGINT))
+        |                        AS BIGINT), 0)
+        |   FROM events e
+        |   WHERE e.user_id % 97 = o.o_custkey % 97
+        |     AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate) AS cents_prior
+        |FROM orders o""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

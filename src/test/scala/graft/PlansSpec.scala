@@ -284,4 +284,58 @@ class PlansSpec extends SparkSpec {
     assert(q27.contains("LessThanOrEqual(p_size,10)"),
       s"q27 p_size filter pushed to the part scan:\n$q27")
   }
+
+  test("gate plan shapes: q28 single-window decorrelation, j11 join-free timeline, o41 serves from the materialized view") {
+    // session-4 load-bearing plan properties:
+    //  - q28_last_shipper: Q21's EXISTS + NOT EXISTS pair decorrelates to
+    //    ONE window pass — no nested-loop/cartesian anywhere, supplier
+    //    broadcasts, lineitem is scanned exactly once;
+    //  - j11_pit_features: the point-in-time join is a union+window
+    //    timeline — there must be NO join operator at all (a per-order
+    //    correlated scan would appear as a join);
+    //  - o41_view_delta_join: the serve plan unions the MATERIALIZED base
+    //    view (a parquet read of the scratch dir) with the delta join-agg —
+    //    the base fact partition is never re-joined.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plans-gates4").toString
+    (1L to 40L).map(i => (i, new java.sql.Timestamp(1700000000000L + i * 60000),
+        i % 5, Seq("click", "view", "purchase")(i.toInt % 3), (i % 7) * 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    (1L to 20L).map(i => (i, i % 7 + 1, "F", i * 10.0,
+        new java.sql.Timestamp(1700000000000L + i * 3600000), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    (1L to 8L).map(i => (i, s"c$i", (i % 3).toInt, Seq("BUILDING", "AUTOMOBILE")(i.toInt % 2)))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    (1L to 6L).map(i => (i, s"s$i", (i % 3).toInt, i * 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    (1L to 40L).map(i => (i % 10 + 1, i % 12 + 1, i % 6 + 1, 1, i % 5 + 1.0,
+        i * 3.0, 0.1, 0.2, new java.sql.Timestamp(1700000000000L + i * 7200000)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    val q28 = planOf("q28_last_shipper")
+    assert(!q28.contains("NestedLoop") && !q28.contains("CartesianProduct"),
+      s"q28 decorrelates to a window, never a correlated scan:\n$q28")
+    assert(q28.contains("BroadcastHashJoin"), s"q28 supplier broadcasts:\n$q28")
+    assert(q28.split("\n").count(l => l.contains("Scan parquet") &&
+      l.contains("lineitem")) === 1, s"q28 reads lineitem once:\n$q28")
+    assert(q28.contains("Window"), s"q28 order-wide facts ride one window:\n$q28")
+    val j11 = planOf("j11_pit_features")
+    assert(!j11.contains("Join"), s"j11 is a union+window timeline, no join:\n$j11")
+    assert(j11.contains("Window"), s"j11 running features ride a window:\n$j11")
+    val o41 = planOf("o41_view_delta_join")
+    assert(o41.split("\n").count(l => l.contains("Scan parquet") &&
+      l.contains("view")) === 1,
+      s"o41 serves from the materialized base view:\n$o41")
+    assert(o41.split("\n").count(l => l.contains("Scan parquet") &&
+      l.contains("orders.parquet")) === 1,
+      s"o41 re-joins only the delta partition of orders:\n$o41")
+  }
 }
