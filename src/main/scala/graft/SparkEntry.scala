@@ -132,6 +132,31 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** Deterministic farthest-point (Gonzalez k-center) seeding over a
+    * quantized-vector relation with columns (vec_id, q) — shared by the
+    * s28 seeding gate and the s29 silhouette audit so both sit on the
+    * SAME engine-identical seed sequence the oracle unrolls. Each round
+    * is one partial-aggregated argmax scan (min(struct)) — k narrow scans
+    * total, no corpus state on the driver (k seed vectors only).
+    * Returns (round, seed_id, seed_vector, picked_d2). */
+  private def gonzalezSeeds(qv: DataFrame,
+      rounds: Int): Vector[(Int, Long, Array[Long], Long)] = {
+    def d2To(seed: Array[Long]): Column =
+      SimilarityOps.sqDistL(col("q"), array(seed.map(lit): _*))
+    def vecOf(id: Long): Array[Long] =
+      qv.filter(col("vec_id") === id).head().getSeq[Long](1).toArray
+    val firstId = qv.agg(min(col("vec_id"))).head().getLong(0)
+    var seeds = Vector((0, firstId, vecOf(firstId), 0L))
+    for (r <- 1 until rounds) {
+      val minD = seeds.map(t => d2To(t._3)).reduce(least(_, _))
+      val pick = qv.select(col("vec_id"), minD.as("d2"))
+        .agg(min(struct((-col("d2")).as("nd"), col("vec_id").as("id"))).as("m"))
+        .select(col("m.nd"), col("m.id")).head()
+      seeds = seeds :+ ((r, pick.getLong(1), vecOf(pick.getLong(1)), -pick.getLong(0)))
+    }
+    seeds
+  }
+
   /** Per-JVM scratch root: a fresh temp directory per process (two
     * concurrent runs on one host — e.g. Verify and Bench — must never
     * clobber each other's scratch data), removed on JVM exit. */
@@ -1932,6 +1957,81 @@ object SparkEntry {
         .select(col("o_orderkey"), col("n_prior"), col("cents_prior"))
     }),
 
+    // X21 — per-source frequency cap (the CommonCrawl per-domain cap: no
+    // single domain may contribute more than K docs, selection by
+    // deterministic hash rank so the kept subset is seed-stable across
+    // runs). Skew is the scale hazard — a naive rank over (source) puts a
+    // 10-billion-doc domain's FULL row set through one task — but declaring
+    // the rank-filter directly lets Catalyst's InferWindowGroupLimit insert
+    // a map-side WindowGroupLimit(Partial): every input partition forwards
+    // at most K rows per source into the exchange, so the final per-source
+    // sort sees ≤ K·partitions rows, never the domain's corpus. (A
+    // hand-salted two-stage rank was measurably redundant — the optimizer
+    // removed it — so the declarative form IS the scale plan; PlansSpec
+    // pins the Partial group-limit below the exchange.)
+    "x21_source_cap" -> ((s, dir) => {
+      val cap = 40
+      docs(s, dir).select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .filter(col("rk") <= cap)
+        .select(col("doc_id"), col("source"), col("rk"))
+    }),
+
+    // S29 — simplified-silhouette clustering audit over the s28 seed set
+    // (distance to own center vs nearest other center — the linear-time
+    // silhouette variant; the classic pairwise form is quadratic per
+    // cluster and audits no better). Runs on the SAME deterministic
+    // Gonzalez seeds as s28, on the 1e6-quantized grid, so every distance
+    // is an exact BIGINT: per-point score in basis points is
+    // (b2−a2)·10⁴ div max(b2,1) — integer-exact on both engines — and the
+    // per-cluster relation carries only sums (scores as BIGINT; squared
+    // distances route through DECIMAL(38,0), the a28 accumulator-width
+    // rule, since Σd² exceeds long at large corpora). k+1 narrow scans,
+    // one k-row exchange — nothing quadratic, nothing driver-side but the
+    // k seed vectors.
+    "s29_silhouette" -> ((s, dir) => {
+      val qv = emb(s, dir).select(col("vec_id"),
+        SimilarityOps.quantizeE6(col("embedding")).as("q"))
+      val seeds = gonzalezSeeds(qv, 4)
+      val dists = seeds.map(t => struct(
+        SimilarityOps.sqDistL(col("q"), array(t._3.map(lit): _*)).as("d"),
+        lit(t._1).as("r")))
+      val sorted = array_sort(array(dists: _*))
+      qv.select(col("vec_id"),
+          sorted.getItem(0).getField("r").as("cluster"),
+          sorted.getItem(0).getField("d").as("a2"),
+          sorted.getItem(1).getField("d").as("b2"))
+        .withColumn("s_bp", expr("(b2 - a2) * 10000 div greatest(b2, 1L)"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("s_bp")).as("sum_s_bp"),
+          sum(col("a2").cast("decimal(38,0)")).as("sum_a2"),
+          sum(col("b2").cast("decimal(38,0)")).as("sum_b2"))
+    }),
+
+    // T34 — calibration audit (reliability relation) for the vowel-density
+    // language scorer: treating vowel density in basis points as the
+    // classifier's confidence that lang = 'en' (t3's own decision
+    // statistic), bucket into 500-bp bins and emit per-bin support,
+    // positives, confidence mass, and the ECE gap NUMERATOR
+    // |positives·10⁴ − Σconf| — every column an exact integer (the
+    // common-denominator trick: acc−conf over denominator n·10⁴ needs no
+    // division at all). One narrow codegen scan + one 21-row exchange.
+    "t34_calibration" -> ((s, dir) =>
+      docs(s, dir).select(
+          expr("""(length(lower(text)) -
+                   length(regexp_replace(lower(text), '[aeiou]', '')))
+                  * 10000 div greatest(length(lower(text)), 1)""").as("conf_bp"),
+          (col("lang") === "en").cast("long").as("y"))
+        .select(expr("conf_bp div 500").as("bin"), col("conf_bp"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          sum(col("conf_bp")).as("sum_conf_bp"))
+        .withColumn("gap_num", abs(col("n_pos") * 10000 - col("sum_conf_bp")))),
+
     // A12 — hierarchical rollup: (event_type, day) with subtotals and a
     // grand total in one pass.
     "a12_rollup" -> ((s, dir) =>
@@ -2423,19 +2523,9 @@ object SparkEntry {
     "s28_kmeanspp_seed" -> ((s, dir) => {
       val qv = emb(s, dir).select(col("vec_id"),
         SimilarityOps.quantizeE6(col("embedding")).as("q"))
+      val seeds = gonzalezSeeds(qv, 4)
       def d2To(seed: Array[Long]): Column =
         SimilarityOps.sqDistL(col("q"), array(seed.map(lit): _*))
-      def vecOf(id: Long): Array[Long] =
-        qv.filter(col("vec_id") === id).head().getSeq[Long](1).toArray
-      val firstId = qv.agg(min(col("vec_id"))).head().getLong(0)
-      var seeds = Vector((0, firstId, vecOf(firstId), 0L))
-      for (r <- 1 until 4) {
-        val minD = seeds.map(t => d2To(t._3)).reduce(least(_, _))
-        val pick = qv.select(col("vec_id"), minD.as("d2"))
-          .agg(min(struct((-col("d2")).as("nd"), col("vec_id").as("id"))).as("m"))
-          .select(col("m.nd"), col("m.id")).head()
-        seeds = seeds :+ ((r, pick.getLong(1), vecOf(pick.getLong(1)), -pick.getLong(0)))
-      }
       val dists = seeds.map(t =>
         struct(d2To(t._3).as("d"), lit(t._1).as("r")))
       val counts = qv.select(col("vec_id"),
@@ -8314,6 +8404,76 @@ object SparkEntry {
         |   WHERE e.user_id % 97 = o.o_custkey % 97
         |     AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate) AS cents_prior
         |FROM orders o""".stripMargin,
+
+    // One flat window rank — independent of the engine's salted two-stage
+    // top-k (the salt is plan-only; the md5 rank order is the contract).
+    "x21_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40""".stripMargin,
+
+    // The s28 seed unroll (same four rounds, same argmax tie-breaks)
+    // extended point-wise: own cluster = rank-1 distance, nearest other
+    // = rank-2; the silhouette numerator/denominator stay BIGINT and the
+    // squared-distance sums route through DECIMAL(38,0) on both sides.
+    "s29_silhouette" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) AS di FROM v),
+        |s0 AS (SELECT min(vec_id) AS id FROM v),
+        |d0 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s0)
+        |       GROUP BY 1),
+        |s1 AS (SELECT vec_id AS id, d2 FROM d0 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s1)
+        |       GROUP BY 1),
+        |m1 AS (SELECT d0.vec_id, least(d0.d2, d1.d2) AS d2
+        |       FROM d0 JOIN d1 USING (vec_id)),
+        |s2 AS (SELECT vec_id AS id, d2 FROM m1 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d2r AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |        FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s2)
+        |        GROUP BY 1),
+        |m2 AS (SELECT m1.vec_id, least(m1.d2, d2r.d2) AS d2
+        |       FROM m1 JOIN d2r USING (vec_id)),
+        |s3 AS (SELECT vec_id AS id, d2 FROM m2 ORDER BY d2 DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT a.vec_id, CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d2
+        |       FROM u a JOIN u b ON a.di = b.di AND b.vec_id = (SELECT id FROM s3)
+        |       GROUP BY 1),
+        |alld AS (SELECT vec_id, 0 AS round, d2 FROM d0
+        |  UNION ALL SELECT vec_id, 1, d2 FROM d1
+        |  UNION ALL SELECT vec_id, 2, d2 FROM d2r
+        |  UNION ALL SELECT vec_id, 3, d2 FROM d3),
+        |rk AS (SELECT vec_id, round, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, round) AS rn
+        |  FROM alld),
+        |pt AS (SELECT a.vec_id, a.round AS cluster, a.d2 AS a2, b.d2 AS b2
+        |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+        |sil AS (SELECT cluster, a2, b2,
+        |    (b2 - a2) * 10000 // greatest(b2, 1) AS s_bp FROM pt)
+        |SELECT cluster, COUNT(*) AS n,
+        |  CAST(SUM(s_bp) AS BIGINT) AS sum_s_bp,
+        |  CAST(SUM(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_a2,
+        |  CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_b2
+        |FROM sil GROUP BY cluster""".stripMargin,
+
+    "t34_calibration" ->
+      """WITH c AS (SELECT
+        |    (length(lower(text)) -
+        |     length(regexp_replace(lower(text), '[aeiou]', '', 'g')))
+        |      * 10000 // greatest(length(lower(text)), 1) AS conf_bp,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT conf_bp // 500 AS bin, COUNT(*) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  CAST(SUM(conf_bp) AS BIGINT) AS sum_conf_bp,
+        |  CAST(abs(SUM(y) * 10000 - SUM(conf_bp)) AS BIGINT) AS gap_num
+        |FROM c GROUP BY 1""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,

@@ -302,6 +302,10 @@ class PlansSpec extends SparkSpec {
         i % 5, Seq("click", "view", "purchase")(i.toInt % 3), (i % 7) * 30.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
+    (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 2}",
+        Seq("en", "de")(i.toInt % 2), s"s${i % 4}", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
     (1L to 20L).map(i => (i, i % 7 + 1, "F", i * 10.0,
         new java.sql.Timestamp(1700000000000L + i * 3600000), "1-URGENT"))
       .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -337,5 +341,21 @@ class PlansSpec extends SparkSpec {
     assert(o41.split("\n").count(l => l.contains("Scan parquet") &&
       l.contains("orders.parquet")) === 1,
       s"o41 re-joins only the delta partition of orders:\n$o41")
+    // x21_source_cap: the declared rank-filter must lower to the map-side
+    // WindowGroupLimit(Partial) BELOW the exchange — that is the skew
+    // guard: each input partition forwards ≤ K rows per source, a
+    // mega-source never ships its corpus into one task.
+    val x21 = planOf("x21_source_cap")
+    assert(x21.contains("WindowGroupLimit") && x21.contains("Partial"),
+      s"x21 caps map-side via InferWindowGroupLimit:\n$x21")
+    assert(x21.split("\n").indexWhere(_.contains("Partial")) >
+      x21.split("\n").indexWhere(_.contains("Exchange")),
+      s"x21 partial group-limit sits below the exchange:\n$x21")
+    // t34_calibration: pure per-row integer arithmetic + one 21-bin
+    // exchange — a single corpus scan, no join.
+    val t34 = planOf("t34_calibration")
+    assert(!t34.contains("Join"), s"t34 is scan+agg only:\n$t34")
+    assert(t34.split("\n").count(_.contains("Scan parquet")) === 1,
+      s"t34 reads the corpus once:\n$t34")
   }
 }
