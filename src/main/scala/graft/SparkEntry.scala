@@ -1875,27 +1875,48 @@ object SparkEntry {
     // re-based on this schema: the blocking supplier of a multi-supplier
     // order is the UNIQUE last shipper (its per-order max shipdate is the
     // strict order-wide max). Spark-first decorrelation of Q21's
-    // EXISTS + NOT EXISTS pair: one groupBy to the (order, supplier)
-    // last-ship relation, then ONE window pass over l_orderkey computing
-    // all three order-wide facts (supplier count, max ship, tie count) in
-    // a single exchange — the not-exists becomes n_at_max = 1, the exists
-    // becomes n_supp > 1. Timestamps compare exactly (pure selection, no
-    // arithmetic), so engine equality is bit-exact.
+    // EXISTS + NOT EXISTS pair, iterated to a SINGLE hash aggregate over
+    // raw lineitem rows — the measured ladder at the 100× probe: window
+    // over the (order, supplier) pair relation 34.1 s (partition sort);
+    // max(struct) argmaxes 18.6 s (struct buffers lower to SortAggregate);
+    // packed-long argmaxes over the pair relation 22 s (the 50M-row pair
+    // shuffle itself dominates); THIS form 6-7 s. The collapse is two
+    // identities: (a) the packed argmaxes — (epoch-day, suppkey) in one
+    // long, hi with suppkey ascending, lo descending — are max-monotone,
+    // so row-level max equals pair-level max and the pair relation need
+    // never exist; (b) "another supplier EXISTS" is just min(suppkey) ≠
+    // max(suppkey), no distinct-count. One map-side-combined exchange of
+    // ~|orders| rows; the max is tied iff the two unpacked suppkeys
+    // differ; the blocker's key rides out of the aggregate itself. The
+    // packing contract (day-granular shipdates — TPC-H's own DATE type —
+    // suppkey < 2^46, day < 2^17) is enforced per-row by a codegen'd
+    // assert_true: contract-violating data fails LOUDLY, never silently
+    // diverges from the oracle's full-timestamp compare.
     "q28_last_shipper" -> ((s, dir) => {
-      val ps = Tables.lineitem(s, dir)
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate")).as("last_ship"))
-      val w = Window.partitionBy(col("l_orderkey"))
-      val blockers = ps
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .withColumn("o_max", max(col("last_ship")).over(w))
-        .withColumn("n_at_max",
-          sum(when(col("last_ship") === col("o_max"), 1L).otherwise(0L)).over(w))
-        .filter(col("n_supp") > 1 && col("n_at_max") === 1 &&
-          col("last_ship") === col("o_max"))
-      blockers
-        .join(broadcast(Tables.supplier(s, dir)),
-          col("l_suppkey") === col("s_suppkey"))
+      val skSpan = 1L << 46
+      val rows = Tables.lineitem(s, dir)
+        // cast first: some testdata generations write shipdate as
+        // TIMESTAMP_NTZ (the Tables.events lesson) and unix_micros
+        // requires TIMESTAMP; session tz is pinned UTC so the cast is
+        // deterministic, and the packed order is monotone either way.
+        .select(col("l_orderkey"), col("l_suppkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("us"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr(s"""us div 86400000000 * $skSpan + l_suppkey +
+                   coalesce(cast(assert_true(us >= 0 and us % 86400000000 = 0
+                     and l_suppkey >= 0 and l_suppkey < $skSpan
+                     and us div 86400000000 < ${1L << 17},
+                     'q28 pack contract violated') as bigint),
+                     cast(0 as bigint))""").as("hi"),
+          expr(s"us div 86400000000 * $skSpan + ${skSpan - 1} - l_suppkey")
+            .as("lo"))
+      val os = rows.groupBy(col("l_orderkey")).agg(
+        min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"),
+        max(col("hi")).as("hi"), max(col("lo")).as("lo"))
+      os.filter(col("sk_min") =!= col("sk_max") &&
+          expr(s"hi % $skSpan") === expr(s"${skSpan - 1} - lo % $skSpan"))
+        .select(expr(s"hi % $skSpan").as("bsk"))
+        .join(broadcast(Tables.supplier(s, dir)), col("bsk") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
     }),
