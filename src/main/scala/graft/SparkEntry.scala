@@ -2033,6 +2033,48 @@ object SparkEntry {
           sum(col("b2").cast("decimal(38,0)")).as("sum_b2"))
     }),
 
+    // T35 — LM-based document quality (the CCNet signal: mean token
+    // log-probability under a unigram LM trained on the corpus itself —
+    // low-probability token soup scores low, fluent text scores near the
+    // corpus mode). Plan: explode → one token-keyed count (the LM) → join
+    // back → per-doc mean. The ln sum is made order-independent by the
+    // t27 contract (each logp rounded to DECIMAL(30,10) before the sum,
+    // mirrored digit-for-digit by the oracle); the one-row total
+    // broadcasts. Hot-token join skew (every doc joins "the") is AQE's
+    // skew-join case, and the probed ladder stays sublinear.
+    "t35_lm_quality" -> ((s, dir) => {
+      val tok = docs(s, dir).filter(TextOps.tokenCount(col("text")) >= 1)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("nf"))
+      val tot = tok.agg(count(lit(1)).as("n_total"))
+      tok.join(freq, "tok").crossJoin(broadcast(tot))
+        .withColumn("logp",
+          log(col("nf").cast("double") / col("n_total").cast("double")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          Exact.avgD(col("logp"), 10).as("mlp"))
+        .select(col("doc_id"), col("n_tokens"),
+          Exact.fmt(col("mlp"), 4).as("mean_logp_r"))
+    }),
+
+    // X22 — deterministic per-epoch dataloader shuffle: every training
+    // epoch must see the corpus in a DIFFERENT but REPRODUCIBLE order
+    // (seed-stable restarts, different mixing per epoch). Order key =
+    // md5(epoch ':' doc_id) — a new permutation per epoch, bit-stable
+    // across runs. The global position comes from the two-pass
+    // range-partitioned ranker (ops/Ranking.scala) — at 100 TB a global
+    // ORDER BY would funnel the corpus through one sort; the ranker ships
+    // one long per partition to the driver instead.
+    "x22_epoch_shuffle" -> ((s, dir) => {
+      val epochs = docs(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0), lit(1))))
+        .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+      graft.ops.Ranking.globalRowNumber(epochs,
+          Seq(col("epoch"), col("h"), col("doc_id")), "pos")
+        .select(col("epoch"), col("doc_id"), col("pos"))
+    }),
+
     // T34 — calibration audit (reliability relation) for the vowel-density
     // language scorer: treating vowel density in basis points as the
     // classifier's confidence that lang = 'en' (t3's own decision
@@ -8482,6 +8524,31 @@ object SparkEntry {
         |  CAST(SUM(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_a2,
         |  CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_b2
         |FROM sil GROUP BY cluster""".stripMargin,
+
+    // Same unigram LM restated relationally; the per-occurrence ln is
+    // rounded to DECIMAL(30,10) BEFORE the sum on both engines (the t27
+    // order-independence contract), then one mirrored double division.
+    "t35_lm_quality" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS tok
+        |  FROM documents WHERE trim(text, ' ') <> ''),
+        |freq AS (SELECT tok, COUNT(*) AS nf FROM tok GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  printf('%.4f',
+        |    CAST(SUM(CAST(ln(CAST(nf AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |                  AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)) AS mean_logp_r
+        |FROM tok JOIN freq USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // One flat global sort — independent of the engine's two-pass
+    // range-partitioned ranker (the ranker is plan-only; the md5 order is
+    // the contract).
+    "x22_epoch_shuffle" ->
+      """SELECT epoch, doc_id,
+        |  row_number() OVER (ORDER BY epoch,
+        |    md5(epoch || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)""".stripMargin,
 
     "t34_calibration" ->
       """WITH c AS (SELECT
