@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer tier: the unbounded-buffer top-k idiom rewrites to the
     // bounded aggregate automatically (see BoundedTopKRewrite's contract)
     e.injectOptimizerRule(_ => graft.plans.BoundedTopKRewrite)
+    // COUNT(DISTINCT x) used only as a cardinality guard rewrites to
+    // min/max comparisons — no Expand, no second shuffle (the q28 lesson
+    // as an automatic rule; see DistinctGuardRewrite's contract)
+    e.injectOptimizerRule(_ => graft.plans.DistinctGuardRewrite)
   }
 }

@@ -62,6 +62,54 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("DistinctGuardRewrite: count(distinct) guards lower to min/max, declines on escape or foreign bounds") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = Seq((1, Some("a")), (1, Some("b")), (1, Some("a")),
+        (2, Some("x")), (2, Some("x")),
+        (3, None: Option[String]), (3, None),
+        (4, Some("q")), (4, None)).toDF("g", "v")
+      // > 1: at least two distinct non-null values → only g=1
+      val gt = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" > 1).select($"g")
+      val gtPlan = gt.queryExecution.optimizedPlan.toString
+      assert(!gtPlan.contains("count(distinct") && !gtPlan.contains("Expand"),
+        s"distinct count eliminated:\n$gtPlan")
+      assert(gtPlan.contains("min(") && gtPlan.contains("max("),
+        s"guard lowered to min/max:\n$gtPlan")
+      assert(gt.as[Int].collect().toSet === Set(1))
+      // = 1: exactly one distinct non-null — all-null group (g=3) must drop
+      val eq = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" === 1).select($"g")
+      assert(!eq.queryExecution.optimizedPlan.toString.contains("count(distinct"))
+      assert(eq.as[Int].collect().toSet === Set(2, 4))
+      // > 0: any non-null value
+      val gz = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" > 0).select($"g")
+      assert(!gz.queryExecution.optimizedPlan.toString.contains("count(distinct"))
+      assert(gz.as[Int].collect().toSet === Set(1, 2, 4))
+      // SQL HAVING spelling
+      df.createOrReplaceTempView("dgr_t")
+      val hv = s.sql(
+        "SELECT g FROM dgr_t GROUP BY g HAVING COUNT(DISTINCT v) > 1")
+      assert(!hv.queryExecution.optimizedPlan.toString.contains("count(distinct"),
+        s"HAVING form rewrites too:\n${hv.queryExecution.optimizedPlan}")
+      assert(hv.as[Int].collect().toSet === Set(1))
+      // escape: the count value is selected — semantics would change, decline
+      val esc = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" > 1).select($"g", $"n")
+      assert(esc.queryExecution.optimizedPlan.toString.contains("count(distinct"),
+        "declines when the count escapes")
+      assert(esc.as[(Int, Long)].collect().toSet === Set((1, 2L)))
+      // foreign bound: n > 2 is a real cardinality question — decline
+      val other = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" > 2).select($"g")
+      assert(other.queryExecution.optimizedPlan.toString.contains("count(distinct"),
+        "declines on bounds min/max cannot answer")
+      assert(other.collect().isEmpty)
+    }
+  }
+
   test("correlated scalar subqueries de-correlate to aggregate + join (q7 shape)") {
     import spark.implicits._
     Seq((1L, 10L, 100.0, "A"), (1L, 2L, 50.0, "A"), (2L, 5L, 70.0, "R"))
