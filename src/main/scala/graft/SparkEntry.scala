@@ -2075,6 +2075,61 @@ object SparkEntry {
         .select(col("epoch"), col("doc_id"), col("pos"))
     }),
 
+    // O42 — write-audit-publish under the read gate: gen-1 (the clean
+    // daily aggregate) publishes; gen-2 (the same aggregate POISONED with
+    // a null-keyed negative row — the writer-bug class WAP exists to
+    // catch) fails its audits and must stay invisible. The served result
+    // is whatever the manifest resolves — if the poisoned candidate ever
+    // published, or the clean one failed to, the DuckDB recompute
+    // hash-mismatches. Audits run over the STAGED bytes, not the input
+    // dataframe; publish is one atomic metadata rename regardless of data
+    // size (store/WriteAuditPublish.scala).
+    "o42_wap_publish" -> ((s, dir) => {
+      import graft.store.WriteAuditPublish.{Audit, readPublished, writeAuditPublish}
+      val work = scratch("o42wap")
+      val clean = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      val poisoned = clean.unionByName(
+        s.range(1).select(lit(null).cast("string").as("event_type"),
+          lit("1970-01-01").as("day"), lit(-1L).as("n_events"),
+          lit(-1L).as("cents")))
+      val audits = Seq(
+        Audit("no_null_keys", _.filter(col("event_type").isNull ||
+          col("day").isNull).count()),
+        Audit("nonneg_counts", _.filter(col("n_events") < 0).count()))
+      val (ok1, _) = writeAuditPublish(clean, work, 1L, audits)
+      val (ok2, r2) = writeAuditPublish(poisoned, work, 2L, audits)
+      require(ok1 && !ok2 && r2.exists(_._2 > 0),
+        s"WAP contract violated: ok1=$ok1 ok2=$ok2 r2=$r2")
+      readPublished(s, work)
+    }),
+
+    // X23 — class-balanced sampling (the lang-balancing dataloader op):
+    // every class contributes exactly m docs where m = the SMALLEST class
+    // size — a data-derived cap, unlike x21's fixed K — selection by the
+    // same deterministic md5 rank. The minority size is one broadcast
+    // scalar (a two-level aggregate over class counts); the per-class rank
+    // lowers to the map-side WindowGroupLimit only when the bound is a
+    // literal, so the cap is applied as a post-rank filter — the rank
+    // exchange still carries only (lang)-partitioned rows and the skew
+    // ceiling is the class histogram itself, which balanced sampling
+    // inspects by definition.
+    "x23_class_balanced_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val m = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+      d.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+          .cast("long"))
+        .crossJoin(broadcast(m))
+        .filter(col("rk") <= col("m"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
     // T34 — calibration audit (reliability relation) for the vowel-density
     // language scorer: treating vowel density in basis points as the
     // classifier's confidence that lang = 'en' (t3's own decision
@@ -5520,6 +5575,38 @@ object SparkEntry {
           round(element_at(col("features"), 5) * 2).cast("long").as("peak2"))
     }),
 
+    // M14 — audio downsampling (integer-factor decimation with a box
+    // anti-alias filter — the resample step of an audio-prep pipeline,
+    // stub-free because it stays in exact integers): per user, a
+    // deterministic PCM sequence (ordered by event_id — the collect is
+    // sorted, so the byte stream is reproducible) rides through the REAL
+    // WAV encoder and parser, then decimates 4:1 by exact block means
+    // (sum div 4 over nonnegative amplitudes; the tail block is dropped on
+    // both engines). Emitted features are exact BIGINTs incl. an
+    // order-SENSITIVE position-weighted checksum — valid here precisely
+    // because the input order is pinned, which is what the oracle's
+    // row_number replay states. Same narrow mapPartitions economics as the
+    // rest of the codec ladder.
+    "m14_wav_resample" -> ((s, dir) => {
+      import s.implicits._
+      val samples = ev(s, dir).select(col("user_id"),
+        struct(col("event_id"), (pmod(col("event_id"), lit(201)) * 50)
+          .cast("int").as("amp")).as("sa"))
+      samples.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("sa"))).as("sas"))
+        .as[(Long, Seq[(Long, Int)])]
+        .map { case (uid, sas) =>
+          val wav = Multimodal.encodeWavPcm16(sas.map(_._2).toArray)
+          val dec = Multimodal.decodeWavPcm16Mono(wav)
+          val outs = dec.grouped(4).filter(_.length == 4)
+            .map(b => b.map(_.toLong).sum / 4).toArray
+          val wsum = outs.zipWithIndex
+            .map { case (v, b) => v * ((b % 9) + 1) }.sum
+          (uid, outs.length.toLong, outs.sum, wsum)
+        }
+        .toDF("content_id", "n_out", "sum_out", "wsum")
+    }),
+
     // M2 — multimodal image decode, oracle-grade: one 24-bit BMP synthesized
     // per user (pixel channels 0/255 derived from event_id divisibility, so
     // every channel mean times the pixel count is an exact multiple of 255),
@@ -8549,6 +8636,43 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY epoch,
         |    md5(epoch || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents)""".stripMargin,
+
+    // The codec round trip is identity on PCM16, so the oracle replays the
+    // decimation relationally: the same event_id order (row_number), the
+    // same 4-sample blocks, the same floor-div means, tail dropped.
+    "m14_wav_resample" ->
+      """WITH s AS (SELECT user_id, event_id,
+        |    (event_id % 201) * 50 AS amp FROM events),
+        |o AS (SELECT user_id, amp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+        |  FROM s),
+        |b AS (SELECT user_id, rn // 4 AS blk, SUM(amp) AS bs, COUNT(*) AS bc
+        |  FROM o GROUP BY 1, 2),
+        |f AS (SELECT user_id, blk, bs // 4 AS outv FROM b WHERE bc = 4)
+        |SELECT user_id AS content_id, COUNT(*) AS n_out,
+        |  CAST(SUM(outv) AS BIGINT) AS sum_out,
+        |  CAST(SUM(outv * ((blk % 9) + 1)) AS BIGINT) AS wsum
+        |FROM f GROUP BY 1""".stripMargin,
+
+    // The published table must equal the clean aggregate — the poisoned
+    // gen-2 candidate never surfaces (a null-keyed or negative row here
+    // means the manifest resolved to the failed generation).
+    "o42_wap_publish" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // One flat per-class rank + the naive min-class scalar subquery.
+    "x23_class_balanced_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r
+        |WHERE rk <= (SELECT MIN(n) FROM
+        |  (SELECT COUNT(*) AS n FROM documents GROUP BY lang))""".stripMargin,
 
     "t34_calibration" ->
       """WITH c AS (SELECT
