@@ -910,6 +910,34 @@ object SparkEntry {
     // time" — three user-keyed narrow joins/aggregations, no window, no
     // per-row state; every comparison is integer micros. Users who never
     // viewed report step 0 via the left-join spine over all users.
+    // A30 — TIME-CONSTRAINED funnel (the product-analytics standard a18
+    // leaves out): a click converts only within 1 h of the first view, a
+    // purchase only within 24 h of the first qualifying click. Same
+    // decorrelated min-aggregate chain as a18 — each stage is one
+    // key-partitioned join + min, never a per-user scan — with the
+    // conversion window as an extra integer-microsecond predicate.
+    "a30_timed_funnel" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val users = e.select(col("user_id")).distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("t") > col("t_view") && col("t") <= col("t_view") + 3600000000L)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("t") > col("t_click") && col("t") <= col("t_click") + 86400000000L)
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+      users.join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1).otherwise(0)).as("funnel_step"))
+    }),
+
     "a18_funnel" -> ((s, dir) => {
       val e = ev(s, dir).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("t"))
@@ -3283,6 +3311,26 @@ object SparkEntry {
     // observed 1-unit divergence vs DuckDB; floor is engine-identical);
     // ranks ship as floored 1e-12 integer units, never a formatted double
     // (the mon6 midpoint lesson). Dangling nodes drop their mass — stated.
+    // G10 — PERSONALIZED PageRank over the k-NN graph: teleport mass
+    // returns only to the g6 seed set (vec_id ≡ 0 mod 10), so scores are
+    // seed-relative reachability — the "expand from the labeled good set"
+    // curation primitive — not global centrality. Same e10-quantized
+    // contribution contract as g1 (order-independent per-target sums, one
+    // mirrored double step per iteration); seed membership broadcasts.
+    "g10_ppr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      val seeds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"))
+      graft.ops.GraphOps.personalizedPageRank(
+          nodes, edges, "vec_id", "src", "dst", seeds, iters = 3)
+        .select(col("id").as("vec_id"),
+          floor(col("pr") * lit(1e12)).cast("long").as("ppr_e12"))
+    }),
+
     "g1_pagerank" -> ((s, dir) => {
       val e = emb(s, dir)
       val nodes = e.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
@@ -6455,6 +6503,45 @@ object SparkEntry {
        |LEFT JOIN indeg i ON i.dst = spine.id""".stripMargin
   }
 
+  /** g10 oracle: [[pageRankOracle]]'s k-NN prefix and iteration chain with
+    * the teleport term personalized — (1−d)/|seeds| at seed nodes, 0
+    * elsewhere — and the walk started on the seed distribution. */
+  private def pprOracle: String = {
+    val iters = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst,
+         |    CAST(CAST(SUM(CAST(floor(p.pr / o.out_deg * 1e10) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e10 AS in_sum
+         |  FROM e JOIN pr${i - 1} p ON p.id = e.src JOIN outdeg o ON o.src = e.src GROUP BY 1),
+         |pr$i AS (SELECT spine.id,
+         |    CASE WHEN sd.id IS NOT NULL
+         |         THEN (CAST('1.0' AS DOUBLE) - CAST('0.85' AS DOUBLE)) / (SELECT sn FROM ns)
+         |         ELSE CAST('0.0' AS DOUBLE) END
+         |      + CAST('0.85' AS DOUBLE) * COALESCE(in_sum, CAST('0.0' AS DOUBLE)) AS pr
+         |  FROM spine LEFT JOIN s$i ON s$i.dst = spine.id
+         |  LEFT JOIN seeds sd ON sd.id = spine.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS (SELECT src, dst FROM cand WHERE rank <= 4),
+       |spine AS (SELECT vec_id AS id FROM n),
+       |seeds AS (SELECT DISTINCT vec_id AS id FROM embeddings WHERE vec_id % 10 = 0),
+       |ns AS (SELECT COUNT(*) AS sn FROM seeds),
+       |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY 1),
+       |pr0 AS (SELECT sp.id,
+       |    CASE WHEN sd.id IS NOT NULL THEN CAST('1.0' AS DOUBLE) / (SELECT sn FROM ns)
+       |         ELSE CAST('0.0' AS DOUBLE) END AS pr
+       |  FROM spine sp LEFT JOIN seeds sd ON sd.id = sp.id),
+       |$iters
+       |SELECT spine.id AS vec_id, CAST(floor(pr3.pr * 1e12) AS BIGINT) AS ppr_e12
+       |FROM spine JOIN pr3 ON pr3.id = spine.id""".stripMargin
+  }
+
   /** g6 oracle: the s13 k-NN edge relation (same prefix as
     * [[pageRankOracle]]), symmetrized, then THREE UNROLLED label-prop
     * rounds — each a vote count / (count DESC, label) argmax / clamped
@@ -8312,6 +8399,25 @@ object SparkEntry {
         |weekly AS (SELECT wday AS day, COUNT(*) AS n_active_7d FROM m GROUP BY 1)
         |SELECT day, n_active_1d, n_active_7d
         |FROM daily JOIN weekly USING (day)""".stripMargin,
+
+    "a30_timed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(t) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t_view
+        |        AND t <= t_view + 3600000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(t) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t_click
+        |        AND t <= t_click + 86400000000 GROUP BY 1)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_step
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "g10_ppr" -> pprOracle,
 
     "a18_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),

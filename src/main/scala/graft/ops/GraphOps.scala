@@ -63,6 +63,48 @@ object GraphOps {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
 
+  /** Personalized PageRank: identical fixed-iteration loop to [[pageRank]]
+    * but the teleport mass (1−d) returns ONLY to the seed set (uniform over
+    * it), and the walk starts there — scores become seed-relative
+    * relevance (the recommendation / curation form: "how reachable is this
+    * node from the labeled set"), not global centrality. Same exactness
+    * contract as g1: per-edge contributions quantized to e10 BIGINTs so
+    * the per-target sums are order-independent, one mirrored double step
+    * per iteration. Seed membership is one broadcast-joinable relation;
+    * everything else shuffles exactly like pageRank. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
+      srcCol: String, dstCol: String, seeds: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val spine = nodes.select(col(idCol).as("id")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val seedSet = seeds.select(col(seeds.columns.head).as("id")).distinct()
+      .withColumn("is_seed", lit(1))
+    val sn = seedSet.count()
+    require(sn > 0, "personalization needs a non-empty seed set")
+    def withSeedFlag(base: DataFrame): DataFrame = base
+      .join(broadcast(seedSet), Seq("id"), "left")
+    var pr = withSeedFlag(spine)
+      .select(col("id"), when(col("is_seed") === 1, lit(1.0) / sn)
+        .otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          floor(col("pr") / col("out_deg") * lit(1e10)).cast("long").as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg((sum(col("c")).cast("double") / lit(1e10)).as("in_sum"))
+      pr = withSeedFlag(spine)
+        .join(sums.select(col("dst").as("id"), col("in_sum")), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed") === 1, lit(1.0 - damping) / sn).otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
   /** Bounded k-core peeling over the undirected closure of `edges`:
     * `rounds` iterations of "drop every node whose degree in the surviving
     * subgraph is < k". Round 1 filters on full-graph degree; each later
