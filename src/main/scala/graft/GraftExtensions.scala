@@ -78,6 +78,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinKDistinctLongs].getName, "mink_distinct"),
       (exprs: Seq[Expression]) =>
         MinKDistinctLongs(exprs.head, exprs(1)).toAggregateExpression()))
+    // simhash32(text) / hamming_dist(a, b): the d3/d12 kernels for SQL
+    // users (completes the r10 stretch — every dedup primitive now has a
+    // SQL spelling). simhash32 is a builtin-HOF composition, so the
+    // builder registers the composed expression tree, not a new Expression
+    // class — it codegens exactly like the DataFrame form.
+    e.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(graft.ops.DedupOps.getClass.getName, "simhash32"),
+      (exprs: Seq[Expression]) => {
+        requireArity("simhash32", exprs, 1)
+        org.apache.spark.sql.GraftBridge.expressionTree(
+          graft.ops.DedupOps.simhash32(
+            org.apache.spark.sql.GraftBridge.column(exprs.head)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(graft.ops.DedupOps.getClass.getName, "hamming_dist"),
+      (exprs: Seq[Expression]) => {
+        requireArity("hamming_dist", exprs, 2)
+        org.apache.spark.sql.GraftBridge.expressionTree(
+          graft.ops.DedupOps.hamming(
+            org.apache.spark.sql.GraftBridge.column(exprs.head),
+            org.apache.spark.sql.GraftBridge.column(exprs(1))))
+      }))
     e.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),

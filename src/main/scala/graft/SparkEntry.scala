@@ -910,6 +910,61 @@ object SparkEntry {
     // time" — three user-keyed narrow joins/aggregations, no window, no
     // per-row state; every comparison is integer micros. Users who never
     // viewed report step 0 via the left-join spine over all users.
+    // A31 — additive Holt-Winters (level + trend + weekly seasonality —
+    // the classical triple completing mon8's Holt): per event type, the
+    // daily-cents series folds through the textbook recursions with
+    // α=1/2, β=γ=1/4 (power-of-2 rationals — not for exactness here but
+    // to keep every step a clean double op). The recursion is inherently
+    // sequential per key, so it runs as ONE codegen'd higher-order
+    // aggregate() fold over the sorted per-type array (bounded: days per
+    // type, the mon9 "hours not events" argument) — the corpus-sized work
+    // stays in the groupBy that builds the daily series. The oracle
+    // replays the IDENTICAL double chain as a recursive CTE: same ops,
+    // same order, bit-identical IEEE results behind %.4f rendering.
+    // Contract: l₀ = y₁, b₀ = 0, s = 0⃗ (fold starts at the 2nd
+    // observation); gaps in the day spine are positional (stated).
+    "a31_holt_winters" -> ((s, dir) => {
+      ev(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+        .createOrReplaceTempView("a31_daily")
+      s.sql("""
+        WITH ser AS (SELECT event_type,
+            array_sort(collect_list(named_struct(
+              'day', day, 'y', CAST(y AS DOUBLE)))) AS pts
+          FROM a31_daily GROUP BY event_type),
+        st AS (SELECT event_type, size(pts) AS n_days,
+            aggregate(
+              slice(pts, 2, size(pts) - 1),
+              named_struct(
+                'l', element_at(pts, 1).y, 'b', CAST(0.0 AS DOUBLE),
+                's', array_repeat(CAST(0.0 AS DOUBLE), 7), 'i', 1),
+              (acc, p) -> named_struct(
+                'l', CAST(0.5 AS DOUBLE) * (p.y - element_at(acc.s, pmod(acc.i, 7) + 1))
+                     + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+                'b', CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (p.y - element_at(acc.s, pmod(acc.i, 7) + 1))
+                       + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+                     + CAST(0.75 AS DOUBLE) * acc.b,
+                's', transform(acc.s, (v, j) -> IF(j = pmod(acc.i, 7),
+                       CAST(0.25 AS DOUBLE) * (p.y - (CAST(0.5 AS DOUBLE) * (p.y - element_at(acc.s, pmod(acc.i, 7) + 1))
+                         + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)))
+                       + CAST(0.75 AS DOUBLE) * v, v)),
+                'i', acc.i + 1)) AS fin
+          FROM ser)
+        SELECT event_type, n_days,
+          format_string('%.4f', fin.l) AS level_r,
+          format_string('%.4f', fin.b) AS trend_r,
+          format_string('%.4f', fin.l + 1 * fin.b
+            + element_at(fin.s, pmod(n_days, 7) + 1)) AS f1_r,
+          format_string('%.4f', fin.l + 2 * fin.b
+            + element_at(fin.s, pmod(n_days + 1, 7) + 1)) AS f2_r,
+          format_string('%.4f', fin.l + 7 * fin.b
+            + element_at(fin.s, pmod(n_days + 6, 7) + 1)) AS f7_r
+        FROM st""")
+    }),
+
     // A30 — TIME-CONSTRAINED funnel (the product-analytics standard a18
     // leaves out): a click converts only within 1 h of the first view, a
     // purchase only within 24 h of the first qualifying click. Same
@@ -3311,6 +3366,26 @@ object SparkEntry {
     // observed 1-unit divergence vs DuckDB; floor is engine-identical);
     // ranks ship as floored 1e-12 integer units, never a formatted double
     // (the mon6 midpoint lesson). Dangling nodes drop their mass — stated.
+    // G11 — deterministic maximal-independent-set rounds (Luby with
+    // content-derived priorities) over the k-NN similarity graph: the
+    // conflict-free CANONICAL KEEP-SET — a maximal set of items no two of
+    // which are neighbors (near-dups), decided in parallel rounds, seed-
+    // stable because priorities are md5(id)‖id (unique by construction,
+    // never tie-luck). Four rounds, kCoreRounds' fixed-round contract;
+    // selected∥removed∥still-active all emitted so maximality progress is
+    // auditable.
+    "g11_mis_canon" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nodes = e.select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+      val edges = SimilarityOps.knnGraph(e, "vec_id", "embedding", k = 4,
+          Adaptive.signDims(e.count()))
+        .select(col("id").as("src"), col("nbr_id").as("dst"))
+      graft.ops.GraphOps.misRounds(nodes, edges, "vec_id", "src", "dst",
+          rounds = 4)
+        .select(col("id").as("vec_id"), col("state"), col("rnd"))
+    }),
+
     // G10 — PERSONALIZED PageRank over the k-NN graph: teleport mass
     // returns only to the g6 seed set (vec_id ≡ 0 mod 10), so scores are
     // seed-relative reachability — the "expand from the labeled good set"
@@ -6542,6 +6617,99 @@ object SparkEntry {
        |FROM spine JOIN pr3 ON pr3.id = spine.id""".stripMargin
   }
 
+  /** a31 oracle: the engine's Holt-Winters fold replayed as a DuckDB
+    * recursive CTE — the same init (l₀=y₁, b₀=0, s=0⃗), the same update
+    * expressions in the same operation order (bit-identical IEEE doubles),
+    * the seasonal vector rebuilt positionally (DuckDB's list_transform
+    * lambda has no index parameter, so the 7 slots are written out). */
+  private def hwOracle: String = {
+    def sCur = "r.s[(r.t % 7) + 1]"
+    def lNew = s"""(CAST('0.5' AS DOUBLE) * (o.y - $sCur)
+                   | + CAST('0.5' AS DOUBLE) * (r.l + r.b))""".stripMargin
+    def sUpd = s"""(CAST('0.25' AS DOUBLE) * (o.y - $lNew)
+                   | + CAST('0.75' AS DOUBLE) * $sCur)""".stripMargin
+    val sSlots = (1 to 7).map { j =>
+      s"CASE WHEN (r.t % 7) + 1 = $j THEN $sUpd ELSE r.s[$j] END"
+    }.mkString("[", ",\n", "]")
+    val fcast = Seq(1 -> "f1_r", 2 -> "f2_r", 7 -> "f7_r").map { case (h, nm) =>
+      s"""printf('%.4f', l + $h * b + s[((n + ${h - 1}) % 7) + 1]) AS $nm"""
+    }.mkString(",\n")
+    s"""WITH RECURSIVE daily AS (SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |ord AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM daily),
+       |rec AS (
+       |  SELECT event_type, t, n, y AS l, CAST('0.0' AS DOUBLE) AS b,
+       |      [CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE),
+       |       CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE),
+       |       CAST('0.0' AS DOUBLE)] AS s
+       |    FROM ord WHERE t = 1
+       |  UNION ALL
+       |  SELECT o.event_type, o.t, o.n,
+       |    $lNew AS l,
+       |    CAST('0.25' AS DOUBLE) * ($lNew - r.l) + CAST('0.75' AS DOUBLE) * r.b AS b,
+       |    $sSlots AS s
+       |  FROM rec r JOIN ord o ON o.event_type = r.event_type AND o.t = r.t + 1)
+       |SELECT event_type, CAST(n AS INT) AS n_days,
+       |  printf('%.4f', l) AS level_r,
+       |  printf('%.4f', b) AS trend_r,
+       |  $fcast
+       |FROM rec WHERE t = n""".stripMargin
+  }
+
+  /** g11 oracle: the k-NN prefix, canonicalized undirected edges, then
+    * FOUR UNROLLED Luby rounds — each a min-over-active-neighbors
+    * aggregate, the priority-precedes select, the neighbor removal, and
+    * the survivor set, with the identical md5(id)‖id priority string. */
+  private def misOracle: String = {
+    // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    // round references the previous one ~5 times, so the unrolled chain
+    // would expand to ~5^4 scans of the base parquet — past the open-file
+    // limit. Materialization evaluates each round once.
+    val rounds = (1 to 4).map { r =>
+      s"""mn$r AS MATERIALIZED (SELECT nb.id, MIN(x.h) AS mn
+         |  FROM nb JOIN a${r - 1} x ON x.id = nb.nb
+         |  JOIN a${r - 1} y ON y.id = nb.id GROUP BY 1),
+         |sel$r AS MATERIALIZED (SELECT a.id FROM a${r - 1} a LEFT JOIN mn$r m ON m.id = a.id
+         |  WHERE m.mn IS NULL OR a.h < m.mn),
+         |rem$r AS MATERIALIZED (SELECT DISTINCT nb.id FROM nb JOIN sel$r s ON s.id = nb.nb
+         |  JOIN a${r - 1} y ON y.id = nb.id
+         |  WHERE nb.id NOT IN (SELECT id FROM sel$r)),
+         |a$r AS MATERIALIZED (SELECT a.id, a.h FROM a${r - 1} a
+         |  WHERE a.id NOT IN (SELECT id FROM sel$r)
+         |    AND a.id NOT IN (SELECT id FROM rem$r))""".stripMargin
+    }.mkString(",\n")
+    val states = (1 to 4).map { r =>
+      s"""SELECT id, 'selected' AS state, $r AS rnd FROM sel$r
+         |UNION ALL SELECT id, 'removed', $r FROM rem$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm,
+       |      substr($signStrSql, 1, (SELECT sd FROM params)) AS bucket FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |cand AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_inner_product(a.ve, b.ve) / (a.nrm * b.nrm) DESC, b.vec_id) AS rank
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |e AS MATERIALIZED (SELECT src, dst FROM cand WHERE rank <= 4),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |        FROM e WHERE src <> dst),
+       |nb AS MATERIALIZED (SELECT a AS id, b AS nb FROM und
+       |       UNION ALL SELECT b, a FROM und),
+       |a0 AS MATERIALIZED (SELECT vec_id AS id,
+       |    md5(CAST(vec_id AS VARCHAR)) || lpad(CAST(vec_id AS VARCHAR), 20, '0') AS h
+       |  FROM n),
+       |$rounds
+       |SELECT id AS vec_id, state, CAST(rnd AS INT) AS rnd FROM (
+       |$states
+       |UNION ALL SELECT id, 'active', 0 FROM a4)""".stripMargin
+  }
+
   /** g6 oracle: the s13 k-NN edge relation (same prefix as
     * [[pageRankOracle]]), symmetrized, then THREE UNROLLED label-prop
     * rounds — each a vote count / (count DESC, label) argmax / clamped
@@ -8418,6 +8586,10 @@ object SparkEntry {
         |LEFT JOIN p USING (user_id)""".stripMargin,
 
     "g10_ppr" -> pprOracle,
+
+    "g11_mis_canon" -> misOracle,
+
+    "a31_holt_winters" -> hwOracle,
 
     "a18_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),

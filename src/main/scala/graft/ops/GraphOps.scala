@@ -105,6 +105,68 @@ object GraphOps {
     pr
   }
 
+  /** Deterministic Luby maximal-independent-set rounds over the undirected
+    * closure of `edges` — the conflict-free canonical-set primitive: when
+    * edges mean "these two are near-duplicates / too similar", the MIS is a
+    * maximal keep-set in which no two kept items conflict. Priorities are
+    * content-derived (md5 of the id, id-suffixed so they are UNIQUE, not
+    * just collision-unlikely), so the result is seed-stable across runs and
+    * partitionings. Each round, in parallel: a node is SELECTED iff its
+    * priority precedes every still-active neighbor's (two adjacent selects
+    * are impossible — each would need the smaller priority); selected
+    * nodes' active neighbors are REMOVED; survivors stay active for the
+    * next round. Isolated nodes select in round 1 (no active neighbor).
+    * Fixed `rounds` is the deterministic, oracle-unrollable form (the
+    * kCoreRounds contract); Luby's argument kills a constant fraction of
+    * edges per round, so few rounds leave few actives. Per round: one
+    * neighbor-min aggregation + two key-partitioned anti joins — nothing
+    * wider than the edge relation shuffles.
+    *
+    * Returns (id, state, rnd): state ∈ selected/removed/active, rnd = the
+    * round it was decided (0 for still-active). */
+  def misRounds(nodes: DataFrame, edges: DataFrame, idCol: String,
+      srcCol: String, dstCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // reused every round by both directions
+    val nbr = und.select(col("a").as("id"), col("b").as("nb"))
+      .union(und.select(col("b").as("id"), col("a").as("nb")))
+    def pri(c: Column): Column =
+      concat(md5(c.cast("string")), lpad(c.cast("string"), 20, "0"))
+    var active = nodes.select(col(idCol).as("id"), pri(col(idCol)).as("h"))
+      .localCheckpoint()
+    var decided = active.sparkSession.emptyDataFrame
+    var first = true
+    for (r <- 1 to rounds) {
+      val actNbr = nbr
+        .join(active.select(col("id").as("nb"), col("h").as("nb_h")), "nb")
+        .join(active.select(col("id")), "id")
+      val minNbr = actNbr.groupBy(col("id")).agg(min(col("nb_h")).as("mn"))
+      val sel = active.join(minNbr, Seq("id"), "left")
+        .filter(col("mn").isNull || col("h") < col("mn"))
+        .select(col("id"))
+      val rem = nbr.join(sel.select(col("id").as("nb")), "nb")
+        .select(col("id")).distinct()
+        .join(active.select(col("id")), "id") // removed must have been active
+        .join(sel, Seq("id"), "left_anti")    // (disjoint by the argument above)
+      val decidedRound = sel.select(col("id"), lit("selected").as("state"),
+          lit(r).as("rnd"))
+        .unionByName(rem.select(col("id"), lit("removed").as("state"),
+          lit(r).as("rnd")))
+        .localCheckpoint() // cut: next round's `active` must not re-derive it
+      decided = if (first) decidedRound else decided.unionByName(decidedRound)
+      first = false
+      active = active.join(decidedRound.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint()
+    }
+    val residual = active.select(col("id"), lit("active").as("state"),
+      lit(0).as("rnd"))
+    decided.unionByName(residual)
+  }
+
   /** Bounded k-core peeling over the undirected closure of `edges`:
     * `rounds` iterations of "drop every node whose degree in the surviving
     * subgraph is < k". Round 1 filters on full-graph degree; each later

@@ -84,6 +84,24 @@ class ExpressionsSpec extends SparkSpec {
         s2.sql("SELECT minhash_sig('x', 1 + 15, 2)").collect()
       }
       assert(nonLit.getMessage.contains("minhash_sig"))
+      // simhash32 / hamming_dist close the dedup-primitive SQL surface:
+      // the SQL spelling must agree with the DataFrame form bit-for-bit,
+      // identical docs hash identically, and hamming sees injected bits
+      val sh = s2.sql(
+        "SELECT simhash32('the quick brown fox') AS h").head().getLong(0)
+      val shDf = s2.sql("SELECT 'the quick brown fox' AS t")
+        .select(graft.ops.DedupOps.simhash32(
+          org.apache.spark.sql.functions.col("t")).as("h"))
+        .head().getLong(0)
+      assert(sh === shDf)
+      assert(s2.sql(
+        "SELECT hamming_dist(simhash32('a b c'), simhash32('a b c')) AS d")
+        .head().getInt(0) === 0)
+      assert(s2.sql("SELECT hamming_dist(1, 7) AS d").head().getInt(0) === 2)
+      val shArity = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT simhash32('a', 'b')").collect()
+      }
+      assert(shArity.getMessage.contains("simhash32"))
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
