@@ -2213,6 +2213,62 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rk"))
     }),
 
+    // T36 — corpus drift BETWEEN sources: pairwise Jensen-Shannon
+    // divergence of the per-source unigram distributions. The missing-token
+    // halves never require a full outer join: a token present only in a
+    // contributes p·ln2, so JSD = ½[Σ_{t∈A∩B}(p·ln(2p/(p+q)) +
+    // q·ln(2q/(p+q))) + ln2·((n_a−Σc_a∩)/n_a + (n_b−Σc_b∩)/n_b)] — the
+    // intersection INNER join plus exact integer masses (this identity is
+    // the stated contract, mirrored verbatim by the oracle). Per-term
+    // doubles round to DECIMAL(30,10) before the sum (t27 order-freedom);
+    // the final expression is one mirrored double chain. Shuffles: one on
+    // token (bounded per-token fan-out ≤ |sources|²), one |pairs|-row agg.
+    "t36_source_jsd" -> ((s, dir) => {
+      val tok = docs(s, dir).filter(TextOps.tokenCount(col("text")) >= 1)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val tot = tok.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val st = tok.join(tot, "source")
+      val a = st.select(col("source").as("sa"), col("tok"),
+        col("c").as("ca"), col("n").as("na"))
+      val b = st.select(col("source").as("sb"), col("tok"),
+        col("c").as("cb"), col("n").as("nb"))
+      val pairs = a.join(b, Seq("tok")).filter(col("sa") < col("sb"))
+        .withColumn("pa", col("ca").cast("double") / col("na").cast("double"))
+        .withColumn("pb", col("cb").cast("double") / col("nb").cast("double"))
+        .withColumn("term",
+          col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))) +
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+      pairs.groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_common"),
+          Exact.sumD(col("term"), 10).as("t_sum"),
+          sum(col("ca")).as("ca_int"), first(col("na")).as("na"),
+          sum(col("cb")).as("cb_int"), first(col("nb")).as("nb"))
+        .select(col("sa"), col("sb"), col("n_common"),
+          Exact.fmt((col("t_sum") + log(lit(2.0)) *
+            ((col("na") - col("ca_int")).cast("double") / col("na").cast("double") +
+             (col("nb") - col("cb_int")).cast("double") / col("nb").cast("double")))
+            / lit(2.0), 6).as("jsd_r"))
+    }),
+
+    // T37 — readability (Flesch reading ease): exact integer components —
+    // words, sentence runs ([.!?]+, floored at 1), syllable proxy = vowel
+    // groups — plus the classic score as one mirrored double chain behind
+    // %.4f. One narrow codegen scan.
+    "t37_readability" -> ((s, dir) =>
+      docs(s, dir).filter(TextOps.tokenCount(col("text")) >= 1)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sentences"),
+          regexp_count(lower(col("text")), lit("[aeiou]+"))
+            .cast("long").as("syllables"))
+        .withColumn("flesch_r", Exact.fmt(
+          lit(206.835)
+            - lit(1.015) * (col("words").cast("double") / col("sentences").cast("double"))
+            - lit(84.6) * (col("syllables").cast("double") / col("words").cast("double")),
+          4))),
+
     // T34 — calibration audit (reliability relation) for the vowel-density
     // language scorer: treating vowel density in basis points as the
     // classifier's confidence that lang = 'en' (t3's own decision
@@ -8951,6 +9007,49 @@ object SparkEntry {
         |SELECT doc_id, lang, rk FROM r
         |WHERE rk <= (SELECT MIN(n) FROM
         |  (SELECT COUNT(*) AS n FROM documents GROUP BY lang))""".stripMargin,
+
+    // Same intersection + exact-missing-mass identity, same per-term
+    // DECIMAL(30,10) rounding, same final double chain.
+    "t36_source_jsd" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split_regex(trim(text, ' '), '\s+')) AS tok
+        |  FROM documents WHERE trim(text, ' ') <> ''),
+        |tc AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |st AS (SELECT tc.source, tok, c, n FROM tc JOIN tot USING (source)),
+        |pr AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(a.c AS DOUBLE) / CAST(a.n AS DOUBLE) AS pa,
+        |    CAST(b.c AS DOUBLE) / CAST(b.n AS DOUBLE) AS pb,
+        |    a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source),
+        |ag AS (SELECT sa, sb, COUNT(*) AS n_common,
+        |    CAST(SUM(CAST(pa * ln(CAST('2.0' AS DOUBLE) * pa / (pa + pb))
+        |            + pb * ln(CAST('2.0' AS DOUBLE) * pb / (pa + pb))
+        |          AS DECIMAL(30,10))) AS DOUBLE) AS t_sum,
+        |    CAST(SUM(ca) AS BIGINT) AS ca_int, MIN(na) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS cb_int, MIN(nb) AS nb
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT sa, sb, n_common,
+        |  printf('%.6f', (t_sum + ln(CAST('2.0' AS DOUBLE)) *
+        |    (CAST(na - ca_int AS DOUBLE) / CAST(na AS DOUBLE)
+        |     + CAST(nb - cb_int AS DOUBLE) / CAST(nb AS DOUBLE)))
+        |    / CAST('2.0' AS DOUBLE)) AS jsd_r
+        |FROM ag""".stripMargin,
+
+    "t37_readability" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS BIGINT) AS words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS syllables,
+        |  printf('%.4f', CAST('206.835' AS DOUBLE)
+        |    - CAST('1.015' AS DOUBLE)
+        |      * (CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS DOUBLE)
+        |         / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+        |    - CAST('84.6' AS DOUBLE)
+        |      * (CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS DOUBLE)
+        |         / CAST(len(regexp_split_to_array(trim(text, ' '), '\s+')) AS DOUBLE))
+        |  ) AS flesch_r
+        |FROM documents WHERE trim(text, ' ') <> ''""".stripMargin,
 
     "t34_calibration" ->
       """WITH c AS (SELECT
