@@ -2190,6 +2190,54 @@ object SparkEntry {
       readPublished(s, work)
     }),
 
+    // O43 — Hive-style partition pruning on the real write/read path: the
+    // events table lands partitioned by day, and a day-filtered aggregate
+    // must read ONLY that day's files — the filter shows up as a
+    // PartitionFilter on the scan (PlansSpec pins it), touching 1/Nth of
+    // the data at any scale. The target day is derived (min day), one
+    // metadata-sized scalar; the oracle recomputes from the raw events
+    // with the same derivation.
+    "o43_partition_prune" -> ((s, dir) => {
+      val work = scratch("o43")
+      ev(s, dir).withColumn("day",
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .write.partitionBy("day").mode("overwrite").parquet(s"$work/t")
+      // partition-column type inference reads the day string back as DATE;
+      // keep it DATE so the equality prunes without a cast in the way
+      val t = s.read.parquet(s"$work/t")
+      val d0 = t.agg(min(col("day"))).head().getDate(0)
+      t.filter(col("day") === lit(d0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+    }),
+
+    // X24 — k-anonymity audit with a generalization ladder (the
+    // data-governance gate a training corpus with user-linked fields
+    // needs): quasi-identifier group sizes at two generalization levels —
+    // level 0 = (nation, segment), level 1 = (region, segment), the
+    // hierarchy step that repairs level-0 violations — each group flagged
+    // against k=5. Two partial-aggregated exchanges; the dim joins
+    // broadcast. Suppression/generalization decisions read straight off
+    // the violates flags.
+    "x24_k_anonymity" -> ((s, dir) => {
+      val k = 5
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val l0 = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(0).as("level"), col("c_nationkey").cast("long").as("qi_geo"),
+          col("c_mktsegment").as("qi_seg"), col("n"))
+      val l1 = c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(1).as("level"), col("n_regionkey").cast("long").as("qi_geo"),
+          col("c_mktsegment").as("qi_seg"), col("n"))
+      l0.unionByName(l1)
+        .withColumn("violates", (col("n") < k).cast("int"))
+    }),
+
     // X23 — class-balanced sampling (the lang-balancing dataloader op):
     // every class contributes exactly m docs where m = the SMALLEST class
     // size — a data-derived cap, unlike x21's fixed K — selection by the
@@ -8997,6 +9045,28 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "o43_partition_prune" ->
+      """WITH e AS (SELECT event_type,
+        |    strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+        |    value FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM e WHERE day = (SELECT MIN(day) FROM e)
+        |GROUP BY 1""".stripMargin,
+
+    // c_nationkey is BIGINT and n_regionkey INT in the parquet — both
+    // sides align the ladder's geo key to BIGINT.
+    "x24_k_anonymity" ->
+      """SELECT 0 AS level, CAST(c_nationkey AS BIGINT) AS qi_geo,
+        |  c_mktsegment AS qi_seg, COUNT(*) AS n,
+        |  CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS violates
+        |FROM customer GROUP BY 2, 3
+        |UNION ALL
+        |SELECT 1, CAST(n_regionkey AS BIGINT), c_mktsegment, COUNT(*),
+        |  CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 2, 3""".stripMargin,
 
     // One flat per-class rank + the naive min-class scalar subquery.
     "x23_class_balanced_sample" ->

@@ -406,5 +406,13 @@ class PlansSpec extends SparkSpec {
     assert(!t34.contains("Join"), s"t34 is scan+agg only:\n$t34")
     assert(t34.split("\n").count(_.contains("Scan parquet")) === 1,
       s"t34 reads the corpus once:\n$t34")
+    // o43_partition_prune: the day equality must land as a PartitionFilter
+    // on the scan (1/Nth of the table read at any scale), never a post-scan
+    // Filter over all partitions.
+    val o43 = planOf("o43_partition_prune")
+    val o43Scan = o43.split("\n").find(l => l.contains("Scan parquet") &&
+      l.contains("PartitionFilters")).getOrElse("")
+    assert(o43Scan.matches(""".*PartitionFilters: \[[^\]]*day[^\]]*=[^\]]*\].*"""),
+      s"o43 day equality prunes partitions at the scan:\n$o43")
   }
 }
