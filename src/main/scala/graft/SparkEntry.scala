@@ -910,6 +910,55 @@ object SparkEntry {
     // time" — three user-keyed narrow joins/aggregations, no window, no
     // per-row state; every comparison is integer micros. Users who never
     // viewed report step 0 via the left-join spine over all users.
+    // MON15 — rolling-origin forecast backtest (the eval harness the
+    // forecasting family plugs into): at every origin day t the
+    // one-step-ahead prediction is compared against the actual, for both
+    // the naive (ŷ = y_{t−1}) and seasonal-naive (ŷ = y_{t−7}) baselines.
+    // Every error is an exact BIGINT |Δcents| — no doubles anywhere — and
+    // the per-type relation carries fold counts and MAE NUMERATORS
+    // (divide-at-read, the t34 common-denominator rule). Folds where the
+    // seasonal lag has no history are excluded from BOTH models, so the
+    // comparison is like-for-like. One groupBy + one lag window over the
+    // bounded daily spine (the mon9 "days not events" argument).
+    "mon15_backtest" -> ((s, dir) => {
+      val daily = ev(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("p_naive", lag(col("y"), 1).over(w))
+        .withColumn("p_snaive", lag(col("y"), 7).over(w))
+        .filter(col("p_snaive").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_folds"),
+          sum(abs(col("y") - col("p_naive"))).as("mae_naive_num"),
+          sum(abs(col("y") - col("p_snaive"))).as("mae_snaive_num"))
+    }),
+
+    // X25 — temporal train/test split with a leakage EMBARGO (the
+    // financial-ML splitting rule): windowed features computed near the
+    // boundary leak future information, so a one-day gap on each side of
+    // the 4/5 cutoff is assigned to NEITHER split. Cutoff and embargo are
+    // exact integer day arithmetic off the (min, max) day span — one
+    // metadata-sized scalar broadcast; the per-row assignment is a narrow
+    // codegen map. Emitted as per-(split, type) counts + exact cents.
+    "x25_embargo_split" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      e.crossJoin(broadcast(span))
+        .withColumn("cut", expr("d0 + (d1 - d0) * 4 div 5"))
+        .withColumn("split",
+          when(col("day") < col("cut") - 1, "train")
+            .when(col("day") > col("cut") + 1, "test")
+            .otherwise("embargo"))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    }),
+
     // A31 — additive Holt-Winters (level + trend + weekly seasonality —
     // the classical triple completing mon8's Holt): per event type, the
     // daily-cents series folds through the textbook recursions with
@@ -8694,6 +8743,35 @@ object SparkEntry {
     "g11_mis_canon" -> misOracle,
 
     "a31_holt_winters" -> hwOracle,
+
+    "mon15_backtest" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, y,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS p_naive,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS p_snaive
+        |  FROM daily)
+        |SELECT event_type, COUNT(*) AS n_folds,
+        |  CAST(SUM(abs(y - p_naive)) AS BIGINT) AS mae_naive_num,
+        |  CAST(SUM(abs(y - p_snaive)) AS BIGINT) AS mae_snaive_num
+        |FROM lagged WHERE p_snaive IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "x25_embargo_split" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |tagged AS (SELECT event_type, cents,
+        |    CASE WHEN day < d0 + (d1 - d0) * 4 // 5 - 1 THEN 'train'
+        |         WHEN day > d0 + (d1 - d0) * 4 // 5 + 1 THEN 'test'
+        |         ELSE 'embargo' END AS split
+        |  FROM e, span)
+        |SELECT split, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM tagged GROUP BY 1, 2""".stripMargin,
 
     "a18_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
