@@ -1856,6 +1856,51 @@ object SparkEntry {
           ((col("target") - col("prediction")) * (col("target") - col("prediction"))).as("sq_err"))
     }),
 
+    // Q30 — TPC-H Q16's shape ("suppliers who can supply parts of given
+    // attributes, excluding blacklisted suppliers"): distinct-supplier
+    // counts per (brand, size) with the exclusion as an ANTI join — the
+    // NOT IN subquery decorrelated (legal because s_suppkey is non-null;
+    // the tri-valued NOT IN hazard lives in q9's gate). Distinct-count
+    // plans as Spark's two-level aggregate; the blacklist broadcasts.
+    "q30_parts_suppliers" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // J12 — as-of join with a STALENESS TOLERANCE (the feature-store
+    // serving rule: a feature older than the bound must not be used —
+    // better no feature than a misleading one): j4's backward as-of with
+    // the matched right timestamp carried through, then a narrow
+    // post-classification — fresh (within 2 h), stale (matched but too
+    // old → feature nulled), none. Same one-shuffle union-window plan as
+    // j4; tolerance costs zero extra exchanges.
+    "j12_asof_tolerance" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val tolUs = 7200000000L
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_t_us"),
+          col("event_id").as("err_event_id"), col("value").as("err_value"))
+      graft.ops.AsOfJoin.backward(clicks, errors, Seq("user_id"),
+          "t_us", "err_t_us", Seq("err_t_us", "err_event_id", "err_value"),
+          rightTiebreak = Some("err_event_id"), joinType = "left")
+        .select(col("user_id"), col("event_id"), col("t_us"), col("value"),
+          when(col("err_t_us") >= col("t_us") - tolUs,
+            col("err_event_id")).as("f_event_id"),
+          when(col("err_t_us") >= col("t_us") - tolUs,
+            col("err_value")).as("f_value"),
+          when(col("err_t_us").isNull, lit("none"))
+            .when(col("err_t_us") < col("t_us") - tolUs, lit("stale"))
+            .otherwise(lit("fresh")).as("staleness"))
+    }),
+
     // J4 — backward as-of join: for each click, the latest preceding error
     // of the same user (point-in-time-correct feature lookup).
     "j4_asof_join" -> ((s, dir) => {
@@ -8902,6 +8947,39 @@ object SparkEntry {
         |      FROM events WHERE user_id = 2)
         |SELECT t.pos, target, prediction, (target - prediction) * (target - prediction) AS sq_err
         |FROM t JOIN p ON t.pos = p.pos""".stripMargin,
+
+    "q30_parts_suppliers" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Deliberately the naive inequality join + per-click rank (DuckDB
+    // plans it itself) — independent of the engine's union-window as-of;
+    // the (err_t_us DESC, err_event_id DESC) rank restates the backward
+    // visibility + highest-tiebreak contract.
+    "j12_asof_tolerance" ->
+      """WITH clicks AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |  FROM events WHERE event_type = 'click'),
+        |errors AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS err_t_us,
+        |    event_id AS err_event_id, value AS err_value
+        |  FROM events WHERE event_type = 'error'),
+        |m AS (SELECT c.user_id, c.event_id, c.t_us, c.value,
+        |    e.err_t_us, e.err_event_id, e.err_value,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY e.err_t_us DESC, e.err_event_id DESC) AS rn
+        |  FROM clicks c LEFT JOIN errors e
+        |    ON e.user_id = c.user_id AND e.err_t_us <= c.t_us)
+        |SELECT user_id, event_id, t_us, value,
+        |  CASE WHEN err_t_us >= t_us - 7200000000 THEN err_event_id END AS f_event_id,
+        |  CASE WHEN err_t_us >= t_us - 7200000000 THEN err_value END AS f_value,
+        |  CASE WHEN err_t_us IS NULL THEN 'none'
+        |       WHEN err_t_us < t_us - 7200000000 THEN 'stale'
+        |       ELSE 'fresh' END AS staleness
+        |FROM m WHERE rn = 1""".stripMargin,
 
     "j4_asof_join" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
