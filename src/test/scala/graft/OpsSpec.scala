@@ -1665,4 +1665,61 @@ class OpsSpec extends SparkSpec {
         minMargin = 99.0).count()
     assert(none === 0L)
   }
+
+  test("misRounds: independence, removal witnesses, maximality on convergence, partitioning-independence") {
+    import graft.ops.GraphOps
+    val rnd = new scala.util.Random(42)
+    val n = 120
+    val edges = (1 to 400).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n.toLong).toDF("id")
+    val edgeDf = edges.toDF("src", "dst")
+    val out = GraphOps.misRounds(nodes, edgeDf, "id", "src", "dst", rounds = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out.size === n, "every node decided or active")
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val sel = out.collect { case (id, ("selected", _)) => id }.toSet
+    // independence: no two selected nodes adjacent
+    assert(!und.exists { case (a, b) => sel(a) && sel(b) },
+      "selected set is independent")
+    // every removed node has a selected neighbor DECIDED NO LATER than it
+    out.collect { case (id, ("removed", r)) => (id, r) }.foreach { case (id, r) =>
+      assert(und.exists { case (a, b) => a == id && sel(b) &&
+        out(b)._2 <= r }, s"removed $id has a selected witness")
+    }
+    // 8 rounds on 120 nodes: converged — no actives, and the set is MAXIMAL
+    // (every non-selected node is adjacent to a selected one)
+    assert(!out.values.exists(_._1 == "active"), "converged in 8 rounds")
+    out.keys.filterNot(sel).foreach { id =>
+      assert(und.exists { case (a, b) => a == id && sel(b) },
+        s"non-selected $id has a selected neighbor (maximality)")
+    }
+    // determinism: a different physical partitioning yields the same result
+    val out2 = GraphOps.misRounds(nodes.repartition(7), edgeDf.repartition(5),
+        "id", "src", "dst", rounds = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out2 === out, "partitioning-independent")
+  }
+
+  test("a31 Holt-Winters fold matches the hand-computed recursion") {
+    val dir = tmpDir("hw-fix")
+    // one event per day, value in dollars → daily cents 10, 20, 30
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view", 0.10, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "view", 0.20, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-03 00:00:00"), 1L, "view", 0.30, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("a31_holt_winters")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // by hand: l0=10,b0=0 → y=20: l=15, b=1.25, s[1]=1.25
+    //          y=30: l=.5*30+.5*16.25=23.125, b=.25*8.125+.75*1.25=2.96875,
+    //                s[2]=.25*(30-23.125)=1.71875
+    // f1 = 23.125 + 2.96875 + s[(3%7)] = 26.09375 (s slot 0-based 3 = 0)
+    assert(row.getAs[Int]("n_days") === 3)
+    assert(row.getAs[String]("level_r") === "23.1250")
+    assert(row.getAs[String]("trend_r") === "2.9688")
+    assert(row.getAs[String]("f1_r") === "26.0938")
+  }
 }
