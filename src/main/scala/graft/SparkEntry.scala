@@ -2695,6 +2695,30 @@ object SparkEntry {
     // nearest cells per query, exact top-5 within them. Re-tuning nlist as
     // the corpus grows is the s5 reassign path. The count() is one
     // metadata-cheap job.
+    // C6 — the composed RAG SERVING pipeline under one oracle: IVF
+    // retrieval (s2's exact chain: stride centroids, nprobe=2, top-5) →
+    // context packing under a 150-token prompt budget in rank order (the
+    // greedy prefix rule — a skipped neighbor never reopens the window).
+    // Pins the stage ORDER and the retrieval→packing handoff, not just the
+    // stages (the c1-c5 composition discipline applied to serving).
+    "c6_rag_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      val topk = SimilarityOps.ivfTopK(assigned, centroids,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nprobe = 2)
+      val d = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("toks"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      topk.join(d, col("neighbor_id") === col("doc_id"))
+        .withColumn("cum_toks", sum(col("toks")).over(w))
+        .filter(col("cum_toks") <= 150)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("toks"), col("cum_toks"))
+    }),
+
     "s2_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
@@ -10313,6 +10337,22 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     "s2_ann_ivf" -> ivfOracle,
+
+    // s2's oracle chain as a subquery + the doc-token join + the same
+    // greedy rank-ordered running budget.
+    "c6_rag_serve" ->
+      s"""SELECT query_id, rank, neighbor_id, toks, cum_toks FROM (
+         |  SELECT b.query_id, b.rank, b.neighbor_id, d.toks,
+         |    CAST(SUM(d.toks) OVER (PARTITION BY b.query_id ORDER BY b.rank
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+         |  FROM ( $ivfOracle ) b
+         |  JOIN (SELECT doc_id,
+         |          CAST(CASE WHEN trim(text, ' ') = '' THEN 0
+         |               ELSE len(regexp_split_to_array(trim(text, ' '), '\\s+'))
+         |               END AS BIGINT) AS toks
+         |        FROM documents) d
+         |    ON d.doc_id = b.neighbor_id)
+         |WHERE cum_toks <= 150""".stripMargin,
     // the s2 chain + one candidate-side metadata join — the commuting-
     // intersection identity the Spark side exploits, written directly
     "s17_filtered_ann" -> ivfOracle(
