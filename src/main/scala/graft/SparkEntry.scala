@@ -2332,6 +2332,51 @@ object SparkEntry {
         .withColumn("violates", (col("n") < k).cast("int"))
     }),
 
+    // X26 — deterministic minority UP-sampling (the complement of x23's
+    // downsampling cap): every class is replicated up to the MAJORITY
+    // class size — whole copies via an explode over a per-class
+    // replication count, the remainder chosen by the same md5 rank order
+    // as the rest of the sampling family. Emitted as per-(class, doc)
+    // multiplicities (the dataloader consumes weights, not physically
+    // duplicated rows — at 100 TB you never materialize the copies).
+    "x26_oversample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      val sizes = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val mx = sizes.agg(max(col("n")).as("mx"))
+      val ranked = d.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      ranked.join(broadcast(sizes), "lang").crossJoin(broadcast(mx))
+        .withColumn("mult",
+          expr("mx div n") + when(col("rk") <= expr("mx % n"), 1L).otherwise(0L))
+        .select(col("lang"), col("doc_id"), col("mult"))
+    }),
+
+    // Q31 — top-N-per-group TIES semantics: RANK admits every row tied at
+    // the boundary (cardinality varies), DENSE_RANK compresses gaps,
+    // ROW_NUMBER cuts arbitrarily-but-deterministically (id tiebreak).
+    // The gate emits all three for the top-3 revenue days per event type
+    // — an engine that lowers rank() onto row_number semantics changes
+    // the row count and hash-fails. Exact integer cents ranking.
+    "q31_topk_ties" -> ((s, dir) => {
+      val daily = ev(s, dir).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("y").desc, col("day"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("y").desc)
+      daily
+        .withColumn("rnk", rank().over(wv).cast("long"))
+        .withColumn("drnk", dense_rank().over(wv).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("event_type"), col("day"), col("y"),
+          col("rnk"), col("drnk"), col("rn"))
+    }),
+
     // X23 — class-balanced sampling (the lang-balancing dataloader op):
     // every class contributes exactly m docs where m = the SMALLEST class
     // size — a data-derived cap, unlike x21's fixed K — selection by the
@@ -2453,6 +2498,31 @@ object SparkEntry {
     "d1_dedup_exact" -> ((s, dir) =>
       docs(s, dir).groupBy(TextOps.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))),
+
+    // D17 — homoglyph (Unicode-confusable) dedup: spam and benchmark-
+    // contamination evasion swaps Latin letters for visually identical
+    // Cyrillic codepoints, which defeats byte-exact AND canonical dedup
+    // (d1/d15 both see different bytes). The skeleton transform maps
+    // confusables back to Latin (the Unicode TR39 skeleton idea, five
+    // high-traffic pairs here) before fingerprinting. The corpus is clean
+    // ASCII, so the gate synthesizes the attack (the d15/m* fixture
+    // pattern): every 7th doc rides in twice — original + a spoofed copy
+    // with а/е/о/с/р (Cyrillic) substituted — in a disjoint id space;
+    // correct behavior re-unites each spoof with exactly its original.
+    // Pure per-row codegen'd translate + one fingerprint groupBy.
+    "d17_homoglyph_dedup" -> ((s, dir) => {
+      val latin = "aeocp"
+      val cyr = "аеоср"
+      val base = docs(s, dir)
+      val spoofed = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          translate(col("text"), latin, cyr).as("text"))
+      val corpus = base.select(col("doc_id"), col("text")).unionByName(spoofed)
+      corpus
+        .groupBy(TextOps.fingerprint(translate(col("text"), cyr, latin)).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+          sum(when(col("doc_id") >= 10000000L, 1L).otherwise(0L)).as("n_spoofs"))
+    }),
 
     // D16 — INCREMENTAL near-dup admission: the production dedup shape —
     // the standing corpus (doc_id ≢ 0 mod 11) keeps a materialized
@@ -8812,6 +8882,46 @@ object SparkEntry {
     "g11_mis_canon" -> misOracle,
 
     "a31_holt_winters" -> hwOracle,
+
+    // Same synthesized homoglyph corpus, same skeleton-then-fingerprint.
+    "d17_homoglyph_dedup" ->
+      raw"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, translate(text, 'aeocp', 'аеоср')
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |sk AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(translate(text, 'аеоср', 'aeocp'))),
+        |        '\s+', ' ', 'g')) AS fp
+        |  FROM corpus)
+        |SELECT fp, min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  CAST(SUM(CASE WHEN doc_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spoofs
+        |FROM sk GROUP BY 1""".stripMargin,
+
+    "x26_oversample" ->
+      """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |sizes AS (SELECT lang, COUNT(*) AS n FROM d GROUP BY 1),
+        |mx AS (SELECT MAX(n) AS mx FROM sizes),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+        |  FROM d)
+        |SELECT r.lang, r.doc_id,
+        |  CAST(mx // n + CASE WHEN rk <= mx % n THEN 1 ELSE 0 END AS BIGINT) AS mult
+        |FROM r JOIN sizes USING (lang), mx""".stripMargin,
+
+    "q31_topk_ties" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, day, y,
+        |    rank() OVER (PARTITION BY event_type ORDER BY y DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY event_type ORDER BY y DESC) AS drnk,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY y DESC, day) AS rn
+        |  FROM daily)
+        |SELECT event_type, day, y, rnk, drnk, rn FROM rk WHERE rnk <= 3""".stripMargin,
 
     "mon15_backtest" ->
       """WITH daily AS (SELECT event_type,
