@@ -1014,6 +1014,50 @@ object SparkEntry {
         FROM st""")
     }),
 
+    // A32 — new-vs-returning daily actives (the growth-accounting split):
+    // a user's first-ever event day classifies them "new" on that day and
+    // "returning" on every later active day. First-seen is one groupBy
+    // min; the daily classification joins it back on the user key —
+    // co-partitioned with the distinct-actives aggregate, no extra wide
+    // exchange. All integers.
+    "a32_new_returning" -> ((s, dir) => {
+      val ud = ev(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day")).distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      ud.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("n_returning"))
+    }),
+
+    // A33 — traffic burstiness per event type: the coefficient of
+    // variation of inter-arrival gaps (CV ≈ 1 Poisson, ≫ 1 bursty). Gaps
+    // are exact integer microseconds off a per-type lag; the moment sums
+    // route through BIGINT/DECIMAL(38,0) (the a28 accumulator-width rule)
+    // and CV is one mirrored double chain behind %.6f. The per-type
+    // ordering pass is a window over the type's OWN events — the corpus
+    // partitions by type first, so no global sort exists.
+    "a33_burstiness" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("t"), col("event_id"))
+      ev(s, dir).select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("t"))
+        .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap")).as("sg"),
+          sum(col("gap").cast("decimal(19,0)") * col("gap").cast("decimal(19,0)"))
+            .as("sgg"))
+        .select(col("event_type"), col("n"),
+          Exact.fmt(
+            sqrt((col("n").cast("double") * col("sgg").cast("double")
+              - col("sg").cast("double") * col("sg").cast("double"))
+              / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+              / (col("sg").cast("double") / col("n").cast("double")), 6)
+            .as("cv_r"))
+    }),
+
     // A30 — TIME-CONSTRAINED funnel (the product-analytics standard a18
     // leaves out): a click converts only within 1 h of the first view, a
     // purchase only within 24 h of the first qualifying click. Same
@@ -8859,6 +8903,37 @@ object SparkEntry {
         |weekly AS (SELECT wday AS day, COUNT(*) AS n_active_7d FROM m GROUP BY 1)
         |SELECT day, n_active_1d, n_active_7d
         |FROM daily JOIN weekly USING (day)""".stripMargin,
+
+    "a32_new_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM ud JOIN f USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    // Same lag/moment chain: n·Σg² − (Σg)² sample std over the mean gap,
+    // moments exact (BIGINT / DECIMAL(38,0)-widened product), one mirrored
+    // double expression behind %.6f.
+    "a33_burstiness" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |g AS (SELECT event_type,
+        |    t - lag(t, 1) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap
+        |  FROM e),
+        |m AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(gap) AS BIGINT) AS sg,
+        |    SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  printf('%.6f',
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE)
+        |          - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+        |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - CAST('1.0' AS DOUBLE))))
+        |    / (CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))) AS cv_r
+        |FROM m""".stripMargin,
 
     "a30_timed_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
