@@ -1014,6 +1014,57 @@ object SparkEntry {
         FROM st""")
     }),
 
+    // O45 — referential-integrity audit (the cross-TABLE data-quality
+    // complement of o30's column-level checks): orphan foreign keys per
+    // relationship — lineitem→orders, lineitem→part, lineitem→supplier,
+    // orders→customer — each one anti join + count, emitted as a
+    // (relationship, n_child, n_orphans) relation. Anti joins shuffle on
+    // the key; parents with broadcast-small key sets broadcast.
+    "o45_ref_integrity" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      def check(name: String, child: DataFrame, key: Column,
+          parentKeys: DataFrame): DataFrame = {
+        val orphans = child.select(key.as("k"))
+          .join(parentKeys.toDF("k"), Seq("k"), "left_anti").count()
+        val total = child.count()
+        child.sparkSession.range(1).select(lit(name).as("relationship"),
+          lit(total).as("n_child"), lit(orphans).as("n_orphans"))
+      }
+      check("lineitem->orders", l, col("l_orderkey"),
+          Tables.orders(s, dir).select(col("o_orderkey")))
+        .unionByName(check("lineitem->part", l, col("l_partkey"),
+          Tables.part(s, dir).select(col("p_partkey"))))
+        .unionByName(check("lineitem->supplier", l, col("l_suppkey"),
+          Tables.supplier(s, dir).select(col("s_suppkey"))))
+        .unionByName(check("orders->customer", o, col("o_custkey"),
+          Tables.customer(s, dir).select(col("c_custkey"))))
+    }),
+
+    // A34 — event concentration (the Pareto audit: what share of traffic
+    // the top-decile users generate — a skew early-warning for both
+    // product analytics and the engine's own key-skew planning). Per-user
+    // counts are one partial-agg exchange; the top-k cut is the bounded
+    // user relation ranked by (count, user_id) — exact integers, share in
+    // basis points by integer division.
+    "a34_concentration" -> ((s, dir) => {
+      val perUser = ev(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      // two-pass range-partitioned rank (ops/Ranking) — the user relation
+      // is corpus-sized, so a bare ORDER BY window would be one task
+      val ranked = graft.ops.Ranking.globalRowNumber(perUser,
+        Seq(col("n").desc, col("user_id")), "rk")
+      val stats = ranked.agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("total_events"))
+      ranked.crossJoin(broadcast(stats))
+        .filter(col("rk") <= expr("n_users div 10"))
+        .groupBy(col("n_users"), col("total_events"))
+        .agg(count(lit(1)).as("n_top"), sum(col("n")).as("top_events"))
+        .select(col("n_users"), col("total_events"), col("n_top"),
+          col("top_events"),
+          expr("top_events * 10000 div total_events").as("share_bp"))
+    }),
+
     // A32 — new-vs-returning daily actives (the growth-accounting split):
     // a user's first-ever event day classifies them "new" on that day and
     // "returning" on every later active day. First-seen is one groupBy
@@ -8922,6 +8973,36 @@ object SparkEntry {
         |weekly AS (SELECT wday AS day, COUNT(*) AS n_active_7d FROM m GROUP BY 1)
         |SELECT day, n_active_1d, n_active_7d
         |FROM daily JOIN weekly USING (day)""".stripMargin,
+
+    "o45_ref_integrity" ->
+      """SELECT 'lineitem->orders' AS relationship,
+        |  (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+        |     (SELECT o_orderkey FROM orders)) AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part', (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
+        |     (SELECT p_partkey FROM part))
+        |UNION ALL
+        |SELECT 'lineitem->supplier', (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
+        |     (SELECT s_suppkey FROM supplier))
+        |UNION ALL
+        |SELECT 'orders->customer', (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer))""".stripMargin,
+
+    "a34_concentration" ->
+      """WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+        |  FROM pu),
+        |st AS (SELECT COUNT(*) AS n_users, CAST(SUM(n) AS BIGINT) AS total_events
+        |  FROM pu)
+        |SELECT n_users, total_events, COUNT(*) AS n_top,
+        |  CAST(SUM(r.n) AS BIGINT) AS top_events,
+        |  CAST(SUM(r.n) AS BIGINT) * 10000 // total_events AS share_bp
+        |FROM r, st WHERE rk <= n_users // 10
+        |GROUP BY 1, 2""".stripMargin,
 
     "a32_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,
