@@ -1023,21 +1023,32 @@ object SparkEntry {
     "o45_ref_integrity" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
-      def check(name: String, child: DataFrame, key: Column,
+      // child totals computed ONCE (the first cut re-counted the child
+      // inside every check — 4 redundant lineitem scans at 100×). The
+      // orphan checks stay RAW-key anti joins: part/supplier/customer
+      // parents broadcast, so three of the four checks are pure scans with
+      // no exchange at all (a distinct-first variant was measured SLOWER —
+      // it inserts a 60M-row exchange exactly where the broadcast anti
+      // join had none); only lineitem→orders legitimately shuffles.
+      val lCount = l.count()
+      val oCount = o.count()
+      def check(name: String, childTotal: Long, childKeys: DataFrame,
           parentKeys: DataFrame): DataFrame = {
-        val orphans = child.select(key.as("k"))
+        val orphans = childKeys
           .join(parentKeys.toDF("k"), Seq("k"), "left_anti").count()
-        val total = child.count()
-        child.sparkSession.range(1).select(lit(name).as("relationship"),
-          lit(total).as("n_child"), lit(orphans).as("n_orphans"))
+        childKeys.sparkSession.range(1).select(lit(name).as("relationship"),
+          lit(childTotal).as("n_child"), lit(orphans).as("n_orphans"))
       }
-      check("lineitem->orders", l, col("l_orderkey"),
+      check("lineitem->orders", lCount, l.select(col("l_orderkey").as("k")),
           Tables.orders(s, dir).select(col("o_orderkey")))
-        .unionByName(check("lineitem->part", l, col("l_partkey"),
+        .unionByName(check("lineitem->part", lCount,
+          l.select(col("l_partkey").as("k")),
           Tables.part(s, dir).select(col("p_partkey"))))
-        .unionByName(check("lineitem->supplier", l, col("l_suppkey"),
+        .unionByName(check("lineitem->supplier", lCount,
+          l.select(col("l_suppkey").as("k")),
           Tables.supplier(s, dir).select(col("s_suppkey"))))
-        .unionByName(check("orders->customer", o, col("o_custkey"),
+        .unionByName(check("orders->customer", oCount,
+          o.select(col("o_custkey").as("k")),
           Tables.customer(s, dir).select(col("c_custkey"))))
     }),
 
@@ -8977,20 +8988,21 @@ object SparkEntry {
     "o45_ref_integrity" ->
       """SELECT 'lineitem->orders' AS relationship,
         |  (SELECT COUNT(*) FROM lineitem) AS n_child,
-        |  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
-        |     (SELECT o_orderkey FROM orders)) AS n_orphans
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS n_orphans
         |UNION ALL
         |SELECT 'lineitem->part', (SELECT COUNT(*) FROM lineitem),
-        |  (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN
-        |     (SELECT p_partkey FROM part))
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
         |UNION ALL
         |SELECT 'lineitem->supplier', (SELECT COUNT(*) FROM lineitem),
-        |  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN
-        |     (SELECT s_suppkey FROM supplier))
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
         |UNION ALL
         |SELECT 'orders->customer', (SELECT COUNT(*) FROM orders),
-        |  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
-        |     (SELECT c_custkey FROM customer))""".stripMargin,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))""".stripMargin,
 
     "a34_concentration" ->
       """WITH pu AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
