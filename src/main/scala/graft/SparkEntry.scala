@@ -5876,6 +5876,45 @@ object SparkEntry {
     // S6 — ANN quality metric: recall@5 of the IVF(nprobe=2) plan against
     // the exact brute-force top-5, per query — the evaluation loop an
     // embedding pipeline runs when tuning nlist/nprobe.
+    // S30 — the nprobe TUNING CURVE (the knob every IVF deployment turns:
+    // recall@5 against probe breadth in one relation): the s6 recall
+    // comparison swept at nprobe ∈ {1, 2, 4} over ONE shared assignment
+    // (index built once — only the query-side probe set varies, exactly
+    // the production trade). Emitted as exact per-(nprobe, query) hit
+    // counts; monotone non-decreasing in nprobe by construction, which
+    // the relation exhibits rather than asserts.
+    "s30_nprobe_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val brute = SimilarityOps.bruteForceTopK(
+          e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      Seq(1, 2, 4).map { np =>
+        SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5, nprobe = np)
+          .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+    }),
+
+    // D18 — duplication profile BY SOURCE (where the dup mass lives —
+    // the drill-down that turns d1's corpus-wide rate into a curation
+    // decision about which feeds to throttle): per-source exact-dup rate
+    // in basis points off the d1 fingerprint. Two partial-agg exchanges.
+    "d18_dup_by_source" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n") - 1).as("n_dup_docs"))
+        .withColumn("dup_bp", expr("n_dup_docs * 10000 div n_docs"))),
+
     "s6_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val brute = SimilarityOps.bruteForceTopK(
@@ -7076,6 +7115,54 @@ object SparkEntry {
        |  printf('%.4f', b) AS trend_r,
        |  $fcast
        |FROM rec WHERE t = n""".stripMargin
+  }
+
+  /** s30 oracle: the s6 recall chain with the probe width swept — one
+    * shared assignment, per-nprobe probe/score/rank/hit CTEs, UNION ALL.
+    * Shared prefix CTEs MATERIALIZED (the g11 lesson: three per-nprobe
+    * branches referencing them would re-inline the parquet scan). */
+  private def nprobeCurveOracle: String = {
+    val per = Seq(1, 2, 4).map { np =>
+      s"""probes$np AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= $np),
+         |scored$np AS (
+         |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+         |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+         |  FROM probes$np p JOIN assign a ON a.cid = p.cid
+         |  JOIN n x ON x.vec_id = a.vec_id JOIN n q ON q.vec_id = p.qid
+         |  WHERE x.vec_id <> p.qid),
+         |ivf$np AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM scored$np) WHERE rank <= 5),
+         |hits$np AS (SELECT $np AS nprobe, i.query_id,
+         |    CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits
+         |  FROM ivf$np i LEFT JOIN brute b USING (query_id, neighbor_id)
+         |  GROUP BY 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |brute AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+       |cent AS MATERIALIZED (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+       |        WHERE vec_id % (SELECT stride FROM params) = 0),
+       |assign AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+       |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+       |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+       |$per
+       |SELECT nprobe, query_id, n_hits FROM hits1
+       |UNION ALL SELECT nprobe, query_id, n_hits FROM hits2
+       |UNION ALL SELECT nprobe, query_id, n_hits FROM hits4""".stripMargin
   }
 
   /** g11 oracle: the k-NN prefix, canonicalized undirected edges, then
@@ -9067,6 +9154,17 @@ object SparkEntry {
     "g10_ppr" -> pprOracle,
 
     "g11_mis_canon" -> misOracle,
+
+    "s30_nprobe_curve" -> nprobeCurveOracle,
+
+    "d18_dup_by_source" ->
+      s"""WITH g AS (SELECT source, $fpSql AS fp, COUNT(*) AS n
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |  COUNT(*) AS n_distinct,
+         |  CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(n - 1) AS BIGINT) * 10000 // CAST(SUM(n) AS BIGINT) AS dup_bp
+         |FROM g GROUP BY 1""".stripMargin,
 
     "a31_holt_winters" -> hwOracle,
 
