@@ -1076,6 +1076,49 @@ object SparkEntry {
           expr("top_events * 10000 div total_events").as("share_bp"))
     }),
 
+    // Q33 — "customers whose average order value beats their segment's
+    // average": the aggregate-vs-PARENT-aggregate comparison, done with
+    // ZERO division — n_s·sum_c > n_c·sum_s in exact integer cents (cross-
+    // multiplication is legal: both counts positive), so no ratio double
+    // ever exists on either engine. Per-customer partials join the
+    // broadcast segment totals; one wide exchange on the customer key.
+    "q33_above_segment_avg" -> ((s, dir) => {
+      val oc = Tables.orders(s, dir)
+        .select(col("o_custkey"), floor(col("o_totalprice") * 100)
+          .cast("long").as("cents"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_c"), sum(col("cents")).as("sum_c"))
+        .join(Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
+      val seg = oc.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("n_c")).as("n_s"),
+          sum(col("sum_c").cast("decimal(38,0)")).as("sum_s"))
+      oc.join(broadcast(seg), "c_mktsegment")
+        .filter(col("n_s").cast("decimal(38,0)") * col("sum_c") >
+          col("n_c").cast("decimal(38,0)") * col("sum_s"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_above"), max(col("n_cust")).as("n_cust"))
+    }),
+
+    // A35 — day-of-week seasonality profile: exact cents mass and share
+    // per weekday (the calendar complement of mon9's hour-of-day
+    // decomposition). ISO weekday from the epoch-day index — pure integer
+    // arithmetic, no timezone/locale surface at all.
+    "a35_weekday_profile" -> ((s, dir) => {
+      val daily = ev(s, dir).select(
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val tot = daily.agg(sum(col("cents")).as("total"))
+      daily
+        // epoch day 0 = Thursday; dow 0 = Monday
+        .withColumn("dow", expr("pmod(day + 3, 7)"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_bp", expr("cents * 10000 div total"))
+        .drop("total")
+    }),
+
     // A32 — new-vs-returning daily actives (the growth-accounting split):
     // a user's first-ever event day classifies them "new" on that day and
     // "returning" on every later active day. First-seen is one groupBy
@@ -9102,6 +9145,31 @@ object SparkEntry {
         |  CAST(SUM(r.n) AS BIGINT) * 10000 // total_events AS share_bp
         |FROM r, st WHERE rk <= n_users // 10
         |GROUP BY 1, 2""".stripMargin,
+
+    // Same cross-multiplied comparison — no ratio exists on either side.
+    "q33_above_segment_avg" ->
+      """WITH oc AS (SELECT o_custkey, c_mktsegment, COUNT(*) AS n_c,
+        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |    CAST(SUM(n_c) AS BIGINT) AS n_s,
+        |    CAST(SUM(CAST(sum_c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_s
+        |  FROM oc GROUP BY 1)
+        |SELECT oc.c_mktsegment, COUNT(*) AS n_above, MAX(n_cust) AS n_cust
+        |FROM oc JOIN seg ON oc.c_mktsegment = seg.c_mktsegment
+        |WHERE CAST(n_s AS DECIMAL(38,0)) * sum_c
+        |      > CAST(n_c AS DECIMAL(38,0)) * sum_s
+        |GROUP BY 1""".stripMargin,
+
+    "a35_weekday_profile" ->
+      """WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM d)
+        |SELECT (day + 3) % 7 AS dow, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  CAST(SUM(cents) AS BIGINT) * 10000 // total AS share_bp
+        |FROM d, tot GROUP BY 1, total""".stripMargin,
 
     "a32_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,
