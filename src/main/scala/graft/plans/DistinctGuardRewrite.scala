@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, AttributeReference, EqualNullSafe, EqualTo, ExprId, Expression,
+  Alias, And, AttributeReference, EqualNullSafe, EqualTo, ExprId, Expression,
   GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan,
   LessThanOrEqual, Literal, NamedExpression, Not, RowOrdering}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
@@ -20,13 +20,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * and min(x)/max(x) answer it exactly:
   *
   *   COUNT(DISTINCT x) >  1  ⟺  NOT (min(x) <=> max(x))
-  *   COUNT(DISTINCT x) =  1  ⟺  min(x) = max(x)           (null ⇒ drop)
+  *   COUNT(DISTINCT x) =  1  ⟺  min(x) IS NOT NULL AND min(x) = max(x)
   *   COUNT(DISTINCT x) <= 1  ⟺  min(x) <=> max(x)
   *   COUNT(DISTINCT x) >  0  ⟺  min(x) IS NOT NULL
   *   COUNT(DISTINCT x) =  0  ⟺  min(x) IS NULL
   *
-  * (min/max ignore nulls, exactly like DISTINCT counting; for the all-null
-  * group both sides are null, which <=> handles and = correctly drops.)
+  * (min/max ignore nulls, exactly like DISTINCT counting.) Every replacement
+  * is TWO-VALUED — never NULL — because COUNT itself is never null, so the
+  * original guard is two-valued. This matters under negation: the guard may
+  * sit anywhere in the filter tree (e.g. `HAVING COUNT(DISTINCT x) <> 1`
+  * parses to Not(EqualTo)), and a bare EqualTo(min,max) would be NULL for
+  * an all-null group — Not(NULL)=NULL drops the group where the original
+  * Not(0=1)=TRUE keeps it. Hence the IsNotNull conjunct on the `= 1` form.
   *
   * Why it matters at 100 TB: Spark plans a distinct aggregate as an Expand
   * over (group, x) — a second full-width shuffle keyed by the distinct
@@ -76,11 +81,14 @@ object DistinctGuardRewrite extends Rule[LogicalPlan] {
         Some(Not(EqualNullSafe(mn, mx)))
       case LessThanOrEqual(l, a) if isAttr(a) && litLong(l).contains(2L) =>
         Some(Not(EqualNullSafe(mn, mx)))
-      // count = 1: exactly one distinct non-null (plain = drops all-null)
+      // count = 1: exactly one distinct non-null. Two-valued on purpose:
+      // an all-null group gives EqualTo(null,null)=NULL, and under Not(...)
+      // (count <> 1) NULL would wrongly drop the group — the IsNotNull
+      // conjunct forces FALSE there, matching COUNT's never-null semantics.
       case EqualTo(a, l) if isAttr(a) && litLong(l).contains(1L) =>
-        Some(EqualTo(mn, mx))
+        Some(And(IsNotNull(mn), EqualTo(mn, mx)))
       case EqualTo(l, a) if isAttr(a) && litLong(l).contains(1L) =>
-        Some(EqualTo(mn, mx))
+        Some(And(IsNotNull(mn), EqualTo(mn, mx)))
       // count <= 1: zero-or-one distinct
       case LessThanOrEqual(a, l) if isAttr(a) && litLong(l).contains(1L) =>
         Some(EqualNullSafe(mn, mx))

@@ -110,6 +110,36 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("DistinctGuardRewrite: negated guard keeps the all-null group (two-valued = 1 form)") {
+    withExtSession { s =>
+      import s.implicits._
+      val df = Seq((1, Some("a")), (1, Some("b")),
+        (2, Some("x")), (2, Some("x")),
+        (3, None: Option[String]), (3, None)).toDF("g", "v")
+      // n <> 1 parses to Not(EqualTo(n, 1)). Group 3 has count(distinct)=0,
+      // so NOT(0=1)=TRUE must keep it. A bare min=max rewrite would be
+      // Not(NULL)=NULL there and wrongly drop it — this pins the two-valued
+      // And(IsNotNull(min), min=max) replacement.
+      val ne = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" =!= 1).select($"g")
+      val nePlan = ne.queryExecution.optimizedPlan.toString
+      assert(!nePlan.contains("count(distinct") && !nePlan.contains("Expand"),
+        s"negated guard still rewrites:\n$nePlan")
+      assert(ne.as[Int].collect().toSet === Set(1, 3),
+        "all-null group survives NOT(count=1)")
+      // SQL spelling of the same trap
+      df.createOrReplaceTempView("dgr_neg_t")
+      val hv = s.sql(
+        "SELECT g FROM dgr_neg_t GROUP BY g HAVING COUNT(DISTINCT v) <> 1")
+      assert(!hv.queryExecution.optimizedPlan.toString.contains("count(distinct"))
+      assert(hv.as[Int].collect().toSet === Set(1, 3))
+      // and the un-negated = 1 form still drops the all-null group
+      val eq = df.groupBy($"g").agg(countDistinct($"v").as("n"))
+        .filter($"n" === 1).select($"g")
+      assert(eq.as[Int].collect().toSet === Set(2))
+    }
+  }
+
   test("correlated scalar subqueries de-correlate to aggregate + join (q7 shape)") {
     import spark.implicits._
     Seq((1L, 10L, 100.0, "A"), (1L, 2L, 50.0, "A"), (2L, 5L, 70.0, "R"))
