@@ -1,6 +1,8 @@
 package graft.store
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.EnumSet
+
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -14,21 +16,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * candidate is never observable and the previously published generation
   * keeps serving.
   *
-  * Crash windows: the manifest is written to a dot-tmp and atomically
-  * renamed (ATOMIC_MOVE + REPLACE_EXISTING) — a crash before the rename
-  * leaves the old generation published and a stale tmp that the next
-  * publish overwrites; a crash after staging leaves an orphan gen dir that
-  * is invisible (manifest-excluded) and reclaimable by a vacuum of
-  * non-published generations. Scale: the staged write is the query's own
-  * distributed write; audits are ordinary Spark aggregates over the staged
-  * relation; the publish step itself is ONE metadata rename regardless of
-  * data size.
+  * The manifest is handled through Hadoop's FileContext, the same path
+  * resolution Spark's own writers use — so `dir` may live on any
+  * Spark-reachable filesystem (local, HDFS, S3A via its committers), not
+  * just the driver's local disk. Each publish writes a tmp file UNIQUE to
+  * its generation (`.MANIFEST.<gen>.tmp`) before the atomic rename, so two
+  * concurrent publishers can never rename each other's bytes: the last
+  * rename wins wholesale, which is the correct last-writer-wins semantics
+  * for a single-pointer commit.
+  *
+  * Crash windows: a crash before the rename leaves the old generation
+  * published and a stale gen-specific tmp that a later publish of the same
+  * gen overwrites (and vacuum can reclaim); a crash after staging leaves an
+  * orphan gen dir that is invisible (manifest-excluded) and reclaimable by
+  * a vacuum of non-published generations. Scale: the staged write is the
+  * query's own distributed write; audits are ordinary Spark aggregates over
+  * the staged relation; the publish step itself is ONE metadata rename
+  * regardless of data size.
   */
 object WriteAuditPublish {
 
   /** A named audit: returns the number of violating rows in the staged
     * candidate (0 = pass). */
   final case class Audit(name: String, violations: DataFrame => Long)
+
+  private def fileContext(p: HPath): FileContext =
+    FileContext.getFileContext(
+      p.toUri, SparkSession.active.sessionState.newHadoopConf())
 
   /** Stage `candidate` under `dir/stage/gen=<gen>`, audit the STAGED
     * relation, and publish atomically iff every audit returns 0.
@@ -46,21 +60,32 @@ object WriteAuditPublish {
   }
 
   /** The atomic half on its own (exposed so tests can crash between stage
-    * and publish): point the manifest at `gen`. */
+    * and publish): point the manifest at `gen`. Gen-unique tmp + atomic
+    * overwrite-rename; safe under concurrent publishers (last wins). */
   def publishManifest(dir: String, gen: Long): Unit = {
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, ".MANIFEST.tmp")
-    Files.write(tmp, gen.toString.getBytes("UTF-8"))
-    Files.move(tmp, Paths.get(dir, "MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val dirPath = new HPath(dir)
+    val fc = fileContext(dirPath)
+    val tmp = new HPath(dirPath, s".MANIFEST.$gen.tmp")
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+    fc.rename(tmp, new HPath(dirPath, "MANIFEST"), Options.Rename.OVERWRITE)
   }
 
   /** Currently published generation, if any. */
   def publishedGen(dir: String): Option[Long] = {
-    val m = Paths.get(dir, "MANIFEST")
-    if (Files.exists(m))
-      Some(new String(Files.readAllBytes(m), "UTF-8").trim.toLong)
-    else None
+    val m = new HPath(new HPath(dir), "MANIFEST")
+    val fc = fileContext(m)
+    if (!fc.util.exists(m)) None
+    else {
+      val in = fc.open(m)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** Read the published table (resolves through the manifest — staged but

@@ -34,7 +34,7 @@ class WapSpec extends SparkSpec {
     assert(Files.exists(Paths.get(dir, "stage", "gen=2")))
   }
 
-  test("crash between stage and publish leaves the old generation serving; stale tmp is overwritten") {
+  test("crash between stage and publish leaves the old generation serving; dead writer's tmp is inert") {
     import spark.implicits._
     val dir = tmpDir("wap-crash")
     val v1 = Seq(("a", 1L)).toDF("k", "v")
@@ -43,18 +43,27 @@ class WapSpec extends SparkSpec {
     // publishManifest — simulated by staging directly
     Seq(("a", 99L)).toDF("k", "v")
       .write.mode("overwrite").parquet(s"$dir/stage/gen=2")
-    // plus a torn manifest tmp from the dead writer
-    Files.write(Paths.get(dir, ".MANIFEST.tmp"), "2".getBytes("UTF-8"))
+    // plus a torn manifest tmp from the dead writer (gen-unique name: a
+    // concurrent/later publisher must never rename someone else's bytes)
+    Files.write(Paths.get(dir, ".MANIFEST.2.tmp"), "2".getBytes("UTF-8"))
     assert(publishedGen(dir).contains(1L), "old generation still published")
     assert(readPublished(spark, dir).as[(String, Long)].collect().toSet ===
       Set(("a", 1L)))
-    // recovery: the NEXT publish (gen 3) overwrites the stale tmp and lands
+    // recovery: the NEXT publish (gen 3) lands through ITS OWN tmp; the
+    // dead writer's orphan stays inert (vacuum's job, not publish's) and
+    // the published pointer is unaffected by it
     val v3 = Seq(("a", 3L), ("c", 4L)).toDF("k", "v")
     assert(writeAuditPublish(v3, dir, 3L, audits)._1)
     assert(publishedGen(dir).contains(3L))
     assert(readPublished(spark, dir).as[(String, Long)].collect().toSet ===
       Set(("a", 3L), ("c", 4L)))
-    assert(!Files.exists(Paths.get(dir, ".MANIFEST.tmp")), "tmp consumed")
+    assert(!Files.exists(Paths.get(dir, ".MANIFEST.3.tmp")), "own tmp consumed")
+    assert(Files.exists(Paths.get(dir, ".MANIFEST.2.tmp")),
+      "dead writer's orphan tmp untouched — never renamed by another publisher")
+    // a RETRY of the dead writer's gen overwrites its own stale tmp and lands
+    publishManifest(dir, 2L)
+    assert(publishedGen(dir).contains(2L))
+    assert(!Files.exists(Paths.get(dir, ".MANIFEST.2.tmp")), "retry consumes its tmp")
   }
 
   test("audits judge the staged bytes, and a re-publish of an old gen is an atomic flip back") {
