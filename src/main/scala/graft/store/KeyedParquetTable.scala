@@ -182,11 +182,36 @@ class KeyedParquetTable(val path: String, val keyCol: String,
         Seq(col(versionCol).desc, col("__v").desc)
       else Seq(col("__v").desc)
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
-    val oldWinners = versioned.filter(col("__v") <= keepFrom)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-    val keep = oldWinners.unionByName(versioned.filter(col("__v") > keepFrom))
     if (partitioned) {
+      // Rewrite ONLY the hour partitions that actually drop rows (r11
+      // verdict task 5): truncation removes exactly the superseded
+      // pre-keepFrom versions, so a partition is affected iff some key in
+      // it has ≥2 rows at __v ≤ keepFrom — and every version of a key
+      // lives in that key's own hour dir (the partition values derive from
+      // the key), so the test is partition-local and EXACT, not
+      // conservative. The detection pass is one scan with the __v bound in
+      // PushedFilters plus a narrow count; the common retention cadence —
+      // truncate more often than history accumulates — then costs a scan,
+      // not a 100% table rewrite (o25's fixture: zero affected partitions,
+      // formerly a full rewrite).
+      val affected = withPartitionCols(versioned.filter(col("__v") <= keepFrom))
+        .groupBy(col("year"), col("month"), col("day"), col("hour"), col(keyCol))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .select(col("year"), col("month"), col("day"), col("hour"))
+        .distinct().collect() // bounded by #hour partitions, never rows
+      if (affected.isEmpty) return
+      val partsDf = broadcast(spark.createDataFrame(affected.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2), r.getString(3))))
+        .toDF("year", "month", "day", "hour"))
+      // winners are computed over the affected partitions only — correct
+      // because the per-key window never crosses an hour-dir boundary
+      val scoped = withPartitionCols(versioned)
+        .join(partsDf, Seq("year", "month", "day", "hour"))
+        .drop("year", "month", "day", "hour")
+      val oldWinners = scoped.filter(col("__v") <= keepFrom)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val keep = oldWinners.unionByName(scoped.filter(col("__v") > keepFrom))
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
@@ -201,6 +226,10 @@ class KeyedParquetTable(val path: String, val keyCol: String,
         }
       }
     } else {
+      val oldWinners = versioned.filter(col("__v") <= keepFrom)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val keep = oldWinners.unionByName(versioned.filter(col("__v") > keepFrom))
       // unpartitioned: no per-directory overwrite to lean on — write the
       // keep-set beside the table, then swap directories
       val fs = fileSystem(spark)
@@ -279,7 +308,15 @@ class KeyedParquetTable(val path: String, val keyCol: String,
     }
     if (plan.isEmpty) return
     val planDf = spark.createDataFrame(plan).toDF("year", "month", "day", "hour", "__n")
-    val todo = readRaw(spark)
+    // Scan ONLY the planned hour dirs (basePath keeps the partition
+    // columns): on a mostly-compact table the former full-table read paid
+    // listing + mergeSchema footers for every file just to join 95% of
+    // them away — the planned-dirs read scales with the work, not the
+    // table. The join still attaches per-prefix target counts.
+    val planDirs = plan.map { case (y, m, d, h, _) =>
+      s"$path/year=$y/month=$m/day=$d/hour=$h" }
+    val todo = spark.read.option("mergeSchema", "true")
+      .option("basePath", path).parquet(planDirs: _*)
       .join(broadcast(planDf), Seq("year", "month", "day", "hour"))
       .drop("year", "month", "day", "hour")
     // keep each survivor's original __v: resetting it would let a replayed

@@ -86,4 +86,41 @@ class MonitoringAndStoreSpec extends SparkSpec {
     table.truncateHistory(spark, keepFrom = 3)
     assert(served === Map(k2 -> 3L), "truncation keeps the winning tombstone")
   }
+
+  test("truncateHistory skips partitions with nothing to drop (no rewrite)") {
+    val dir = tmpDir("ktskip")
+    val table = new KeyedParquetTable(s"$dir/t", "tx_minute")
+    def row(minute: String, n: Long) =
+      Seq((minute, n)).toDF("tx_minute", "total_nb_trx_1min")
+    // two hours, ONE version per key at or below keepFrom, plus a later
+    // version above it: truncation can drop nothing anywhere
+    table.upsert(row("2024-01-01 00:01:00", 5L), version = 0)
+    table.upsert(row("2024-01-01 01:01:00", 3L), version = 1)
+    table.upsert(row("2024-01-01 01:02:00", 9L), version = 2)
+    def fileSnapshot = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/t"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified, f.length)).toSet
+    }
+    val before = fileSnapshot
+    table.truncateHistory(spark, keepFrom = 1)
+    assert(fileSnapshot === before,
+      "a truncate that drops no rows must not rewrite any partition")
+    // and a truncate that CAN drop rewrites only the affected hour
+    table.upsert(row("2024-01-01 00:01:00", 6L), version = 1)
+    val beforeDrop = fileSnapshot
+    table.truncateHistory(spark, keepFrom = 1)
+    val after = fileSnapshot
+    assert(after !== beforeDrop, "superseded version physically dropped")
+    val hour1 = beforeDrop.filter(_._1.contains("hour=01"))
+    assert(after.filter(_._1.contains("hour=01")) === hour1,
+      "unaffected hour partition untouched")
+    assert(table.readAll(spark).count() === 3)
+    val latest = table.readLatest(spark)
+      .select("tx_minute", "total_nb_trx_1min").as[(String, Long)].collect().toMap
+    assert(latest === Map("2024-01-01 00:01:00" -> 6L,
+      "2024-01-01 01:01:00" -> 3L, "2024-01-01 01:02:00" -> 9L))
+  }
 }
