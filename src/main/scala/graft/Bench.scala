@@ -47,6 +47,10 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_MAINT_ONLY=1 — run ONLY the maintenance/replay set (the
+    // sweep methodology needs maintenance 100× readings without paying the
+    // full throughput loop at sf10)
+    val maintOnly = sys.env.get("SPARK_GRAFT_MAINT_ONLY").contains("1")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
     def median(xs: Seq[Double]): Double = {
@@ -54,7 +58,7 @@ object Bench {
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => skip(q._1))
+      .filterNot(q => skip(q._1) || maintOnly)
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -88,8 +92,9 @@ object Bench {
     // round-over-round query total stays comparable. Skipped during
     // SPARK_GRAFT_ONLY local iteration.
     val maintenance =
-      if (only.isDefined) Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).filter(q => skip(q._1)).map {
+      if (only.isDefined && !maintOnly) Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).filter(q => skip(q._1))
+        .filter(q => only.forall(_.contains(q._1))).map {
         case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -138,7 +143,7 @@ object Bench {
     // full artifact: only on a full-suite run, so a SPARK_GRAFT_ONLY local
     // iteration can't clobber the committed complete map; sweep runs point
     // SPARK_GRAFT_SUMMARY elsewhere for the same reason
-    if (only.isEmpty) {
+    if (only.isEmpty && !maintOnly) {
       val summaryPath =
         sys.env.getOrElse("SPARK_GRAFT_SUMMARY", "BENCH_SUMMARY.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(summaryPath),
