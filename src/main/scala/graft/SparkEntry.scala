@@ -2357,7 +2357,12 @@ object SparkEntry {
     // distances route through DECIMAL(38,0), the a28 accumulator-width
     // rule, since Σd² exceeds long at large corpora). k+1 narrow scans,
     // one k-row exchange — nothing quadratic, nothing driver-side but the
-    // k seed vectors.
+    // k seed vectors. Self-diagnosing (the r11 driver-gate hash-fail was
+    // locally unreproducible): each row also carries the round's Gonzalez
+    // pick — seed_id and the picked farthest d² — so a future mismatch
+    // localizes immediately to either the seed chain (seed columns
+    // diverge) or the silhouette arithmetic (sums diverge under equal
+    // seeds).
     "s29_silhouette" -> ((s, dir) => {
       val qv = emb(s, dir).select(col("vec_id"),
         SimilarityOps.quantizeE6(col("embedding")).as("q"))
@@ -2366,6 +2371,12 @@ object SparkEntry {
         SimilarityOps.sqDistL(col("q"), array(t._3.map(lit): _*)).as("d"),
         lit(t._1).as("r")))
       val sorted = array_sort(array(dists: _*))
+      val seedId = seeds.map(t => lit(t._1) -> lit(t._2))
+        .foldLeft(lit(null).cast("long")) { case (acc, (r, id)) =>
+          when(col("cluster") === r, id).otherwise(acc) }
+      val seedD2 = seeds.map(t => lit(t._1) -> lit(t._4))
+        .foldLeft(lit(null).cast("long")) { case (acc, (r, d)) =>
+          when(col("cluster") === r, d).otherwise(acc) }
       qv.select(col("vec_id"),
           sorted.getItem(0).getField("r").as("cluster"),
           sorted.getItem(0).getField("d").as("a2"),
@@ -2376,6 +2387,8 @@ object SparkEntry {
           sum(col("s_bp")).as("sum_s_bp"),
           sum(col("a2").cast("decimal(38,0)")).as("sum_a2"),
           sum(col("b2").cast("decimal(38,0)")).as("sum_b2"))
+        .withColumn("seed_id", seedId)
+        .withColumn("seed_d2", seedD2)
     }),
 
     // T35 — LM-based document quality (the CCNet signal: mean token
@@ -2717,19 +2730,19 @@ object SparkEntry {
     // messy variants it must catch (the m*-fixture pattern): every 5th doc
     // rides in twice — original + an UPPERCASED copy with ", " noise
     // injected at every space — in a disjoint id space. Normalize = lower →
-    // non-alnum→space → collapse runs → trim (Java∩RE2 regex dialect);
-    // correct behavior re-unites each variant with exactly its original.
-    // Pure per-row codegen'd string ops + one fingerprint groupBy — d1's
-    // scan-bound scale shape.
+    // non-alnum→space → collapse runs → trim, evaluated by the single-pass
+    // [[graft.expressions.AsciiCanon]] kernel (bit-identical to the 3-step
+    // regexp_replace chain the oracle states — the r11 sweep's 25.5× 100×
+    // ratio was three regex passes over every corpus byte); the noise
+    // injection is a literal replace (StringReplace), not a regex. One
+    // kernel pass + one fingerprint groupBy — d1's scan-bound scale shape.
     "d15_canonical_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
       val messy = d.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
-          upper(regexp_replace(col("text"), " ", " , ")).as("text"))
-      val canon = regexp_replace(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "), "^ +| +$", "")
+          upper(expr("replace(text, ' ', ' , ')")).as("text"))
       d.select(col("doc_id"), col("text")).unionByName(messy)
-        .groupBy(md5(canon).as("fp"))
+        .groupBy(md5(graft.expressions.AsciiCanon.asciiCanon(col("text"))).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
     }),
 
@@ -3830,7 +3843,7 @@ object SparkEntry {
     // content-derived priorities) over the k-NN similarity graph: the
     // conflict-free CANONICAL KEEP-SET — a maximal set of items no two of
     // which are neighbors (near-dups), decided in parallel rounds, seed-
-    // stable because priorities are md5(id)‖id (unique by construction,
+    // stable because priorities are md5(id)‖len‖id (unique by construction,
     // never tie-luck). Four rounds, kCoreRounds' fixed-round contract;
     // selected∥removed∥still-active all emitted so maximality progress is
     // auditable.
@@ -4865,6 +4878,47 @@ object SparkEntry {
           (col("n_hits").cast("double") / 5).as("recall_at_5"))
     }),
 
+    // S7E — the PQ recall LADDER with a TRAINED codebook (r11 verdict task
+    // 6): the same m/subDim/seed budget as s7c, measured twice over one
+    // 20-query panel — once with the raw stride-seeded codewords (s7c's
+    // book) and once after Lloyd-refining them per subspace
+    // ([[SimilarityOps.pqCodebookRefine]], PqTrainIters iterations), the
+    // production PQ training loop, stage-exactly unrolled by the oracle.
+    // One gate IS the ladder: per query, hits under both books against the
+    // same exact brute-force top-5 (panel of 20, not s7c's 5 — recall@5
+    // over 25 slots is noise; 100 slots resolves the training gain:
+    // measured 0.32→0.39 / 0.34→0.43 / 0.21→0.24 at the three SFs, see
+    // PqTrainIters). OPQ pre-rotation was MEASURED out,
+    // not skipped: this corpus is isotropic (per-dim energy ratio 1.31,
+    // |pairwise corr| ≈ 0.03 — docs/PLANS.md round 12), so every rotation
+    // is statistically equivalent and codebook FIT is the only recall
+    // lever at equal code budget.
+    "s7e_pq_trained_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id") < 20)
+      val brute = SimilarityOps.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val cb0 = SimilarityOps.pqCodebook(
+        e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0),
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      val cbT = SimilarityOps.pqCodebookRefine(e, cb0, "vec_id", "embedding",
+        m = PqM, subDim = PqSubDim, iters = PqTrainIters)
+      def hits(cb: DataFrame, name: String) = {
+        val codes = SimilarityOps.pqEncode(e, cb, "vec_id", "embedding",
+          m = PqM, subDim = PqSubDim)
+        SimilarityOps.pqTopK(codes, cb, queries, "vec_id", "embedding",
+            k = 5, m = PqM, subDim = PqSubDim)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as(name))
+      }
+      hits(cb0, "n_hits_raw").join(hits(cbT, "n_hits_trained"), Seq("query_id"))
+        .select(col("query_id"), col("n_hits_raw"), col("n_hits_trained"),
+          (col("n_hits_raw").cast("double") / 5).as("recall_raw"),
+          (col("n_hits_trained").cast("double") / 5).as("recall_trained"))
+    }),
+
     // P7 — NaN encoding for model input (utils.py:124-125).
     "p7_nan_encode" -> ((s, dir) =>
       ev(s, dir).select(col("event_id"),
@@ -5061,7 +5115,14 @@ object SparkEntry {
     // + a strata-sized quota broadcast.
     "c4_weighted_mix" -> ((s, dir) => {
       val d = docs(s, dir)
-      val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
+      // DISK_ONLY, not cache(): the q22 lesson applied to the composed
+      // pipelines (r11: c4 ran 13× slower in the driver's loaded 8 GiB-heap
+      // bench than quiet). A deserialized MEMORY_AND_DISK cache of the
+      // signature relation competes with the CC iterations' execution
+      // memory; serialized disk blocks cost ~nothing to re-read through the
+      // page cache and can never cascade into recompute-under-pressure.
+      val sigs = DedupOps.signatures(d, "doc_id", "text", 16)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val pairs = DedupOps.pairsFromSignatures(sigs, 16, 4)
         .filter(col("est_jaccard") >= 0.5)
       val labeled = DedupOps.connectedComponents(pairs)
@@ -7211,7 +7272,7 @@ object SparkEntry {
   /** g11 oracle: the k-NN prefix, canonicalized undirected edges, then
     * FOUR UNROLLED Luby rounds — each a min-over-active-neighbors
     * aggregate, the priority-precedes select, the neighbor removal, and
-    * the survivor set, with the identical md5(id)‖id priority string. */
+    * the survivor set, with the identical md5(id)‖len‖id priority string. */
   private def misOracle: String = {
     // AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
     // round references the previous one ~5 times, so the unrolled chain
@@ -7249,7 +7310,9 @@ object SparkEntry {
        |nb AS MATERIALIZED (SELECT a AS id, b AS nb FROM und
        |       UNION ALL SELECT b, a FROM und),
        |a0 AS MATERIALIZED (SELECT vec_id AS id,
-       |    md5(CAST(vec_id AS VARCHAR)) || lpad(CAST(vec_id AS VARCHAR), 20, '0') AS h
+       |    md5(CAST(vec_id AS VARCHAR))
+       |      || CAST(length(CAST(vec_id AS VARCHAR)) AS VARCHAR)
+       |      || ':' || CAST(vec_id AS VARCHAR) AS h
        |  FROM n),
        |$rounds
        |SELECT id AS vec_id, state, CAST(rnd AS INT) AS rnd FROM (
@@ -7893,6 +7956,13 @@ object SparkEntry {
   private val PqM = 8
   private val PqSubDim = 8
 
+  /** Lloyd iterations for the trained-codebook gate (s7e). Chosen by a
+    * measured 20-query recall ladder (100 ground-truth slots) at all three
+    * SFs: iters=3 is the first depth strictly above the raw stride book at
+    * EVERY scale (sf0.001 32→39, sf0.01 34→43, sf0.1 21→24 hits); 2 ties
+    * sf0.1, 4-5 plateau at the 3-iteration numbers. */
+  private val PqTrainIters = 3
+
   /** Shared PQ oracle prefix: corpus cast, adaptive params, nonZero filter
     * with norms (assumes the `embeddings` table). */
   private def pqPrefixCtes: String =
@@ -7999,6 +8069,84 @@ object SparkEntry {
        |  CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5 AS recall_at_5
        |FROM pqtop p LEFT JOIN brute b USING (query_id, neighbor_id)
        |GROUP BY 1""".stripMargin
+
+  /** Stage-exact oracle for the TRAINED-codebook recall LADDER (s7e):
+    * one 20-query panel, hits measured under BOTH the raw stride-seeded
+    * book (cb0 — s7c's) and the book after `iters` unrolled Lloyd
+    * iterations per subspace — assignment = the same ip − ‖c‖²/2 argmax
+    * with the smallest-code-id tie-break, new codewords = exact-DECIMAL
+    * per-dim means / COUNT (the kmeansOracle contract), codes that win no
+    * members drop out. */
+  private def pqTrainedRecallOracle(iters: Int): String = {
+    val d = PqSubDim
+    val subVals = (0 until PqM).map(i => s"($i)").mkString(", ")
+    val trainCtes = (1 to iters).map { i =>
+      s"""e$i AS (SELECT vec_id, sub, code_id FROM (
+         |  SELECT v.vec_id, c.sub, c.code_id, row_number() OVER (
+         |    PARTITION BY v.vec_id, c.sub
+         |    ORDER BY list_inner_product(v.sv, c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
+         |  FROM sv v JOIN cb${i - 1} c ON c.sub = v.sub) WHERE rn = 1),
+         |m$i AS (SELECT e.sub, e.code_id, x.dim,
+         |    CAST(SUM(CAST(x.val AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mv
+         |  FROM e$i e JOIN (SELECT vec_id, sub, unnest(sv) AS val,
+         |                          generate_subscripts(sv, 1) AS dim FROM sv) x
+         |    ON x.vec_id = e.vec_id AND x.sub = e.sub
+         |  GROUP BY 1, 2, 3),
+         |cb$i AS (SELECT code_id, sub, cw, list_inner_product(cw, cw) AS cwip
+         |  FROM (SELECT code_id, sub, list(mv ORDER BY dim) AS cw
+         |        FROM m$i GROUP BY 1, 2))""".stripMargin
+    }.mkString(",\n")
+    // hits under one book: encode vs the named cb, ADC, top-5, brute join
+    def hitsCtes(cb: String, tag: String): String =
+      s"""enc_$tag AS (SELECT vec_id, sub, code_id FROM (
+         |  SELECT v.vec_id, c.sub, c.code_id, row_number() OVER (
+         |    PARTITION BY v.vec_id, c.sub
+         |    ORDER BY list_inner_product(v.sv, c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
+         |  FROM sv v JOIN $cb c ON c.sub = v.sub) WHERE rn = 1),
+         |qd_$tag AS (SELECT q.qid, c.sub, c.code_id,
+         |         list_inner_product(list_slice(q.ve, c.sub * $d + 1, c.sub * $d + $d),
+         |                            c.cw) AS ipq,
+         |         c.cwip
+         |       FROM q CROSS JOIN $cb c),
+         |sc_$tag AS (SELECT dd.qid AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(SUM(CAST(dd.ipq AS DECIMAL(30,10))) AS DOUBLE) AS aip,
+         |         CAST(SUM(CAST(dd.cwip AS DECIMAL(30,10))) AS DOUBLE) AS an2
+         |       FROM enc_$tag e JOIN qd_$tag dd
+         |         ON dd.sub = e.sub AND dd.code_id = e.code_id
+         |       WHERE e.vec_id <> dd.qid
+         |       GROUP BY 1, 2),
+         |top_$tag AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT s.query_id, s.neighbor_id, row_number() OVER (
+         |    PARTITION BY s.query_id
+         |    ORDER BY s.aip / (q.qnrm * sqrt(s.an2)) DESC, s.neighbor_id) AS rank
+         |  FROM sc_$tag s JOIN q ON q.qid = s.query_id
+         |  WHERE s.an2 > 0) WHERE rank <= 5),
+         |hits_$tag AS (SELECT p.query_id,
+         |    CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM top_$tag p LEFT JOIN brute b USING (query_id, neighbor_id)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $pqPrefixCtes,
+       |sv AS (SELECT vec_id, s.sub,
+       |         list_slice(ve, s.sub * $d + 1, s.sub * $d + $d) AS sv
+       |       FROM n CROSS JOIN (VALUES $subVals) AS s(sub)),
+       |cb0 AS (SELECT vec_id AS code_id, sub, sv AS cw,
+       |          list_inner_product(sv, sv) AS cwip
+       |        FROM sv WHERE vec_id % (SELECT stride FROM params) = 0),
+       |$trainCtes,
+       |q AS (SELECT vec_id AS qid, ve, nrm AS qnrm FROM n WHERE vec_id < 20),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+       |${hitsCtes("cb0", "raw")},
+       |${hitsCtes(s"cb$iters", "tr")}
+       |SELECT r.query_id, r.n AS n_hits_raw, t.n AS n_hits_trained,
+       |  CAST(r.n AS DOUBLE) / 5 AS recall_raw,
+       |  CAST(t.n AS DOUBLE) / 5 AS recall_trained
+       |FROM hits_raw r JOIN hits_tr t USING (query_id)""".stripMargin
+  }
 
   /** Stage-exact oracle for IVF-PQ (s7b): the flat-IVF assign/probe stages
     * (cosine argmax, tie-break smallest centroid id) restrict the ADC
@@ -9594,6 +9742,8 @@ object SparkEntry {
     // extended point-wise: own cluster = rank-1 distance, nearest other
     // = rank-2; the silhouette numerator/denominator stay BIGINT and the
     // squared-distance sums route through DECIMAL(38,0) on both sides.
+    // Self-diagnosing columns (r11): per-round seed_id + picked d²
+    // mirrored from the engine so a gate mismatch localizes instantly.
     "s29_silhouette" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -9630,12 +9780,19 @@ object SparkEntry {
         |pt AS (SELECT a.vec_id, a.round AS cluster, a.d2 AS a2, b.d2 AS b2
         |  FROM rk a JOIN rk b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
         |sil AS (SELECT cluster, a2, b2,
-        |    (b2 - a2) * 10000 // greatest(b2, 1) AS s_bp FROM pt)
+        |    (b2 - a2) * 10000 // greatest(b2, 1) AS s_bp FROM pt),
+        |seeds AS (
+        |  SELECT 0 AS cluster, (SELECT id FROM s0) AS seed_id,
+        |         CAST(0 AS BIGINT) AS seed_d2
+        |  UNION ALL SELECT 1, (SELECT id FROM s1), (SELECT d2 FROM s1)
+        |  UNION ALL SELECT 2, (SELECT id FROM s2), (SELECT d2 FROM s2)
+        |  UNION ALL SELECT 3, (SELECT id FROM s3), (SELECT d2 FROM s3))
         |SELECT cluster, COUNT(*) AS n,
         |  CAST(SUM(s_bp) AS BIGINT) AS sum_s_bp,
         |  CAST(SUM(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_a2,
-        |  CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_b2
-        |FROM sil GROUP BY cluster""".stripMargin,
+        |  CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_b2,
+        |  ANY_VALUE(seed_id) AS seed_id, ANY_VALUE(seed_d2) AS seed_d2
+        |FROM sil JOIN seeds USING (cluster) GROUP BY cluster""".stripMargin,
 
     // Same unigram LM restated relationally; the per-occurrence ln is
     // rounded to DECIMAL(30,10) BEFORE the sum on both engines (the t27
@@ -10951,6 +11108,7 @@ object SparkEntry {
     "s11_pq_rerank" -> pqRerankOracle,
     "s7b_pq_ivf" -> pqIvfOracle,
     "s7c_pq_recall" -> pqRecallOracle,
+    "s7e_pq_trained_recall" -> pqTrainedRecallOracle(PqTrainIters),
 
     // The on-disk PQ index — including compaction and the code-array round
     // trip — must return the identical neighbor set the in-memory IVF-PQ

@@ -134,8 +134,16 @@ object GraphOps {
       .localCheckpoint() // reused every round by both directions
     val nbr = und.select(col("a").as("id"), col("b").as("nb"))
       .union(und.select(col("b").as("id"), col("a").as("nb")))
-    def pri(c: Column): Column =
-      concat(md5(c.cast("string")), lpad(c.cast("string"), 20, "0"))
+    // Priority = md5(id) ‖ len(id) ‖ ':' ‖ id. The suffix is a length-
+    // prefixed encoding — injective for ARBITRARY string ids (the first ':'
+    // always terminates the digits-only length), unlike a fixed-width lpad
+    // which silently truncates ids past the pad width and could let two
+    // adjacent nodes share a priority. The md5 prefix dominates ordering;
+    // the suffix only disambiguates md5 collisions.
+    def pri(c: Column): Column = {
+      val s = c.cast("string")
+      concat(md5(s), length(s).cast("string"), lit(":"), s)
+    }
     var active = nodes.select(col(idCol).as("id"), pri(col(idCol)).as("h"))
       .localCheckpoint()
     var decided = active.sparkSession.emptyDataFrame

@@ -695,6 +695,54 @@ object SimilarityOps {
         dot(col("s.cw"), col("s.cw")).as("cwip"))
   }
 
+  /** Lloyd refinement of a PQ codebook (the s7e gate): per subspace,
+    * re-fit every codeword to the per-dim mean of the subvectors assigned
+    * to it, `iters` times — k-means inside each subspace, which is how
+    * production PQ codebooks are actually trained (Jégou et al. 2011 §III;
+    * [[pqCodebook]]'s raw stride seeds are only the init). Each iteration
+    * strictly reduces within-subspace quantization MSE, which is what ADC
+    * recall is paying for. Note rotation (OPQ) is deliberately NOT the
+    * lever here: the synthetic corpus measures isotropic (per-dim energy
+    * ratio 1.31, |pairwise corr| ≈ 0.03 — docs/PLANS.md round 12), and on
+    * isotropic data every rotation is equivalent, so codebook FIT is the
+    * only recall budget left at equal code count.
+    *
+    * Determinism contract (oracle-mirrored stage for stage): assignment is
+    * the [[pqEncode]] argmax with its smallest-code-id tie-break; means
+    * route through the exact DECIMAL accumulator / count (the
+    * [[kmeansRefine]] shape); codewords that win no assignments drop out
+    * of the book (code budget can only shrink). Scale: per iteration, one
+    * encode pass (broadcast join + narrow exchange) + one (sub, code, dim)
+    * mean — both corpus-linear; the book itself stays m·k rows. */
+  def pqCodebookRefine(corpus: DataFrame, codebook: DataFrame,
+                       idCol: String, vecCol: String, m: Int, subDim: Int,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
+    val sv = c.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    var cb = codebook
+    for (i <- 0 until iters) {
+      if (i > 0) cb = cb.localCheckpoint() // lineage cut, the kmeansRefine pattern
+      val enc = pqEncode(corpus, cb, idCol, vecCol, m, subDim)
+      val dimSums = sv.join(enc, Seq(idCol, "sub"))
+        .select(col("sub"), col("code_id"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code_id"), col("dim"))
+        .agg(Exact.sumD(col("x"), 10).as("sx"), count(lit(1)).as("n"))
+      cb = dimSums.groupBy(col("sub"), col("code_id"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m")))),
+            s => s("m")).as("cw"))
+        .select(col("code_id"), col("sub"), col("cw"),
+          dot(col("cw"), col("cw")).as("cwip"))
+    }
+    cb
+  }
+
   /** Encode the corpus: (idCol, sub, code_id), the nearest codeword of each
     * subvector under L2 — m narrow rows per vector. Same aggregation-argmax
     * shape as [[assignToCentroids]]: the broadcast join emits each

@@ -214,4 +214,36 @@ class ExpressionsSpec extends SparkSpec {
       .collect()
     sym.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
+
+  test("ascii_canon is bit-identical to the lower + 3-regex chain, ASCII and non-ASCII") {
+    import graft.expressions.AsciiCanon.asciiCanon
+    // directed edges: case, punctuation, runs, leading/trailing, empties,
+    // all-punct, digits, and non-ASCII rows that must take the fallback
+    // (including the Kelvin sign, whose lowercase is ASCII 'k')
+    val seeds = Seq(
+      "Hello, World!", "  leading and trailing  ", "a,,b..c", "ALL CAPS",
+      "runs     of      spaces", "", " ", ",.!?", "123-456", "mixed 42 Case",
+      "café au lait", "Kelvin start", "İstanbul",
+      "tab\tand\nnewline", "unicode 世界 mixed ascii")
+    // plus pseudo-random ASCII strings over a punct-heavy alphabet
+    val rng = new scala.util.Random(42)
+    val alpha = "aB c,.-9_Z!  "
+    val rand = (1 to 200).map(_ =>
+      (0 until rng.nextInt(60)).map(_ => alpha(rng.nextInt(alpha.length))).mkString)
+    val df = (seeds ++ rand).toDF("s").select($"s",
+      asciiCanon($"s").as("k"),
+      regexp_replace(regexp_replace(regexp_replace(
+        lower($"s"), "[^a-z0-9 ]", " "), " +", " "), "^ +| +$", "").as("r"))
+    df.collect().foreach { row =>
+      assert(row.getString(1) === row.getString(2),
+        s"ascii_canon diverged on ${row.getString(0)}")
+    }
+    // null-safe + interpreted eval agrees with codegen
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(asciiCanon($"s")).head().isNullAt(0))
+    val lit = graft.expressions.AsciiCanon(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(" A,b  C! ")))
+    assert(lit.eval(null).toString === "a b c")
+  }
 }

@@ -299,6 +299,45 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(p._4 - b._4) < 1e-9, s"sim drift at ${p._1}/${p._2}") }
   }
 
+  test("pqCodebookRefine: Lloyd strictly reduces quantization error; fixpoint when seeds are the corpus") {
+    // Sparse seeds (stride 4 of 32 vectors) make the initial book genuinely
+    // lossy; each Lloyd iteration must not increase the total squared
+    // reconstruction error Sum ||sv - cw[assigned]||^2, and on this random
+    // corpus the first iteration strictly reduces it.
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.fill(8)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def mse(cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = SimilarityOps.pqEncode(vecs, cb, "vec_id", "embedding", m = 4, subDim = 2)
+      val subs = (0 until 4).map(i =>
+        struct(lit(i).as("sub"), slice($"embedding".cast("array<double>"), i * 2 + 1, 2).as("sv")))
+      val sv = vecs.select($"vec_id", explode(array(subs: _*)).as("s"))
+        .select($"vec_id", $"s.sub".as("sub"), $"s.sv".as("sv"))
+      sv.join(codes, Seq("vec_id", "sub")).join(cb, Seq("sub", "code_id"))
+        .select(aggregate(zip_with($"sv", $"cw", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(sum($"e")).head().getDouble(0)
+    }
+    val cb0 = SimilarityOps.pqCodebook(vecs.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", m = 4, subDim = 2)
+    val cb1 = SimilarityOps.pqCodebookRefine(vecs, cb0, "vec_id", "embedding",
+      m = 4, subDim = 2, iters = 1)
+    val cb2 = SimilarityOps.pqCodebookRefine(vecs, cb0, "vec_id", "embedding",
+      m = 4, subDim = 2, iters = 2)
+    val (e0, e1, e2) = (mse(cb0), mse(cb1), mse(cb2))
+    assert(e1 < e0, s"first Lloyd iteration reduces error: $e1 < $e0")
+    assert(e2 <= e1 + 1e-12, s"second iteration never increases it: $e2 <= $e1")
+    // degenerate init: every vector is a seed -> every cell's sole member is
+    // its own seed, so the means reproduce the codewords up to the exact-
+    // accumulator's DECIMAL(30,10) rounding (~1e-11 per element, ~1e-21
+    // squared) — error stays at rounding scale, not quantization scale
+    val cbAll = SimilarityOps.pqCodebook(vecs, "vec_id", "embedding", m = 4, subDim = 2)
+    val cbAllT = SimilarityOps.pqCodebookRefine(vecs, cbAll, "vec_id", "embedding",
+      m = 4, subDim = 2, iters = 1)
+    assert(mse(cbAll) === 0.0 && mse(cbAllT) < 1e-15)
+    assert(cbAllT.count() === cbAll.count(), "no cell drops at the fixpoint")
+  }
+
   test("PQ rerank: full shortlist equals brute force BIT for bit; sims are exact, not ADC") {
     // With shortlistK = corpus size the shortlist is everything, so the
     // exact re-rank must reproduce bruteForceTopK exactly — including the
