@@ -6961,16 +6961,20 @@ object SparkEntry {
     // a full microbatch-group of files late, beyond the 60 s watermark; the
     // oracle recomputes the aggregate EXCLUDING exactly those rows, so any
     // late row admitted (or on-time row dropped) hash-mismatches. 3-DAY
-    // fixture files (task 3 — trigger-count-bound wall time), 2 files/
-    // trigger, arrivals delayed 6 files (the late-events filter lags one
-    // batch behind the arrival batch's watermark, so the delay must clear
-    // 2 batch-groups plus the lag: d ≥ 2m+2 in FILE units, unchanged by
-    // file width) — see graft.streaming.EndToEnd's late-variant doc;
-    // EndToEndSpec keeps the original day-per-file variant pinned.
+    // fixture files, 4 files/trigger, arrivals delayed 10 files. The
+    // determinism constraint is d ≥ 2m+2 in FILE units (the late-events
+    // filter lags one batch behind the arrival batch's watermark), and the
+    // no-gap constraint is F_ontime ≥ d (a chunk gap would let the
+    // fixture's compact reindexing shrink the effective delay): the events
+    // table spans 30 days at every SF → F = 10 three-day chunks, so
+    // (m=4, d=10) sits exactly on both bounds and the replay runs
+    // ceil((F+d)/m) = 5 triggers — the structural minimum for this file
+    // width; the r11 (m=2, d=6) form ran 8. See graft.streaming.EndToEnd's
+    // late-variant doc; EndToEndSpec keeps the day-per-file variant pinned.
     "e2e_late_drop" -> ((s, dir) => {
       val work = scratch("e2e_late")
       graft.streaming.EndToEnd.run(s, ev(s, dir), work,
-        maxFilesPerTrigger = 2, envelopesPerFile = 8640L, lateDelayFiles = 6)
+        maxFilesPerTrigger = 4, envelopesPerFile = 8640L, lateDelayFiles = 10)
     }),
 
     // O21 — z-order file skipping, demonstrated on the real write→stats→
