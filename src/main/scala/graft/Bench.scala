@@ -43,6 +43,10 @@ object Bench {
       "o31_cdc_apply",
       "s4_ivf_index_search",
       "s5_ivf_reassign", "e2e_neardup", "s7d_pq_index_search",
+      // s7e trains the PQ codebook (3 Lloyd passes) twice-encodes and
+      // double-ADCs the corpus — a training round trip like s4/s5/s7d,
+      // not query throughput
+      "s7e_pq_trained_recall",
       "s16_mips_index", "j8_bucketed_join")
     // SPARK_GRAFT_ONLY=a,b,c — local iteration on a subset; unset for the
     // driver's full run

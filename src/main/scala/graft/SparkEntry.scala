@@ -3222,6 +3222,42 @@ object SparkEntry {
     // distance arithmetic). Top-k then ranks only surviving candidates,
     // so a heavily-filtered query returns the right k, not k-minus-
     // filtered-out.
+    // S31 — hard-negative mining (contrastive-training data prep, the
+    // DPR/SimCSE recipe): for each query, the semantically CLOSEST
+    // candidates whose label DIFFERS — the negatives that actually teach
+    // an embedding model, vs easy random ones. Structurally this is
+    // filtered ANN (s17) with a QUERY-DEPENDENT predicate: the exclusion
+    // (candidate.label ≠ query.label) can't be a candidate-side semi-join,
+    // it applies per (query, candidate) pair BEFORE the rank, so the top-k
+    // is k valid negatives, not the survivors of a post-filter. Scale =
+    // the s2 IVF shape: probes prune the corpus to ~nprobe/nlist, the
+    // label ride-along adds one int to the assigned relation, and the
+    // pair filter runs inside the probed-cell join — never all-pairs.
+    "s31_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+        .join(e.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      val queries = e.filter(col("vec_id") < 5)
+      val probes = SimilarityOps.probeCells(queries, centroids, "vec_id", "embedding", nprobe = 2)
+        .join(broadcast(queries.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))), "query_id")
+      val cand = assigned.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"),
+        col("centroid_id"), col("n_label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      cand.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id") &&
+          col("n_label") =!= col("q_label"))
+        .select(col("query_id"), col("q_label"), col("neighbor_id"),
+          col("n_label"), SimilarityOps.cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("q_label"), col("n_label"), Exact.fmt(col("sim"), 4).as("sim_r"))
+    }),
+
     "s17_filtered_ann" -> ((s, dir) => {
       val e = emb(s, dir)
       val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
@@ -10982,6 +11018,39 @@ object SparkEntry {
     "s17_filtered_ann" -> ivfOracle(
       "vec_id % (SELECT stride FROM params) = 0",
       candJoin = "JOIN documents d ON d.doc_id = x.vec_id AND d.lang = 'en'"),
+
+    // s17's chain with the QUERY-DEPENDENT pair predicate written inside
+    // the scored relation (labels ride the n relation on both sides).
+    "s31_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve
+        |           FROM embeddings),
+        |$adaptiveParamsSql,
+        |n AS (SELECT vec_id, label, ve, sqrt(list_inner_product(ve, ve)) AS nrm
+        |      FROM v WHERE list_inner_product(ve, ve) > 0),
+        |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+        |         WHERE vec_id % (SELECT stride FROM params) = 0),
+        |assign AS (SELECT vec_id, cid FROM (
+        |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+        |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 5) WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.qid AS query_id, q.label AS q_label, x.vec_id AS neighbor_id,
+        |         x.label AS n_label,
+        |         list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) AS sim
+        |  FROM probes p
+        |  JOIN assign s ON s.cid = p.cid
+        |  JOIN n x ON x.vec_id = s.vec_id
+        |  JOIN n q ON q.vec_id = p.qid
+        |  WHERE x.vec_id <> p.qid AND x.label <> q.label)
+        |SELECT query_id, rank, neighbor_id, q_label, n_label,
+        |       printf('%.4f', sim) AS sim_r FROM (
+        |  SELECT query_id, q_label, neighbor_id, n_label, sim, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
     "s2b_ann_ivf_tiered" -> ivfTieredOracle,
 
     // Exact MIPS: rank by the raw inner product, ties by neighbor id.
