@@ -2534,6 +2534,60 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("mult"))
     }),
 
+    // X28 — FIM span-corruption prep (fill-in-the-middle pretraining,
+    // Bavarian et al. 2022): per document, two deterministic cut points
+    // over the token sequence split it into (prefix, middle, suffix), and
+    // a hash-derived 50% of docs get the transform (the published FIM
+    // rate). Every decision is integer/hash arithmetic over the salted
+    // md5 convention (Sampling.hash32) — no RNG, so the corpus transform
+    // is reproducible and auditable on any engine/partitioning. One scan,
+    // all codegen'd per-row ops — d1's scale shape.
+    "x28_fim_splits" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val cutA = graft.ops.Sampling.hash32(col("doc_id"), "fima") % (col("n_tokens") + 1L)
+      val cutB = graft.ops.Sampling.hash32(col("doc_id"), "fimb") % (col("n_tokens") + 1L)
+      d.withColumn("fim",
+          (graft.ops.Sampling.hash32(col("doc_id"), "fimsel") % 100L < 50L).cast("int"))
+        .withColumn("lo", least(cutA, cutB))
+        .withColumn("hi", greatest(cutA, cutB))
+        .select(col("doc_id"), col("n_tokens"), col("fim"),
+          when(col("fim") === 1, col("lo")).otherwise(col("n_tokens")).as("prefix_len"),
+          when(col("fim") === 1, col("hi") - col("lo")).otherwise(0L).as("middle_len"),
+          when(col("fim") === 1, col("n_tokens") - col("hi")).otherwise(0L).as("suffix_len"))
+    }),
+
+    // T41 — per-source ADAPTIVE quality gate (the C4/CCNet refinement:
+    // a single global threshold over-prunes clean sources and under-prunes
+    // dirty ones — each source drops its own bottom quartile instead).
+    // Membership is INTEGER-exact: rank docs within source by (quality,
+    // doc_id) and drop rank ≤ n div 4 — no double ever crosses an
+    // engine boundary as a threshold; the reported cut value is derived
+    // from the dropped set after the fact. Output pins membership exactly
+    // (kept doc-id sum) per source. Scale: the rank is a per-source
+    // window — bounded by source-count skew; at real scale the same rank
+    // comes from the two-pass range ranker applied per source.
+    "t41_adaptive_quality" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality"), col("doc_id"))
+      val ranked = q.withColumn("rk", row_number().over(w).cast("long"))
+        .join(q.groupBy(col("source")).agg(count(lit(1)).as("n")), "source")
+        .withColumn("dropped", col("rk") <= expr("n div 4"))
+      ranked.groupBy(col("source"))
+        .agg(first(col("n")).as("n_total"),
+          expr("first(n) div 4").as("n_dropped"),
+          sum(when(!col("dropped"), col("doc_id"))).as("kept_docid_sum"),
+          max(when(col("dropped"), col("quality"))).as("__cut"))
+        .select(col("source"), col("n_total"), col("n_dropped"),
+          col("kept_docid_sum"),
+          // raw double, no %.f rounding: the quality value is computed by
+          // the identical IEEE expression on both engines (t2 precedent),
+          // while fixed-decimal rendering risks the half-case split
+          col("__cut").as("cut_q"))
+    }),
+
     // Q31 — top-N-per-group TIES semantics: RANK admits every row tied at
     // the boundary (cardinality varies), DENSE_RANK compresses gaps,
     // ROW_NUMBER cuts arbitrarily-but-deterministically (id tiebreak).
@@ -9451,6 +9505,57 @@ object SparkEntry {
         |SELECT r.lang, r.doc_id,
         |  CAST(mx // n + CASE WHEN rk <= mx % n THEN 1 ELSE 0 END AS BIGINT) AS mult
         |FROM r JOIN sizes USING (lang), mx""".stripMargin,
+
+    // hash32 restated via the strpos hex ladder (the x5 convention), the
+    // t1 token count, and the same pure-integer cut arithmetic.
+    "x28_fim_splits" -> {
+      def h32(salt: String) = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($toksSql) END AS BIGINT) AS n_tokens,
+         |  ${h32("fima")} AS ha, ${h32("fimb")} AS hb, ${h32("fimsel")} AS hs
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN hs % 100 < 50 THEN 1 ELSE 0 END AS fim,
+         |  least(ha % (n_tokens + 1), hb % (n_tokens + 1)) AS lo,
+         |  greatest(ha % (n_tokens + 1), hb % (n_tokens + 1)) AS hi
+         |  FROM d)
+         |SELECT doc_id, n_tokens, CAST(fim AS INT) AS fim,
+         |  CAST(CASE WHEN fim = 1 THEN lo ELSE n_tokens END AS BIGINT) AS prefix_len,
+         |  CAST(CASE WHEN fim = 1 THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
+         |  CAST(CASE WHEN fim = 1 THEN n_tokens - hi ELSE 0 END AS BIGINT) AS suffix_len
+         |FROM c""".stripMargin
+    },
+
+    // the t2 quality expression + the integer bottom-quartile rank drop;
+    // the reported cut value derives from the dropped set AFTER the
+    // integer membership decision, never the other way round.
+    "t41_adaptive_quality" ->
+      s"""WITH b AS (SELECT doc_id, source, text,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS ntok,
+         |  CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE len(list_filter($toksSql, t -> t IN ($stopIn))) END AS nsw,
+         |  CASE WHEN length(text) = 0 THEN 0.0
+         |       ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |            / length(text) END AS praw
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  (least(length(text) / 500.0, 1.0)
+         |   + (1.0 - least(praw * 5.0, 1.0))
+         |   + least((CASE WHEN ntok = 0 THEN 0.0 ELSE CAST(nsw AS DOUBLE) / ntok END) * 4.0, 1.0)
+         |  ) / 3.0 AS quality
+         |  FROM b),
+         |r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM q)
+         |SELECT source, CAST(MIN(n) AS BIGINT) AS n_total,
+         |  CAST(MIN(n) // 4 AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN rk > n // 4 THEN doc_id END) AS BIGINT) AS kept_docid_sum,
+         |  MAX(CASE WHEN rk <= n // 4 THEN quality END) AS cut_q
+         |FROM r GROUP BY source""".stripMargin,
 
     "q31_topk_ties" ->
       """WITH daily AS (SELECT event_type,
