@@ -2557,6 +2557,22 @@ object SparkEntry {
           when(col("fim") === 1, col("n_tokens") - col("hi")).otherwise(0L).as("suffix_len"))
     }),
 
+    // X29 — data-constrained epoch allocation (Muennighoff et al. 2023):
+    // a 3.5×-unique-tokens training budget distributed across languages by
+    // √-temperature weights with a 4-epoch repeat cap; budget a capped
+    // language can't absorb water-fills to the uncapped ones (3 unrolled
+    // rounds — the fixture caps four of five langs in round 1, en absorbs
+    // the excess in round 2, round 3 proves the fixpoint). Everything
+    // integer on the established grids ([[graft.ops.Sampling.epochBudget]]);
+    // the relation is strata-sized end to end regardless of corpus size.
+    "x29_epoch_budget" -> ((s, dir) =>
+      graft.ops.Sampling.epochBudget(
+          docs(s, dir).select(col("lang"),
+            TextOps.tokenCount(col("text")).as("tc")),
+          col("lang"), col("tc"), budgetBp = 35000L, maxEpochs = 4)
+        .select(col("stratum").as("lang"), col("toks"), col("alloc_tokens"),
+          col("epochs_bp"), col("capped"))),
+
     // T41 — per-source ADAPTIVE quality gate (the C4/CCNet refinement:
     // a single global threshold over-prunes clean sources and under-prunes
     // dirty ones — each source drops its own bottom quartile instead).
@@ -9527,6 +9543,40 @@ object SparkEntry {
          |  CAST(CASE WHEN fim = 1 THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
          |  CAST(CASE WHEN fim = 1 THEN n_tokens - hi ELSE 0 END AS BIGINT) AS suffix_len
          |FROM c""".stripMargin
+    },
+
+    // the x13 sqrt grid, the shared budget constant, and THREE unrolled
+    // water-fill rounds — pool/active-weight as 1-row CTEs per round,
+    // share_bp and give in the identical integer order of operations.
+    "x29_epoch_budget" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""p$i AS (SELECT
+           |  CAST((SELECT MIN(budget) FROM s0) - SUM(alloc) AS BIGINT) AS pool,
+           |  CAST(SUM(CASE WHEN alloc < cap THEN w6 END) AS BIGINT) AS w_act
+           |  FROM a${i - 1}),
+           |a$i AS (SELECT stratum, toks, w6, cap, budget,
+           |  CAST(least(cap, alloc +
+           |    CASE WHEN alloc < cap AND COALESCE((SELECT w_act FROM p$i), 0) > 0
+           |    THEN (SELECT pool FROM p$i) * (w6 * 10000 // (SELECT w_act FROM p$i)) // 10000
+           |    ELSE 0 END) AS BIGINT) AS alloc
+           |  FROM a${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT lang AS stratum,
+         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($toksSql) END) AS BIGINT) AS toks
+         |  FROM documents GROUP BY 1),
+         |s0 AS (SELECT stratum, toks,
+         |    CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6,
+         |    toks * 4 AS cap,
+         |    (SELECT SUM(toks) FROM t) * 35000 // 10000 AS budget
+         |  FROM t WHERE toks > 0),
+         |a0 AS (SELECT stratum, toks, w6, cap, budget, CAST(0 AS BIGINT) AS alloc
+         |  FROM s0),
+         |$rounds
+         |SELECT stratum AS lang, toks, alloc AS alloc_tokens,
+         |  CAST(alloc * 10000 // toks AS BIGINT) AS epochs_bp,
+         |  CAST(CASE WHEN alloc = cap THEN 1 ELSE 0 END AS INT) AS capped
+         |FROM a3""".stripMargin
     },
 
     // the t2 quality expression + the integer bottom-quartile rank drop;

@@ -97,6 +97,59 @@ object Sampling {
       .select(col("stratum"), col("key"), col("pick_rank"))
   }
 
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): distribute a training-token
+    * budget across strata by √-temperature weights, capping every stratum
+    * at `maxEpochs` passes over its unique tokens (the paper's headline
+    * result: repeating much past ~4 epochs stops buying loss), with budget
+    * a capped stratum cannot absorb re-distributed to the still-uncapped
+    * ones — a bounded water-fill of `rounds` unrolled iterations (each
+    * round either drains the pool or caps ≥1 stratum, so #strata rounds
+    * reach the fixpoint; the oracle unrolls the SAME count).
+    *
+    * All integer, overflow-safe at 100 TB: weights on the 1e6 sqrt grid
+    * (the x13/c4 convention, ~3e15 for a 10^18-token stratum), per-round
+    * shares as `share_bp = w6·10⁴ div Σw6` then `give = pool·share_bp div
+    * 10⁴` — pool·10⁴ stays inside BIGINT for any budget below ~9·10^14
+    * tokens and the product never touches w6 directly. Per-round rounding
+    * residue (≤ strata tokens) stays in the pool for the next round and
+    * is reported, never silently lost. Plan shape: one narrow
+    * tokens-per-stratum aggregation; every round is arithmetic over the
+    * strata-sized relation with 1-row aggregates broadcast back —
+    * metadata-sized regardless of corpus size.
+    *
+    * @param budgetBp total budget as basis points of the corpus's unique
+    *                 token mass (35000 = 3.5 epochs' worth of tokens)
+    * @return (stratum, toks, alloc_tokens, epochs_bp, capped) */
+  def epochBudget(df: DataFrame, stratum: Column, tokens: Column,
+                  budgetBp: Long, maxEpochs: Int, rounds: Int = 3): DataFrame = {
+    require(budgetBp >= 0 && maxEpochs >= 1 && rounds >= 1)
+    val sizes = df.select(stratum.as("stratum"), tokens.cast("long").as("t"))
+      .groupBy(col("stratum")).agg(sum(col("t")).as("toks"))
+      .filter(col("toks") > 0)
+      .withColumn("w6",
+        floor(sqrt(col("toks").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("cap", col("toks") * maxEpochs)
+    var st = sizes.crossJoin(broadcast(
+        sizes.agg(expr(s"sum(toks) * $budgetBp div 10000").as("budget"))))
+      .withColumn("alloc", lit(0L))
+    for (_ <- 1 to rounds) {
+      val pool = st.agg(
+        (first(col("budget")) - sum(col("alloc"))).as("pool"),
+        sum(when(col("alloc") < col("cap"), col("w6"))).as("w_act"))
+      st = st.crossJoin(broadcast(pool))
+        .withColumn("give",
+          when(col("alloc") < col("cap") &&
+               coalesce(col("w_act"), lit(0L)) > 0,
+            expr("pool * (w6 * 10000 div w_act) div 10000")).otherwise(0L))
+        .withColumn("alloc", least(col("cap"), col("alloc") + col("give")))
+        .drop("give", "pool", "w_act")
+    }
+    st.select(col("stratum"), col("toks"), col("alloc").as("alloc_tokens"),
+      expr("alloc * 10000 div toks").as("epochs_bp"),
+      (col("alloc") === col("cap")).cast("int").as("capped"))
+  }
+
   /** [[temperatureExact]] with a per-row WEIGHT instead of a row count:
     * strata are sized by Σweight — here soft-dedup effective tokens, so a
     * source full of near-duplicates gets the share its UNIQUE content
