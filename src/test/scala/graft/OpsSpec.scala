@@ -299,6 +299,37 @@ class OpsSpec extends SparkSpec {
       assert(math.abs(p._4 - b._4) < 1e-9, s"sim drift at ${p._1}/${p._2}") }
   }
 
+  test("epochBudget: caps respected, budget never exceeded, capped excess water-fills") {
+    import graft.ops.Sampling
+    // skewed strata: one giant, three small — at 3.5x budget with cap 4
+    // the small ones cap and the giant absorbs their excess
+    val rows = Seq(("big", 10000L), ("s1", 1000L), ("s2", 1100L), ("s3", 900L))
+      .flatMap { case (s, t) => Seq((s, t / 2), (s, t - t / 2)) } // split rows
+      .toDF("src", "tc")
+    def run(bp: Long, cap: Int) =
+      Sampling.epochBudget(rows, $"src", $"tc", budgetBp = bp, maxEpochs = cap)
+        .select("stratum", "toks", "alloc_tokens", "epochs_bp", "capped")
+        .as[(String, Long, Long, Long, Int)].collect().map(r => r._1 -> r).toMap
+    val total = 13000L
+    val out = run(35000L, 4)
+    val budget = total * 35000L / 10000L
+    assert(out.values.map(_._3).sum <= budget, "never over-allocates")
+    out.values.foreach { case (s, t, a, bpv, c) =>
+      assert(a <= 4 * t, s"cap respected for $s")
+      assert(bpv <= 40000L)
+      assert((c == 1) === (a == 4 * t))
+    }
+    // the small strata cap; the giant absorbs beyond its first-round share
+    assert(Seq("s1", "s2", "s3").forall(out(_)._5 == 1), "small strata capped")
+    val w6 = out.map { case (k, v) => k -> math.floor(math.sqrt(v._2.toDouble) * 1e6).toLong }
+    val firstShare = budget * (w6("big") * 10000L / w6.values.sum) / 10000L
+    assert(out("big")._3 > firstShare, "water-fill gave the giant the capped excess")
+    // degenerate budgets
+    assert(run(0L, 4).values.forall(_._3 == 0L), "zero budget allocates nothing")
+    val flood = run(100000L, 4) // 10 epochs' worth >> cap: everyone caps
+    assert(flood.values.forall(v => v._3 == 4 * v._2 && v._5 == 1))
+  }
+
   test("pqCodebookRefine: Lloyd strictly reduces quantization error; fixpoint when seeds are the corpus") {
     // Sparse seeds (stride 4 of 32 vectors) make the initial book genuinely
     // lossy; each Lloyd iteration must not increase the total squared
