@@ -2557,6 +2557,40 @@ object SparkEntry {
           when(col("fim") === 1, col("n_tokens") - col("hi")).otherwise(0L).as("suffix_len"))
     }),
 
+    // C7 — budgeted dataloader ASSEMBLY (x29 ∘ x2): the epoch-budget
+    // allocation materialized as an actual training stream — each language
+    // repeats ⌊epochs⌋ full times plus a salted-hash-sampled partial epoch
+    // at the fractional rate (epoch_bp % 10⁴ of its docs), and the
+    // replicated stream packs into 512-token sequences in (epoch, doc_id)
+    // order. The COMPOSITION is the contract: packing offsets are computed
+    // over exactly the replicated multiset the allocation dictates — an
+    // off-by-one in either stage shifts every sequence id downstream.
+    // Scale: x29's strata-sized water-fill + one broadcast join + explode
+    // (output-sized, the allocation IS the output mass) + the two-pass
+    // range-partitioned running sum — no single-partition window.
+    "c7_budget_assembly" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val alloc = graft.ops.Sampling.epochBudget(
+        d, col("lang"), col("n_tokens"), budgetBp = 35000L, maxEpochs = 4)
+      val withAlloc = d.join(broadcast(alloc
+        .select(col("stratum").as("lang"), col("epochs_bp"))), "lang")
+      val full = withAlloc
+        .filter(expr("epochs_bp div 10000") >= 1)
+        .withColumn("epoch",
+          explode(sequence(lit(0L), expr("epochs_bp div 10000") - 1)))
+      val partial = withAlloc
+        .filter(graft.ops.Sampling.hash32(col("doc_id"), "c7frac") % 10000L
+          < col("epochs_bp") % 10000L)
+        .withColumn("epoch", expr("epochs_bp div 10000"))
+      val stream = full.unionByName(partial)
+        .select(col("epoch"), col("doc_id"), col("lang"), col("n_tokens"))
+      graft.ops.Packing.sequenceAssignments(stream,
+          Seq(col("epoch"), col("doc_id")), col("n_tokens"), budget = 512L)
+        .select(col("epoch"), col("doc_id"), col("lang"), col("n_tokens"),
+          col("seq_first"), col("seq_last"))
+    }),
+
     // X29 — data-constrained epoch allocation (Muennighoff et al. 2023):
     // a 3.5×-unique-tokens training budget distributed across languages by
     // √-temperature weights with a 4-epoch repeat cap; budget a capped
@@ -9542,6 +9576,62 @@ object SparkEntry {
          |  CAST(CASE WHEN fim = 1 THEN lo ELSE n_tokens END AS BIGINT) AS prefix_len,
          |  CAST(CASE WHEN fim = 1 THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
          |  CAST(CASE WHEN fim = 1 THEN n_tokens - hi ELSE 0 END AS BIGINT) AS suffix_len
+         |FROM c""".stripMargin
+    },
+
+    // the x29 water-fill chain verbatim, then full-epoch replication via
+    // generate_series, the salted-hash partial epoch, and x2's running-sum
+    // packing over the replicated multiset in (epoch, doc_id) order.
+    "c7_budget_assembly" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""p$i AS (SELECT
+           |  CAST((SELECT MIN(budget) FROM s0) - SUM(alloc) AS BIGINT) AS pool,
+           |  CAST(SUM(CASE WHEN alloc < cap THEN w6 END) AS BIGINT) AS w_act
+           |  FROM a${i - 1}),
+           |a$i AS (SELECT stratum, toks, w6, cap, budget,
+           |  CAST(least(cap, alloc +
+           |    CASE WHEN alloc < cap AND COALESCE((SELECT w_act FROM p$i), 0) > 0
+           |    THEN (SELECT pool FROM p$i) * (w6 * 10000 // (SELECT w_act FROM p$i)) // 10000
+           |    ELSE 0 END) AS BIGINT) AS alloc
+           |  FROM a${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val h32frac = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(md5('c7frac:' || CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len($toksSql) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT lang AS stratum, CAST(SUM(n_tokens) AS BIGINT) AS toks
+         |  FROM d GROUP BY 1),
+         |s0 AS (SELECT stratum, toks,
+         |    CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000.0) AS BIGINT) AS w6,
+         |    toks * 4 AS cap,
+         |    (SELECT SUM(toks) FROM t) * 35000 // 10000 AS budget
+         |  FROM t WHERE toks > 0),
+         |a0 AS (SELECT stratum, toks, w6, cap, budget, CAST(0 AS BIGINT) AS alloc
+         |  FROM s0),
+         |$rounds,
+         |al AS (SELECT stratum AS lang,
+         |  CAST(alloc * 10000 // toks AS BIGINT) AS epochs_bp FROM a3),
+         |rep AS (
+         |  SELECT d.doc_id, d.lang, d.n_tokens,
+         |         CAST(unnest(generate_series(0, CAST(al.epochs_bp // 10000 AS BIGINT) - 1))
+         |              AS BIGINT) AS epoch
+         |  FROM d JOIN al USING (lang) WHERE al.epochs_bp >= 10000
+         |  UNION ALL
+         |  SELECT d.doc_id, d.lang, d.n_tokens,
+         |         CAST(al.epochs_bp // 10000 AS BIGINT) AS epoch
+         |  FROM d JOIN al USING (lang)
+         |  WHERE $h32frac % 10000 < al.epochs_bp % 10000),
+         |c AS (SELECT epoch, doc_id, lang, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY epoch, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM rep)
+         |SELECT epoch, doc_id, lang, n_tokens,
+         |  off // 512 AS seq_first,
+         |  CASE WHEN n_tokens <= 0 THEN off // 512
+         |       ELSE (off + n_tokens - 1) // 512 END AS seq_last
          |FROM c""".stripMargin
     },
 
