@@ -2355,7 +2355,10 @@ object SparkEntry {
     // (b2−a2)·10⁴ div max(b2,1) — integer-exact on both engines — and the
     // per-cluster relation carries only sums (scores as BIGINT; squared
     // distances route through DECIMAL(38,0), the a28 accumulator-width
-    // rule, since Σd² exceeds long at large corpora). k+1 narrow scans,
+    // rule, since Σd² exceeds long at large corpora — and the wide sums
+    // leave the query as canonical digit STRINGS, cast identically on
+    // both engines, so no engine- or driver-private decimal rendering
+    // can ever touch the gate hash). k+1 narrow scans,
     // one k-row exchange — nothing quadratic, nothing driver-side but the
     // k seed vectors. Self-diagnosing (the r11 driver-gate hash-fail was
     // locally unreproducible): each row also carries the round's Gonzalez
@@ -2385,8 +2388,8 @@ object SparkEntry {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
           sum(col("s_bp")).as("sum_s_bp"),
-          sum(col("a2").cast("decimal(38,0)")).as("sum_a2"),
-          sum(col("b2").cast("decimal(38,0)")).as("sum_b2"))
+          sum(col("a2").cast("decimal(38,0)")).cast("string").as("sum_a2"),
+          sum(col("b2").cast("decimal(38,0)")).cast("string").as("sum_b2"))
         .withColumn("seed_id", seedId)
         .withColumn("seed_d2", seedD2)
     }),
@@ -3551,6 +3554,58 @@ object SparkEntry {
             .as("recall_bp"),
           expr("CASE WHEN n_cand = 0 THEN NULL ELSE n_hits * 10000 div n_cand END")
             .as("precision_bp"))
+    }),
+
+    // D19 — bucket-cap recall AUDIT for the d2-family's degenerate-corpus
+    // guard: pairsFromSignatures drops over-cap band buckets (logged,
+    // never silent) and this query makes the recall cost of that drop a
+    // MEASURED number instead of a hope. Corpus = a bounded real slice
+    // (doc_id < 200) plus a synthesized degenerate block — 300 verbatim
+    // clones of doc 0 (ids 10000+...), exactly the all-bands-collide shape
+    // the cap exists for. Swept at caps {100, 400, 1600}: at 100 the
+    // 301-doc clone buckets are over cap in EVERY band, so every clone
+    // pair is lost to LSH (the guard's documented worst case — the case
+    // exact dedup is supposed to own); at 400/1600 they survive. Recall /
+    // precision per cap against exact shingle-Jaccard truth, integer basis
+    // points end to end. The audit corpus is bounded by construction; the
+    // full-corpus sweep of the same shape at sf0.1 / ScaleGen-10× lives in
+    // docs/PLANS.md (round 13).
+    "d19_cap_recall" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val base = d0.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val clones = s.range(1, 301)
+        .crossJoin(broadcast(
+          d0.filter(col("doc_id") === 0).select(col("text"))))
+        .select((col("id") + 10000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(clones)
+      val tok = corpus.select(col("doc_id"),
+        explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("t"))
+      val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
+      val inter = tok.select(col("t"), col("doc_id").as("id_a"))
+        .join(tok.select(col("t"), col("doc_id").as("id_b")), "t")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
+        .filter(col("ni") * 2 >= col("na") + col("nb") - col("ni"))
+        .select(col("id_a"), col("id_b"))
+      val sig = DedupOps.signatures(corpus, "doc_id", "text", 16, 3)
+      Seq(100, 400, 1600).map { cap =>
+        val cand = DedupOps.pairsFromSignatures(sig, 16, 4, cap)
+          .select(col("id_a"), col("id_b"))
+        val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+          .select(lit(cap.toLong).as("cap"), col("n_true"), col("n_cand"),
+            col("n_hits"),
+            expr("CASE WHEN n_true = 0 THEN NULL ELSE n_hits * 10000 div n_true END")
+              .as("recall_bp"),
+            expr("CASE WHEN n_cand = 0 THEN NULL ELSE n_hits * 10000 div n_cand END")
+              .as("precision_bp"))
+      }.reduce(_ unionByName _)
     }),
 
     // T24 — cross-doc n-gram NOVELTY: per doc, the fraction (basis points)
@@ -5076,17 +5131,31 @@ object SparkEntry {
         .agg(Exact.sumD(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
-    // Join-heavy top-n (TPC-H Q3 shape): fact-fact join on orderkey, dim
-    // filter broadcast, grouped revenue, global top-10.
+    // Join-heavy top-n (TPC-H Q3 shape). Plan (the round-13 pre-agg pass —
+    // the r12 verdict's worst 310× ratio was this query's raw fact×fact
+    // shuffle): aggregate lineitem per orderkey BELOW the join, so the wide
+    // exchange carries map-side-combined partials (~4 items/order fold
+    // before the wire, 2 accumulator columns) instead of raw lineitem
+    // rows, and the join-side groupBy disappears; orders is semi-shrunk
+    // 5× by the broadcast segment filter BEFORE its exchange and projected
+    // to the key alone. The agg output arrives already hash-partitioned on
+    // l_orderkey, so the orderkey join adds no third exchange. Trade:
+    // revenue partials are computed for all orders, not just BUILDING's —
+    // scan-local decimal adds, bought back many times over in shuffle
+    // bytes at scale. Aggregate-pushdown-through-join, the classic
+    // eager-aggregation rewrite (Yan & Larson, VLDB'95).
     "q3_top_orders" -> ((s, dir) => {
-      val c = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+      val c = broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
       val o = Tables.orders(s, dir)
-      val l = Tables.lineitem(s, dir)
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      val lagg = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
         .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           count(lit(1)).as("n_items"))
+      lagg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("revenue"), col("n_items"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -7174,8 +7243,12 @@ object SparkEntry {
 
   /** Shared CTE chain computing the MinHash signature relation, its banded
     * view, and the distinct LSH candidate pairs — mirrored by
-    * DedupOps.signatures/bandedSignatures/lshCandidateIds. */
-  private def minhashCtes: String = {
+    * DedupOps.signatures/bandedSignatures/lshCandidateIds. `source` is the
+    * relation scanned for (doc_id, text) — `documents` everywhere except
+    * d19, which bands a synthesized degenerate corpus. */
+  private def minhashCtes: String = minhashCtesFrom("documents")
+
+  private def minhashCtesFrom(source: String): String = {
     import graft.ops.DedupOps.{minhashParams, MinhashP => P}
     // 32-bit value of md5's first 8 hex chars, rebuilt digit-by-digit
     val hexVal = (1 to 8).map(j =>
@@ -7194,7 +7267,7 @@ object SparkEntry {
       """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
         |     ELSE list_transform(range(1, len(tk) - 1),
         |                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END""".stripMargin
-    s"""tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""tk0 AS (SELECT doc_id, $toksSql AS tk FROM $source),
        |tok AS (SELECT DISTINCT doc_id, unnest($shingleSql) AS t FROM tk0),
        |bhs AS (SELECT doc_id, ($hexVal) % $P AS bh FROM tok),
        |sig AS (SELECT doc_id, $comps FROM bhs GROUP BY doc_id),
@@ -7243,6 +7316,49 @@ object SparkEntry {
        |       ELSE (SELECT COUNT(*) FROM hits) * 10000 // (SELECT COUNT(*) FROM truth) END AS recall_bp,
        |  CASE WHEN (SELECT COUNT(*) FROM candsub) = 0 THEN NULL
        |       ELSE (SELECT COUNT(*) FROM hits) * 10000 // (SELECT COUNT(*) FROM candsub) END AS precision_bp""".stripMargin
+
+  /** d19 oracle: the d10 truth machinery over the synthesized degenerate
+    * corpus (200-doc slice + 300 verbatim clones of doc 0), with the
+    * engine's bucket-cap guard restated relationally — buckets sized over
+    * the FULL banded relation, pairs admitted only through buckets with
+    * count ≤ cap, one result row per cap. */
+  private def capRecallOracle: String = {
+    val caps = Seq(100, 400, 1600)
+    val perCap = caps.map { c =>
+      s"""p$c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+         |  JOIN bn ON bn.band = a.band AND bn.bsig = a.bsig
+         |  WHERE bn.c <= $c),
+         |h$c AS (SELECT t.id_a, t.id_b FROM truth t JOIN p$c USING (id_a, id_b))""".stripMargin
+    }.mkString(",\n")
+    val rows = caps.map { c =>
+      s"""SELECT CAST($c AS BIGINT) AS cap,
+         |  (SELECT COUNT(*) FROM truth) AS n_true,
+         |  (SELECT COUNT(*) FROM p$c) AS n_cand,
+         |  (SELECT COUNT(*) FROM h$c) AS n_hits,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+         |       ELSE (SELECT COUNT(*) FROM h$c) * 10000 // (SELECT COUNT(*) FROM truth) END AS recall_bp,
+         |  CASE WHEN (SELECT COUNT(*) FROM p$c) = 0 THEN NULL
+         |       ELSE (SELECT COUNT(*) FROM h$c) * 10000 // (SELECT COUNT(*) FROM p$c) END AS precision_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT 10000 + r AS doc_id,
+       |         (SELECT text FROM documents WHERE doc_id = 0) AS text
+       |  FROM range(1, 301) t(r)),
+       |${minhashCtesFrom("corpus")},
+       |bn AS (SELECT band, bsig, COUNT(*) AS c FROM banded GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM tok GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS ni
+       |  FROM tok x JOIN tok y USING (t) WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE ni * 2 >= sa.ns + sb.ns - ni),
+       |$perCap
+       |$rows""".stripMargin
+  }
 
   /** g1 oracle: the s13 k-NN edge relation + three unrolled PageRank
     * iterations (the s8 kmeans unrolling pattern), every contribution
@@ -10074,8 +10190,8 @@ object SparkEntry {
         |  UNION ALL SELECT 3, (SELECT id FROM s3), (SELECT d2 FROM s3))
         |SELECT cluster, COUNT(*) AS n,
         |  CAST(SUM(s_bp) AS BIGINT) AS sum_s_bp,
-        |  CAST(SUM(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_a2,
-        |  CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sum_b2,
+        |  CAST(CAST(SUM(CAST(a2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_a2,
+        |  CAST(CAST(SUM(CAST(b2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_b2,
         |  ANY_VALUE(seed_id) AS seed_id, ANY_VALUE(seed_d2) AS seed_d2
         |FROM sil JOIN seeds USING (cluster) GROUP BY cluster""".stripMargin,
 
@@ -10375,6 +10491,7 @@ object SparkEntry {
       (minhashOracle + "\nWHERE p.id_a % 11 = 0 OR p.id_b % 11 = 0"),
 
     "d10_lsh_recall" -> lshRecallOracle,
+    "d19_cap_recall" -> capRecallOracle,
     "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,

@@ -108,10 +108,13 @@ object Sampling {
     * reach the fixpoint; the oracle unrolls the SAME count).
     *
     * All integer, overflow-safe at 100 TB: weights on the 1e6 sqrt grid
-    * (the x13/c4 convention, ~3e15 for a 10^18-token stratum), per-round
-    * shares as `share_bp = w6·10⁴ div Σw6` then `give = pool·share_bp div
-    * 10⁴` — pool·10⁴ stays inside BIGINT for any budget below ~9·10^14
-    * tokens and the product never touches w6 directly. Per-round rounding
+    * (the x13/c4 convention), per-round shares as `share_bp = w6·10⁴ div
+    * Σw6` then `give = pool·share_bp div 10⁴`. Bounds, stated exactly:
+    * the w6·10⁴ product needs w6 ≤ ~9.2e14, i.e. a per-stratum unique
+    * token mass ≤ ~8.5e17 (≈ 3,400 PB of 4-byte tokens — the 100 TB
+    * envelope clears by 4 orders of magnitude); the pool side needs
+    * pool·share_bp ≤ Long.Max, i.e. a total budget ≤ ~9.2e14 tokens.
+    * Per-round rounding
     * residue (≤ strata tokens) stays in the pool for the next round and
     * is reported, never silently lost. Plan shape: one narrow
     * tokens-per-stratum aggregation; every round is arithmetic over the

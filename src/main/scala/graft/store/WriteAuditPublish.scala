@@ -18,8 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The manifest is handled through Hadoop's FileContext, the same path
   * resolution Spark's own writers use — so `dir` may live on any
-  * Spark-reachable filesystem (local, HDFS, S3A via its committers), not
-  * just the driver's local disk. Each publish writes a tmp file UNIQUE to
+  * filesystem with a FileContext binding, not just the driver's local
+  * disk. The never-observable-partial guarantee holds exactly on
+  * rename-atomic filesystems (local, HDFS); on object stores such as S3A
+  * rename is copy+delete (and the fs.AbstractFileSystem.s3a.impl binding
+  * is not present by default), so there a reader can observe a missing
+  * MANIFEST during the publish window — put the manifest dir on a
+  * rename-atomic store, or front it with a conditional-put catalog.
+  * Each publish writes a tmp file UNIQUE to
   * its generation (`.MANIFEST.<gen>.tmp`) before the atomic rename, so two
   * concurrent publishers can never rename each other's bytes: the last
   * rename wins wholesale, which is the correct last-writer-wins semantics
@@ -79,11 +85,14 @@ object WriteAuditPublish {
     val fc = fileContext(m)
     if (!fc.util.exists(m)) None
     else {
+      // readFully to the stat'd length — a single read() may return short
+      // (likely on remote filesystems) and would parse a truncated gen.
+      val len = fc.getFileStatus(m).getLen.toInt
       val in = fc.open(m)
       try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes, 0, len)
+        Some(new String(bytes, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }

@@ -420,6 +420,21 @@ class PlansSpec extends SparkSpec {
     assert(o41.split("\n").count(l => l.contains("Scan parquet") &&
       l.contains("orders.parquet")) === 1,
       s"o41 re-joins only the delta partition of orders:\n$o41")
+    // q3_top_orders (round 13): the eager-aggregation rewrite must hold —
+    // lineitem partials fold BELOW the orderkey join (the join prints
+    // ABOVE the aggregate in the tree; regressing to agg-above-join puts
+    // raw lineitem rows back on the wire), the segment dim broadcasts, and
+    // the global top-10 is a bounded TakeOrderedAndProject, never a sort.
+    val q3 = planOf("q3_top_orders")
+    val q3Lines = q3.split("\n")
+    val q3FirstJoin = q3Lines.indexWhere(_.contains("Join"))
+    val q3FirstAgg = q3Lines.indexWhere(_.contains("HashAggregate"))
+    assert(q3FirstJoin >= 0 && q3FirstAgg > q3FirstJoin,
+      s"q3 pre-aggregates lineitem below the orderkey join:\n$q3")
+    assert(q3.contains("BroadcastHashJoin"), s"q3 segment dim broadcasts:\n$q3")
+    assert(q3.contains("TakeOrderedAndProject"), s"q3 top-10 is bounded:\n$q3")
+    assert(q3Lines.count(l => l.contains("Scan parquet") &&
+      l.contains("lineitem")) === 1, s"q3 reads lineitem once:\n$q3")
     // x21_source_cap: the declared rank-filter must lower to the map-side
     // WindowGroupLimit(Partial) BELOW the exchange — that is the skew
     // guard: each input partition forwards ≤ K rows per source, a
