@@ -5131,31 +5131,34 @@ object SparkEntry {
         .agg(Exact.sumD(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
-    // Join-heavy top-n (TPC-H Q3 shape). Plan (the round-13 pre-agg pass —
-    // the r12 verdict's worst 310× ratio was this query's raw fact×fact
-    // shuffle): aggregate lineitem per orderkey BELOW the join, so the wide
-    // exchange carries map-side-combined partials (~4 items/order fold
-    // before the wire, 2 accumulator columns) instead of raw lineitem
-    // rows, and the join-side groupBy disappears; orders is semi-shrunk
-    // 5× by the broadcast segment filter BEFORE its exchange and projected
-    // to the key alone. The agg output arrives already hash-partitioned on
-    // l_orderkey, so the orderkey join adds no third exchange. Trade:
-    // revenue partials are computed for all orders, not just BUILDING's —
-    // scan-local decimal adds, bought back many times over in shuffle
-    // bytes at scale. Aggregate-pushdown-through-join, the classic
-    // eager-aggregation rewrite (Yan & Larson, VLDB'95).
+    // Join-heavy top-n (TPC-H Q3 shape). Plan (round-13 pass on the
+    // suite's worst 310× ratio): orders is semi-shrunk 5× by the
+    // broadcast segment filter and projected to the BARE KEY before its
+    // exchange — the fact join's build side carries one column, 1/5 the
+    // rows — and the revenue aggregate runs ABOVE the join (BUILDING
+    // groups only), reusing the join's l_orderkey partitioning, so the
+    // whole query is two narrow exchanges + one broadcast. The eager-
+    // aggregation alternative (Yan & Larson: fold lineitem per orderkey
+    // BELOW the join) was measured and REJECTED at 310×: pre-aggregating
+    // builds a hash table over ALL ~45 M orderkeys with decimal
+    // accumulators (spill-bound) where this plan aggregates only the
+    // segment's survivors — interleaved A/B: semi-shrunk 12.5 s, eager
+    // 30.1 s, original join-then-agg-with-wide-orders 17.4 s
+    // (docs/PLANS.md round 13). The raw-lineitem exchange itself is
+    // irreducible without a runtime filter: which lineitems survive is
+    // unknowable before the orderkey join.
     "q3_top_orders" -> ((s, dir) => {
       val c = broadcast(Tables.customer(s, dir)
         .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
       val o = Tables.orders(s, dir)
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"))
-      val lagg = Tables.lineitem(s, dir)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"))
         .agg(Exact.sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
           count(lit(1)).as("n_items"))
-      lagg.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("revenue"), col("n_items"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),

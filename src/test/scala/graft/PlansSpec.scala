@@ -420,18 +420,23 @@ class PlansSpec extends SparkSpec {
     assert(o41.split("\n").count(l => l.contains("Scan parquet") &&
       l.contains("orders.parquet")) === 1,
       s"o41 re-joins only the delta partition of orders:\n$o41")
-    // q3_top_orders (round 13): the eager-aggregation rewrite must hold —
-    // lineitem partials fold BELOW the orderkey join (the join prints
-    // ABOVE the aggregate in the tree; regressing to agg-above-join puts
-    // raw lineitem rows back on the wire), the segment dim broadcasts, and
-    // the global top-10 is a bounded TakeOrderedAndProject, never a sort.
+    // q3_top_orders (round 13, the measured-and-kept shape): the revenue
+    // aggregate runs ABOVE the orderkey join (BUILDING groups only — the
+    // eager-agg alternative hashed ALL orderkeys and measured 2.4× worse
+    // at 310×, docs/PLANS.md), the segment broadcast join sits BELOW the
+    // fact join (orders reaches the wide exchange semi-shrunk and
+    // key-only), and the global top-10 is a bounded TakeOrderedAndProject.
     val q3 = planOf("q3_top_orders")
     val q3Lines = q3.split("\n")
-    val q3FirstJoin = q3Lines.indexWhere(_.contains("Join"))
     val q3FirstAgg = q3Lines.indexWhere(_.contains("HashAggregate"))
-    assert(q3FirstJoin >= 0 && q3FirstAgg > q3FirstJoin,
-      s"q3 pre-aggregates lineitem below the orderkey join:\n$q3")
-    assert(q3.contains("BroadcastHashJoin"), s"q3 segment dim broadcasts:\n$q3")
+    val q3FactJoin = q3Lines.indexWhere(l => l.contains("Join") &&
+      l.contains("l_orderkey"))
+    val q3SegJoin = q3Lines.indexWhere(l => l.contains("BroadcastHashJoin") &&
+      l.contains("c_custkey"))
+    assert(q3FirstAgg >= 0 && q3FactJoin > q3FirstAgg,
+      s"q3 aggregates above the orderkey join (segment groups only):\n$q3")
+    assert(q3SegJoin > q3FactJoin,
+      s"q3 semi-shrinks orders below the fact join:\n$q3")
     assert(q3.contains("TakeOrderedAndProject"), s"q3 top-10 is bounded:\n$q3")
     assert(q3Lines.count(l => l.contains("Scan parquet") &&
       l.contains("lineitem")) === 1, s"q3 reads lineitem once:\n$q3")
