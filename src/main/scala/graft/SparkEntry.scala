@@ -6674,6 +6674,60 @@ object SparkEntry {
           col("cluster_size"))
     }),
 
+    // C8 — cross-modal composition closing the IMAGE-leakage loop the text
+    // side closed in x14 (VERDICT r12 item 7): m7's dHash near-dup pairs
+    // (hamming ≤ 4) are the edge relation, m8's factored class-level
+    // connected components the group labels, and the train/val/test split
+    // keys on the CLUSTER — so no near-dup image pair can straddle splits.
+    // Output is the per-split composition (images, groups, largest group)
+    // a dataset card reports, PLUS a self-audit column: n_leaked counts
+    // dHash pairs whose endpoints landed in different splits, and must be
+    // 0 by construction — the gate pins the guarantee itself, not just
+    // membership. Scale: everything below the split is m7/m8's factored
+    // machinery (class-level CC, never the expanded clone pairs); the
+    // split adds one narrow left join + a salted hash; the leak audit
+    // joins the PAIR relation (already bucket-bounded) against the
+    // two-column assignment — nothing wider than m7 already shuffles.
+    "c8_image_cluster_split" -> ((s, dir) => {
+      val (members, classPairs) = dhashRelations(s, dir)
+      val perClass = members.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"))
+      val withEdge = classPairs.select(col("cid_a").as("cid"))
+        .unionByName(classPairs.select(col("cid_b").as("cid"))).distinct()
+      val inGraph = perClass.filter(col("n_members") >= 2).select(col("cid"))
+        .unionByName(withEdge).distinct()
+      val edges = classPairs.select(col("cid_a"), col("cid_b"))
+        .unionByName(inGraph.select(col("cid").as("cid_a"),
+          col("cid").as("cid_b")))
+      val comp = DedupOps.connectedComponents(edges, "cid_a", "cid_b")
+        .select(col("id").as("cid"), col("cluster_id").as("comp"))
+      val compLabel = comp.join(perClass, "cid")
+        .groupBy(col("comp")).agg(min(col("min_id")).as("cluster_id"))
+      val labeled = members.join(comp, "cid").join(compLabel, "comp")
+        .select(col("id").as("user_id"), col("cluster_id"))
+      val imgs = ev(s, dir).select(col("user_id")).distinct()
+      val grp = imgs.join(labeled, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("cluster_id"), col("user_id")).as("gid"))
+      val assigned = graft.ops.Sampling.hashSplit(grp, col("gid"),
+        splitFractions, salt = "isplit")
+      val pairs = dhashPairs(s, dir).filter(col("hamming") <= 4)
+        .select(col("id_a"), col("id_b"))
+      val leaks = pairs
+        .join(assigned.select(col("user_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(assigned.select(col("user_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as("n_leaked"))
+      assigned.groupBy(col("split"), col("gid"))
+        .agg(count(lit(1)).as("gsz"))
+        .groupBy(col("split"))
+        .agg(sum(col("gsz")).as("n_imgs"), count(lit(1)).as("n_groups"),
+          max(col("gsz")).as("max_group"))
+        .crossJoin(broadcast(leaks))
+    }),
+
     // M9 — ORDER-SENSITIVE audio segmentation through the real WAV byte
     // round trip: per-user sample stream (ordered by event_id, amplitudes
     // 0/±16384/8192 from event_id mod 5) encoded with encodeWavPcm16,
@@ -7120,6 +7174,18 @@ object SparkEntry {
     "e2e_stream_dedup" -> ((s, dir) => {
       val work = scratch("e2ededup")
       graft.streaming.StreamDedupReplay.run(s, ev(s, dir), work)
+    }),
+
+    // E2E streaming dedup under OUT-OF-ORDER replay (round 13 — the
+    // in-order form's adversarial complement): every third event's copy
+    // arrives ~30 h AFTER its original, in a LATER day chunk, so arrival
+    // order no longer tracks event time. The 48 h watermark still covers
+    // the copy's staleness from both sides (state resident, copy not
+    // late-discarded — see StreamDedupReplay.runOutOfOrder); the sink must
+    // equal the original row set exactly, same oracle as e2e_stream_dedup.
+    "e2e_stream_dedup_ooo" -> ((s, dir) => {
+      val work = scratch("e2ededupooo")
+      graft.streaming.StreamDedupReplay.runOutOfOrder(s, ev(s, dir), work)
     }),
 
     // E2E stream-STATIC broadcast enrichment (§2.8's third join topology):
@@ -7678,6 +7744,39 @@ object SparkEntry {
        |gs AS (SELECT split, gid, COUNT(*) AS gsz FROM asg GROUP BY 1, 2)
        |SELECT split, CAST(SUM(gsz) AS BIGINT) AS n_docs,
        |  COUNT(*) AS n_groups, CAST(MAX(gsz) AS BIGINT) AS max_group
+       |FROM gs GROUP BY 1""".stripMargin
+  }
+
+  /** c8 oracle: the m8 chain (dHash pairs → recursive reachability labels)
+    * + the x14 split ladder keyed on the image cluster + the straddling-
+    * pair leak count (must be 0 — the guarantee under test). */
+  private def imageClusterSplitOracle: String = {
+    val hexVal = (1 to 8).map(j =>
+      s"(strpos('0123456789abcdef', substr(md5('isplit:' || CAST(gid AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+      .mkString(" + ")
+    val ladder = graft.ops.Sampling.splitBoundaries(splitFractions)
+      .map { case (name, bound) => s"WHEN ($hexVal) < $bound THEN '$name'" }
+      .mkString(" ")
+    s"""WITH RECURSIVE $dhashPairsCtes,
+       |pp AS (SELECT id_a, id_b FROM p WHERE hamming <= 4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pp
+       |          UNION SELECT id_b, id_a FROM pp),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |grp AS (SELECT u.user_id, COALESCE(l.cluster_id, u.user_id) AS gid
+       |        FROM u LEFT JOIN lab l ON l.id = u.user_id),
+       |asg AS (SELECT user_id, gid, CASE $ladder END AS split FROM grp),
+       |leak AS (SELECT COUNT(*) AS n_leaked
+       |  FROM pp JOIN asg a ON a.user_id = pp.id_a
+       |          JOIN asg b ON b.user_id = pp.id_b
+       |  WHERE a.split <> b.split),
+       |gs AS (SELECT split, gid, COUNT(*) AS gsz FROM asg GROUP BY 1, 2)
+       |SELECT split, CAST(SUM(gsz) AS BIGINT) AS n_imgs,
+       |  COUNT(*) AS n_groups, CAST(MAX(gsz) AS BIGINT) AS max_group,
+       |  (SELECT n_leaked FROM leak) AS n_leaked
        |FROM gs GROUP BY 1""".stripMargin
   }
 
@@ -10607,6 +10706,7 @@ object SparkEntry {
         |  CAST(SUM(state) AS BIGINT) AS n_alarm_rows, COUNT(*) AS n_rows
         |FROM tr GROUP BY 1""".stripMargin,
     "x14_cluster_split" -> clusterSplitOracle,
+    "c8_image_cluster_split" -> imageClusterSplitOracle,
 
     // DuckDB's own recursive CTE over the same edge relation — path
     // enumeration bounded by dist < 4, collapsed by MIN.
@@ -13429,6 +13529,12 @@ object SparkEntry {
     // The deduped sink is exactly the original events relation — every
     // injected copy dropped, every original kept once.
     "e2e_stream_dedup" ->
+      """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
+        |FROM events""".stripMargin,
+
+    // Same contract under out-of-order arrival: the copy's 30 h arrival
+    // delay changes WHEN it is seen, never what survives.
+    "e2e_stream_dedup_ooo" ->
       """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value
         |FROM events""".stripMargin,
 

@@ -31,9 +31,40 @@ object StreamDedupReplay {
           maxFilesPerTrigger: Int = 4): DataFrame = {
     val dup = events.filter(col("event_id") % 3 === 0)
     StreamJoin.writeDayChunkedParquet(spark, events.unionAll(dup), workDir, "ts")
+    dedupAndSink(spark, events.schema, workDir, maxFilesPerTrigger)
+  }
+
+  /** OUT-OF-ORDER replay variant (round 13 — VERDICT r12 item 7): the
+    * in-order form above lands every copy in its original's own day chunk;
+    * here each copy ARRIVES ~30 h after its original — in a LATER chunk —
+    * so newer chunks interleave stale event times (arrival order no longer
+    * tracks event time, the adversarial case for watermark state). The
+    * contract still holds by the same margin argument from the other side:
+    * when a copy of event-time T arrives, the watermark is at most
+    * (T + 30 h) − 48 h = T − 18 h, so (a) the original's dedup state for T
+    * (alive until watermark > T + 48 h) is still resident — the copy is
+    * dropped, and (b) the copy itself is above the watermark — it is
+    * considered, not late-discarded, so the drop is the DEDUP's doing, not
+    * an accident of lateness. Trailing copies spill into chunks past the
+    * last original day and seal normally under AvailableNow. Sink must
+    * equal the original row set exactly, same oracle as the in-order form. */
+  def runOutOfOrder(spark: SparkSession, events: DataFrame, workDir: String,
+                    maxFilesPerTrigger: Int = 4): DataFrame = {
+    val orig = events.withColumn("__arrival", col("ts"))
+    val dup = events.filter(col("event_id") % 3 === 0)
+      .withColumn("__arrival", col("ts") + expr("INTERVAL 30 HOURS"))
+    StreamJoin.writeDayChunkedParquet(spark, orig.unionAll(dup), workDir,
+      "ts", daysPerChunk = 1, arrivalCol = Some("__arrival"))
+    dedupAndSink(spark, events.schema, workDir, maxFilesPerTrigger)
+  }
+
+  private def dedupAndSink(spark: SparkSession,
+                           schema: org.apache.spark.sql.types.StructType,
+                           workDir: String,
+                           maxFilesPerTrigger: Int): DataFrame = {
     val src = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .schema(events.schema).parquet(s"$workDir/data")
+      .schema(schema).parquet(s"$workDir/data")
     val deduped = StreamDedup
       .withinWatermark(src, Seq("event_id"), "ts", delay = "48 hours")
       .select(col("user_id"), col("event_id"),

@@ -39,11 +39,18 @@ object StreamJoin {
     * for larger ones (fewer, strictly later batch boundaries); only ops
     * whose correctness bounds the original→copy ARRIVAL gap from above
     * (StreamDedupReplay's 48 h vs ≤1 day) must keep daysPerChunk = 1.
+    * `arrivalCol` (round 13): chunk on a SEPARATE arrival-time column
+    * instead of the event-time column — the out-of-order fixture shape
+    * (rows whose replay position trails their event time); the column is
+    * consumed by the chunking and never reaches the data files.
     * Returns the chunk count. */
   def writeDayChunkedParquet(spark: SparkSession, df: DataFrame, dir: String,
-                             tsCol: String, daysPerChunk: Int = 1): Int = {
+                             tsCol: String, daysPerChunk: Int = 1,
+                             arrivalCol: Option[String] = None): Int = {
     val stage = new Path(dir, "_stage")
-    df.withColumn("chunk", expr(s"unix_timestamp($tsCol) div ${86400L * daysPerChunk}"))
+    val chunkSrc = arrivalCol.getOrElse(tsCol)
+    df.withColumn("chunk", expr(s"unix_timestamp($chunkSrc) div ${86400L * daysPerChunk}"))
+      .drop(arrivalCol.toSeq: _*)
       .repartition(col("chunk"))
       .write.partitionBy("chunk").parquet(stage.toString)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
