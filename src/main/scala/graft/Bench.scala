@@ -36,7 +36,8 @@ object Bench {
     val skip = Set("e2e_stream_agg", "e2e_late_drop", "e2e_stream_join",
       "e2e_session", "e2e_cdc", "e2e_view_maintain", "e2e_kmv_sketch",
       "e2e_tws_profile", "e2e_stream_outer_join", "e2e_stream_enrich",
-      "e2e_stream_dedup", "e2e_hysteresis", "e2e_idle", "e2e_vacuum",
+      "e2e_stream_dedup", "e2e_stream_dedup_ooo", "e2e_hysteresis",
+      "e2e_idle", "e2e_vacuum",
       "o6_compact_files",
       "o21_zorder_skip",
       "o10_version_history", "o24_time_travel", "o25_retention",

@@ -117,6 +117,13 @@ object SparkEntry {
     * expanded relation. */
   private def dhashPairs(s: SparkSession, dir: String): DataFrame = {
     val (members, classPairs) = dhashRelations(s, dir)
+    dhashPairsFrom(members, classPairs)
+  }
+
+  /** [[dhashPairs]] over ALREADY-BUILT (members, classPairs) relations —
+    * compositions that also need the relations themselves (c8) must not
+    * synthesize and dHash the image corpus twice. */
+  private def dhashPairsFrom(members: DataFrame, classPairs: DataFrame): DataFrame = {
     val m = members.select(col("cid"), col("id"))
     val same = m.select(col("cid"), col("id").as("id_a"))
       .join(m.select(col("cid"), col("id").as("id_b")), Seq("cid"))
@@ -3586,12 +3593,17 @@ object SparkEntry {
         .join(tok.select(col("t"), col("doc_id").as("id_b")), "t")
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
+      // truth and the signature relation feed all three cap branches of
+      // the union — share them DISK_ONLY (the c4 lesson) instead of
+      // recomputing the shingle self-join and the minhash scan per cap
       val truth = inter
         .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
         .filter(col("ni") * 2 >= col("na") + col("nb") - col("ni"))
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sig = DedupOps.signatures(corpus, "doc_id", "text", 16, 3)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       Seq(100, 400, 1600).map { cap =>
         val cand = DedupOps.pairsFromSignatures(sig, 16, 4, cap)
           .select(col("id_a"), col("id_b"))
@@ -6689,7 +6701,13 @@ object SparkEntry {
     // joins the PAIR relation (already bucket-bounded) against the
     // two-column assignment — nothing wider than m7 already shuffles.
     "c8_image_cluster_split" -> ((s, dir) => {
-      val (members, classPairs) = dhashRelations(s, dir)
+      // members feeds four subtrees (labels, split, both leak-audit arms)
+      // and classPairs three — share them DISK_ONLY (the c4 lesson:
+      // deserialized MEMORY blocks compete with execution memory at
+      // local[32]; Bench/Verify clear the cache after the action)
+      val (members0, classPairs0) = dhashRelations(s, dir)
+      val members = members0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val classPairs = classPairs0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val perClass = members.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"))
       val withEdge = classPairs.select(col("cid_a").as("cid"))
@@ -6711,15 +6729,26 @@ object SparkEntry {
           coalesce(col("cluster_id"), col("user_id")).as("gid"))
       val assigned = graft.ops.Sampling.hashSplit(grp, col("gid"),
         splitFractions, salt = "isplit")
-      val pairs = dhashPairs(s, dir).filter(col("hamming") <= 4)
-        .select(col("id_a"), col("id_b"))
-      val leaks = pairs
-        .join(assigned.select(col("user_id").as("id_a"),
-          col("split").as("split_a")), "id_a")
-        .join(assigned.select(col("user_id").as("id_b"),
-          col("split").as("split_b")), "id_b")
+      // Leak audit at the CLASS level — the 100 TB shape: the expanded
+      // member-pair relation is quadratic in class size (identical-image
+      // blocks pair all-vs-all; ~10× users makes it ~100× pairs), but a
+      // member pair can only straddle splits if its CLASS pair does (all
+      // members of a class share the class's component gid, hence split;
+      // same-class pairs can never straddle at all). So count straddling
+      // member pairs exactly as Σ n_members_a · n_members_b over the
+      // class-pair relation — the same number the oracle computes over the
+      // expanded pairs, from a relation that never expands.
+      val classSplit = graft.ops.Sampling.hashSplit(
+        perClass.join(comp, "cid").join(compLabel, "comp")
+          .select(col("cid"), col("n_members"), col("cluster_id").as("gid")),
+        col("gid"), splitFractions, salt = "isplit")
+      val leaks = classPairs
+        .join(classSplit.select(col("cid").as("cid_a"),
+          col("split").as("split_a"), col("n_members").as("na")), "cid_a")
+        .join(classSplit.select(col("cid").as("cid_b"),
+          col("split").as("split_b"), col("n_members").as("nb")), "cid_b")
         .filter(col("split_a") =!= col("split_b"))
-        .agg(count(lit(1)).as("n_leaked"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_leaked"))
       assigned.groupBy(col("split"), col("gid"))
         .agg(count(lit(1)).as("gsz"))
         .groupBy(col("split"))
