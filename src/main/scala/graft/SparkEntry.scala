@@ -6757,6 +6757,51 @@ object SparkEntry {
         .crossJoin(broadcast(leaks))
     }),
 
+    // C9 — the dedup LADDER d19's measurement endorses as the production
+    // recipe: EXACT dedup first (verbatim blocks collapse at hash-agg
+    // cost — the operator that owns them), THEN bucket-capped LSH banding
+    // over the canonical survivors (the cap can no longer cost recall on
+    // verbatim blocks because stage 1 already removed them — d19 showed
+    // that is the ONLY recall the cap ever costs), THEN component-
+    // canonical keep (min doc_id per near-dup cluster — chain-safe where
+    // dropping the id_b side of raw pairs over/under-drops on chains).
+    // The gate rides the d19 degenerate fixture (300 verbatim clones of
+    // doc 0) so the division of labor is observable: stage 1 MUST fold
+    // the 301-doc block to one survivor, and stage 2's capped banding
+    // then never meets an over-cap bucket. Output = per-stage census +
+    // keep-set membership pinned by doc-id sum (the t41 convention).
+    // Scale: stage 1 is one fingerprint groupBy; stage 2 is d2's banded
+    // geometry over an already-shrunk relation; stage 3 is d6's CC.
+    "c9_dedup_ladder" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val clones = s.range(1, 301)
+        .crossJoin(broadcast(
+          d0.filter(col("doc_id") === 0).select(col("text"))))
+        .select((col("id") + 10000L).as("doc_id"), col("text"))
+      val corpus = d0.select(col("doc_id"), col("text")).unionByName(clones)
+      val sur = corpus
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(corpus, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pairs = DedupOps.pairsFromSignatures(
+          DedupOps.signatures(sur, "doc_id", "text", 16), 16, 4, 400)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val labeled = DedupOps.connectedComponents(pairs)
+      val kept = sur.select(col("doc_id"))
+        .join(labeled.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .filter(col("doc_id") === coalesce(col("cluster_id"), col("doc_id")))
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(sur.agg(count(lit(1)).as("n_exact_survivors"))))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_lsh_pairs"))))
+        .crossJoin(broadcast(kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))))
+    }),
+
     // M9 — ORDER-SENSITIVE audio segmentation through the real WAV byte
     // round trip: per-user sample stream (ordered by event_id, amplitudes
     // 0/±16384/8192 from event_id mod 5) encoded with encodeWavPcm16,
@@ -7807,6 +7852,47 @@ object SparkEntry {
        |  COUNT(*) AS n_groups, CAST(MAX(gsz) AS BIGINT) AS max_group,
        |  (SELECT n_leaked FROM leak) AS n_leaked
        |FROM gs GROUP BY 1""".stripMargin
+  }
+
+  /** c9 oracle: the ladder restated — window-min exact survivors, the
+    * shared minhash CTEs over them, bucket-capped + signature-scored
+    * pairs, recursive reachability labels, min-id keep-set. */
+  private def dedupLadderOracle: String = {
+    val eq = (0 until 16).map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 10000 + r AS doc_id,
+       |         (SELECT text FROM documents WHERE doc_id = 0) AS text
+       |  FROM range(1, 301) t(r)),
+       |fpt AS (SELECT doc_id, text, $fpSql AS fp FROM corpus),
+       |sur AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fp) AS m
+       |    FROM fpt) WHERE doc_id = m),
+       |${minhashCtesFrom("sur")},
+       |bn AS (SELECT band, bsig, COUNT(*) AS c FROM banded GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |  JOIN bn ON bn.band = a.band AND bn.bsig = a.bsig
+       |  WHERE bn.c <= 400),
+       |scored AS (SELECT id_a, id_b FROM cand
+       |  JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+       |  WHERE CAST(($eq) AS DOUBLE) / 16 >= CAST('0.5' AS DOUBLE)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored
+       |          UNION SELECT id_b, id_a FROM scored),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT re.id, e.dst FROM reach re JOIN edges e ON re.r = e.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |kept AS (SELECT s.doc_id FROM sur s LEFT JOIN lab l ON l.id = s.doc_id
+       |         WHERE s.doc_id = COALESCE(l.cluster_id, s.doc_id))
+       |SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+       |  (SELECT COUNT(*) FROM sur) AS n_exact_survivors,
+       |  (SELECT COUNT(*) FROM scored) AS n_lsh_pairs,
+       |  (SELECT COUNT(*) FROM kept) AS n_kept,
+       |  (SELECT CAST(SUM(doc_id) AS BIGINT) FROM kept) AS kept_id_sum""".stripMargin
   }
 
   /** g2 oracle: the s13 k-NN edge relation (same prefix as
@@ -10736,6 +10822,7 @@ object SparkEntry {
         |FROM tr GROUP BY 1""".stripMargin,
     "x14_cluster_split" -> clusterSplitOracle,
     "c8_image_cluster_split" -> imageClusterSplitOracle,
+    "c9_dedup_ladder" -> dedupLadderOracle,
 
     // DuckDB's own recursive CTE over the same edge relation — path
     // enumeration bounded by dist < 4, collapsed by MIN.
