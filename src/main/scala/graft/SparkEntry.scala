@@ -3620,6 +3620,18 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    // D20 — chunk-level dedup with FIRST-occurrence keep (the RefinedWeb/
+    // FineWeb line-dedup semantics: one copy of every boilerplate line
+    // survives, at its globally first position — d8 scrubs ALL copies, this
+    // keeps exactly one). 8-token chunks stand in for lines on the
+    // newline-free synthetic docs. One exchange keyed on the chunk text
+    // (window min — the t24 first-occurrence idiom), one doc-id rollup; the
+    // rebuilt text ships as its md5 so the compare stays fixed-width.
+    "d20_chunk_dedup_first" -> ((s, dir) =>
+      DedupOps.chunkDedupFirst(docs(s, dir), "doc_id", "text", 8)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("rebuilt")).as("dedup_fp"))),
+
     // T24 — cross-doc n-gram NOVELTY: per doc, the fraction (basis points)
     // of its distinct 3-word shingles whose GLOBAL first occurrence (min
     // doc_id over the corpus) is the doc itself — the memorization /
@@ -10709,6 +10721,31 @@ object SparkEntry {
 
     "d10_lsh_recall" -> lshRecallOracle,
     "d19_cap_recall" -> capRecallOracle,
+
+    // Mirrors DedupOps.chunkDedupFirst: same tokenization, 0-based 8-token
+    // chunks (DuckDB's 1-based inclusive slice ↔ Spark's 1-based slice), the
+    // identical integer first-occurrence key, ordered reassembly.
+    "d20_chunk_dedup_first" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text, ' ')) > 0),
+           |ch AS (
+           |  SELECT doc_id, i AS chunk_idx,
+           |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS chunk
+           |  FROM (SELECT doc_id, toks,
+           |               unnest(generate_series(0, (len(toks) + 7) // 8 - 1)) AS i
+           |        FROM d)),
+           |f AS (SELECT chunk, MIN(doc_id * 1000000 + chunk_idx) AS first_key
+           |      FROM ch GROUP BY 1),
+           |k AS (SELECT ch.doc_id, COUNT(*) AS n_kept,
+           |             array_to_string(list(ch.chunk ORDER BY ch.chunk_idx), ' ') AS rebuilt
+           |      FROM ch JOIN f USING (chunk)
+           |      WHERE ch.doc_id * 1000000 + ch.chunk_idx = f.first_key
+           |      GROUP BY 1)
+           |SELECT d.doc_id, CAST((len(d.toks) + 7) // 8 AS BIGINT) AS n_chunks,
+           |  COALESCE(k.n_kept, 0) AS n_kept,
+           |  md5(COALESCE(k.rebuilt, '')) AS dedup_fp
+           |FROM d LEFT JOIN k USING (doc_id)""".stripMargin,
     "d11_setsim_join" -> setSimJoinOracle,
     "g1_pagerank" -> pageRankOracle,
     "g2_triangles" -> triangleOracle,

@@ -606,6 +606,63 @@ object DedupOps {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Chunk-level dedup with FIRST-occurrence keep — the line-level dedup of
+    * RefinedWeb/FineWeb-style curation, re-expressed over whitespace corpora
+    * as fixed-width token chunks (the synthetic docs carry no newlines, so
+    * consecutive `chunkTokens`-token chunks stand in for lines; the last
+    * chunk of a doc may be short). Unlike [[spanScrub]] (d8), which deletes
+    * EVERY copy of a duplicated span, this keeps the globally FIRST
+    * occurrence of each distinct chunk — the corpus retains exactly one copy
+    * of every boilerplate line instead of zero — and reassembles each doc
+    * from its surviving chunks in order.
+    *
+    * First occurrence = the minimum integer key `id·10⁶ + chunk_idx` (the
+    * t24 first-occurrence idiom: ONE window min keyed on the chunk text, no
+    * self-join). Bounds, stated exactly: chunk_idx < 10⁶ (an 8 M-token
+    * single document at the default width — beyond any real web doc) and
+    * id ≤ ~9.2·10¹² keep the key exact in a BIGINT; larger id spaces
+    * re-key on a wider multiplier.
+    *
+    * Returns one row per non-blank doc: (id, n_chunks, n_kept, rebuilt) —
+    * a doc whose every chunk appeared earlier comes back n_kept=0,
+    * rebuilt=''.
+    *
+    * Scale shape: the chunk relation is token-mass-sized and narrow; the
+    * window min is one exchange keyed on the chunk text (boilerplate-chunk
+    * skew lands in one min per distinct chunk — the partial agg absorbs the
+    * copies), the rollup one exchange on id with collect_list bounded by
+    * document length. Nothing quadratic, nothing driver-side. */
+  def chunkDedupFirst(corpus: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(chunkTokens >= 1)
+    val base = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
+      .withColumn("n_chunks",
+        expr(s"(size(toks) + ${chunkTokens - 1}) div $chunkTokens"))
+    val chunks = base.select(col("id"),
+      posexplode(transform(
+        sequence(lit(0L), col("n_chunks") - 1L),
+        i => concat_ws(" ",
+          slice(col("toks"), (i * chunkTokens + 1).cast("int"),
+            lit(chunkTokens))))).as(Seq("chunk_idx", "chunk")))
+    val firstKeyed = chunks
+      .withColumn("okey", col("id") * lit(1000000L) + col("chunk_idx"))
+      .withColumn("first_key",
+        min(col("okey")).over(Window.partitionBy(col("chunk"))))
+    val kept = firstKeyed.filter(col("okey") === col("first_key"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk"))).as("rebuilt"))
+    base.select(col("id"), col("n_chunks").cast("long").as("n_chunks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
   /** Connected components over an undirected pair relation — the clustering
     * step a production near-dup pipeline runs on LSH pair output. Dropping
     * `id_b` of every pair over-deletes on chains (A~B, B~C kills B and C,

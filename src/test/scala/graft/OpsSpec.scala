@@ -830,6 +830,37 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("chunkDedupFirst: keeps the globally first chunk copy, reassembles in order") {
+    import graft.ops.DedupOps
+    val docs = Seq(
+      (1L, "a b c d"),            // chunks (width 2): "a b", "c d"
+      (2L, "a b x y"),            // "a b" already seen in doc 1 → dropped here
+      (3L, "c d a b"),            // both chunks seen → fully dropped
+      (4L, "p q r"),              // odd tail: chunks "p q", "r"
+      (5L, "r s")                 // "r s" ≠ tail chunk "r" — widths differ, kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.chunkDedupFirst(docs, "doc_id", "text", chunkTokens = 2)
+      .select("id", "n_chunks", "n_kept", "rebuilt")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d")), "first occurrences all survive")
+    assert(out(2L) === ((2L, 1L, "x y")), "the duplicated chunk drops, the rest keeps")
+    assert(out(3L) === ((2L, 0L, "")), "a doc of only re-seen chunks empties out")
+    assert(out(4L) === ((2L, 2L, "p q r")), "short tail chunk is its own line")
+    assert(out(5L) === ((1L, 1L, "r s")), "a tail chunk never collides with a full one unless equal text")
+    // within-doc repetition: the SECOND copy inside one doc also drops
+    // (chunk_idx breaks the tie inside the integer key)
+    val rep = Seq((7L, "m n m n o o")).toDF("doc_id", "text")
+    val r = DedupOps.chunkDedupFirst(rep, "doc_id", "text", 2)
+      .select("n_chunks", "n_kept", "rebuilt").as[(Long, Long, String)].head()
+    assert(r === ((3L, 2L, "m n o o")))
+    // physical layout cannot change the result
+    val a = DedupOps.chunkDedupFirst(docs, "doc_id", "text", 2).orderBy("id").collect().toSeq
+    val b = DedupOps.chunkDedupFirst(docs.repartition(7), "doc_id", "text", 2)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("spanScrubAgainst: external bench grams scrub; corpus-internal dups don't") {
     import graft.ops.DedupOps
     val corpus = Seq(
