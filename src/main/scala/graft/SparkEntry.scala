@@ -2617,6 +2617,24 @@ object SparkEntry {
         .select(col("stratum").as("lang"), col("toks"), col("alloc_tokens"),
           col("epochs_bp"), col("capped"))),
 
+    // X30 — DSIR data selection (Xie et al., NeurIPS 2023): importance
+    // weights from hashed unigram+bigram LMs (4096 md5 buckets — the t26
+    // idiom) of the target domain (lang='en') vs the raw pool, top-100
+    // kept. The top-k is a TakeOrderedAndProject (distributed heads, no
+    // global sort exchange); the rank window then runs on the 100
+    // survivors only. Weights are exact decimals (per-bucket ln truncated
+    // to DECIMAL(30,10), t9 discipline) so ranking carries no fp ties.
+    "x30_dsir_select" -> ((s, dir) => {
+      val top = TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("w_dec").desc, col("id")).limit(100)
+      top.withColumn("sel_rank",
+          row_number().over(Window.orderBy(col("w_dec").desc, col("id"))))
+        .select(col("id").as("doc_id"), col("n_feats"),
+          Exact.fmt(col("w_dec").cast("double"), 4).as("weight_r"),
+          col("sel_rank").cast("long").as("sel_rank"))
+    }),
+
     // T41 — per-source ADAPTIVE quality gate (the C4/CCNet refinement:
     // a single global threshold over-prunes clean sources and under-prunes
     // dirty ones — each source drops its own bottom quartile instead).
@@ -10012,6 +10030,46 @@ object SparkEntry {
          |  CAST(alloc * 10000 // toks AS BIGINT) AS epochs_bp,
          |  CAST(CASE WHEN alloc = cap THEN 1 ELSE 0 END AS INT) AS capped
          |FROM a3""".stripMargin
+    },
+
+    // Mirrors TextOps.dsirWeights: same tokenization, same unigram+bigram
+    // feature set, the identical 3-hex-digit md5 bucketing (t26's strpos
+    // idiom widened to 4096), add-one smoothing over occupied buckets,
+    // per-bucket ln truncated to DECIMAL(30,10) before the exact per-doc
+    // decimal sum.
+    "x30_dsir_select" -> {
+      def hx(i: Int) = s"(strpos('0123456789abcdef', substr(md5(g), $i, 1)) - 1)"
+      raw"""WITH d AS (
+           |  SELECT doc_id, lang, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text, ' ')) > 0),
+           |gr AS (
+           |  SELECT doc_id, lang, unnest(toks) AS g FROM d
+           |  UNION ALL
+           |  SELECT doc_id, lang,
+           |    unnest(list_transform(generate_series(1, len(toks) - 1),
+           |                          i -> array_to_string(toks[i:i+1], ' '))) AS g
+           |  FROM d WHERE len(toks) >= 2),
+           |occ AS (SELECT doc_id, lang,
+           |  ${hx(1)} * 256 + ${hx(2)} * 16 + ${hx(3)} AS bucket FROM gr),
+           |cnt AS (SELECT bucket, COUNT(*) AS c_raw,
+           |               COUNT(*) FILTER (WHERE lang = 'en') AS c_tgt
+           |        FROM occ GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+           |               CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+           |               COUNT(*) AS v FROM cnt),
+           |wg AS (SELECT bucket,
+           |    CAST(ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE))
+           |       - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE))
+           |      AS DECIMAL(30,10)) AS w
+           |  FROM cnt CROSS JOIN tot),
+           |dw AS (SELECT occ.doc_id, COUNT(*) AS n_feats, SUM(wg.w) AS w_dec
+           |       FROM occ JOIN wg USING (bucket) GROUP BY 1),
+           |r AS (SELECT doc_id, n_feats, w_dec,
+           |        ROW_NUMBER() OVER (ORDER BY w_dec DESC, doc_id) AS sel_rank
+           |      FROM dw)
+           |SELECT doc_id, n_feats, printf('%.4f', CAST(w_dec AS DOUBLE)) AS weight_r,
+           |  CAST(sel_rank AS BIGINT) AS sel_rank
+           |FROM r WHERE sel_rank <= 100""".stripMargin
     },
 
     // the t2 quality expression + the integer bottom-quartile rank drop;

@@ -223,6 +223,63 @@ object TextOps {
         slice(col("toks"), col("start") + 1, lit(chunkSize)).as("chunk"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS 2023): score every document of the raw pool by its importance
+    * weight under hashed bag-of-n-gram language models of a TARGET domain
+    * vs the pool, w(doc) = Σ_features [ln p̂_tgt(f) − ln p̂_raw(f)], add-one
+    * smoothed over the occupied feature buckets. Features are word unigrams
+    * + bigrams hashed into 4096 buckets (3 hex digits of md5 — the t26
+    * feature-hashing idiom; hashing is DSIR's defining trick: it bounds the
+    * LM dimension on an open vocabulary, and collisions pool counts
+    * identically on both engines). The curation pipeline keeps the
+    * top-weight documents — the deterministic top-k stand-in for the
+    * paper's Gumbel-noise resampling (rand()-free, the x1/x13 membership
+    * discipline).
+    *
+    * Determinism: all counts are exact integers; each bucket's log-ratio is
+    * one mirrored IEEE chain truncated to DECIMAL(30,10) before the
+    * per-doc sum (the t9 discipline), so doc weights are exact decimals —
+    * order-independent, comparable, and rankable without fp ties.
+    *
+    * Scale shape: the feature relation is token-mass-sized and narrow; the
+    * counts partial-aggregate into ≤4096 bucket rows (broadcast-small
+    * weight table back onto the feature stream — no wide exchange), the
+    * per-doc rollup is one id-keyed exchange. At 100 TB the job is
+    * scan-bound: two passes over tokens, one 4096-row side relation.
+    *
+    * @return one row per non-blank doc: (id, n_feats, w_dec) — w_dec the
+    *         exact decimal importance weight. */
+  def dsirWeights(corpus: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, isTarget: Column): org.apache.spark.sql.DataFrame = {
+    val base = corpus.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        col(textCol).as("t"), tokens(col(textCol)).as("toks"))
+    val occ = base.select(col("id"), col("tgt"),
+        explode(concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            graft.expressions.MinHashExpressions.wordGrams(col("t"), 2))
+            .otherwise(array().cast("array<string>")))).as("g"))
+      .withColumn("bucket",
+        conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long"))
+      .select(col("id"), col("tgt"), col("bucket"))
+    val cnt = occ.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("c_tgt"))
+    val tot = cnt.agg(sum(col("c_raw")).cast("long").as("n_raw"),
+      sum(col("c_tgt")).cast("long").as("n_tgt"), count(lit(1)).as("v"))
+    val wg = cnt.crossJoin(broadcast(tot))
+      .withColumn("w",
+        (log((col("c_tgt") + 1).cast("double") /
+             (col("n_tgt") + col("v")).cast("double"))
+          - log((col("c_raw") + 1).cast("double") /
+                (col("n_raw") + col("v")).cast("double")))
+          .cast("decimal(30,10)"))
+      .select(col("bucket"), col("w"))
+    occ.join(broadcast(wg), "bucket")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("w_dec"))
+  }
+
   def bigramLmScore(corpus: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val bg = corpus.select(col(idCol).as("id"),

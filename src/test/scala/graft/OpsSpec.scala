@@ -830,6 +830,34 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("dsirWeights: target-domain features score positive, counts cover unigrams+bigrams") {
+    import graft.ops.TextOps
+    // target docs speak "alpha", off-target docs speak "omega"
+    val docs = Seq(
+      (1L, "alpha alpha beta", true),
+      (2L, "alpha beta alpha", true),
+      (3L, "omega gamma omega", false),
+      (4L, "alpha beta alpha", false),   // target-like doc in the raw pool
+      (5L, "omega gamma omega", false),
+      (6L, "x", false)                   // single token: no bigrams
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .select(col("id"), col("n_feats"), col("w_dec").cast("double"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 3 unigrams + 2 bigrams per 3-token doc; 1 unigram for doc 6
+    assert(out(1L)._1 === 5L && out(6L)._1 === 1L)
+    // the target-like raw doc outscores the off-target docs
+    assert(out(4L)._2 > out(3L)._2 && out(4L)._2 > out(5L)._2)
+    // identical text ⇒ identical exact weight (decimal, no fp drift)
+    assert(out(2L)._2 === out(4L)._2 && out(3L)._2 === out(5L)._2)
+    // physical layout cannot change the result
+    val a = TextOps.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .orderBy("id").collect().toSeq
+    val b = TextOps.dsirWeights(docs.repartition(5), "doc_id", "text", col("is_tgt"))
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("chunkDedupFirst: keeps the globally first chunk copy, reassembles in order") {
     import graft.ops.DedupOps
     val docs = Seq(
