@@ -3404,6 +3404,18 @@ object SparkEntry {
           Exact.fmt(col("sim"), 4).as("sim_r"))
     }),
 
+    // S32 — PCA top component by exact-integer power iteration (the
+    // decorrelation prep before IVF/PQ indexing: project out the dominant
+    // direction, whiten, or seed OPQ's rotation). Scatter accumulation is
+    // ONE (dim×dim)-keyed map-combined exchange — 4096 cells at d=64, the
+    // sketch economics of o11: the exchange carries cells, never rows —
+    // and the five iterations run on the cached 4096-cell relation only.
+    // All arithmetic exact integers/decimals up to one sqrt and one
+    // division (SimilarityOps.pcaPowerTop).
+    "s32_pca_power" -> ((s, dir) =>
+      SimilarityOps.pcaPowerTop(emb(s, dir), "embedding", iters = 5)
+        .select(col("dim"), col("pc1_k"), Exact.fmt(col("eig"), 6).as("eig_r"))),
+
     // S2b — the TWO-TIER coarse quantizer under its own exact oracle. The
     // scale story: nlist must grow ~sqrt(N) past broadcast size, so the
     // full centroid set is grouped by broadcast-small top cells and
@@ -11694,6 +11706,46 @@ object SparkEntry {
     "s17_filtered_ann" -> ivfOracle(
       "vec_id % (SELECT stride FROM params) = 0",
       candJoin = "JOIN documents d ON d.doc_id = x.vec_id AND d.lang = 'en'"),
+
+    // Mirrors SimilarityOps.pcaPowerTop stage for stage: the identical
+    // integer quantization, exact BIGINT scatter (self-join form — the
+    // oracle needs equal VALUES, not the engine's join-free outer-product
+    // plan), the same truncating integral divide (// ≡ Spark's div: both
+    // truncate toward zero), and the same five exact iterations with one
+    // sqrt rounding each.
+    "s32_pca_power" -> {
+      val its = (1 to 5).map { t =>
+        s"""w$t AS (SELECT cn.i, CAST(SUM(cn.cn * k${t - 1}.k) AS BIGINT) AS w
+           |  FROM cn JOIN k${t - 1} ON cn.j = k${t - 1}.i GROUP BY 1),
+           |n$t AS (SELECT sqrt(CAST(SUM(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nn
+           |  FROM w$t),
+           |k$t AS (SELECT i, CAST(floor(CAST(w AS DOUBLE) / nn * 1000000) AS BIGINT) AS k
+           |  FROM w$t CROSS JOIN n$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vq
+         |  FROM embeddings),
+         |pts AS (SELECT vec_id, ui - 1 AS i, vq[ui] AS xi
+         |  FROM (SELECT vec_id, vq, unnest(generate_series(1, len(vq))) AS ui FROM e)),
+         |s AS (SELECT i, CAST(SUM(xi) AS BIGINT) AS si, COUNT(*) AS n FROM pts GROUP BY 1),
+         |sxy AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+         |  FROM pts a JOIN pts b USING (vec_id) GROUP BY 1, 2),
+         |c AS (SELECT sxy.i, sxy.j, sa.n * sxy.sxy - sa.si * sb.si AS c
+         |  FROM sxy JOIN s sa ON sxy.i = sa.i JOIN s sb ON sxy.j = sb.i),
+         |cm AS (SELECT MAX(abs(c)) AS cmax FROM c),
+         |cn AS (SELECT i, j, CAST((CAST(c AS HUGEINT) * 1000000000) // cmax AS BIGINT) AS cn
+         |  FROM c CROSS JOIN cm),
+         |k0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS k FROM cn),
+         |$its,
+         |w6 AS (SELECT cn.i, CAST(SUM(cn.cn * k5.k) AS BIGINT) AS w
+         |  FROM cn JOIN k5 ON cn.j = k5.i GROUP BY 1),
+         |ray AS (SELECT CAST(SUM(CAST(k5.k AS HUGEINT) * w6.w) AS DOUBLE)
+         |             / CAST(SUM(CAST(k5.k AS HUGEINT) * k5.k) AS DOUBLE) AS eig
+         |  FROM k5 JOIN w6 USING (i))
+         |SELECT k5.i AS dim, k5.k AS pc1_k, printf('%.6f', ray.eig) AS eig_r
+         |FROM k5 CROSS JOIN ray""".stripMargin
+    },
 
     // s17's chain with the QUERY-DEPENDENT pair predicate written inside
     // the scored relation (labels ride the n relation on both sides).

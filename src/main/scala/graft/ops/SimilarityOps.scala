@@ -615,6 +615,85 @@ object SimilarityOps {
     out
   }
 
+  /** Top principal component by POWER ITERATION over the exact integer
+    * scatter matrix — the PCA/decorrelation step an embedding pipeline runs
+    * before indexing (project out the dominant direction, whiten before
+    * IVF/PQ quantization, seed OPQ's rotation). Everything up to one sqrt
+    * and one final division is EXACT integer/decimal arithmetic, so the
+    * result is bit-identical at any parallelism and engine-mirrorable:
+    *
+    *   1. quantize: xq = floor(x·1000) per coordinate (BIGINT);
+    *   2. scatter: C = N·Σ xq·xqᵀ − (Σ xq)(Σ xq)ᵀ — the N²-scaled
+    *      covariance, exact BIGINTs, accumulated as ONE map-side-combined
+    *      (dim × dim)-keyed aggregation over per-row outer products (4096
+    *      cells at d=64 — the exchange carries cells, never rows);
+    *   3. normalize: Cn = (C·10⁹) div max|C| — exact integral divide,
+    *      truncation toward zero on both engines — so iteration magnitudes
+    *      are corpus-size-free;
+    *   4. iterate ×`iters`: w = Cn·k (exact BIGINT products and sums),
+    *      k' = floor(w/‖w‖·10⁶) with ‖w‖ from an exact DECIMAL(38,0) sum
+    *      of squares and ONE deterministic double rounding at the sqrt;
+    *   5. Rayleigh estimate λ̂ = (kᵀw)/(kᵀk) in Cn units (exact decimal
+    *      sums, one double division).
+    *
+    * Bounds, stated exactly: |xq| ≤ X over N rows needs N·X² ≤ ~9.2·10¹⁸
+    * for step 2's BIGINTs (X = 10³ ⇒ N ≤ 9.2·10¹² — ~2 PB of fp32 d=64
+    * vectors); steps 3–5 are corpus-size-free by construction (|Cn| ≤ 10⁹,
+    * |k| ≤ 10⁶ ⇒ |w| ≤ d·10¹⁵). The scatter matrix is PSD, so the
+    * iteration converges to the dominant eigenvector, sign pinned by the
+    * fixed all-ones start.
+    *
+    * @return one row per dimension: (dim, pc1_k, eig) — pc1_k the
+    *         10⁶-scaled unit-eigenvector coordinate, eig the Rayleigh
+    *         scalar repeated on every row. */
+  def pcaPowerTop(corpus: DataFrame, vecCol: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "at least one power iteration")
+    val q = corpus.select(transform(col(vecCol),
+      x => floor(x.cast("double") * 1000).cast("long")).as("vq"))
+    val pts = q.select(posexplode(col("vq")).as(Seq("i", "xi")))
+    val s = pts.groupBy(col("i"))
+      .agg(sum(col("xi")).as("si"), count(lit(1)).as("n"))
+    val pairs = q.select(explode(flatten(transform(col("vq"), (xi, i) =>
+        transform(col("vq"), (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
+    val c = pairs
+      .join(s.select(col("i"), col("si").as("sa"), col("n")), "i")
+      .join(s.select(col("i").as("j"), col("si").as("sb")), "j")
+      .select(col("i"), col("j"),
+        (col("n") * col("sxy") - col("sa") * col("sb")).as("c"))
+    // the 4096-cell relation feeds every iteration — cache it, not the scan
+    val cn = c.crossJoin(broadcast(c.agg(max(abs(col("c"))).as("cmax"))))
+      .select(col("i"), col("j"),
+        expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000000) div cmax AS BIGINT)")
+          .as("cn"))
+      .cache()
+    def mul(k: DataFrame): DataFrame =
+      cn.join(k.select(col("i").as("j"), col("k")), "j")
+        .groupBy(col("i")).agg(sum(col("cn") * col("k")).as("w"))
+    var k = cn.select(col("i")).distinct()
+      .select(col("i"), lit(1000000L).as("k"))
+    for (_ <- 0 until iters) {
+      val w = mul(k)
+      val nrm = w.agg(sqrt(sum(expr(
+        "CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))")).cast("double"))
+        .as("nn"))
+      // lineage cut per iteration (the kmeansRefine pattern): k is 64 rows
+      k = w.crossJoin(broadcast(nrm))
+        .select(col("i"),
+          floor(col("w").cast("double") / col("nn") * 1e6).cast("long").as("k"))
+        .localCheckpoint()
+    }
+    val ray = k.join(mul(k), "i")
+      .agg((sum(expr("CAST(k AS DECIMAL(19,0)) * CAST(w AS DECIMAL(25,0))"))
+          .cast("double")
+        / sum(expr("CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))"))
+          .cast("double")).as("eig"))
+    k.crossJoin(broadcast(ray))
+      .select(col("i").cast("long").as("dim"), col("k").as("pc1_k"), col("eig"))
+  }
+
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
     * cluster the corpus, then prune near-duplicates WITHIN each cluster —
     * for every same-cluster pair with cosine ≥ `tau`, the higher id drops

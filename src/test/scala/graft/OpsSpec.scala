@@ -830,6 +830,33 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pcaPowerTop: recovers a planted dominant direction; div semantics mirror DuckDB") {
+    import graft.ops.SimilarityOps
+    // Spark's `div` must truncate toward zero like DuckDB's `//` — the s32
+    // oracle mirror depends on it for negative scatter cells
+    assert(spark.sql("SELECT -7 div 2 AS d").head().getLong(0) === -3L)
+    assert(spark.sql("SELECT CAST(-7 AS DECIMAL(38,0)) div 2 AS d").head().getLong(0) === -3L)
+    // points along (3, 1) with small orthogonal jitter: top PC ∝ (3, 1)/√10
+    val pts = (1 to 20).map { t =>
+      val jitter = if (t % 2 == 0) 0.05f else -0.05f
+      (t.toLong, Seq(3f * t + jitter, 1f * t - 3 * jitter))
+    }.toDF("id", "v")
+    val out = SimilarityOps.pcaPowerTop(pts, "v", iters = 8)
+      .select(col("dim"), col("pc1_k"), col("eig"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val k0 = out(0)._2.toDouble
+    val k1 = out(1)._2.toDouble
+    assert(math.abs(k0 / k1 - 3.0) < 0.02,
+      s"dominant direction should be ~(3,1), got ($k0, $k1)")
+    val n2 = k0 * k0 + k1 * k1
+    assert(n2 > 0.99e12 && n2 < 1.0001e12, s"k is a 1e6-scaled unit vector, |k|^2=$n2")
+    assert(out(0)._3 > 0.0, "scatter matrix is PSD: Rayleigh estimate positive")
+    // physical layout cannot change the result (exact integer path)
+    val a = SimilarityOps.pcaPowerTop(pts, "v", 5).orderBy("dim").collect().toSeq
+    val b = SimilarityOps.pcaPowerTop(pts.repartition(7), "v", 5).orderBy("dim").collect().toSeq
+    assert(a === b)
+  }
+
   test("dsirWeights: target-domain features score positive, counts cover unigrams+bigrams") {
     import graft.ops.TextOps
     // target docs speak "alpha", off-target docs speak "omega"
