@@ -1107,6 +1107,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_above"), max(col("n_cust")).as("n_cust"))
     }),
 
+    // Q34 — dominant-supplier share (the TPC-H Q20 family: who carries at
+    // least a quarter of a part's shipped volume?). Two-level aggregation:
+    // (part, supplier) quantities in exact integer units, part totals via
+    // ONE window over the already-reduced pair relation (no second scan,
+    // no self-join), dominance decided on integers (qty·4 ≥ total), then a
+    // broadcast supplier join. The date filter is a plain range predicate
+    // so it pushes to the parquet scan. Scale: the pair relation is the
+    // only wide exchange; the window reuses its partitioning by l_partkey.
+    "q34_dominant_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val ps = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) * 100 AS BIGINT)")
+          .as("qty_u"))
+      val dom = ps
+        .withColumn("tot_u",
+          sum(col("qty_u")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("qty_u") * 4 >= col("tot_u"))
+      dom.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dom_parts"), sum(col("qty_u")).as("dom_qty_u"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dom_parts"),
+          col("dom_qty_u"))
+    }),
+
     // A35 — day-of-week seasonality profile: exact cents mass and share
     // per weekday (the calendar complement of mon9's hour-of-day
     // decomposition). ISO weekday from the epoch-day index — pure integer
@@ -9837,6 +9864,25 @@ object SparkEntry {
         |  CAST(SUM(cents) AS BIGINT) AS cents,
         |  CAST(SUM(cents) AS BIGINT) * 10000 // total AS share_bp
         |FROM d, tot GROUP BY 1, total""".stripMargin,
+
+    // Mirrors q34: same integer quantity units (×100), same window-total
+    // dominance predicate, same date range.
+    "q34_dominant_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) * 100 AS BIGINT) AS qty_u
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |dom AS (
+        |  SELECT l_suppkey, qty_u
+        |  FROM (SELECT l_suppkey, qty_u,
+        |          SUM(qty_u) OVER (PARTITION BY l_partkey) AS tot_u
+        |        FROM ps)
+        |  WHERE qty_u * 4 >= tot_u)
+        |SELECT s.s_suppkey, s.s_name,
+        |  COUNT(*) AS n_dom_parts, CAST(SUM(qty_u) AS BIGINT) AS dom_qty_u
+        |FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "a32_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,
