@@ -653,45 +653,54 @@ object SimilarityOps {
     val pts = q.select(posexplode(col("vq")).as(Seq("i", "xi")))
     val s = pts.groupBy(col("i"))
       .agg(sum(col("xi")).as("si"), count(lit(1)).as("n"))
-    val pairs = q.select(explode(flatten(transform(col("vq"), (xi, i) =>
-        transform(col("vq"), (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
-      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("sxy"))
+    // outer products via two CHAINED generators (Generate → Generate stays
+    // inside whole-stage codegen; materializing a d²-struct array per row
+    // measured ~2× slower) and only the upper triangle — the scatter is
+    // symmetric, the mirror is reconstructed on the d²-cell relation
+    val upper = q.select(posexplode(col("vq")).as(Seq("i", "xi")), col("vq"))
+      .select(col("i"), col("xi"), posexplode(col("vq")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(sum(col("xi") * col("xj")).as("sxy"))
+    val pairs = upper.unionByName(upper.filter(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("sxy")))
     val c = pairs
       .join(s.select(col("i"), col("si").as("sa"), col("n")), "i")
       .join(s.select(col("i").as("j"), col("si").as("sb")), "j")
       .select(col("i"), col("j"),
         (col("n") * col("sxy") - col("sa") * col("sb")).as("c"))
-    // the 4096-cell relation feeds every iteration — cache it, not the scan
     val cn = c.crossJoin(broadcast(c.agg(max(abs(col("c"))).as("cmax"))))
       .select(col("i"), col("j"),
         expr("CAST((CAST(c AS DECIMAL(38,0)) * 1000000000) div cmax AS BIGINT)")
           .as("cn"))
-      .cache()
-    def mul(k: DataFrame): DataFrame =
-      cn.join(k.select(col("i").as("j"), col("k")), "j")
-        .groupBy(col("i")).agg(sum(col("cn") * col("k")).as("w"))
-    var k = cn.select(col("i")).distinct()
-      .select(col("i"), lit(1000000L).as("k"))
+    // The iterations run DRIVER-SIDE on the collected d×d matrix — a
+    // d²-bounded, corpus-size-free collect (4096 longs at d=64: the
+    // StreamingIvf probe-cell convention; MLlib's RowMatrix does the same
+    // split: distributed Gramian, local eigensolve). The arithmetic mirrors
+    // the relational form exactly: Long dot products (exact), BigInt sums
+    // of squares (exact — BigInt.toDouble and HUGEINT→DOUBLE are both
+    // correctly rounded), IEEE sqrt/div/floor.
+    val cells = cn.collect()
+    val d = cells.iterator.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Long](d, d)
+    cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var k = Array.fill(d)(1000000L)
+    def mul(v: Array[Long]): Array[Long] =
+      Array.tabulate(d) { i =>
+        var acc = 0L; var j = 0
+        while (j < d) { acc += m(i)(j) * v(j); j += 1 }; acc
+      }
     for (_ <- 0 until iters) {
       val w = mul(k)
-      val nrm = w.agg(sqrt(sum(expr(
-        "CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))")).cast("double"))
-        .as("nn"))
-      // lineage cut per iteration (the kmeansRefine pattern): k is 64 rows
-      k = w.crossJoin(broadcast(nrm))
-        .select(col("i"),
-          floor(col("w").cast("double") / col("nn") * 1e6).cast("long").as("k"))
-        .localCheckpoint()
+      val nn = math.sqrt(w.iterator.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      k = w.map(x => math.floor(x.toDouble / nn * 1e6).toLong)
     }
-    val ray = k.join(mul(k), "i")
-      .agg((sum(expr("CAST(k AS DECIMAL(19,0)) * CAST(w AS DECIMAL(25,0))"))
-          .cast("double")
-        / sum(expr("CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0))"))
-          .cast("double")).as("eig"))
-    k.crossJoin(broadcast(ray))
-      .select(col("i").cast("long").as("dim"), col("k").as("pc1_k"), col("eig"))
+    val w6 = mul(k)
+    val eig = (0 until d).iterator.map(i => BigInt(k(i)) * BigInt(w6(i))).sum.toDouble /
+      (0 until d).iterator.map(i => BigInt(k(i)) * BigInt(k(i))).sum.toDouble
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    k.zipWithIndex.toSeq.map { case (ki, i) => (i.toLong, ki, eig) }
+      .toDF("dim", "pc1_k", "eig")
   }
 
   /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
