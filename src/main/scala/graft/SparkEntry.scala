@@ -3443,6 +3443,32 @@ object SparkEntry {
       SimilarityOps.pcaPowerTop(emb(s, dir), "embedding", iters = 5)
         .select(col("dim"), col("pc1_k"), Exact.fmt(col("eig"), 6).as("eig_r"))),
 
+    // S33 — Matryoshka truncated-dimension recall (Kusupati et al. 2022):
+    // recall@5 of cosine top-5 under PREFIX dimensions m ∈ {8,16,32} vs the
+    // full-width truth — the eval that decides how far an MRL embedding can
+    // be truncated before retrieval degrades (the storage/latency knob of a
+    // production vector store). Pure composition of bruteForceTopK over
+    // slice()'d vectors: the truth subtree is computed once (single join
+    // after the union), prefixes shorten the scoring dot products, and
+    // recall_bp stays integer. Scale: three brute passes over the same
+    // scan — at index scale the same slices ride s2's IVF instead.
+    "s33_matryoshka_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val truth = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      Seq(8, 16, 32).map { m =>
+        val ep = e.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        val qp = q.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        SimilarityOps.bruteForceTopK(ep, qp, "vec_id", "embedding", 5)
+          .select(lit(m.toLong).as("m_dims"), col("query_id"), col("neighbor_id"))
+      }.reduce(_ unionByName _)
+        .join(truth, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("m_dims"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+        .withColumn("recall_bp", expr("n_hits * 10000 div 5"))
+    }),
+
     // S2b — the TWO-TIER coarse quantizer under its own exact oracle. The
     // scale story: nlist must grow ~sqrt(N) past broadcast size, so the
     // full centroid set is grouped by broadcast-small top cells and
@@ -11792,6 +11818,38 @@ object SparkEntry {
          |SELECT k5.i AS dim, k5.k AS pc1_k, printf('%.6f', ray.eig) AS eig_r
          |FROM k5 CROSS JOIN ray""".stripMargin
     },
+
+    // Mirrors s33: the s6 brute-force CTE shape with ve sliced to each
+    // prefix width — list_inner_product folds left-to-right like the
+    // engine's dot, and the norms stay √(q)·√(c) in the same order.
+    "s33_matryoshka_recall" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |t AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_inner_product(q.ve, c.ve)
+        |        / (sqrt(list_inner_product(q.ve, q.ve))
+        |           * sqrt(list_inner_product(c.ve, c.ve))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  WHERE list_inner_product(q.ve, q.ve) > 0
+        |    AND list_inner_product(c.ve, c.ve) > 0) WHERE rank <= 5),
+        |pre AS (SELECT m_dims, query_id, neighbor_id FROM (
+        |  SELECT ms.m AS m_dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY ms.m, q.vec_id ORDER BY
+        |      list_inner_product(q.ve[1:ms.m], c.ve[1:ms.m])
+        |        / (sqrt(list_inner_product(q.ve[1:ms.m], q.ve[1:ms.m]))
+        |           * sqrt(list_inner_product(c.ve[1:ms.m], c.ve[1:ms.m]))) DESC,
+        |      c.vec_id) AS rank
+        |  FROM (SELECT unnest([8, 16, 32]) AS m) ms
+        |  CROSS JOIN v q JOIN v c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+        |  WHERE list_inner_product(q.ve[1:ms.m], q.ve[1:ms.m]) > 0
+        |    AND list_inner_product(c.ve[1:ms.m], c.ve[1:ms.m]) > 0) WHERE rank <= 5)
+        |SELECT pre.m_dims, pre.query_id,
+        |  CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(t.neighbor_id) AS BIGINT) * 10000 // 5 AS recall_bp
+        |FROM pre LEFT JOIN t USING (query_id, neighbor_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     // s17's chain with the QUERY-DEPENDENT pair predicate written inside
     // the scored relation (labels ride the n relation on both sides).

@@ -830,6 +830,28 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("matryoshka prefix recall: signal-bearing prefixes preserve the full-width top-k") {
+    import graft.ops.SimilarityOps
+    // dims 1-2 carry the cluster signal; dims 3-4 are equal constants, so
+    // the 2-dim prefix MUST reproduce the full-width neighbor ranking
+    val vs = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.5f, 0.5f)), (1L, Seq(1.0f, 0.2f, 0.5f, 0.5f)),
+      (2L, Seq(0.1f, 1.0f, 0.5f, 0.5f)), (3L, Seq(0.2f, 1.0f, 0.5f, 0.5f)),
+      (4L, Seq(-1.0f, 0.3f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val q = vs.filter(col("vec_id") === 0L)
+    def top(m: Int) = {
+      val p = vs.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+      SimilarityOps.bruteForceTopK(p.filter(col("vec_id") =!= 0L),
+          p.filter(col("vec_id") === 0L), "vec_id", "embedding", 2)
+        .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    }
+    assert(top(4) === Seq(1L, 3L), "full-width: nearest is the same-cluster 1, then 3 (shared constants)")
+    // the informative prefix keeps the leader; the constant tail only
+    // reshuffles the far candidates
+    assert(top(2).head === 1L, "2-dim prefix preserves the top-1 by construction")
+  }
+
   test("pcaPowerTop: recovers a planted dominant direction; div semantics mirror DuckDB") {
     import graft.ops.SimilarityOps
     // Spark's `div` must truncate toward zero like DuckDB's `//` — the s32
