@@ -1134,6 +1134,32 @@ object SparkEntry {
           col("dom_qty_u"))
     }),
 
+    // Q35 — sales-opportunity audit (the TPC-H Q22 shape): LAPSED
+    // customers — above-average positive balance, no order since
+    // 2000-01-01 — rolled up by nation. The composite plan Q22 exists to
+    // exercise: one broadcast scalar threshold (exact integer cents,
+    // cross-multiplied — the q33 discipline, no double threshold crosses
+    // engines), one anti join on the recent order keys (the date range
+    // pushes to the orders scan), one broadcast dim join. Scale: the anti
+    // join is the only wide exchange; the threshold relation is one row.
+    "q35_sales_opportunity" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_nationkey"), floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val thr = cust.filter(col("cents") > 0)
+        .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("sum_g"))
+      cust.join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(thr))
+        .filter(col("cents") * col("n_g") > col("sum_g"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("acctbal_cents"))
+    }),
+
     // A35 — day-of-week seasonality profile: exact cents mass and share
     // per weekday (the calendar complement of mon9's hour-of-day
     // decomposition). ISO weekday from the epoch-day index — pure integer
@@ -9909,6 +9935,23 @@ object SparkEntry {
         |  COUNT(*) AS n_dom_parts, CAST(SUM(qty_u) AS BIGINT) AS dom_qty_u
         |FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors q35: integer cents, cross-multiplied global threshold over
+    // positive balances, NOT EXISTS anti join, nation rollup.
+    "q35_sales_opportunity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |thr AS (SELECT COUNT(*) AS n_g, CAST(SUM(cents) AS BIGINT) AS sum_g
+        |        FROM c WHERE cents > 0)
+        |SELECT n.n_name,
+        |  COUNT(*) AS n_cust, CAST(SUM(c.cents) AS BIGINT) AS acctbal_cents
+        |FROM c CROSS JOIN thr
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.cents * thr.n_g > thr.sum_g
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
 
     "a32_new_returning" ->
       """WITH ud AS (SELECT DISTINCT user_id,
