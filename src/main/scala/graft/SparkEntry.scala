@@ -3495,6 +3495,43 @@ object SparkEntry {
         .withColumn("recall_bp", expr("n_hits * 10000 div 5"))
     }),
 
+    // S34 — IVF index-health audit: cell-population balance of the s2
+    // coarse quantizer (Faiss's imbalance_factor = k·Σn²/N², the number an
+    // index owner checks before blaming recall: a factor of 3 means probes
+    // scan 3× the uniform-cell cost). One row: cell count, assigned mass,
+    // empties, max/min cell, and the factor in integer basis points —
+    // Σn² accumulates in DECIMAL(38,0) (n² overflows a BIGINT once a cell
+    // passes ~3e9 vectors; the a28 accumulator-width rule) and the wide
+    // decimal FOLDS to a BIGINT via integer division before it can reach
+    // the output (the s29 lesson: no raw wide decimal ever leaves a
+    // query). Scale shape: the assignment is s2's broadcast-argmax (or the
+    // s2b tiered path past broadcast nlist); everything after is one
+    // cells-sized exchange + a 1-row aggregate.
+    "s34_ivf_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+      val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+      val cells = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      // eligible = the centroid set the assigner actually used (nonzero norm)
+      val eligible = centroids.filter(expr(
+          "aggregate(cast(centroid_vec as array<double>), 0D, (a, x) -> a + x * x) > 0"))
+        .select(col("centroid_id"))
+      eligible.join(cells, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("n"), lit(0L)).as("n"))
+        .agg(count(lit(1)).as("k_cells"), sum(col("n")).as("n_vecs"),
+          count(when(col("n") === 0, lit(1))).as("n_empty"),
+          max(col("n")).as("max_cell"),
+          min(when(col("n") > 0, col("n"))).as("min_cell"),
+          sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+            .as("sum_n2"))
+        .select(col("k_cells"), col("n_vecs"), col("n_empty"),
+          col("max_cell"), col("min_cell"),
+          expr("""(cast(k_cells as decimal(38,0)) * sum_n2 * 10000)
+                 div (cast(n_vecs as decimal(38,0)) * n_vecs)""")
+            .as("imbalance_bp"))
+    }),
+
     // S2b — the TWO-TIER coarse quantizer under its own exact oracle. The
     // scale story: nlist must grow ~sqrt(N) past broadcast size, so the
     // full centroid set is grouped by broadcast-small top cells and
@@ -3740,6 +3777,35 @@ object SparkEntry {
       DedupOps.chunkDedupFirst(docs(s, dir), "doc_id", "text", 8)
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("rebuilt")).as("dedup_fp"))),
+
+    // D21 — Bloom-filter incremental chunk dedup (the Dolma BFF recipe):
+    // the 1-in-5 fresh batch (the t27 held-out convention) tested against
+    // a filter populated by the other four fifths. The filter ships as its
+    // set-bit relation (≤ 2¹⁶ rows, broadcast, constant in history size);
+    // the exact containment column rides along so FP behavior is pinned
+    // per doc, not hoped. See DedupOps.bloomChunkDedup for the scale shape.
+    "d21_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.bloomChunkDedup(
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text", chunkTokens = 8, kHashes = 3)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_hits"),
+          col("n_true_hits"), col("dropped"))
+    }),
+
+    // D22 — maximal duplicated-REGION statistics (the ExactSubstr report,
+    // Lee et al. 2022): per doc, cross-doc duplicate 8-gram covers merged
+    // into MAXIMAL token runs — span count, duplicated mass, longest run.
+    // d7 counts duplicated grams and d8 deletes their cover; the span
+    // SHAPE (one quoted block vs boilerplate confetti) is the curation
+    // signal neither reports. Relational islands idiom: two window frames
+    // over one (id | st, en) sort, partitions bounded by per-doc gram
+    // counts. See DedupOps.dupSpans.
+    "d22_dup_spans" -> ((s, dir) =>
+      DedupOps.dupSpans(docs(s, dir), "doc_id", "text", gramSize = 8, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_spans"),
+          col("dup_tokens"), col("longest_span"), col("dup_bp"))),
 
     // T24 — cross-doc n-gram NOVELTY: per doc, the fraction (basis points)
     // of its distinct 3-word shingles whose GLOBAL first occurrence (min
@@ -10907,6 +10973,81 @@ object SparkEntry {
     "d10_lsh_recall" -> lshRecallOracle,
     "d19_cap_recall" -> capRecallOracle,
 
+    // Mirrors DedupOps.bloomChunkDedup: same chunks, the identical salted
+    // 4-hex-digit md5 positions (t26's strpos idiom widened to 2¹⁶), the
+    // all-k-set hit rule, exact containment beside the bloom decision.
+    "d21_bloom_dedup" -> {
+      def posSql(i: Int) = {
+        def hx(n: Int) =
+          s"(strpos('0123456789abcdef', substr(md5('$i' || chunk), $n, 1)) - 1)"
+        s"(${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)})"
+      }
+      val salts = (0 until 3).map(posSql).mkString(", ")
+      raw"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text, ' ')) > 0),
+           |ch AS (
+           |  SELECT doc_id, i AS chunk_idx,
+           |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS chunk
+           |  FROM (SELECT doc_id, toks,
+           |               unnest(generate_series(0, (len(toks) + 7) // 8 - 1)) AS i
+           |        FROM d)),
+           |hist AS (SELECT DISTINCT chunk FROM ch WHERE doc_id % 5 <> 0),
+           |bits AS (SELECT DISTINCT pos FROM (
+           |         SELECT unnest([$salts]) AS pos FROM hist)),
+           |nc AS (SELECT doc_id, chunk_idx, chunk FROM ch WHERE doc_id % 5 = 0),
+           |sp AS (SELECT doc_id, chunk_idx, unnest([$salts]) AS pos FROM nc),
+           |bh AS (SELECT doc_id, chunk_idx FROM sp JOIN bits USING (pos)
+           |       GROUP BY 1, 2 HAVING COUNT(*) = 3)
+           |SELECT nc.doc_id, COUNT(*) AS n_chunks,
+           |  CAST(SUM(CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(SUM(CASE WHEN h2.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+           |  CAST(CASE WHEN SUM(CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 2
+           |                 >= COUNT(*) THEN 1 ELSE 0 END AS INT) AS dropped
+           |FROM nc
+           |LEFT JOIN bh ON nc.doc_id = bh.doc_id AND nc.chunk_idx = bh.chunk_idx
+           |LEFT JOIN hist h2 ON nc.chunk = h2.chunk
+           |GROUP BY 1""".stripMargin
+    },
+
+    // Mirrors DedupOps.dupSpans: d8's gram/dup relations (1-based starts —
+    // span lengths and merge structure are position-origin invariant), the
+    // same islands merge (new island iff start > running-max-end + 1, so
+    // adjacent covers fuse), zeros riding along for clean docs.
+    "d22_dup_spans" ->
+      raw"""WITH d AS (
+           |  SELECT doc_id, string_split_regex(trim(text, ' '), '\s+') AS toks
+           |  FROM documents WHERE length(trim(text, ' ')) > 0),
+           |occ AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+           |  FROM d WHERE len(toks) >= 8),
+           |og AS (SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram FROM occ),
+           |dup AS (SELECT gram FROM (
+           |        SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM og GROUP BY 1)
+           |        WHERE nd >= 2),
+           |iv AS (SELECT DISTINCT doc_id, i AS st, i + 7 AS en
+           |       FROM og JOIN dup USING (gram)),
+           |fl AS (SELECT doc_id, st, en,
+           |    CASE WHEN max(en) OVER w IS NULL OR st > max(en) OVER w + 1
+           |         THEN 1 ELSE 0 END AS opens
+           |  FROM iv WINDOW w AS (PARTITION BY doc_id ORDER BY st, en
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           |isl AS (SELECT doc_id, st, en,
+           |    SUM(opens) OVER (PARTITION BY doc_id ORDER BY st, en
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM fl),
+           |sp AS (SELECT doc_id, island, MAX(en) - MIN(st) + 1 AS span_len
+           |       FROM isl GROUP BY 1, 2),
+           |pd AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(span_len) AS dup_tokens,
+           |              MAX(span_len) AS longest_span FROM sp GROUP BY 1)
+           |SELECT d.doc_id, len(d.toks) AS n_tokens,
+           |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+           |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |  CAST(COALESCE(pd.longest_span, 0) AS BIGINT) AS longest_span,
+           |  CAST(COALESCE(pd.dup_tokens, 0) * 10000 // len(d.toks) AS BIGINT)
+           |    AS dup_bp
+           |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
     // Mirrors DedupOps.chunkDedupFirst: same tokenization, 0-based 8-token
     // chunks (DuckDB's 1-based inclusive slice ↔ Spark's 1-based slice), the
     // identical integer first-occurrence key, ordered reassembly.
@@ -11800,6 +11941,31 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     "s2_ann_ivf" -> ivfOracle,
+
+    // Mirrors s34_ivf_balance: s2's exact assignment chain (same cosine,
+    // same (sim DESC, cid) argmax tie-break), a LEFT join keeping empty
+    // cells, HUGEINT mirroring Spark's DECIMAL(38,0) Σn² accumulator, and
+    // the same fold-to-BIGINT integer division before output.
+    "s34_ivf_balance" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+         |$adaptiveParamsSql,
+         |n AS (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+         |      WHERE list_inner_product(ve, ve) > 0),
+         |cent AS (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm FROM n
+         |         WHERE vec_id % (SELECT stride FROM params) = 0),
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n a CROSS JOIN cent c) WHERE rn = 1),
+         |cells AS (SELECT c.cid, COUNT(a.vec_id) AS nn
+         |          FROM cent c LEFT JOIN assign a ON a.cid = c.cid GROUP BY 1)
+         |SELECT COUNT(*) AS k_cells, CAST(SUM(nn) AS BIGINT) AS n_vecs,
+         |  COUNT(*) FILTER (WHERE nn = 0) AS n_empty,
+         |  CAST(MAX(nn) AS BIGINT) AS max_cell,
+         |  CAST(MIN(nn) FILTER (WHERE nn > 0) AS BIGINT) AS min_cell,
+         |  CAST((COUNT(*)::HUGEINT * SUM(nn::HUGEINT * nn) * 10000)
+         |       // (SUM(nn)::HUGEINT * SUM(nn)) AS BIGINT) AS imbalance_bp
+         |FROM cells""".stripMargin,
 
     // s2's oracle chain as a subquery + the doc-token join + the same
     // greedy rank-ordered running budget.

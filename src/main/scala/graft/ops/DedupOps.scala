@@ -606,6 +606,65 @@ object DedupOps {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Maximal duplicated-REGION statistics — the ExactSubstr-style report
+    * beside d8's removal (Lee et al. 2022 report duplicated-substring mass
+    * before scrubbing it): per doc, the token intervals covered by any
+    * word `gramSize`-gram occurring in ≥ `minDocs` distinct documents,
+    * merged into MAXIMAL runs. d7 counts duplicated grams and d8 deletes
+    * their cover; neither says whether a doc's duplication is one 400-token
+    * quoted block (benign license header — one long span) or boilerplate
+    * confetti sprayed through the text (40 short spans) — the span-shape
+    * distinction IS the curation signal this audit adds.
+    *
+    * Interval merge is the classic islands idiom, fully relational: gram
+    * hits become inclusive intervals [i, i+g−1]; ordered by start within
+    * the doc, a row opens a NEW island iff its start exceeds the running
+    * max end of all previous intervals + 1 (adjacent runs fuse — covered
+    * token sets touch), island ids are the running sum of open flags, and
+    * one groupBy((id, island)) yields the maximal spans. Two window frames
+    * over the SAME (id | st, en) sort → one exchange + one sort, partitions
+    * bounded by per-doc gram counts — never corpus-wide.
+    *
+    * @return one row per non-blank doc: (id, n_tokens, n_spans,
+    *         dup_tokens, longest_span, dup_bp) — zero-duplication docs
+    *         ride along with zeros so the corpus-level distribution reads
+    *         off the one relation. */
+  def dupSpans(corpus: DataFrame, idCol: String, textCol: String,
+               gramSize: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramSize >= 1 && minDocs >= 1)
+    val base = scrubBase(corpus, idCol, textCol)
+    val occ = scrubOcc(base, gramSize)
+    val dupGrams = occ.select(col("id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("gh"))
+    val iv = occ.join(dupGrams, "gh")
+      .select(col("id"), col("i").as("st"),
+        (col("i") + lit(gramSize - 1)).as("en"))
+      .distinct()
+    val ord = Window.partitionBy(col("id")).orderBy(col("st"), col("en"))
+    val spans = iv
+      .withColumn("prev_en", max(col("en")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_en").isNull || col("st") > col("prev_en") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg((max(col("en")) - min(col("st")) + 1L).as("span_len"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"),
+        max(col("span_len")).as("longest_span"))
+    base.select(col("id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+      .withColumn("dup_bp", expr("dup_tokens * 10000 div n_tokens"))
+  }
+
   /** Chunk-level dedup with FIRST-occurrence keep — the line-level dedup of
     * RefinedWeb/FineWeb-style curation, re-expressed over whitespace corpora
     * as fixed-width token chunks (the synthetic docs carry no newlines, so
@@ -632,20 +691,35 @@ object DedupOps {
     * skew lands in one min per distinct chunk — the partial agg absorbs the
     * copies), the rollup one exchange on id with collect_list bounded by
     * document length. Nothing quadratic, nothing driver-side. */
-  def chunkDedupFirst(corpus: DataFrame, idCol: String, textCol: String,
-                      chunkTokens: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Non-blank docs tokenized and sized: (id, toks, n_chunks) — the shared
+    * base of the chunk-granularity dedup family (d20/d21). */
+  private def chunkBase(corpus: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int): DataFrame = {
     require(chunkTokens >= 1)
-    val base = corpus.filter(length(trim(col(textCol))) > 0)
+    corpus.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("toks"))
       .withColumn("n_chunks",
         expr(s"(size(toks) + ${chunkTokens - 1}) div $chunkTokens"))
-    val chunks = base.select(col("id"),
+  }
+
+  /** Consecutive `chunkTokens`-token chunks per non-blank doc (the last
+    * chunk may be short): (id, chunk_idx, chunk) — the "line" relation of
+    * the chunk-granularity dedup family. Token-mass-sized, generated
+    * per-row (no shuffle). */
+  def tokenChunks(corpus: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int = 8): DataFrame =
+    chunkBase(corpus, idCol, textCol, chunkTokens).select(col("id"),
       posexplode(transform(
         sequence(lit(0L), col("n_chunks") - 1L),
         i => concat_ws(" ",
           slice(col("toks"), (i * chunkTokens + 1).cast("int"),
             lit(chunkTokens))))).as(Seq("chunk_idx", "chunk")))
+
+  def chunkDedupFirst(corpus: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = chunkBase(corpus, idCol, textCol, chunkTokens)
+    val chunks = tokenChunks(corpus, idCol, textCol, chunkTokens)
     val firstKeyed = chunks
       .withColumn("okey", col("id") * lit(1000000L) + col("chunk_idx"))
       .withColumn("first_key",
@@ -661,6 +735,61 @@ object DedupOps {
       .select(col("id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("rebuilt"), lit("")).as("rebuilt"))
+  }
+
+  /** Bloom-filter INCREMENTAL chunk dedup — the Dolma "BFF" recipe
+    * (Soldaini et al. 2024): chunks of the already-ingested history
+    * populate a Bloom filter; a NEW document drops when at least half its
+    * chunks test positive. The batch-over-batch form of [[chunkDedupFirst]]
+    * for pipelines that cannot re-scan history per batch — the filter is
+    * the only state carried forward, kilobytes regardless of history size.
+    *
+    * The gate form materializes the filter as its SET-BIT RELATION
+    * (distinct 16-bit positions — semantically identical to a word array,
+    * oracle-mirrorable, ≤ 65536 rows ⇒ broadcast-small and CONSTANT in
+    * history size; the production scan-prune form of the same idea is the
+    * o13 xxhash64 word array in [[Sketches.bloomBuild]]). Positions are
+    * md5-portable: pos_i(chunk) = first 4 hex digits of md5(i ∥ chunk), k
+    * salted hashes per chunk; a chunk HITS iff all k positions are set.
+    * False positives possible — that is the recipe's trade — false
+    * negatives impossible; the output carries the exact containment count
+    * next to the bloom count so the gate PINS the FP behavior per doc
+    * instead of hoping.
+    *
+    * Scale shape: both chunk relations are token-mass-sized and generated
+    * per-row; the bit relation partial-aggregates to ≤ 2¹⁶ rows and
+    * broadcasts; the only wide exchanges key on (id, chunk_idx) and the
+    * chunk text (the exact-containment semi join).
+    *
+    * @return one row per non-blank fresh doc: (id, n_chunks, n_hits,
+    *         n_true_hits, dropped) — dropped = 1 iff n_hits·2 ≥ n_chunks. */
+  def bloomChunkDedup(history: DataFrame, fresh: DataFrame, idCol: String,
+                      textCol: String, chunkTokens: Int = 8,
+                      kHashes: Int = 3): DataFrame = {
+    require(kHashes >= 1 && kHashes <= 8)
+    def pos(key: Column, i: Int): Column =
+      conv(substring(md5(concat(lit(i.toString), key)), 1, 4), 16, 10)
+        .cast("long")
+    val saltedPos =
+      explode(array((0 until kHashes).map(i => pos(col("chunk"), i)): _*))
+    val hist = tokenChunks(history, idCol, textCol, chunkTokens)
+      .select(col("chunk")).distinct()
+    val bits = hist.select(saltedPos.as("pos")).distinct()
+    val nc = tokenChunks(fresh, idCol, textCol, chunkTokens)
+    val bloomHit = nc
+      .select(col("id"), col("chunk_idx"), saltedPos.as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_set"))
+      .filter(col("n_set") === kHashes)
+      .select(col("id"), col("chunk_idx"), lit(1L).as("bhit"))
+    nc.join(hist.select(col("chunk"), lit(1L).as("thit")), Seq("chunk"), "left")
+      .join(bloomHit, Seq("id", "chunk_idx"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("bhit"), lit(0L))).as("n_hits"),
+        sum(coalesce(col("thit"), lit(0L))).as("n_true_hits"))
+      .withColumn("dropped", (col("n_hits") * 2 >= col("n_chunks")).cast("int"))
   }
 
   /** Connected components over an undirected pair relation — the clustering

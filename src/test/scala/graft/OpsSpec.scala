@@ -938,6 +938,68 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("bloomChunkDedup: history chunks hit, fresh-only chunks survive, no false negatives") {
+    import graft.ops.DedupOps
+    val history = Seq(
+      (1L, "a b c d"),            // chunks (width 2): "a b", "c d"
+      (2L, "e f g h")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "a b c d"),           // both chunks in history → dropped
+      (11L, "a b x y"),           // half duplicated → dropped at the ≥50% rule
+      (12L, "p q r s"),           // nothing shared → kept
+      (13L, "x y c d p q")        // 1 of 3 → kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.bloomChunkDedup(history, fresh, "doc_id", "text",
+        chunkTokens = 2, kHashes = 3)
+      .select("id", "n_chunks", "n_hits", "n_true_hits", "dropped")
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // no false negatives ever: n_hits >= n_true_hits, and every truly
+    // contained chunk is hit
+    out.values.foreach { case (_, hits, trueHits, _) => assert(hits >= trueHits) }
+    assert(out(10L) === ((2L, 2L, 2L, 1)))
+    assert(out(11L)._4 === 1 && out(11L)._3 === 1L)
+    assert(out(12L) === ((2L, 0L, 0L, 0)),
+      "65536 bits over 4 history chunks: a false positive here is ~impossible")
+    assert(out(13L)._4 === 0 && out(13L)._3 === 1L)
+    // physical layout cannot change the result
+    val a = DedupOps.bloomChunkDedup(history, fresh, "doc_id", "text", 2, 3)
+      .orderBy("id").collect().toSeq
+    val b = DedupOps.bloomChunkDedup(history.repartition(3), fresh.repartition(5),
+      "doc_id", "text", 2, 3).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("dupSpans: islands merge overlapping and TOUCHING covers, gaps split, within-doc repeats inert") {
+    import graft.ops.DedupOps
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // dup grams (w=2): "a b","b c","e f" → spans [0,2],[4,5]
+      (2L, "a b c x e f"),
+      (3L, "p q r s"),       // fully duplicated → ONE span of 4
+      (4L, "p q r s"),
+      (5L, "z z z z z"),     // within-doc repeat only → nd=1 → no spans
+      (8L, "u v w x"),       // covers [0,1],[2,3] TOUCH → fuse to one span of 4
+      (9L, "u v q1 q2 w x")  // its partner: spans [0,1],[4,5] gap → stay split
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dupSpans(corpus, "doc_id", "text", gramSize = 2, minDocs = 2)
+      .select("id", "n_tokens", "n_spans", "dup_tokens", "longest_span", "dup_bp")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) === ((6L, 2L, 5L, 3L, 8333L)))
+    assert(out(2L) === ((6L, 2L, 5L, 3L, 8333L)))
+    assert(out(3L) === ((4L, 1L, 4L, 4L, 10000L)))
+    assert(out(5L) === ((5L, 0L, 0L, 0L, 0L)))
+    assert(out(8L) === ((4L, 1L, 4L, 4L, 10000L)), "touching covers must fuse")
+    assert(out(9L) === ((6L, 2L, 4L, 2L, 6666L)), "gapped covers must not fuse")
+    // physical layout cannot change the result
+    val a = DedupOps.dupSpans(corpus, "doc_id", "text", 2, 2)
+      .orderBy("id").collect().toSeq
+    val b = DedupOps.dupSpans(corpus.repartition(7), "doc_id", "text", 2, 2)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("spanScrubAgainst: external bench grams scrub; corpus-internal dups don't") {
     import graft.ops.DedupOps
     val corpus = Seq(
