@@ -1021,6 +1021,42 @@ object SparkEntry {
         FROM st""")
     }),
 
+    // O46 — zone-map pruning audit: WOULD the file layout skip the scan?
+    // Per-file min/max stats (the parquet footer / Iceberg manifest
+    // content) are simulated for two layouts of orders — natural key order
+    // vs sorted by o_orderdate — at 4096 rows/file, then a 12-month probe
+    // ladder counts the files whose [min,max] range intersects each month.
+    // The by-date layout prunes ~98% of files per month; the by-key layout
+    // ~0% (every file spans the full date range) — THE sort-before-write
+    // decision at 100 TB, quantified as data instead of folklore. Layouts
+    // are built with the two-pass range-partitioned global rank (never one
+    // sort partition); the stats relation is rows/4096 — metadata-sized —
+    // and the probe join broadcasts 12 rows against it.
+    "o46_zonemap_audit" -> ((s, dir) => {
+      val perFile = 4096
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      def stats(ordered: DataFrame, name: String): DataFrame =
+        ordered.withColumn("file_id", expr(s"(pos - 1) div $perFile"))
+          .groupBy(col("file_id"))
+          .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+          .withColumn("layout", lit(name))
+      val files = stats(graft.ops.Ranking.globalRowNumber(o,
+          Seq(col("o_orderkey"))), "by_key")
+        .unionByName(stats(graft.ops.Ranking.globalRowNumber(o,
+          Seq(col("o_orderdate"), col("o_orderkey"))), "by_date"))
+      val probes = s.range(1, 13).select(col("id").as("probe_month"),
+        expr("make_date(1995, id, 1)").cast("timestamp").as("lo"),
+        expr("make_date(if(id = 12, 1996, 1995), if(id = 12, 1, id + 1), 1)")
+          .cast("timestamp").as("hi"))
+      files.crossJoin(broadcast(probes))
+        .groupBy(col("layout"), col("probe_month"))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("mn") < col("hi") && col("mx") >= col("lo"), lit(1)))
+            .as("files_read"))
+        .withColumn("prune_bp",
+          expr("(n_files - files_read) * 10000 div n_files"))
+    }),
+
     // O45 — referential-integrity audit (the cross-TABLE data-quality
     // complement of o30's column-level checks): orphan foreign keys per
     // relationship — lineitem→orders, lineitem→part, lineitem→supplier,
@@ -1158,6 +1194,36 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("acctbal_cents"))
+    }),
+
+    // Q36 — waiting-on-one-supplier audit (TPC-H Q21 shape, lateness
+    // restated on the available schema as shipdate > orderdate + 60 days):
+    // per supplier, the multi-supplier orders where THEY shipped late and
+    // no co-supplier did. The point is the optimizer path: one EXISTS and
+    // one NOT EXISTS, both correlated on the outer lineitem's order key
+    // (the NOT EXISTS additionally on the outer ORDER's date — a two-table
+    // correlation), which RewritePredicateSubquery must decorrelate into a
+    // left-semi plus a left-anti join against lineitem — the double-
+    // correlated shape q7 (scalar), q8 (single EXISTS) and q9 (NOT IN)
+    // don't reach. Both joins key on l_orderkey, broadcast only supplier.
+    "q36_waiting_supplier" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("q36_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("q36_orders")
+      Tables.supplier(s, dir).createOrReplaceTempView("q36_supplier")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM q36_supplier, q36_lineitem l1, q36_orders o
+        WHERE s_suppkey = l1.l_suppkey
+          AND o.o_orderkey = l1.l_orderkey
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT * FROM q36_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM q36_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s_name""")
     }),
 
     // A35 — day-of-week seasonality profile: exact cents mass and share
@@ -10004,6 +10070,51 @@ object SparkEntry {
 
     // Mirrors q35: integer cents, cross-multiplied global threshold over
     // positive balances, NOT EXISTS anti join, nation rollup.
+    // Mirrors q36 verbatim — the oracle decorrelates however DuckDB
+    // pleases; the gate checks the SEMANTICS of the double-correlated
+    // EXISTS / NOT EXISTS, not Spark's plan for it.
+    "q36_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders o
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o.o_orderkey = l1.l_orderkey
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT * FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT * FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name""".stripMargin,
+
+    // Mirrors o46: same 4096-row file assignment under both orderings
+    // (unique tie-breaks), same month ladder, same intersection predicate.
+    "o46_zonemap_audit" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+        |bk AS (SELECT (row_number() OVER (ORDER BY o_orderkey) - 1) // 4096
+        |         AS file_id, o_orderdate FROM o),
+        |bd AS (SELECT (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+        |         // 4096 AS file_id, o_orderdate FROM o),
+        |files AS (
+        |  SELECT 'by_key' AS layout, file_id, MIN(o_orderdate) AS mn,
+        |         MAX(o_orderdate) AS mx FROM bk GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'by_date', file_id, MIN(o_orderdate), MAX(o_orderdate)
+        |  FROM bd GROUP BY 2),
+        |probes AS (SELECT m AS probe_month,
+        |    CAST(make_date(1995, CAST(m AS INT), 1) AS TIMESTAMP) AS lo,
+        |    CAST(make_date(CASE WHEN m = 12 THEN 1996 ELSE 1995 END,
+        |                   CASE WHEN m = 12 THEN 1 ELSE CAST(m + 1 AS INT) END,
+        |                   1) AS TIMESTAMP) AS hi
+        |  FROM range(1, 13) t(m))
+        |SELECT layout, probe_month, COUNT(*) AS n_files,
+        |  COUNT(*) FILTER (WHERE mn < hi AND mx >= lo) AS files_read,
+        |  CAST((COUNT(*) - COUNT(*) FILTER (WHERE mn < hi AND mx >= lo))
+        |       * 10000 // COUNT(*) AS BIGINT) AS prune_bp
+        |FROM files CROSS JOIN probes
+        |GROUP BY 1, 2""".stripMargin,
+
     "q35_sales_opportunity" ->
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
