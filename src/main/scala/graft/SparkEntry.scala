@@ -1057,6 +1057,75 @@ object SparkEntry {
           expr("(n_files - files_read) * 10000 div n_files"))
     }),
 
+    // O47 — resharding-movement audit: growing 16 → 17 shards, what
+    // fraction of keys MOVE under mod-N placement (≈ all of them — the
+    // classic rehash catastrophe) vs rendezvous/HRW hashing (≈ 1/17 — only
+    // keys whose new shard wins the hash race)? The storage-design number
+    // behind every 100 TB shard-count change, quantified per scheme with
+    // the shard-balance spread riding along. HRW assignment is map-only
+    // (an N-element array max per key — no shuffle, no join; real serving
+    // uses it per request, and jump-consistent-hash is the O(log N)
+    // alternative when N is large); the only exchanges are two
+    // shards-sized rollups.
+    "o47_resharding" -> ((s, dir) => {
+      def hrw(n: Int): Column = expr(
+        s"""array_max(transform(sequence(0, ${n - 1}),
+            s -> struct(md5(concat(cast(s as string), ':',
+                   cast(o_orderkey as string))) as h, s as sid))).sid""")
+      val assigned = Tables.orders(s, dir).select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(16)).cast("int").as("mod_a"),
+        pmod(col("o_orderkey"), lit(17)).cast("int").as("mod_b"),
+        hrw(16).as("hrw_a"), hrw(17).as("hrw_b"))
+      def audit(a: Column, b: Column, scheme: String): DataFrame =
+        assigned.select(a.as("sh"), (a =!= b).cast("long").as("mv"))
+          .groupBy(col("sh"))
+          .agg(count(lit(1)).as("n"), sum(col("mv")).as("mvd"))
+          .agg(sum(col("n")).as("n_keys"), sum(col("mvd")).as("n_moved"),
+            max(col("n")).as("max_load"), min(col("n")).as("min_load"))
+          .select(lit(scheme).as("scheme"), col("n_keys"), col("n_moved"),
+            expr("n_moved * 10000 div n_keys").as("moved_bp"),
+            col("max_load"), col("min_load"))
+      audit(col("mod_a"), col("mod_b"), "mod_n")
+        .unionByName(audit(col("hrw_a"), col("hrw_b"), "rendezvous"))
+    }),
+
+    // O48 — copy-on-write vs merge-on-read WRITE-AMPLIFICATION audit (the
+    // lakehouse table-format decision): one month of late fixes lands on
+    // lineitem laid out 4096 rows/file in natural key order. COW rewrites
+    // every file containing a touched row (rows_written = Σ sizes of
+    // touched files); MOR appends a delta (rows_written = n_updates) and
+    // pays at read time (files_touched counts the base files a reader must
+    // merge against). Amplification in integer basis points — at 100 TB
+    // this ratio × update cadence IS the COW/MOR choice. File assignment
+    // reuses o46's two-pass global rank; everything downstream is
+    // file-relation-sized.
+    "o48_cow_mor" -> ((s, dir) => {
+      val perFile = 4096
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_linenumber"))
+      val placed = graft.ops.Ranking.globalRowNumber(l,
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .withColumn("file_id", expr(s"(pos - 1) div $perFile"))
+      val touchedOrders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey").as("l_orderkey"))
+      val touched = placed.join(touchedOrders, Seq("l_orderkey"), "left_semi")
+      val fileSizes = placed.groupBy(col("file_id")).agg(count(lit(1)).as("fsz"))
+      val touchedFiles = touched.select(col("file_id")).distinct()
+      val cow = touchedFiles.join(fileSizes, "file_id")
+        .agg(count(lit(1)).as("files_touched"),
+          sum(col("fsz")).as("rows_written"))
+      val nUpd = touched.agg(count(lit(1)).as("n_updates"))
+      cow.crossJoin(broadcast(nUpd))
+        .select(lit("cow").as("strategy"), col("n_updates"),
+          col("files_touched"), col("rows_written"),
+          expr("rows_written * 10000 div n_updates").as("write_amp_bp"))
+        .unionByName(cow.crossJoin(broadcast(nUpd))
+          .select(lit("mor").as("strategy"), col("n_updates"),
+            col("files_touched"), col("n_updates").as("rows_written"),
+            lit(10000L).as("write_amp_bp")))
+    }),
+
     // O45 — referential-integrity audit (the cross-TABLE data-quality
     // complement of o30's column-level checks): orphan foreign keys per
     // relationship — lineitem→orders, lineitem→part, lineitem→supplier,
@@ -10070,6 +10139,64 @@ object SparkEntry {
 
     // Mirrors q35: integer cents, cross-multiplied global threshold over
     // positive balances, NOT EXISTS anti join, nation rollup.
+    // Mirrors o47: identical md5(s ':' key) race (rn = 1 under h DESC,
+    // s DESC ↔ Spark's array_max over (h, sid) structs), same mod shards,
+    // same per-shard rollup then 1-row fold.
+    "o47_resharding" ->
+      """WITH k AS (SELECT o_orderkey FROM orders),
+        |e AS (SELECT o_orderkey, s,
+        |    md5(CAST(s AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM k CROSS JOIN range(0, 17) t(s)),
+        |a16 AS (SELECT o_orderkey, s FROM (
+        |  SELECT o_orderkey, s, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY h DESC, s DESC) AS rn FROM e WHERE s < 16) WHERE rn = 1),
+        |a17 AS (SELECT o_orderkey, s FROM (
+        |  SELECT o_orderkey, s, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY h DESC, s DESC) AS rn FROM e) WHERE rn = 1),
+        |rows_m AS (SELECT CAST(o_orderkey % 16 AS INT) AS sh,
+        |    CASE WHEN o_orderkey % 16 <> o_orderkey % 17 THEN 1 ELSE 0 END AS mv
+        |  FROM k),
+        |rows_h AS (SELECT CAST(a16.s AS INT) AS sh,
+        |    CASE WHEN a16.s <> a17.s THEN 1 ELSE 0 END AS mv
+        |  FROM a16 JOIN a17 USING (o_orderkey)),
+        |g_m AS (SELECT sh, COUNT(*) AS n, SUM(mv) AS mvd FROM rows_m GROUP BY 1),
+        |g_h AS (SELECT sh, COUNT(*) AS n, SUM(mv) AS mvd FROM rows_h GROUP BY 1)
+        |SELECT 'mod_n' AS scheme, CAST(SUM(n) AS BIGINT) AS n_keys,
+        |  CAST(SUM(mvd) AS BIGINT) AS n_moved,
+        |  CAST(SUM(mvd) * 10000 // SUM(n) AS BIGINT) AS moved_bp,
+        |  CAST(MAX(n) AS BIGINT) AS max_load, CAST(MIN(n) AS BIGINT) AS min_load
+        |FROM g_m
+        |UNION ALL
+        |SELECT 'rendezvous', CAST(SUM(n) AS BIGINT), CAST(SUM(mvd) AS BIGINT),
+        |  CAST(SUM(mvd) * 10000 // SUM(n) AS BIGINT),
+        |  CAST(MAX(n) AS BIGINT), CAST(MIN(n) AS BIGINT)
+        |FROM g_h""".stripMargin,
+
+    // Mirrors o48: same (l_orderkey, l_linenumber) placement order, same
+    // 4096-row files, same March-1995 touch set.
+    "o48_cow_mor" ->
+      """WITH placed AS (SELECT l_orderkey,
+        |    (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 4096
+        |      AS file_id
+        |  FROM lineitem),
+        |tord AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'),
+        |touched AS (SELECT p.l_orderkey, p.file_id FROM placed p
+        |  WHERE EXISTS (SELECT 1 FROM tord WHERE o_orderkey = p.l_orderkey)),
+        |fs AS (SELECT file_id, COUNT(*) AS fsz FROM placed GROUP BY 1),
+        |tf AS (SELECT DISTINCT file_id FROM touched),
+        |cow AS (SELECT COUNT(*) AS files_touched,
+        |    CAST(SUM(fsz) AS BIGINT) AS rows_written FROM tf JOIN fs USING (file_id)),
+        |nu AS (SELECT COUNT(*) AS n_updates FROM touched)
+        |SELECT 'cow' AS strategy, n_updates, files_touched, rows_written,
+        |  CAST(rows_written * 10000 // n_updates AS BIGINT) AS write_amp_bp
+        |FROM cow CROSS JOIN nu
+        |UNION ALL
+        |SELECT 'mor', n_updates, files_touched,
+        |  CAST(n_updates AS BIGINT), CAST(10000 AS BIGINT)
+        |FROM cow CROSS JOIN nu""".stripMargin,
+
     // Mirrors q36 verbatim — the oracle decorrelates however DuckDB
     // pleases; the gate checks the SEMANTICS of the double-correlated
     // EXISTS / NOT EXISTS, not Spark's plan for it.
