@@ -1295,6 +1295,63 @@ object SparkEntry {
         GROUP BY s_name""")
     }),
 
+    // Q37 — top supplier by quarter revenue (TPC-H Q15 shape): the
+    // max-of-an-aggregate join-back, KEEPING ties — the view + MAX(view)
+    // pattern. The tie decision compares the exact DECIMAL(30,4) sums
+    // (per-term double→decimal cast, the Exact.sumD discipline), never
+    // the double rendering — two suppliers equal in cents must both
+    // surface on both engines. Plan: one suppliers-sized aggregate off
+    // the date-pruned scan, a broadcast 1-row max, and the tie set (tiny)
+    // builds the supplier join's hash side under AQE.
+    "q37_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(30,4)")).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+        .filter(col("total_rev") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+    }),
+
+    // A36 — exact Mann–Whitney U (Wilcoxon rank-sum) with tie correction:
+    // are English docs systematically longer than the rest? The
+    // nonparametric two-sample location test beside mon14's KS — U doubles
+    // as the AUC of "length separates the groups" (probability of
+    // superiority), reported in integer basis points. Tie-corrected
+    // midranks stay integer DOUBLED: rank2(v) = 2·|{x < v}| + |{x = v}| + 1
+    // (twice the average rank of v's tie block), so every quantity is
+    // exact on both engines. Scale shape: one corpus-sized groupBy(v)
+    // reduces to the DISTINCT-VALUE relation (doc lengths — bounded,
+    // metadata-sized like the s32 eigensolve input) and the single-window
+    // cumsum runs there, never over corpus rows. Bounds: u2 ≤ 2·n_a·n_b
+    // needs samples ≤ ~2.1e9 each in a BIGINT — past that, bucket lengths
+    // first (the test is rank-based; bucketing = coarser ties).
+    "a36_mann_whitney" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("n_chars").cast("long").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
+      val byV = d.groupBy(col("v")).agg(sum(col("is_a")).as("na"),
+        sum(lit(1L) - col("is_a")).as("nb"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV
+        .withColumn("less", coalesce(sum(col("na") + col("nb")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("less") + col("na") + col("nb") + 1L)
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          sum(col("na") * col("rank2")).as("r2_a"))
+        .select(col("n_a"), col("n_b"),
+          (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+        .withColumn("u2_b", lit(2L) * col("n_a") * col("n_b") - col("u2_a"))
+        .withColumn("auc_bp",
+          // u2_a·10⁴ overflows a BIGINT past ~1e7-row samples — route the
+          // product through DECIMAL(38,0) and fold back via integer div
+          expr("""(cast(u2_a as decimal(38,0)) * 10000)
+                 div (cast(2 as decimal(38,0)) * n_a * n_b)"""))
+    }),
+
     // A35 — day-of-week seasonality profile: exact cents mass and share
     // per weekday (the calendar complement of mon9's hour-of-day
     // decomposition). ISO weekday from the epoch-day index — pure integer
@@ -10196,6 +10253,42 @@ object SparkEntry {
         |SELECT 'mor', n_updates, files_touched,
         |  CAST(n_updates AS BIGINT), CAST(10000 AS BIGINT)
         |FROM cow CROSS JOIN nu""".stripMargin,
+
+    // Mirrors q37: same per-term double→DECIMAL(30,4) rounding before the
+    // sum, tie decision on the exact decimal (never the double), double
+    // rendering only at the output edge.
+    "q37_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin,
+
+    // Mirrors a36: same doubled midranks (2·less + eq + 1), same HUGEINT ↔
+    // DECIMAL(38,0) fold for the basis points.
+    "a36_mann_whitney" ->
+      """WITH d AS (SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a FROM documents),
+        |bv AS (SELECT v, CAST(SUM(is_a) AS BIGINT) AS na,
+        |    CAST(SUM(1 - is_a) AS BIGINT) AS nb FROM d GROUP BY 1),
+        |rk AS (SELECT v, na, nb,
+        |    COALESCE(SUM(na + nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+        |  FROM bv),
+        |ag AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(na * (2 * less + na + nb + 1)) AS BIGINT) AS r2_a FROM rk)
+        |SELECT n_a, n_b,
+        |  CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+        |  CAST((CAST(r2_a - n_a * (n_a + 1) AS HUGEINT) * 10000)
+        |       // (CAST(2 AS HUGEINT) * n_a * n_b) AS BIGINT) AS auc_bp
+        |FROM ag""".stripMargin,
 
     // Mirrors q36 verbatim — the oracle decorrelates however DuckDB
     // pleases; the gate checks the SEMANTICS of the double-correlated
