@@ -465,4 +465,54 @@ class PlansSpec extends SparkSpec {
     assert(o43Scan.matches(""".*PartitionFilters: \[[^\]]*day[^\]]*=[^\]]*\].*"""),
       s"o43 day equality prunes partitions at the scan:\n$o43")
   }
+
+  test("gate plan shapes: q36 semi+anti decorrelation, o47 join-free, a36 one scan one window") {
+    // session-11 load-bearing plan properties:
+    //  - q36_waiting_supplier: the EXISTS + NOT EXISTS pair must
+    //    decorrelate to a LeftSemi and a LeftAnti hash join — a
+    //    nested-loop/cartesian anywhere means the two-table correlation
+    //    defeated RewritePredicateSubquery;
+    //  - o47_resharding: HRW placement is a per-row array_max race —
+    //    there must be NO join operator at all (a shard-table join would
+    //    shuffle the key relation N_shards times);
+    //  - a36_mann_whitney: the corpus reduces to the distinct-value
+    //    relation BEFORE ranking — one parquet scan, one Window.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plans-gates5").toString
+    (1L to 30L).map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 2}",
+        Seq("en", "de")(i.toInt % 2), s"s${i % 4}", 10L + i % 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    (1L to 20L).map(i => (i, i % 7 + 1, "F", i * 10.0,
+        new java.sql.Timestamp(820454400000L + i * 86400000), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    (1L to 6L).map(i => (i, s"s$i", (i % 3).toInt, i * 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    (1L to 40L).map(i => (i % 10 + 1, i % 12 + 1, i % 6 + 1, (i % 4).toInt,
+        i % 5 + 1.0, i * 3.0, 0.1, 0.2,
+        new java.sql.Timestamp(820454400000L + i * 10 * 86400000)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    def planOf(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    val q36 = planOf("q36_waiting_supplier")
+    assert(q36.contains("LeftSemi") && q36.contains("LeftAnti"),
+      s"q36 decorrelates to semi + anti joins:\n$q36")
+    assert(!q36.contains("NestedLoop") && !q36.contains("CartesianProduct"),
+      s"q36 never falls back to a correlated scan:\n$q36")
+    val o47 = planOf("o47_resharding")
+    assert(!o47.contains("Join"),
+      s"o47 HRW placement is map-only — no join anywhere:\n$o47")
+    val a36 = planOf("a36_mann_whitney")
+    assert(a36.split("\n").count(_.contains("Scan parquet")) === 1,
+      s"a36 reads documents once:\n$a36")
+    assert(a36.split("\n").count(_.trim.startsWith("+- Window")) +
+      a36.split("\n").count(_.trim.startsWith("Window")) >= 1 &&
+      a36.split("\n").count(_.contains("Window")) === 1,
+      s"a36 ranks on the reduced distinct-value relation with one window:\n$a36")
+  }
 }
