@@ -5505,6 +5505,31 @@ object SparkEntry {
           (col("n_hits_trained").cast("double") / 5).as("recall_trained"))
     }),
 
+    // S35 — PQ quantization-distortion audit: per-subspace SSE of the raw
+    // stride book vs the Lloyd-trained book (s7e's exact chain). s7c/s7e
+    // gate what training buys in RECALL; this gates the mechanism itself —
+    // pqCodebookRefine's doc claims every iteration reduces within-
+    // subspace MSE, and `improved` turns that claim into a checked bit
+    // per subspace instead of a comment. Sums ride the Exact.sumD decimal
+    // accumulator; output is m rows.
+    "s35_pq_distortion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb0 = SimilarityOps.pqCodebook(
+        e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0),
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+      val cbT = SimilarityOps.pqCodebookRefine(e, cb0, "vec_id", "embedding",
+        m = PqM, subDim = PqSubDim, iters = PqTrainIters)
+      SimilarityOps.pqDistortion(e, cb0, "vec_id", "embedding", PqM, PqSubDim)
+        .select(col("sub"), col("n"), col("sse").as("sse_raw"))
+        .join(SimilarityOps.pqDistortion(e, cbT, "vec_id", "embedding",
+            PqM, PqSubDim)
+          .select(col("sub"), col("sse").as("sse_trained")), Seq("sub"))
+        .select(col("sub"), col("n"),
+          Exact.fmt(col("sse_raw"), 4).as("sse_raw_r"),
+          Exact.fmt(col("sse_trained"), 4).as("sse_trained_r"),
+          (col("sse_trained") <= col("sse_raw")).cast("int").as("improved"))
+    }),
+
     // P7 — NaN encoding for model input (utils.py:124-125).
     "p7_nan_encode" -> ((s, dir) =>
       ev(s, dir).select(col("event_id"),
@@ -8933,10 +8958,10 @@ object SparkEntry {
     * with the smallest-code-id tie-break, new codewords = exact-DECIMAL
     * per-dim means / COUNT (the kmeansOracle contract), codes that win no
     * members drop out. */
-  private def pqTrainedRecallOracle(iters: Int): String = {
-    val d = PqSubDim
-    val subVals = (0 until PqM).map(i => s"($i)").mkString(", ")
-    val trainCtes = (1 to iters).map { i =>
+  /** The unrolled Lloyd-training CTE chain cb0 → cb`iters` over `sv` —
+    * shared by the s7e recall oracle and the s35 distortion oracle. */
+  private def pqTrainCtesSql(iters: Int): String =
+    (1 to iters).map { i =>
       s"""e$i AS (SELECT vec_id, sub, code_id FROM (
          |  SELECT v.vec_id, c.sub, c.code_id, row_number() OVER (
          |    PARTITION BY v.vec_id, c.sub
@@ -8952,6 +8977,23 @@ object SparkEntry {
          |  FROM (SELECT code_id, sub, list(mv ORDER BY dim) AS cw
          |        FROM m$i GROUP BY 1, 2))""".stripMargin
     }.mkString(",\n")
+
+  /** The (vec, sub) subvector relation + stride-seeded raw book cb0 —
+    * assumes [[pqPrefixCtes]]; shared with [[pqTrainCtesSql]] consumers. */
+  private def pqSvCb0Ctes: String = {
+    val d = PqSubDim
+    val subVals = (0 until PqM).map(i => s"($i)").mkString(", ")
+    s"""sv AS (SELECT vec_id, s.sub,
+       |         list_slice(ve, s.sub * $d + 1, s.sub * $d + $d) AS sv
+       |       FROM n CROSS JOIN (VALUES $subVals) AS s(sub)),
+       |cb0 AS (SELECT vec_id AS code_id, sub, sv AS cw,
+       |          list_inner_product(sv, sv) AS cwip
+       |        FROM sv WHERE vec_id % (SELECT stride FROM params) = 0)""".stripMargin
+  }
+
+  private def pqTrainedRecallOracle(iters: Int): String = {
+    val d = PqSubDim
+    val trainCtes = pqTrainCtesSql(iters)
     // hits under one book: encode vs the named cb, ADC, top-5, brute join
     def hitsCtes(cb: String, tag: String): String =
       s"""enc_$tag AS (SELECT vec_id, sub, code_id FROM (
@@ -8982,12 +9024,7 @@ object SparkEntry {
          |  FROM top_$tag p LEFT JOIN brute b USING (query_id, neighbor_id)
          |  GROUP BY 1)""".stripMargin
     s"""WITH $pqPrefixCtes,
-       |sv AS (SELECT vec_id, s.sub,
-       |         list_slice(ve, s.sub * $d + 1, s.sub * $d + $d) AS sv
-       |       FROM n CROSS JOIN (VALUES $subVals) AS s(sub)),
-       |cb0 AS (SELECT vec_id AS code_id, sub, sv AS cw,
-       |          list_inner_product(sv, sv) AS cwip
-       |        FROM sv WHERE vec_id % (SELECT stride FROM params) = 0),
+       |$pqSvCb0Ctes,
        |$trainCtes,
        |q AS (SELECT vec_id AS qid, ve, nrm AS qnrm FROM n WHERE vec_id < 20),
        |brute AS (SELECT query_id, neighbor_id FROM (
@@ -9002,6 +9039,35 @@ object SparkEntry {
        |  CAST(r.n AS DOUBLE) / 5 AS recall_raw,
        |  CAST(t.n AS DOUBLE) / 5 AS recall_trained
        |FROM hits_raw r JOIN hits_tr t USING (query_id)""".stripMargin
+  }
+
+  /** Mirrors s35_pq_distortion: same training chain as the s7e oracle
+    * ([[pqTrainCtesSql]]), the same argmax encode, SSE via the expanded
+    * ‖sv‖² − 2⟨sv,cw⟩ + ‖cw‖² with per-row DECIMAL(30,10) accumulation. */
+  private def pqDistortionOracle(iters: Int): String = {
+    def sseCtes(cb: String, tag: String): String =
+      s"""enc_$tag AS (SELECT vec_id, sub, code_id FROM (
+         |  SELECT v.vec_id, c.sub, c.code_id, row_number() OVER (
+         |    PARTITION BY v.vec_id, c.sub
+         |    ORDER BY list_inner_product(v.sv, c.cw) - 0.5 * c.cwip DESC, c.code_id) AS rn
+         |  FROM sv v JOIN $cb c ON c.sub = v.sub) WHERE rn = 1),
+         |s_$tag AS (SELECT v.sub, COUNT(*) AS n,
+         |    CAST(SUM(CAST(list_inner_product(v.sv, v.sv)
+         |      - 2 * list_inner_product(v.sv, c.cw) + c.cwip AS DECIMAL(30,10)))
+         |      AS DOUBLE) AS sse
+         |  FROM enc_$tag e
+         |  JOIN sv v ON v.vec_id = e.vec_id AND v.sub = e.sub
+         |  JOIN $cb c ON c.sub = e.sub AND c.code_id = e.code_id
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $pqPrefixCtes,
+       |$pqSvCb0Ctes,
+       |${pqTrainCtesSql(iters)},
+       |${sseCtes("cb0", "raw")},
+       |${sseCtes(s"cb$iters", "tr")}
+       |SELECT r.sub, r.n, printf('%.4f', r.sse) AS sse_raw_r,
+       |  printf('%.4f', t.sse) AS sse_trained_r,
+       |  CAST(CASE WHEN t.sse <= r.sse THEN 1 ELSE 0 END AS INT) AS improved
+       |FROM s_raw r JOIN s_tr t ON t.sub = r.sub""".stripMargin
   }
 
   /** Stage-exact oracle for IVF-PQ (s7b): the flat-IVF assign/probe stages
@@ -12554,6 +12620,7 @@ object SparkEntry {
     "s7b_pq_ivf" -> pqIvfOracle,
     "s7c_pq_recall" -> pqRecallOracle,
     "s7e_pq_trained_recall" -> pqTrainedRecallOracle(PqTrainIters),
+    "s35_pq_distortion" -> pqDistortionOracle(PqTrainIters),
 
     // The on-disk PQ index — including compaction and the code-array round
     // trip — must return the identical neighbor set the in-memory IVF-PQ

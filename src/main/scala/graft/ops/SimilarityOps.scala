@@ -890,6 +890,36 @@ object SimilarityOps {
               when(col("sub") === s, col("__s")))): _*).as("codes")): _*)
   }
 
+  /** Per-subspace quantization DISTORTION of a PQ codebook over the corpus:
+    * SSE(sub) = Σ_vectors ‖sv − cw[assigned]‖² — the codebook-health number
+    * behind ADC recall (Jégou et al. 2011 measure exactly this to justify
+    * training; [[pqCodebookRefine]]'s doc CLAIMS each Lloyd iteration
+    * reduces it — this op measures the claim instead of trusting it).
+    * The squared distance expands to ‖sv‖² − 2⟨sv,cw⟩ + ‖cw‖² so inner
+    * products stay the only float primitive (the pq oracle convention),
+    * and the per-row terms route through the [[graft.ops.Exact.sumD]]
+    * decimal accumulator — order-independent, bit-reproducible at any
+    * parallelism. Scale: one encode pass + one (vec, sub)-keyed join
+    * against the broadcast-small book; the output is m rows. */
+  def pqDistortion(corpus: DataFrame, codebook: DataFrame, idCol: String,
+                   vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
+    val sv = c.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val enc = pqEncode(corpus, codebook, idCol, vecCol, m, subDim)
+    sv.join(enc, Seq(idCol, "sub"))
+      .join(broadcast(codebook.select(col("sub"), col("code_id"),
+        col("cw"), col("cwip"))), Seq("sub", "code_id"))
+      .select(col("sub"),
+        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw"))
+          + col("cwip")).as("d2"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), graft.ops.Exact.sumD(col("d2"), 10).as("sse"))
+  }
+
   /** ADC top-k over PQ codes: approximate cosine between each query and
     * every encoded corpus vector, using only the codes and the codebook —
     * the corpus vectors themselves are never touched.

@@ -971,6 +971,27 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pqDistortion: Lloyd training never increases per-subspace SSE") {
+    import graft.ops.SimilarityOps
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (math.sin(i * 0.7 + d) + (i % 4) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb0 = SimilarityOps.pqCodebook(vecs.filter($"vec_id" % 10 === 0),
+      "vec_id", "embedding", m = 2, subDim = 4)
+    val cbT = SimilarityOps.pqCodebookRefine(vecs, cb0, "vec_id", "embedding",
+      m = 2, subDim = 4, iters = 2)
+    def sse(cb: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.pqDistortion(vecs, cb, "vec_id", "embedding", 2, 4)
+        .select("sub", "sse").as[(Int, Double)].collect().toMap
+    val raw = sse(cb0)
+    val tr = sse(cbT)
+    assert(raw.keySet === Set(0, 1) && tr.keySet === Set(0, 1))
+    raw.keys.foreach { k =>
+      assert(tr(k) <= raw(k) + 1e-9, s"sub $k: trained ${tr(k)} > raw ${raw(k)}")
+      assert(raw(k) > 0.0)
+    }
+  }
+
   test("dupSpans: islands merge overlapping and TOUCHING covers, gaps split, within-doc repeats inert") {
     import graft.ops.DedupOps
     val corpus = Seq(
