@@ -1126,6 +1126,39 @@ object SparkEntry {
             lit(10000L).as("write_amp_bp")))
     }),
 
+    // O49 — deletion-cost audit (the right-to-be-forgotten number): COW
+    // deletion of ONE user's rows (the GDPR request shape) rewrites every
+    // file holding one of them — under a TIME layout a user's history
+    // smears across ~every file (delete amplification ~ table/user); under
+    // a USER-clustered layout it concentrates into the user's own file run
+    // (~1 file). o46 quantifies layout for READS, o48 for updates — this one
+    // for deletion compliance, the third axis a 100 TB table owner must
+    // weigh before picking a sort order. Same machinery: two-pass global
+    // rank placement, file relations rows/8192, everything downstream
+    // metadata-sized.
+    "o49_deletion_cost" -> ((s, dir) => {
+      val perFile = 8192
+      val e = ev(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      def audit(ordered: DataFrame, name: String): DataFrame = {
+        val placed = ordered.withColumn("file_id", expr(s"(pos - 1) div $perFile"))
+        val sizes = placed.groupBy(col("file_id")).agg(count(lit(1)).as("fsz"))
+        val del = placed.filter(col("user_id") === 42)
+        val touched = del.select(col("file_id")).distinct()
+        touched.join(sizes, "file_id")
+          .agg(count(lit(1)).as("files_touched"),
+            sum(col("fsz")).as("rows_rewritten"))
+          .crossJoin(broadcast(sizes.agg(count(lit(1)).as("n_files"))))
+          .crossJoin(broadcast(del.agg(count(lit(1)).as("n_deleted"))))
+          .select(lit(name).as("layout"), col("n_files"), col("n_deleted"),
+            col("files_touched"), col("rows_rewritten"),
+            expr("rows_rewritten * 10000 div n_deleted").as("delete_amp_bp"))
+      }
+      audit(graft.ops.Ranking.globalRowNumber(e,
+          Seq(col("ts"), col("event_id"))), "by_time")
+        .unionByName(audit(graft.ops.Ranking.globalRowNumber(e,
+          Seq(col("user_id"), col("ts"), col("event_id"))), "by_user"))
+    }),
+
     // O45 — referential-integrity audit (the cross-TABLE data-quality
     // complement of o30's column-level checks): orphan foreign keys per
     // relationship — lineitem→orders, lineitem→part, lineitem→supplier,
@@ -10294,6 +10327,39 @@ object SparkEntry {
         |  CAST(SUM(mvd) * 10000 // SUM(n) AS BIGINT),
         |  CAST(MAX(n) AS BIGINT), CAST(MIN(n) AS BIGINT)
         |FROM g_h""".stripMargin,
+
+    // Mirrors o49: same placements (unique tie-broken orders), same single
+    // deleted user, same COW rewrite accounting.
+    "o49_deletion_cost" ->
+      """WITH e AS (SELECT event_id, ts, user_id FROM events),
+        |pt AS (SELECT user_id,
+        |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 8192 AS file_id
+        |  FROM e),
+        |pu AS (SELECT user_id,
+        |    (row_number() OVER (ORDER BY user_id, ts, event_id) - 1) // 8192
+        |      AS file_id
+        |  FROM e),
+        |st AS (SELECT file_id, COUNT(*) AS fsz FROM pt GROUP BY 1),
+        |su AS (SELECT file_id, COUNT(*) AS fsz FROM pu GROUP BY 1),
+        |dt AS (SELECT DISTINCT file_id FROM pt WHERE user_id = 42),
+        |du AS (SELECT DISTINCT file_id FROM pu WHERE user_id = 42),
+        |nd AS (SELECT COUNT(*) AS n_deleted FROM e WHERE user_id = 42)
+        |SELECT 'by_time' AS layout,
+        |  (SELECT COUNT(*) FROM st) AS n_files, n_deleted,
+        |  (SELECT COUNT(*) FROM dt) AS files_touched,
+        |  (SELECT CAST(SUM(fsz) AS BIGINT) FROM dt JOIN st USING (file_id))
+        |    AS rows_rewritten,
+        |  CAST((SELECT SUM(fsz) FROM dt JOIN st USING (file_id)) * 10000
+        |       // n_deleted AS BIGINT) AS delete_amp_bp
+        |FROM nd
+        |UNION ALL
+        |SELECT 'by_user',
+        |  (SELECT COUNT(*) FROM su), n_deleted,
+        |  (SELECT COUNT(*) FROM du),
+        |  (SELECT CAST(SUM(fsz) AS BIGINT) FROM du JOIN su USING (file_id)),
+        |  CAST((SELECT SUM(fsz) FROM du JOIN su USING (file_id)) * 10000
+        |       // n_deleted AS BIGINT)
+        |FROM nd""".stripMargin,
 
     // Mirrors o48: same (l_orderkey, l_linenumber) placement order, same
     // 4096-row files, same March-1995 touch set.
