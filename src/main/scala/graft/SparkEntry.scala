@@ -1126,6 +1126,45 @@ object SparkEntry {
             lit(10000L).as("write_amp_bp")))
     }),
 
+    // O50 — sink-format fidelity audit: the same relation round-trips
+    // through ORC, CSV and JSON sinks and must come back with IDENTICAL
+    // summary stats to the parquet source-of-truth (row count, key sums,
+    // integer cents mass, microsecond time bounds) — the format-breadth
+    // gate: a sink that truncates timestamps to milliseconds (CSV's
+    // default format would) or mangles a double breaks its row against
+    // the format-independent oracle. Timestamps are written/read with an
+    // explicit microsecond pattern on the text formats; doubles rely on
+    // the exact Double↔String round-trip both writers guarantee. Scale:
+    // each leg is one write + one scan + a 1-row aggregate.
+    "o50_sink_fidelity" -> ((s, dir) => {
+      val work = scratch("o50")
+      val src = ev(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      def stats(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("sum_id"),
+            sum(col("user_id")).as("sum_user"),
+            sum(floor(col("value") * 100).cast("long")).as("sum_cents"),
+            min(expr("unix_micros(ts)")).as("min_ts_us"),
+            max(expr("unix_micros(ts)")).as("max_ts_us"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("sum_id"),
+            col("sum_user"), col("sum_cents"), col("min_ts_us"),
+            col("max_ts_us"))
+      src.write.mode("overwrite").orc(s"$work/orc")
+      src.write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", tsFmt).csv(s"$work/csv")
+      src.write.mode("overwrite").option("timestampFormat", tsFmt)
+        .json(s"$work/json")
+      stats(src, "parquet")
+        .unionByName(stats(s.read.orc(s"$work/orc"), "orc"))
+        .unionByName(stats(s.read.option("header", "true")
+          .option("timestampFormat", tsFmt).schema(src.schema)
+          .csv(s"$work/csv"), "csv"))
+        .unionByName(stats(s.read.option("timestampFormat", tsFmt)
+          .schema(src.schema).json(s"$work/json"), "json"))
+    }),
+
     // O49 — deletion-cost audit (the right-to-be-forgotten number): COW
     // deletion of ONE user's rows (the GDPR request shape) rewrites every
     // file holding one of them — under a TIME layout a user's history
@@ -10327,6 +10366,22 @@ object SparkEntry {
         |  CAST(SUM(mvd) * 10000 // SUM(n) AS BIGINT),
         |  CAST(MAX(n) AS BIGINT), CAST(MIN(n) AS BIGINT)
         |FROM g_h""".stripMargin,
+
+    // Mirrors o50 format-independently: the EXPECTED stats from the parquet
+    // source, one row per format — a Spark-side round-trip corruption shows
+    // up as that format's row diverging from the oracle's.
+    "o50_sink_fidelity" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        |    CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        |    CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    epoch_us(CAST(min(ts) AS TIMESTAMP)) AS min_ts_us,
+        |    epoch_us(CAST(max(ts) AS TIMESTAMP)) AS max_ts_us
+        |  FROM events)
+        |SELECT f.format, t.n_rows, t.sum_id, t.sum_user, t.sum_cents,
+        |       t.min_ts_us, t.max_ts_us
+        |FROM t CROSS JOIN (VALUES ('parquet'), ('orc'), ('csv'), ('json'))
+        |  AS f(format)""".stripMargin,
 
     // Mirrors o49: same placements (unique tie-broken orders), same single
     // deleted user, same COW rewrite accounting.
