@@ -6705,6 +6705,38 @@ object SparkEntry {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
     }),
 
+    // S36 — nlist tuning curve (the OTHER index knob beside s30's nprobe):
+    // recall@5 at nprobe=2 under a coarse (stride·4), base (the adaptive
+    // default), and fine (stride/4, floor 2) centroid grid, with k_cells
+    // riding along — finer grids probe fewer candidates per cell but risk
+    // recall when the 2 probed cells stop covering the true neighbors;
+    // the curve is what an index owner reads before re-sharding a 100 TB
+    // index. Same exact chain as s2/s30 (assignment + probe tie-breaks),
+    // brute truth computed once.
+    "s36_nlist_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val baseStride = Adaptive.centroidStride(e.count())
+      val brute = SimilarityOps.bruteForceTopK(
+          e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      Seq(("coarse", baseStride * 4), ("base", baseStride),
+          ("fine", math.max(2L, baseStride / 4))).map { case (tag, st) =>
+        val centroids = e.filter(col("vec_id") % st === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
+        val kCells = centroids.filter(expr(
+            "aggregate(cast(centroid_vec as array<double>), 0D, (a, x) -> a + x * x) > 0"))
+          .agg(count(lit(1)).as("k_cells"))
+        val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
+        SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
+            "vec_id", "embedding", k = 5, nprobe = 2)
+          .select(lit(tag).as("nlist_tag"), col("query_id"), col("neighbor_id"))
+          .crossJoin(broadcast(kCells))
+      }.reduce(_ unionByName _)
+        .join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("nlist_tag"), col("k_cells"), col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+    }),
+
     // D18 — duplication profile BY SOURCE (where the dup mass lives —
     // the drill-down that turns d1's corpus-wide rate into a curation
     // decision about which feeds to throttle): per-source exact-dup rate
@@ -8146,6 +8178,54 @@ object SparkEntry {
        |SELECT nprobe, query_id, n_hits FROM hits1
        |UNION ALL SELECT nprobe, query_id, n_hits FROM hits2
        |UNION ALL SELECT nprobe, query_id, n_hits FROM hits4""".stripMargin
+  }
+
+  /** Mirrors s36: the s30 probe/score/topk chain per stride variant, the
+    * same GREATEST floor on the fine grid, k_cells counted per tag. */
+  private def nlistCurveOracle: String = {
+    val tags = Seq(("coarse", "(SELECT stride FROM params) * 4"),
+      ("base", "(SELECT stride FROM params)"),
+      ("fine", "GREATEST((SELECT stride FROM params) // 4, 2)"))
+    val per = tags.map { case (tag, strideExpr) =>
+      s"""cent_$tag AS MATERIALIZED (SELECT vec_id AS cid, ve AS cv, nrm AS cnrm
+         |  FROM n WHERE vec_id % ($strideExpr) = 0),
+         |assign_$tag AS MATERIALIZED (SELECT vec_id, cid FROM (
+         |  SELECT a.vec_id, c.cid, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY list_inner_product(a.ve, c.cv) / (a.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n a CROSS JOIN cent_$tag c) WHERE rn = 1),
+         |probes_$tag AS (SELECT qid, cid FROM (
+         |  SELECT q.vec_id AS qid, c.cid, row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_inner_product(q.ve, c.cv) / (q.nrm * c.cnrm) DESC, c.cid) AS rn
+         |  FROM n q CROSS JOIN cent_$tag c WHERE q.vec_id < 5) WHERE rn <= 2),
+         |ivf_$tag AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.qid AS query_id, x.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY p.qid
+         |           ORDER BY list_inner_product(q.ve, x.ve) / (q.nrm * x.nrm) DESC,
+         |                    x.vec_id) AS rank
+         |  FROM probes_$tag p JOIN assign_$tag a ON a.cid = p.cid
+         |  JOIN n x ON x.vec_id = a.vec_id JOIN n q ON q.vec_id = p.qid
+         |  WHERE x.vec_id <> p.qid) WHERE rank <= 5),
+         |hits_$tag AS (SELECT '$tag' AS nlist_tag,
+         |    (SELECT COUNT(*) FROM cent_$tag) AS k_cells, i.query_id,
+         |    CAST(SUM(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_hits
+         |  FROM ivf_$tag i LEFT JOIN brute b USING (query_id, neighbor_id)
+         |  GROUP BY 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+       |$adaptiveParamsSql,
+       |n AS MATERIALIZED (SELECT vec_id, ve, sqrt(list_inner_product(ve, ve)) AS nrm FROM v
+       |      WHERE list_inner_product(ve, ve) > 0),
+       |brute AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_inner_product(q.ve, c.ve) / (q.nrm * c.nrm) DESC,
+       |                    c.vec_id) AS rank
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+       |$per
+       |SELECT nlist_tag, k_cells, query_id, n_hits FROM hits_coarse
+       |UNION ALL SELECT nlist_tag, k_cells, query_id, n_hits FROM hits_base
+       |UNION ALL SELECT nlist_tag, k_cells, query_id, n_hits FROM hits_fine""".stripMargin
   }
 
   /** g11 oracle: the k-NN prefix, canonicalized undirected edges, then
@@ -10590,6 +10670,7 @@ object SparkEntry {
     "g11_mis_canon" -> misOracle,
 
     "s30_nprobe_curve" -> nprobeCurveOracle,
+    "s36_nlist_curve" -> nlistCurveOracle,
 
     "d18_dup_by_source" ->
       s"""WITH g AS (SELECT source, $fpSql AS fp, COUNT(*) AS n
