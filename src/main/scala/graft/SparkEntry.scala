@@ -2407,6 +2407,26 @@ object SparkEntry {
         rightTiebreak = Some("err_event_id"))
     }),
 
+    // J13 — NEAREST as-of join (both directions, argmin |Δt|): the
+    // sensor/tick alignment semantics j4/j4b can't express — backward-only
+    // biases toward stale matches when the next reading is closer. One
+    // union + ONE key-shuffled sort (both frames share the order → a
+    // single Window pass), ties resolve backward, exact-time matches are
+    // backward at distance 0. See AsOfJoin.nearest.
+    "j13_nearest_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("err_t_us"),
+          col("event_id").as("err_event_id"))
+      graft.ops.AsOfJoin.nearest(clicks, errors, Seq("user_id"),
+          "t_us", "err_t_us", Seq("err_event_id"),
+          rightTiebreak = Some("err_event_id"))
+        .select(col("user_id"), col("event_id"), col("err_event_id"),
+          col("asof_dt").as("dt_us"), col("asof_dir").as("direction"))
+    }),
+
     // J4b — FORWARD as-of join: for each click, the EARLIEST error of the
     // same user at-or-after it (next-event lookup — time-to-next-error
     // labels); j4's union-window composition traversed in reverse time
@@ -11108,6 +11128,38 @@ object SparkEntry {
         |      WHERE rn = 1)
         |SELECT c.user_id, c.event_id, c.t_us, c.value, e.err_event_id, e.err_value
         |FROM c ASOF JOIN e ON c.user_id = e.user_id AND c.t_us >= e.err_t_us""".stripMargin,
+
+    // The strongest oracle form for j13: DuckDB's own ASOF joins in both
+    // directions + the identical pick rule — fully independent of the
+    // engine's union-window construction.
+    "j13_nearest_asof" ->
+      """WITH c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        |           FROM events WHERE event_type = 'click'),
+        |e0 AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS err_t_us,
+        |              event_id AS err_event_id
+        |       FROM events WHERE event_type = 'error'),
+        |e AS (SELECT user_id, err_t_us, err_event_id FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY user_id, err_t_us
+        |                                     ORDER BY err_event_id DESC) AS rn FROM e0)
+        |      WHERE rn = 1),
+        |b AS (SELECT c.user_id, c.event_id, c.t_us,
+        |             e.err_event_id AS b_id, e.err_t_us AS b_rt
+        |      FROM c ASOF LEFT JOIN e
+        |        ON c.user_id = e.user_id AND c.t_us >= e.err_t_us),
+        |f AS (SELECT c.user_id, c.event_id,
+        |             e.err_event_id AS f_id, e.err_t_us AS f_rt
+        |      FROM c ASOF LEFT JOIN e
+        |        ON c.user_id = e.user_id AND c.t_us <= e.err_t_us),
+        |j AS (SELECT b.user_id, b.event_id, b.t_us, b.b_id, b.b_rt,
+        |             f.f_id, f.f_rt,
+        |        (b.b_id IS NOT NULL AND (f.f_id IS NULL OR
+        |           (b.t_us - b.b_rt) <= (f.f_rt - b.t_us))) AS pb
+        |      FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id)
+        |SELECT user_id, event_id,
+        |  CASE WHEN pb THEN b_id ELSE f_id END AS err_event_id,
+        |  CAST(CASE WHEN pb THEN t_us - b_rt ELSE f_rt - t_us END AS BIGINT) AS dt_us,
+        |  CASE WHEN pb THEN 'backward' ELSE 'forward' END AS direction
+        |FROM j WHERE b_id IS NOT NULL OR f_id IS NOT NULL""".stripMargin,
 
     "j4b_asof_forward" ->
       """WITH c AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, value

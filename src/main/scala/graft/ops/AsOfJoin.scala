@@ -46,6 +46,74 @@ object AsOfJoin {
     asof(left, right, keyCols, leftTime, rightTime, rightCols, rightTiebreak,
       joinType, forwardDir = true)
 
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |rightTime − leftTime| in the same key group, searching BOTH
+    * directions — sensor/tick alignment semantics ("the closest reading"),
+    * where backward-only would systematically bias toward stale matches.
+    * Ties between an equally-near earlier and later candidate resolve
+    * BACKWARD (the point-in-time-safe side); a right row at exactly
+    * leftTime is a backward match with distance 0.
+    *
+    * Same cost profile as [[backward]]: one union, ONE key-shuffled sort
+    * (both frames share the (key | time, side) order, so physical planning
+    * runs them in a single Window pass), linear per key, no
+    * range-explosion. Time columns must be numeric (e.g. unix micros) —
+    * the distance is computed by subtraction.
+    *
+    * Appends `asof_dt` (the |Δtime| of the match) and `asof_dir`
+    * ('backward' | 'forward') to the carried right columns. */
+  def nearest(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+              leftTime: String, rightTime: String, rightCols: Seq[String],
+              rightTiebreak: Option[String] = None,
+              joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left", s"unsupported joinType $joinType")
+    val leftOut = left.columns.toSeq
+    val key = keyCols.map(col)
+    val rDeduped = rightTiebreak match {
+      case Some(tb) =>
+        val w = Window.partitionBy((keyCols :+ rightTime).map(col): _*)
+          .orderBy(col(tb).desc)
+        right.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+      case None => right
+    }
+    val rStructType =
+      struct(rightCols.map(col) :+ col(rightTime).as("__rt"): _*)
+    val lTagged = left.select(
+      key ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__side"),
+        struct(leftOut.map(col): _*).as("__l"),
+        lit(null).cast(rDeduped.select(rStructType).schema.head.dataType).as("__r")): _*)
+    val rTagged = rDeduped.select(
+      key ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__side"),
+        lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
+        rStructType.as("__r")): _*)
+    // right rows sort before left at equal time → an exact-time right row
+    // lands in the PRECEDING frame: visible, backward, distance 0
+    val ord = Window.partitionBy(key: _*).orderBy(col("__t").asc, col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val picked = lTagged.unionByName(rTagged)
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__r"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__dtb", col("__t") - col("__b.__rt"))
+      .withColumn("__dtf", col("__f.__rt") - col("__t"))
+      .withColumn("__pb", col("__b").isNotNull &&
+        (col("__f").isNull || col("__dtb") <= col("__dtf")))
+      .withColumn("__pick", when(col("__pb"), col("__b")).otherwise(col("__f")))
+    val filtered =
+      if (joinType == "inner") picked.filter(col("__pick").isNotNull) else picked
+    filtered.select(
+      leftOut.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__pick.$c").as(c)) ++ Seq(
+          when(col("__pick").isNotNull,
+            when(col("__pb"), col("__dtb")).otherwise(col("__dtf"))).as("asof_dt"),
+          when(col("__pick").isNotNull,
+            when(col("__pb"), lit("backward")).otherwise(lit("forward")))
+            .as("asof_dir")): _*)
+  }
+
   private def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTime: String, rightTime: String, rightCols: Seq[String],
                    rightTiebreak: Option[String],

@@ -54,4 +54,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.length === 1 && out.head.isNullAt(0),
       "no right row at-or-after t=25 for key 1")
   }
+
+  test("nearest: argmin |dt| both directions, ties backward, exact time is backward at 0") {
+    // key 1 right times: 8, 15, 20
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt", Seq("rv"))
+      .select("k", "t", "rv", "asof_dt", "asof_dir")
+      .as[(Long, Long, Int, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // (1,10): back 8 (dt 2) vs fwd 15 (dt 5) → backward
+    assert(out((1L, 10L)) === ((100, 2L, "backward")))
+    // (1,20): right row AT 20 → backward, dt 0
+    assert(out((1L, 20L)) === ((400, 0L, "backward")))
+    // (2,5): nothing before, 99 after → forward
+    assert(out((2L, 5L)) === ((300, 94L, "forward")))
+    // (3,7): no right rows for key 3 → dropped under inner
+    assert(!out.contains((3L, 7L)))
+    // equidistant candidates resolve BACKWARD
+    val eq = Seq((1L, 10L, "m")).toDF("k", "t", "lv")
+    val sym = Seq((1L, 7L, 1), (1L, 13L, 2)).toDF("k", "rt", "rv")
+    val pick = AsOfJoin.nearest(eq, sym, Seq("k"), "t", "rt", Seq("rv"))
+      .select("rv", "asof_dir").as[(Int, String)].collect()
+    assert(pick.toSeq === Seq((1, "backward")))
+    // left joinType keeps the unmatched row with null payload and dir
+    val lf = AsOfJoin.nearest(left.filter($"k" === 3), right.filter($"k" === 1),
+      Seq("k"), "t", "rt", Seq("rv"), joinType = "left")
+      .select("asof_dir").collect()
+    assert(lf.length === 1 && lf.head.isNullAt(0))
+  }
 }
