@@ -6757,6 +6757,33 @@ object SparkEntry {
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
     }),
 
+    // X31 — temperature-mixing sensitivity grid: per-LANGUAGE share under
+    // τ ∈ {1, 1/2, 1/4} — the table a pretraining lead reads before
+    // committing a mixture (x13 allocates at ONE τ; the grid shows what
+    // the knob DOES: τ=1 proportional, lower τ flattens toward uniform).
+    // Exponents are deliberately sqrt-composable only (sqrt is IEEE
+    // correctly-rounded → engine-identical; pow(x, 0.7) is libm-ULP
+    // exposed — the x13 constraint extended to a grid). Weights land on
+    // the 1e10 floor grid and shares fold through DECIMAL(38,0) integer
+    // division (w·10⁴ overflows a BIGINT once a stratum passes ~8.5e17
+    // rows). One strata-sized relation; every exchange is |sources| rows.
+    "x31_tau_grid" -> ((s, dir) => {
+      val sizes = docs(s, dir).groupBy(col("lang").as("stratum"))
+        .agg(count(lit(1)).as("n_s"))
+      def grid(tag: String, w: Column): DataFrame = {
+        val ws = sizes.select(col("stratum"), col("n_s"),
+          w.cast("decimal(38,0)").as("w"))
+        ws.crossJoin(broadcast(ws.agg(sum(col("w")).as("wt"))))
+          .select(lit(tag).as("tau"), col("stratum"), col("n_s"),
+            expr("(w * 10000) div wt").as("share_bp"))
+      }
+      grid("1", col("n_s"))
+        .unionByName(grid("1/2",
+          floor(sqrt(col("n_s").cast("double")) * lit(1e10))))
+        .unionByName(grid("1/4",
+          floor(sqrt(sqrt(col("n_s").cast("double"))) * lit(1e10))))
+    }),
+
     // D18 — duplication profile BY SOURCE (where the dup mass lives —
     // the drill-down that turns d1's corpus-wide rate into a curation
     // decision about which feeds to throttle): per-source exact-dup rate
@@ -10691,6 +10718,22 @@ object SparkEntry {
 
     "s30_nprobe_curve" -> nprobeCurveOracle,
     "s36_nlist_curve" -> nlistCurveOracle,
+
+    // Mirrors x31: same sqrt-composed weights on the 1e10 floor grid
+    // (floor yields an integral double, so the HUGEINT ↔ DECIMAL(38,0)
+    // casts agree digit-for-digit), same integer share fold.
+    "x31_tau_grid" ->
+      """WITH s AS (SELECT lang AS stratum, COUNT(*) AS n_s
+        |           FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT '1' AS tau, stratum, n_s, CAST(n_s AS HUGEINT) AS w FROM s
+        |  UNION ALL SELECT '1/2', stratum, n_s,
+        |    CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e10) AS HUGEINT) FROM s
+        |  UNION ALL SELECT '1/4', stratum, n_s,
+        |    CAST(floor(sqrt(sqrt(CAST(n_s AS DOUBLE))) * 1e10) AS HUGEINT) FROM s)
+        |SELECT tau, stratum, n_s,
+        |  CAST(w * 10000 // SUM(w) OVER (PARTITION BY tau) AS BIGINT) AS share_bp
+        |FROM g""".stripMargin,
 
     "d18_dup_by_source" ->
       s"""WITH g AS (SELECT source, $fpSql AS fp, COUNT(*) AS n
