@@ -886,6 +886,42 @@ object SparkEntry {
         (min(col("breached")).over(w) === 1 && count(lit(1)).over(w) === 3).cast("int"))
     }),
 
+    // MON16 — alarm EPISODE analysis (the alert-fatigue metric beside
+    // a9's point alarm): maximal runs of consecutive breached hours per
+    // event_type — episode count, longest incident, and a flap ratio
+    // (episodes per breached hour in bp: 10000 = pure flapping, all
+    // singleton alarms; low = few sustained incidents — the number that
+    // decides hysteresis/"for:" durations in an alerting config). The
+    // d22 islands idiom on the monitoring axis: lag-detected starts +
+    // running sum over ONE per-type hourly sort (hours-sized relation).
+    "mon16_alarm_episodes" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(max(col("value")).as("mx"))
+        .withColumn("breach", (col("mx") >= 18.0).cast("int"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val eps = hourly
+        .withColumn("starts", (col("breach") === 1 &&
+          lag(col("breach"), 1, 0).over(w) === 0).cast("long"))
+        .withColumn("episode", sum(col("starts")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("breach") === 1)
+        .groupBy(col("event_type"), col("episode"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_episodes"),
+          max(col("len")).as("longest_episode"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("breach")).cast("long").as("n_breach_hours"))
+        .join(eps, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_hours"), col("n_breach_hours"),
+          coalesce(col("n_episodes"), lit(0L)).as("n_episodes"),
+          coalesce(col("longest_episode"), lit(0L)).as("longest_episode"))
+        .withColumn("flap_bp", expr("""CASE WHEN n_breach_hours = 0 THEN NULL
+          ELSE n_episodes * 10000 div n_breach_hours END"""))
+    }),
+
     // MON2 — EWMA drift metric per user (the exponential smoothing a
     // monitoring loop runs beside a9's threshold alarm): closed form of
     // y_n = α·x_n + (1−α)·y_{n−1} with α = 0.5 — chosen deliberately so
@@ -11815,6 +11851,36 @@ object SparkEntry {
 
     // Exact KS by cross-multiplication over the pooled value grid — the
     // naive relational statement; no windowed corpus, no doubles.
+    // Mirrors mon16: same hourly max/threshold, the same lag-start +
+    // cumsum islands, the same left-join zeros.
+    "mon16_alarm_episodes" ->
+      """WITH h AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    CASE WHEN MAX(value) >= 18.0 THEN 1 ELSE 0 END AS breach
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, h, breach,
+        |    CASE WHEN breach = 1 AND COALESCE(lag(breach) OVER (
+        |      PARTITION BY event_type ORDER BY h), 0) = 0
+        |    THEN 1 ELSE 0 END AS starts
+        |  FROM h),
+        |i AS (SELECT event_type, breach,
+        |    SUM(starts) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+        |  FROM f),
+        |e AS (SELECT event_type, episode, COUNT(*) AS len
+        |      FROM i WHERE breach = 1 GROUP BY 1, 2),
+        |g AS (SELECT event_type, COUNT(*) AS n_hours,
+        |      CAST(SUM(breach) AS BIGINT) AS n_breach_hours FROM h GROUP BY 1),
+        |a AS (SELECT event_type, COUNT(*) AS n_episodes,
+        |      CAST(MAX(len) AS BIGINT) AS longest_episode FROM e GROUP BY 1)
+        |SELECT g.event_type, g.n_hours, g.n_breach_hours,
+        |  COALESCE(a.n_episodes, 0) AS n_episodes,
+        |  COALESCE(a.longest_episode, 0) AS longest_episode,
+        |  CASE WHEN g.n_breach_hours = 0 THEN NULL
+        |       ELSE COALESCE(a.n_episodes, 0) * 10000 // g.n_breach_hours
+        |  END AS flap_bp
+        |FROM g LEFT JOIN a USING (event_type)""".stripMargin,
+
     "mon14_ks_drift" ->
       """WITH counts AS (SELECT event_type, value, count(*) AS c
         |    FROM events GROUP BY 1, 2),
