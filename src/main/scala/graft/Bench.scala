@@ -8,6 +8,12 @@ object Bench {
     // machine noise can't masquerade as a plan change round-over-round; the
     // r6 bench showed ~1.2x uniform inflation that hid a real optimization
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // r13 opt note — measured and REJECTED: forcing AQE to coalesce to the
+    // advisory size (parallelismFirst=false, advisory 64m — the Spark docs'
+    // busy-cluster recommendation) read +19% on a 147-query subset at sf0.1
+    // (70.4 s → 83.7 s): with KB-scale shuffles every post-exchange stage
+    // collapses to one task and serializes. The default parallelism-first
+    // coalescing is the right call for this bench's shape at every SF.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

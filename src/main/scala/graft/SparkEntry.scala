@@ -4137,14 +4137,22 @@ object SparkEntry {
     // basis points end to end. At 100 TB the shingle relation is the same
     // one d2/d11 already shuffle; novelty adds no wider exchange.
     "t24_ngram_novelty" -> ((s, dir) => {
+      // r13 opt (guide §2.3): a shingle is novel for exactly ONE doc — the
+      // min-doc_id owner — so n_novel(doc) = |{t : min_doc(t) = doc}|. The
+      // former window min sorted the ENTIRE shingle relation inside each
+      // t-partition and shipped every (doc, t, first_doc) row onward; this
+      // form is two map-side-combinable aggregations (min per shingle, then
+      // a doc-keyed count of the owners) plus the per-doc shingle census —
+      // no sort, no wide join-back, identical integers.
       val tok = docs(s, dir).select(col("doc_id"),
         explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("t"))
-      val first = tok.withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy(col("t"))))
-      first.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
+      val census = tok.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val novel = tok.groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+      census.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
     }),
 
@@ -7252,6 +7260,13 @@ object SparkEntry {
     // cluster_size the member count, so the output is row-for-row the old
     // member-level CC's.
     "m8_image_clusters" -> ((s, dir) => {
+      // NOTE (r13 opt, measured and left alone): persisting classPairs
+      // DISK_ONLY here (the c8 form) was A/B'd at sf0.1 and came out
+      // neutral-to-worse — both classPairs subtrees are plan-identical, so
+      // ReusedExchange already shares the band self-join at runtime and the
+      // persist only adds a write. c8 keeps its persists because FOUR
+      // subtrees reuse the relations there under memory pressure (the c4
+      // lesson); two identical references don't justify it.
       val (members, classPairs) = dhashRelations(s, dir)
       val perClass = members.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"))

@@ -36,6 +36,11 @@ object GraphOps {
                srcCol: String, dstCol: String, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    // NOTE (r13 opt, measured and REJECTED): localCheckpoint lineage cuts
+    // here (e / spine / per-iteration pr, the bfsHops pattern) made g1 1.6×
+    // and g10 6.2× SLOWER at sf0.1 — the uncut plan shares the edge subtree
+    // through ReusedExchange in ONE job, while the cuts force sequential
+    // materialization jobs. Left uncut deliberately.
     val spine = nodes.select(col(idCol).as("id")).distinct()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -76,6 +81,7 @@ object GraphOps {
       srcCol: String, dstCol: String, seeds: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "at least one iteration")
+    // uncut like [[pageRank]] — see the measured-and-rejected note there.
     val spine = nodes.select(col(idCol).as("id")).distinct()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
@@ -198,13 +204,20 @@ object GraphOps {
                   rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val spine = nodes.select(col(idCol).as("id")).distinct()
+    // lineage cuts (r13 opt — the bfsHops pattern, guide §3.3): `und` is
+    // referenced twice per round and every `alive` builds on the previous
+    // one, so uncut, round r's plan re-derives the (expensive — e.g. the
+    // k-NN graph) edge subtree once per reference: the g3 plan was 22,512
+    // formatted lines and planning itself became a cost. Checkpointing the
+    // edge closure once and each round's survivor set keeps the plan
+    // round-local; values are untouched (the relations are deterministic).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    var alive = deg.filter(col("deg") >= k).select(col("id"))
+    var alive = deg.filter(col("deg") >= k).select(col("id")).localCheckpoint()
     var flags = Vector(alive)
     for (_ <- 2 to rounds) {
       val ea = und
@@ -212,7 +225,7 @@ object GraphOps {
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
       val dr = ea.select(col("a").as("id")).union(ea.select(col("b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("dk"))
-      alive = dr.filter(col("dk") >= k).select(col("id"))
+      alive = dr.filter(col("dk") >= k).select(col("id")).localCheckpoint()
       flags = flags :+ alive
     }
     val withFlags = flags.zipWithIndex.foldLeft(
@@ -352,10 +365,14 @@ object GraphOps {
   def triangleStats(nodes: DataFrame, edges: DataFrame, idCol: String,
                     srcCol: String, dstCol: String): DataFrame = {
     val spine = nodes.select(col(idCol).as("id")).distinct()
+    // und is referenced three times (degree rollup, orientation, the
+    // triangle-closing semi join) — checkpointed so the (expensive) edge
+    // subtree is derived once (r13 opt, the linkPrediction pattern).
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val da = deg.select(col("id").as("a"), col("deg").as("dega"))

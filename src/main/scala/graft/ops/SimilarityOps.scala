@@ -815,8 +815,22 @@ object SimilarityOps {
     var cb = codebook
     for (i <- 0 until iters) {
       if (i > 0) cb = cb.localCheckpoint() // lineage cut, the kmeansRefine pattern
-      val enc = pqEncode(corpus, cb, idCol, vecCol, m, subDim)
-      val dimSums = sv.join(enc, Seq(idCol, "sub"))
+      // assignment with the subvector CARRIED through the argmax (r13 opt,
+      // guide §2.3/§2.4): the winning code per (id, sub) used to come from a
+      // separate pqEncode pass joined back against `sv` by (id, sub) — a
+      // second full corpus explode plus a wide shuffle join PER ITERATION.
+      // sv is functionally dependent on the group key, so first(sv) carries
+      // it through the same exchange the argmax already pays; the assignment
+      // itself (max_by over the identical score struct) is unchanged, so the
+      // dim sums see bit-identical rows.
+      val enc = sv.join(broadcast(cb), Seq("sub"))
+        .select(col(idCol), col("sub"), col("sv"), col("code_id"),
+          struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
+            (-col("code_id")).as("nid")).as("__s"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(max_by(col("code_id"), col("__s")).as("code_id"),
+          first(col("sv")).as("sv"))
+      val dimSums = enc
         .select(col("sub"), col("code_id"),
           posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("code_id"), col("dim"))
@@ -909,13 +923,23 @@ object SimilarityOps {
       struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
     val sv = c.select(col(idCol), explode(array(subs: _*)).as("s"))
       .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
-    val enc = pqEncode(corpus, codebook, idCol, vecCol, m, subDim)
-    sv.join(enc, Seq(idCol, "sub"))
-      .join(broadcast(codebook.select(col("sub"), col("code_id"),
-        col("cw"), col("cwip"))), Seq("sub", "code_id"))
-      .select(col("sub"),
-        (dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw"))
+    // single-pass form (r13 opt, guide §2.3/§2.4): the winner's d2 rides the
+    // SAME argmax aggregation the encode already pays, instead of a second
+    // full encode pass joined back by (id, sub) and a codebook re-join. Each
+    // candidate row evaluates the identical expression
+    // ‖sv‖² − 2⟨sv,cw⟩ + cwip (svip hoisted before the join — same float
+    // ops, computed once per subvector); max_by picks the row the old
+    // join-back would have selected (the score struct is a total order:
+    // nid is unique per code), so the selected d2 is bit-identical.
+    sv.withColumn("svip", dot(col("sv"), col("sv")))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col(idCol), col("sub"),
+        struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
+          (-col("code_id")).as("nid")).as("__s"),
+        (col("svip") - lit(2.0) * dot(col("sv"), col("cw"))
           + col("cwip")).as("d2"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("d2"), col("__s")).as("d2"))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), graft.ops.Exact.sumD(col("d2"), 10).as("sse"))
   }
