@@ -7509,7 +7509,18 @@ object SparkEntry {
       val wBlocks = 6
       val px = ev(s, dir).select(col("user_id"),
         when(pmod(col("event_id"), lit(2)) === 0, 255).otherwise(0).as("g"))
-      val payloads = px.groupBy(col("user_id"))
+      // explicit AQE-exempt repartition FEEDING the agg (r13 opt, the
+      // dhashRelations pattern — placed before the groupBy so the agg
+      // reuses its partitioning and a post-agg repartition can't be
+      // collapsed away): AQE otherwise coalesces the KB-sized collect_list
+      // shuffle to ~4 partitions, serializing the DCT+Huffman encode AND
+      // the downstream entropy decode on 4 of 32 cores. The byte-based
+      // coalescer cannot see that each narrow row explodes into heavy CPU
+      // work (guide §2.5). Features are per-block counts — order-
+      // insensitive — so list arrival order is immaterial.
+      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val payloads = px.repartition(shufP, col("user_id"))
+        .groupBy(col("user_id"))
         .agg(collect_list(col("g")).as("gs"))
         .as[(Long, Array[Int])]
         .map { case (uid, gs) => (uid, graft.ops.Jpeg.encodeGrayBlocks(gs, wBlocks)) }
@@ -7538,7 +7549,12 @@ object SparkEntry {
           .when(pmod(col("event_id"), lit(4)) === 1, lit(0xff0000))
           .when(pmod(col("event_id"), lit(4)) === 2, lit(0x0000ff))
           .otherwise(lit(0x000000)).as("c"))
-      val payloads = px.groupBy(col("user_id"))
+      // AQE-exempt repartition before the encode map — same rationale as m4
+      // (the coalesced shuffle serialized this query's encode+decode on 4
+      // of 32 cores; measured 4.7 s with 4 tasks at sf0.1)
+      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val payloads = px.repartition(shufP, col("user_id"))
+        .groupBy(col("user_id"))
         .agg(collect_list(col("c")).as("cs"))
         .as[(Long, Array[Int])]
         .map { case (uid, cs) => (uid, graft.ops.Jpeg.encodeColorMcus(cs, wMcus)) }
@@ -7569,7 +7585,12 @@ object SparkEntry {
       import s.implicits._
       val wBlocks = 6; val nFrames = 4
       val px = ev(s, dir).select(col("user_id"), col("event_id"))
-      val payloads = px.groupBy(col("user_id"))
+      // AQE-exempt repartition before the encode map — the m4/m4b rationale
+      // (four JPEG frames per user encoded in the map; per-frame features
+      // are residue-class counts, order-insensitive)
+      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val payloads = px.repartition(shufP, col("user_id"))
+        .groupBy(col("user_id"))
         .agg(collect_list(col("event_id")).as("ids"))
         .as[(Long, Array[Long])]
         .map { case (uid, ids) =>
