@@ -14,6 +14,8 @@ object Bench {
     // (70.4 s → 83.7 s): with KB-scale shuffles every post-exchange stage
     // collapses to one task and serializes. The default parallelism-first
     // coalescing is the right call for this bench's shape at every SF.
+    // (also measured: AQE fully OFF = +35% on the same subset — the runtime
+    // coalescing pays for its replanning many times over; default kept.)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

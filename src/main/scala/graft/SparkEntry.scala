@@ -187,6 +187,23 @@ object SparkEntry {
     p.toString
   }
 
+  /** Scale-adaptive scan FAN-OUT (r13 opt, guide §2.5 input skew): the local
+    * single-file fixtures hand the scan ONE partition (one parquet row group
+    * per file — `maxPartitionBytes`/`minPartitionNum` cannot split it, a row
+    * group lands whole in one split), so CPU-heavy per-row kernels (regex
+    * tokenizers, JSON/variant parsing, md5 sketch hashing) serialize on one
+    * core of 32 (JobStats: t24 4.8 s / p13 1.2 s / t29 1.2 s, all ≤5 tasks).
+    * When the scan already supplies at least the session parallelism — any
+    * real multi-file table, so every at-scale deployment — this is the
+    * IDENTITY: nothing extra is ever shuffled at 100 TB, where these
+    * kernels' map-side partial aggregation is the whole scale story.
+    * Hash-repartitions on a key column: keyless round-robin pays a local
+    * sort (SPARK-23207) and is retry-unsafe on nondeterministic input. */
+  private def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
+  }
+
   /** Corpus-adaptive scale knobs shared by the Spark queries and the DuckDB
     * oracle — the round-7 sf0.1→sf1 sweep caught two quadratic families:
     * IVF centroid sets growing linearly with the corpus (assign cost
@@ -735,7 +752,9 @@ object SparkEntry {
     // formatting), so the DuckDB oracle states the same truth directly
     // from the source columns, blind to the variant machinery.
     "p13_variant" -> ((s, dir) =>
-      ev(s, dir)
+      // fanOut: the parse_json/variant_get kernel is the whole query cost
+      // and ran single-task on the one-split local scan (r13 opt)
+      fanOut(ev(s, dir), col("event_id"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .withColumn("j", format_string(
           """{"k": %s, "meta": {"type": "%s", "ids": [%s, %s]}, "opt": %s}""",
@@ -3321,6 +3340,9 @@ object SparkEntry {
     // subtree once. The persisted-table variant of the same sharing is
     // what d2b demonstrates; Verify/Bench clearCache() between queries.
     "c1_corpus_clean" -> ((s, dir) => {
+      // r13 opt note: fanOut here was measured NEUTRAL-to-worse (1.8→2.0 s
+      // warm) — the two cached relations re-materialize at 32 partitions
+      // and the added task overhead eats the kernel win; left alone.
       val d = docs(s, dir)
       val sigs = DedupOps.signatures(d, "doc_id", "text", 16).cache()
       // bucket-capped: a degenerate corpus (mass-duplicated boilerplate)
@@ -4144,7 +4166,7 @@ object SparkEntry {
       // form is two map-side-combinable aggregations (min per shingle, then
       // a doc-keyed count of the owners) plus the per-doc shingle census —
       // no sort, no wide join-back, identical integers.
-      val tok = docs(s, dir).select(col("doc_id"),
+      val tok = fanOut(docs(s, dir), col("doc_id")).select(col("doc_id"),
         explode(array_distinct(DedupOps.shingles(col("text"), 3))).as("t"))
       val census = tok.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"))
@@ -5152,7 +5174,9 @@ object SparkEntry {
     // styles diverge); documented as value-at-4dp cardinality.
     "o35_stats_collect" -> ((s, dir) => {
       val e = ev(s, dir)
-      val ndv = graft.ops.Sketches.hllMultiCol(e, Seq(
+      // fanOut on the HLL input only: 4 md5-per-column rows per event ran
+      // single-task; the min/max/null agg below is a cheap scan (r13 opt)
+      val ndv = graft.ops.Sketches.hllMultiCol(fanOut(e, col("event_id")), Seq(
           "event_id" -> col("event_id"),
           "user_id" -> col("user_id"),
           "event_type" -> col("event_type"),
@@ -5295,7 +5319,10 @@ object SparkEntry {
     // Exact intersection/union ride along as integers for the error column.
     "o28_kmv_jaccard" -> ((s, dir) => {
       val k = 256
-      val d = docs(s, dir)
+      // fanOut: the shingle explode + md5 min-k kernel runs FOUR times
+      // (two sketch sides + two exact sides), each single-task on the
+      // one-split local scan (r13 opt); min-k-distinct is order-free
+      val d = fanOut(docs(s, dir), col("doc_id"))
       def side(lang: String) = d.filter(col("lang") === lang)
         .select(explode(DedupOps.shingles(col("text"), 3)).as("t"))
       val skA = graft.ops.Sketches.kmvSketch(side("en"), col("t"), k)
@@ -5339,7 +5366,9 @@ object SparkEntry {
     // CHECKED column (count of differing positions must be 0), both paths
     // recomputed independently by the oracle.
     "o29_kmv_merge" -> ((s, dir) => {
-      val e = ev(s, dir)
+      // fanOut: both sketch paths' md5 kernels ran single-task (r13 opt);
+      // distinct-union-min-k is order-free by construction
+      val e = fanOut(ev(s, dir), col("event_id"))
       val k = 256
       val parts = graft.ops.Sketches.kmvSketchBy(
         e, date_format(col("ts"), "yyyy-MM-dd"), col("event_id"), k)
@@ -5454,7 +5483,9 @@ object SparkEntry {
     // n_exact by construction and the compare pins both.
     "o12_cms_heavy" -> ((s, dir) => {
       val e = ev(s, dir)
-      val sk = graft.ops.Sketches.cmsBuild(e, col("user_id"))
+      // fanOut on the sketch input only: the depth×md5 hashing kernel ran
+      // single-task; probes/exact below are cheap scans (r13 opt)
+      val sk = graft.ops.Sketches.cmsBuild(fanOut(e, col("event_id")), col("user_id"))
       val probes = e.filter(col("user_id") < 25).select(col("user_id")).distinct()
       val est = graft.ops.Sketches.cmsEstimate(sk, probes, col("user_id"))
         .withColumnRenamed("key", "user_id")
@@ -6024,7 +6055,9 @@ object SparkEntry {
     // the canonical pair, a vocab²-bounded relation map-side combine
     // crushes. All-integer output — nothing to format.
     "t29_skipgram" -> ((s, dir) =>
-      TextOps.skipGramPairs(docs(s, dir), "text", window = 3, minCount = 20L)
+      // fanOut: the in-array pair transform ran single-task (r13 opt)
+      TextOps.skipGramPairs(fanOut(docs(s, dir), col("doc_id")), "text",
+          window = 3, minCount = 20L)
         .select(col("w_a"), col("w_b"), col("n_pair"))),
 
     // T30 — RAKE keyword extraction (Rose et al. 2010): stopword-free token
@@ -6207,7 +6240,8 @@ object SparkEntry {
     // signed-sum property the trick depends on); one explode + one
     // (doc, bucket) partial-aggregated sum, scan-bound.
     "t26_feature_hash" -> ((s, dir) =>
-      docs(s, dir).filter(length(trim(col("text"))) > 0)
+      // fanOut: tokenize+md5 kernel ran single-task on the one-split scan
+      fanOut(docs(s, dir), col("doc_id")).filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
         .withColumn("hx", md5(col("t")))
         .withColumn("bucket", conv(substring(col("hx"), 1, 1), 16, 10).cast("long"))
@@ -7628,7 +7662,11 @@ object SparkEntry {
       import s.implicits._
       val wBlocks = 6; val nFrames = 4
       val px = ev(s, dir).select(col("user_id"), col("event_id"))
-      val brights = px.groupBy(col("user_id"))
+      // AQE-exempt repartition feeding the agg — the m4/m4b/m5 fix (the
+      // per-user AVI encode+brightness decode otherwise runs on ~4 tasks)
+      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val brights = px.repartition(shufP, col("user_id"))
+        .groupBy(col("user_id"))
         .agg(collect_list(col("event_id")).as("ids"))
         .as[(Long, Array[Long])]
         .map { case (uid, ids) =>
