@@ -4520,7 +4520,11 @@ object SparkEntry {
     // all integer (⌈τn⌉ = (8n+9) div 10; verify 10·|∩| ≥ 8·|∪|) — the
     // pair set is bit-identical on any engine, no doubles anywhere.
     "d11_setsim_join" -> ((s, dir) =>
-      DedupOps.setSimJoinExact(docs(s, dir), "doc_id", "text",
+      // fanOut: the cached shingle relation inherits the scan's ONE local
+      // partition, so all four PPJoin subtrees — including both broadcast
+      // verification joins and their |set|-wide expansion — ran single-task
+      DedupOps.setSimJoinExact(fanOut(docs(s, dir), col("doc_id")),
+          "doc_id", "text",
           shingleSize = 3, tauNum = 8, tauDen = 10)
         .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("ni"),
           col("j_bp"))),
@@ -6531,7 +6535,9 @@ object SparkEntry {
     // %.4f rounds half-up and C printf half-even — integer div is exact on
     // both engines.
     "d7_dup_ngrams" -> ((s, dir) =>
-      DedupOps.crossDocGramStats(docs(s, dir), "doc_id", "text", 4)
+      // fanOut: the gram explode + md5 pass ran single-task (r13 opt)
+      DedupOps.crossDocGramStats(fanOut(docs(s, dir), col("doc_id")),
+          "doc_id", "text", 4)
         .select(col("id").as("doc_id"), col("n_grams"), col("n_dup_grams"),
           expr("(n_dup_grams * 10000) div n_grams").as("dup_bp"))),
 
@@ -6555,6 +6561,8 @@ object SparkEntry {
     // bounds every posting's fan-out at cap² — no boilerplate quadratics.
     // Exact shared-gram counts verify candidates only.
     "d9_containment" -> ((s, dir) =>
+      // r13 opt note: fanOut measured flat here (2.3 s both ways) — the
+      // posting joins, not the explode kernel, own the time; left alone
       DedupOps.containmentPairs(docs(s, dir), "doc_id", "text",
           gramSize = 8, dfCap = 8)
         .select(col("id_a"), col("id_b"), col("n_shared"),

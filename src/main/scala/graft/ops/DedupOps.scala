@@ -405,6 +405,12 @@ object DedupOps {
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .filter(lit(tauDen) * least(col("na"), col("nb")) >=
         lit(tauNum) * greatest(col("na"), col("nb")))
+    // r13 opt note — keyed repartition pins on these two joins were measured
+    // and REJECTED: the planner broadcasts the KB-sized candidate side, so
+    // the joins have NO exchange, and forcing shuffle joins moved 81 MB
+    // (vs 12) for a slower run. The verification parallelism instead comes
+    // from the caller handing in a fanned-out docs relation (tok's cache
+    // inherits its partitioning — see the d11 registration).
     val inter = candSized
       .join(tok.select(col("id").as("id_a"), col("t")), "id_a")
       .join(tok.select(col("id").as("id_b"), col("t")), Seq("id_b", "t"))
