@@ -833,6 +833,12 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
+    // r13 opt note — two propagation rounds per materialization (halving
+    // checkpoint/sum jobs) was measured and REJECTED: AQE turns each deeper
+    // double-step into MORE stage-jobs, clique-ish graphs converge in 2-3
+    // rounds anyway, and the mandatory extra sub-round made d6/x17/c9
+    // slower (1.1→2.0 s, 1.1→1.7 s, 2.9→4.2 s warm). One round per
+    // materialization stays.
     while (!converged && rounds < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
