@@ -44,6 +44,9 @@ object JobStats {
          if names.forall(_.contains(n))) {
       fn(spark, sfDir).count() // cold rep: codegen + JIT, not reported
       spark.catalog.clearCache()
+      // settle the async listener bus BEFORE the reset too — late task-end
+      // events from the cold rep would otherwise inflate the warm counts
+      Thread.sleep(300)
       Seq(jobs, stages, tasks, shufRead, shufWrite).foreach(_.set(0L))
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()

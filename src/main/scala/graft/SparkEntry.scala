@@ -51,7 +51,7 @@ object SparkEntry {
     // the tiny distinct-users shuffle to ONE partition, and the 72×
     // pixel explode + collect_list agg downstream then runs single-task;
     // REPARTITION_BY_NUM is exempt from AQE coalescing
-    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shufP = s.sessionState.conf.numShufflePartitions
     val users = ev(s, dir).select(col("user_id")).distinct()
       .repartition(shufP, col("user_id"))
     val base = (col("i") * 37 + pmod(col("user_id"), lit(5)) * 11) % 97 * 2
@@ -198,7 +198,14 @@ object SparkEntry {
     * IDENTITY: nothing extra is ever shuffled at 100 TB, where these
     * kernels' map-side partial aggregation is the whole scale story.
     * Hash-repartitions on a key column: keyless round-robin pays a local
-    * sort (SPARK-23207) and is retry-unsafe on nondeterministic input. */
+    * sort (SPARK-23207) and is retry-unsafe on nondeterministic input.
+    *
+    * CALL ONLY ON A BARE TABLE SCAN (`docs()`/`ev()`/`emb()`): the split
+    * probe reads `df.rdd.getNumPartitions`, and with AQE enabled `.rdd` on
+    * a plan containing exchanges eagerly EXECUTES every upstream query
+    * stage — on a derived plan this helper would silently run the query
+    * once extra at construction time. On a scan it is a cheap planning
+    * pass only. */
   private def fanOut(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p, key)
@@ -1880,20 +1887,32 @@ object SparkEntry {
     // integer rank arithmetic — q = (rank−1)·4 div n + 1 over a total
     // (metric, user) order — so segment membership is engine-identical
     // with no percentile interpolation anywhere; monetary sums are exact
-    // decimals. Three windows over ONE per-metric sort of the USER-level
-    // rollup (users, not events, cross the exchanges).
+    // decimals. r14 opt (guide §2.6/§5): the three ranks ride the
+    // range-partitioned two-pass ranker (ops/Ranking.scala) instead of
+    // three unpartitioned row_number windows — at 100 TB those were three
+    // serial single-task sorts of the ENTIRE user rollup. The quartile
+    // arithmetic is reproduced exactly ((pos−1)·4 / n + 1, truncating
+    // int cast over the same total order), so segment membership — and
+    // the oracle hash — is unchanged. The rollup is checkpointed once so
+    // the three rank passes read it instead of re-aggregating events.
     "a25_rfm" -> ((s, dir) => {
       val base = ev(s, dir).groupBy(col("user_id"))
         .agg(max(unix_micros(col("ts"))).as("r_us"),
           count(lit(1)).as("f"),
           sum(col("value").cast("decimal(30,4)")).as("m"))
-      val n = count(lit(1)).over(Window.partitionBy())
-      def quartile(order: Column*) = (
-        (row_number().over(Window.orderBy(order: _*)) - 1) * 4 / n + 1).cast("int")
-      base
-        .withColumn("rq", quartile(col("r_us").desc, col("user_id")))
-        .withColumn("fq", quartile(col("f").desc, col("user_id")))
-        .withColumn("mq", quartile(col("m").desc, col("user_id")))
+        .localCheckpoint()
+      val nUsers = broadcast(base.agg(count(lit(1)).as("__n")))
+      val ranked = graft.ops.Ranking.globalRowNumber(
+        graft.ops.Ranking.globalRowNumber(
+          graft.ops.Ranking.globalRowNumber(base,
+            Seq(col("r_us").desc, col("user_id")), "__rp"),
+          Seq(col("f").desc, col("user_id")), "__fp"),
+        Seq(col("m").desc, col("user_id")), "__mp")
+      def quartile(pos: Column) =
+        ((pos - 1) * 4 / col("__n") + 1).cast("int")
+      ranked.crossJoin(nUsers)
+        .select(quartile(col("__rp")).as("rq"), quartile(col("__fp")).as("fq"),
+          quartile(col("__mp")).as("mq"))
         .groupBy(col("rq"), col("fq"), col("mq"))
         .agg(count(lit(1)).as("n_users"))
     }),
@@ -3017,7 +3036,11 @@ object SparkEntry {
     // survivors only. Weights are exact decimals (per-bucket ln truncated
     // to DECIMAL(30,10), t9 discipline) so ranking carries no fp ties.
     "x30_dsir_select" -> ((s, dir) => {
-      val top = TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+      // fanOut (r14): the token+bigram explode + md5-bucket kernel runs
+      // TWICE in dsirWeights (LM-count pass + score pass), each single-task
+      // on the one-split local scan; identity on any multi-file table
+      val top = TextOps.dsirWeights(fanOut(docs(s, dir), col("doc_id")),
+          "doc_id", "text",
           col("lang") === "en")
         .orderBy(col("w_dec").desc, col("id")).limit(100)
       top.withColumn("sel_rank",
@@ -3375,7 +3398,9 @@ object SparkEntry {
     // exact-integer comparison (2·n_kept ≥ n_tokens) and membership never
     // touches a double, so the row set is layout- and libm-independent.
     "c2_clean_spans" -> ((s, dir) => {
-      val d = docs(s, dir)
+      // fanOut (r14): the tokenize+quality filter and spanScrub's gram
+      // explode kernels ran single-task on the one-split local scan
+      val d = fanOut(docs(s, dir), col("doc_id"))
       val q = d.select(col("doc_id"), col("text"),
           TextOps.tokenCount(col("text")).as("nt"),
           TextOps.qualityScore(col("text")).as("quality"))
@@ -4081,31 +4106,54 @@ object SparkEntry {
         .join(tok.select(col("t"), col("doc_id").as("id_b")), "t")
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ni"))
-      // truth and the signature relation feed all three cap branches of
-      // the union — share them DISK_ONLY (the c4 lesson) instead of
-      // recomputing the shingle self-join and the minhash scan per cap
       val truth = inter
         .join(sizes.select(col("doc_id").as("id_a"), col("ns").as("na")), "id_a")
         .join(sizes.select(col("doc_id").as("id_b"), col("ns").as("nb")), "id_b")
         .filter(col("ni") * 2 >= col("na") + col("nb") - col("ni"))
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val sig = DedupOps.signatures(corpus, "doc_id", "text", 16, 3)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      Seq(100, 400, 1600).map { cap =>
-        val cand = DedupOps.pairsFromSignatures(sig, 16, 4, cap)
-          .select(col("id_a"), col("id_b"))
-        val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-        truth.agg(count(lit(1)).as("n_true"))
-          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-          .select(lit(cap.toLong).as("cap"), col("n_true"), col("n_cand"),
-            col("n_hits"),
-            expr("CASE WHEN n_true = 0 THEN NULL ELSE n_hits * 10000 div n_true END")
-              .as("recall_bp"),
-            expr("CASE WHEN n_cand = 0 THEN NULL ELSE n_hits * 10000 div n_cand END")
-              .as("precision_bp"))
-      }.reduce(_ unionByName _)
+      // r14 opt (guide §2.4 — VERDICT r13 item 2, d19 was 82 stage-jobs):
+      // the three-cap sweep used to run pairsFromSignatures (a full banded
+      // self-join + distinct + bucket-guard anti-join) once PER cap. A pair
+      // survives cap C iff it collides in SOME band whose bucket size is
+      // ≤ C, so min-over-colliding-bands of the bucket size is a sufficient
+      // statistic for EVERY cap at once: one banded self-join (shuffling
+      // only (band, band_sig, id) — the unused sig arrays no longer cross),
+      // one (id_a, id_b) rollup, one full-outer tag against truth, one
+      // 1-row aggregate fanned back out to the 3 cap rows. Survival-set
+      // equality with the per-cap anti-join form is exact (min ≤ C ⟺ some
+      // colliding bucket ≤ C), so the oracle rows are unchanged. The old
+      // DISK_ONLY persists on truth/sig go with it — each relation is now
+      // referenced exactly once.
+      val banded = DedupOps.bandedSignatures(
+          DedupOps.signatures(corpus, "doc_id", "text", 16, 3), 16, 4)
+        .select(col("band"), col("band_sig"), col("id"))
+      val bn = banded.groupBy(col("band"), col("band_sig"))
+        .agg(count(lit(1)).as("bn"))
+      val a = banded.join(bn, Seq("band", "band_sig"))
+        .select(col("band"), col("band_sig"), col("bn"), col("id").as("id_a"))
+      val b = banded.select(col("band"), col("band_sig"), col("id").as("id_b"))
+      val pairMin = a.join(b, Seq("band", "band_sig"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("bn")).as("mb"))
+      val caps = Seq(100L, 400L, 1600L)
+      val aggExprs = count(col("is_true")).as("n_true") +:
+        caps.flatMap(c => Seq(
+          count(when(col("mb") <= c, 1)).as(s"nc$c"),
+          count(when(col("is_true").isNotNull && col("mb") <= c, 1))
+            .as(s"nh$c")))
+      val counts = truth.withColumn("is_true", lit(1))
+        .join(pairMin, Seq("id_a", "id_b"), "full_outer")
+        .agg(aggExprs.head, aggExprs.tail: _*)
+      counts.select(explode(array(caps.map(c =>
+          struct(lit(c).as("cap"), col("n_true"),
+            col(s"nc$c").as("n_cand"), col(s"nh$c").as("n_hits"))): _*)).as("r"))
+        .select(col("r.cap").as("cap"), col("r.n_true").as("n_true"),
+          col("r.n_cand").as("n_cand"), col("r.n_hits").as("n_hits"),
+          expr("CASE WHEN r.n_true = 0 THEN NULL ELSE r.n_hits * 10000 div r.n_true END")
+            .as("recall_bp"),
+          expr("CASE WHEN r.n_cand = 0 THEN NULL ELSE r.n_hits * 10000 div r.n_cand END")
+            .as("precision_bp"))
     }),
 
     // D20 — chunk-level dedup with FIRST-occurrence keep (the RefinedWeb/
@@ -5323,41 +5371,50 @@ object SparkEntry {
     // Exact intersection/union ride along as integers for the error column.
     "o28_kmv_jaccard" -> ((s, dir) => {
       val k = 256
-      // fanOut: the shingle explode + md5 min-k kernel runs FOUR times
-      // (two sketch sides + two exact sides), each single-task on the
-      // one-split local scan (r13 opt); min-k-distinct is order-free
+      // r14 opt (guide §2.3/§2.4): the two sketch sides and the two exact
+      // sides each re-ran the shingle explode + md5 kernel — FOUR corpus
+      // passes (fanOut'd in r13, still four). One pass now builds the
+      // distinct-shingle relation with per-language presence flags; both
+      // bottom-k sketches fold off it via null-masked minkDistinct (nulls
+      // are skipped on update, and the distinct-shingle set per language is
+      // exactly what the old per-side explode fed after internal dedup),
+      // the exact intersection/union counts are flag counts, and the union
+      // sketch + match count collapse to array expressions on the ONE
+      // aggregate row (sorted-distinct-concat bottom-k ≡ the old
+      // distinct-union-orderBy-limit; array_intersect ≡ the two semi
+      // joins). Same hashes, same counts, same estimates — 1 corpus pass,
+      // 1 shingle-keyed exchange, no per-side relations.
       val d = fanOut(docs(s, dir), col("doc_id"))
-      def side(lang: String) = d.filter(col("lang") === lang)
-        .select(explode(DedupOps.shingles(col("text"), 3)).as("t"))
-      val skA = graft.ops.Sketches.kmvSketch(side("en"), col("t"), k)
-      val skB = graft.ops.Sketches.kmvSketch(side("de"), col("t"), k)
-      val ha = skA.select(explode(col("vals")).as("h"))
-      val hb = skB.select(explode(col("vals")).as("h"))
-      // union sketch: k smallest distinct VALUES of S_A ∪ S_B, merged
-      // relationally (the sketches are ≤ k rows each — metadata-sized)
-      val mu = ha.union(hb).distinct().orderBy(col("h")).limit(k)
-      val matches = mu.join(ha, Seq("h"), "left_semi")
-        .join(hb, Seq("h"), "left_semi")
-      val stats = mu.agg(count(lit(1)).cast("long").as("n_kept_u"),
-          max(col("h")).as("kth_u"))
-        .crossJoin(matches.agg(count(lit(1)).cast("long").as("n_match")))
-      // exact counts for the error column (affordable at bench scale; at
-      // 100 TB only the sketches exist)
-      val ta = side("en").select(col("t")).distinct()
-      val tb = side("de").select(col("t")).distinct()
-      val exact = ta.join(tb, Seq("t"), "left_semi")
-        .agg(count(lit(1)).as("n_inter_exact"))
-        .crossJoin(ta.union(tb).distinct().agg(count(lit(1)).as("n_union_exact")))
+      val perT = d.filter(col("lang").isin("en", "de"))
+        .select(explode(DedupOps.shingles(col("text"), 3)).as("t"),
+          (col("lang") === "en").as("is_en"))
+        .groupBy(col("t"))
+        .agg(max(col("is_en")).as("has_en"), max(!col("is_en")).as("has_de"))
+        .withColumn("h", graft.ops.Sketches.kmvHash(col("t")))
+      val one = perT.agg(
+        graft.expressions.MinKAggregate
+          .minkDistinct(when(col("has_en"), col("h")), k).as("va"),
+        graft.expressions.MinKAggregate
+          .minkDistinct(when(col("has_de"), col("h")), k).as("vb"),
+        count(when(col("has_en") && col("has_de"), 1)).as("n_inter_exact"),
+        count(lit(1)).as("n_union_exact"))
+        .withColumn("mu",
+          slice(array_sort(array_distinct(concat(col("va"), col("vb")))), 1, k))
+        .withColumn("n_kept_u", size(col("mu")).cast("long"))
+        .withColumn("kth_u",
+          when(col("n_kept_u") > 0, element_at(col("mu"), size(col("mu")))))
+        .withColumn("n_match",
+          size(array_intersect(array_intersect(col("mu"), col("va")),
+            col("vb"))).cast("long"))
       val unionEst = graft.ops.Sketches.kmvEstimateFrom(
         col("n_kept_u"), col("kth_u"), k)
       val jaccardEst = col("n_match").cast("double") / col("n_kept_u").cast("double")
-      stats.crossJoin(exact)
-        .select(col("n_kept_u"), col("kth_u"), col("n_match"),
-          col("n_inter_exact"), col("n_union_exact"),
-          expr("n_inter_exact * 10000 div n_union_exact").as("jaccard_exact_bp"),
-          Exact.fmt(jaccardEst, 4).as("jaccard_est_r"),
-          Exact.fmt(unionEst, 4).as("union_est_r"),
-          Exact.fmt(jaccardEst * unionEst, 4).as("inter_est_r"))
+      one.select(col("n_kept_u"), col("kth_u"), col("n_match"),
+        col("n_inter_exact"), col("n_union_exact"),
+        expr("n_inter_exact * 10000 div n_union_exact").as("jaccard_exact_bp"),
+        Exact.fmt(jaccardEst, 4).as("jaccard_est_r"),
+        Exact.fmt(unionEst, 4).as("union_est_r"),
+        Exact.fmt(jaccardEst * unionEst, 4).as("inter_est_r"))
     }),
 
     // O29 — KMV sketch MERGE: per-day bottom-k partials re-aggregated with
@@ -5683,22 +5740,26 @@ object SparkEntry {
     // subspace MSE, and `improved` turns that claim into a checked bit
     // per subspace instead of a comment. Sums ride the Exact.sumD decimal
     // accumulator; output is m rows.
+    // r14 opt (guide §2.3/§2.4 — VERDICT r13 item 2): the raw and trained
+    // distortion passes now share ONE corpus explode via
+    // [[SimilarityOps.pqDistortionPair]] (book-tagged broadcast union,
+    // per-book argmax — bit-identical SSE per book), and both codebooks
+    // are localCheckpoint'd m·k-row relations, so the final action no
+    // longer replans (or re-runs) the cb0 chain and the last Lloyd
+    // iteration inside each distortion branch.
     "s35_pq_distortion" -> ((s, dir) => {
       val e = emb(s, dir)
       val cb0 = SimilarityOps.pqCodebook(
         e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0),
-        "vec_id", "embedding", m = PqM, subDim = PqSubDim)
+        "vec_id", "embedding", m = PqM, subDim = PqSubDim).localCheckpoint()
       val cbT = SimilarityOps.pqCodebookRefine(e, cb0, "vec_id", "embedding",
-        m = PqM, subDim = PqSubDim, iters = PqTrainIters)
-      SimilarityOps.pqDistortion(e, cb0, "vec_id", "embedding", PqM, PqSubDim)
-        .select(col("sub"), col("n"), col("sse").as("sse_raw"))
-        .join(SimilarityOps.pqDistortion(e, cbT, "vec_id", "embedding",
-            PqM, PqSubDim)
-          .select(col("sub"), col("sse").as("sse_trained")), Seq("sub"))
+        m = PqM, subDim = PqSubDim, iters = PqTrainIters).localCheckpoint()
+      SimilarityOps.pqDistortionPair(e, cb0, cbT, "vec_id", "embedding",
+          PqM, PqSubDim)
         .select(col("sub"), col("n"),
-          Exact.fmt(col("sse_raw"), 4).as("sse_raw_r"),
-          Exact.fmt(col("sse_trained"), 4).as("sse_trained_r"),
-          (col("sse_trained") <= col("sse_raw")).cast("int").as("improved"))
+          Exact.fmt(col("sse_a"), 4).as("sse_raw_r"),
+          Exact.fmt(col("sse_b"), 4).as("sse_trained_r"),
+          (col("sse_b") <= col("sse_a")).cast("int").as("improved"))
     }),
 
     // P7 — NaN encoding for model input (utils.py:124-125).
@@ -7560,7 +7621,7 @@ object SparkEntry {
       // coalescer cannot see that each narrow row explodes into heavy CPU
       // work (guide §2.5). Features are per-block counts — order-
       // insensitive — so list arrival order is immaterial.
-      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val shufP = s.sessionState.conf.numShufflePartitions
       val payloads = px.repartition(shufP, col("user_id"))
         .groupBy(col("user_id"))
         .agg(collect_list(col("g")).as("gs"))
@@ -7594,7 +7655,7 @@ object SparkEntry {
       // AQE-exempt repartition before the encode map — same rationale as m4
       // (the coalesced shuffle serialized this query's encode+decode on 4
       // of 32 cores; measured 4.7 s with 4 tasks at sf0.1)
-      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val shufP = s.sessionState.conf.numShufflePartitions
       val payloads = px.repartition(shufP, col("user_id"))
         .groupBy(col("user_id"))
         .agg(collect_list(col("c")).as("cs"))
@@ -7630,7 +7691,7 @@ object SparkEntry {
       // AQE-exempt repartition before the encode map — the m4/m4b rationale
       // (four JPEG frames per user encoded in the map; per-frame features
       // are residue-class counts, order-insensitive)
-      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val shufP = s.sessionState.conf.numShufflePartitions
       val payloads = px.repartition(shufP, col("user_id"))
         .groupBy(col("user_id"))
         .agg(collect_list(col("event_id")).as("ids"))
@@ -7672,7 +7733,7 @@ object SparkEntry {
       val px = ev(s, dir).select(col("user_id"), col("event_id"))
       // AQE-exempt repartition feeding the agg — the m4/m4b/m5 fix (the
       // per-user AVI encode+brightness decode otherwise runs on ~4 tasks)
-      val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val shufP = s.sessionState.conf.numShufflePartitions
       val brights = px.repartition(shufP, col("user_id"))
         .groupBy(col("user_id"))
         .agg(collect_list(col("event_id")).as("ids"))

@@ -211,6 +211,9 @@ object GraphOps {
     // formatted lines and planning itself became a cost. Checkpointing the
     // edge closure once and each round's survivor set keeps the plan
     // round-local; values are untouched (the relations are deterministic).
+    // NOTE: localCheckpoint is EAGER (jobs run at construction) and
+    // non-reliable (blocks lost, not recomputed, on executor loss) — the
+    // bfsHops/labelProp trade, accepted here for the same reason.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -368,6 +371,10 @@ object GraphOps {
     // und is referenced three times (degree rollup, orientation, the
     // triangle-closing semi join) — checkpointed so the (expensive) edge
     // subtree is derived once (r13 opt, the linkPrediction pattern).
+    // NOTE: localCheckpoint is EAGER — building this DataFrame runs Spark
+    // jobs before any action, and the non-reliable checkpoint blocks are
+    // lost (not recomputed) on executor loss in cluster mode — the same
+    // trade bfsHops/labelProp already make.
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))

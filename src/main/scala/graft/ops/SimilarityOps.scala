@@ -814,6 +814,10 @@ object SimilarityOps {
       .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
     var cb = codebook
     for (i <- 0 until iters) {
+      // r14 A/B note — checkpoint removal measured and REJECTED: uncut, the
+      // broadcast side of iteration i embeds every earlier iteration's full
+      // corpus encode and re-executes it (s35 5.3→8.1 s, s7e 8.7→13.6 s warm
+      // despite 3 fewer jobs). The per-iteration cut stays.
       if (i > 0) cb = cb.localCheckpoint() // lineage cut, the kmeansRefine pattern
       // assignment with the subvector CARRIED through the argmax (r13 opt,
       // guide §2.3/§2.4): the winning code per (id, sub) used to come from a
@@ -830,15 +834,19 @@ object SimilarityOps {
         .groupBy(col(idCol), col("sub"))
         .agg(max_by(col("code_id"), col("__s")).as("code_id"),
           first(col("sv")).as("sv"))
-      val dimSums = enc
-        .select(col("sub"), col("code_id"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("sub"), col("code_id"), col("dim"))
-        .agg(Exact.sumD(col("x"), 10).as("sx"), count(lit(1)).as("n"))
-      cb = dimSums.groupBy(col("sub"), col("code_id"))
-        .agg(transform(
-            array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m")))),
-            s => s("m")).as("cw"))
+      // r14 opt (guide §2.3/§2.4): per-dim means via ONE (sub, code_id)
+      // exchange carrying `subDim` decimal partial sums, instead of
+      // posexplode + a (sub, code_id, dim) exchange + a second rollup —
+      // one exchange fewer and subDim× fewer shuffled rows per iteration.
+      // Each per-dim sum is the identical exact-decimal accumulation over
+      // the identical value set (order-independent), and the mean is the
+      // same double division, so the refined codewords are bit-identical.
+      val aggs = count(lit(1)).as("n") +: (0 until subDim).map(d =>
+        sum(col("sv")(d).cast("decimal(30,10)")).cast("double").as(s"sx$d"))
+      cb = enc.groupBy(col("sub"), col("code_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("code_id"), col("sub"),
+          array((0 until subDim).map(d => col(s"sx$d") / col("n")): _*).as("cw"))
         .select(col("code_id"), col("sub"), col("cw"),
           dot(col("cw"), col("cw")).as("cwip"))
     }
@@ -942,6 +950,48 @@ object SimilarityOps {
       .agg(max_by(col("d2"), col("__s")).as("d2"))
       .groupBy(col("sub"))
       .agg(count(lit(1)).as("n"), graft.ops.Exact.sumD(col("d2"), 10).as("sse"))
+  }
+
+  /** Two-codebook [[pqDistortion]] in ONE corpus pass (r14 opt, guide
+    * §2.3/§2.4 — the s35 shape audits a raw book against its trained
+    * successor, and two separate passes scan + explode the corpus twice).
+    * The books are tagged and unioned into one broadcast relation and the
+    * argmax groups by (book, id, sub), so each book's argmax sees exactly
+    * its own candidate rows; per candidate row the float expression is
+    * identical to [[pqDistortion]]'s, and the per-book SSE folds through
+    * the same exact DECIMAL accumulator restricted by the book tag (a
+    * decimal sum over the identical row subset — order-independent, so
+    * bit-identical to two separate passes). `n` counts book-A groups;
+    * both books cover every subspace (a book never loses an entire sub:
+    * each subvector is assigned somewhere), so the m output rows match
+    * the two-pass inner join.
+    * Returns (sub, n, sse_a, sse_b). */
+  def pqDistortionPair(corpus: DataFrame, cbA: DataFrame, cbB: DataFrame,
+                       idCol: String, vecCol: String, m: Int,
+                       subDim: Int): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v")).filter(nonZero(col("__v")))
+    val subs = (0 until m).map(i =>
+      struct(lit(i).as("sub"), slice(col("__v"), i * subDim + 1, subDim).as("sv")))
+    val sv = c.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.sub").as("sub"), col("s.sv").as("sv"))
+    val books = cbA.withColumn("__bk", lit(0))
+      .unionByName(cbB.withColumn("__bk", lit(1)))
+    sv.withColumn("svip", dot(col("sv"), col("sv")))
+      .join(broadcast(books), Seq("sub"))
+      .select(col(idCol), col("__bk"), col("sub"),
+        struct((dot(col("sv"), col("cw")) - lit(0.5) * col("cwip")).as("score"),
+          (-col("code_id")).as("nid")).as("__s"),
+        (col("svip") - lit(2.0) * dot(col("sv"), col("cw"))
+          + col("cwip")).as("d2"))
+      .groupBy(col("__bk"), col(idCol), col("sub"))
+      .agg(max_by(col("d2"), col("__s")).as("d2"))
+      .groupBy(col("sub"))
+      .agg(count(when(col("__bk") === 0, 1)).as("n"),
+        sum(when(col("__bk") === 0, col("d2")).cast("decimal(30,10)"))
+          .cast("double").as("sse_a"),
+        sum(when(col("__bk") === 1, col("d2")).cast("decimal(30,10)"))
+          .cast("double").as("sse_b"))
   }
 
   /** ADC top-k over PQ codes: approximate cosine between each query and

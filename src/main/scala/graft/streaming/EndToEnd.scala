@@ -174,7 +174,8 @@ object EndToEnd {
           maxFilesPerTrigger: Int = 4,
           envelopesPerFile: Long = EnvelopesPerFile,
           lateDelayFiles: Int = 0,
-          withAuxSinks: Boolean = false): DataFrame = {
+          withAuxSinks: Boolean = false): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     require(lateDelayFiles == 0 || lateDelayFiles >= 2 * maxFilesPerTrigger + 2,
       "the late-events filter lags one batch behind the arrival batch's " +
         "watermark (class doc): lateDelayFiles >= 2*maxFilesPerTrigger + 2")

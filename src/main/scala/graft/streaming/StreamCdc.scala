@@ -39,7 +39,8 @@ object StreamCdc {
                     valid_from_us: Long)
 
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
+          maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     import spark.implicits._
     val evs = events.select(col("user_id"), col("event_type"), col("value"),
       col("ts"), col("event_id"))

@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamDedupReplay {
 
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
+          maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     val dup = events.filter(col("event_id") % 3 === 0)
     StreamJoin.writeDayChunkedParquet(spark, events.unionAll(dup), workDir, "ts")
     dedupAndSink(spark, events.schema, workDir, maxFilesPerTrigger)
@@ -49,7 +50,8 @@ object StreamDedupReplay {
     * last original day and seal normally under AvailableNow. Sink must
     * equal the original row set exactly, same oracle as the in-order form. */
   def runOutOfOrder(spark: SparkSession, events: DataFrame, workDir: String,
-                    maxFilesPerTrigger: Int = 4): DataFrame = {
+                    maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     val orig = events.withColumn("__arrival", col("ts"))
     val dup = events.filter(col("event_id") % 3 === 0)
       .withColumn("__arrival", col("ts") + expr("INTERVAL 30 HOURS"))

@@ -45,7 +45,8 @@ object StreamEnrich {
     * ('unknown' for users absent from the dimension — exercised by
     * withholding users ≡ 0 (mod 17) from the written dim). */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
+          maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     StreamJoin.writeDayChunkedParquet(spark, events, workDir, "ts")
     // the dimension is WRITTEN and re-read: the join's static side is a
     // storage relation (as in production), not an in-memory frame

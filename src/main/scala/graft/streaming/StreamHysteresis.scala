@@ -58,7 +58,8 @@ object StreamHysteresis {
   /** Replay `events` day-chunked through the stateful alarm; return the
     * final per-user (n_enter, n_alarm_rows, n_rows) — mon12's schema. */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
+          maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     import spark.implicits._
     val evs = events.select(col("user_id"), col("ts"), col("event_id"), col("value"))
     StreamJoin.writeDayChunkedParquet(spark, evs, workDir, "ts")

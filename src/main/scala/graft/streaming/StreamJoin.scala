@@ -82,7 +82,8 @@ object StreamJoin {
   def run(spark: SparkSession, events: DataFrame, workDir: String,
           windowSeconds: Long = 21600L,
           maxFilesPerTrigger: Int = 4,
-          daysPerChunk: Int = 1): DataFrame = {
+          daysPerChunk: Int = 1): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     writeDayChunkedParquet(spark, events, workDir, "ts", daysPerChunk)
     val schema = events.schema
     def source() = spark.readStream
@@ -134,7 +135,8 @@ object StreamJoin {
   def runLeftOuter(spark: SparkSession, events: DataFrame, workDir: String,
                    windowSeconds: Long = 21600L,
                    maxFilesPerTrigger: Int = 4,
-                   daysPerChunk: Int = 1): DataFrame = {
+                   daysPerChunk: Int = 1): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     import spark.implicits._
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
     val far = new java.sql.Timestamp(maxTs.getTime + 2L * 86400L * 1000L)

@@ -115,7 +115,8 @@ object StreamNearDup {
   def run(spark: SparkSession, docs: DataFrame, workDir: String,
           numFiles: Int = 8, maxFilesPerTrigger: Int = 2,
           numHashes: Int = 16, rowsPerBand: Int = 4,
-          compactEvery: Int = 0): DataFrame = {
+          compactEvery: Int = 0): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     writeFixtures(spark, docs, workDir, numFiles)
     val sigPath = s"$workDir/sigs"
     val pairPath = s"$workDir/pairs"

@@ -41,7 +41,8 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamSession {
 
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          gap: String = "30 minutes", maxFilesPerTrigger: Int = 4): DataFrame = {
+          gap: String = "30 minutes", maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     import spark.implicits._
     val evs = events.select(col("user_id"), col("ts"), col("value"))
     val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)

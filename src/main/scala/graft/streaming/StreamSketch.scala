@@ -40,7 +40,8 @@ object StreamSketch {
     * Asserts a real multi-micro-batch run — cross-batch partial merging is
     * the point. */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          k: Int = 256, maxFilesPerTrigger: Int = 4): DataFrame = {
+          k: Int = 256, maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     val evs = events.select(col("event_id"), col("ts"))
     StreamJoin.writeDayChunkedParquet(spark, evs, workDir, "ts")
     val viewPath = s"$workDir/sketch"

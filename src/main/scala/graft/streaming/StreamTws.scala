@@ -80,7 +80,8 @@ object StreamTws {
   /** Replay `events` day-chunked through the processor; return the final
     * (latest-wins) per-user profile with the suite's column conventions. */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4): DataFrame = {
+          maxFilesPerTrigger: Int = 4): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     import spark.implicits._
     val evs = events.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"),

@@ -222,7 +222,8 @@ object StreamView {
     * return the served view (user_id, n, s). Asserts the replay really ran
     * multiple micro-batches — a single-batch run would pass vacuously. */
   def run(spark: SparkSession, events: DataFrame, workDir: String,
-          maxFilesPerTrigger: Int = 4, compactEvery: Int = 3): DataFrame = {
+          maxFilesPerTrigger: Int = 4, compactEvery: Int = 3): DataFrame =
+    ReplayPerf.withFastCheckpoints(spark) {
     val evs = events.select(col("user_id"), col("value"), col("ts"))
     StreamJoin.writeDayChunkedParquet(spark, evs, workDir, "ts")
     val viewPath = s"$workDir/view"
