@@ -5650,7 +5650,8 @@ object SparkEntry {
       val e = emb(s, dir)
       val init = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-      SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding", iters = 2)
+      SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding", iters = 2,
+          dims = PqM * PqSubDim) // emb fixture width — fixed 64
         .select(col("centroid_id"), col("n"),
           concat_ws(",", transform(col("centroid_vec"),
             x => format_string("%.4f", x))).as("centroid_enc"))
@@ -5665,7 +5666,8 @@ object SparkEntry {
       val e = emb(s, dir)
       val init = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-      val trained = SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding", iters = 2)
+      val trained = SimilarityOps.kmeansRefine(e, init, "vec_id", "embedding",
+          iters = 2, dims = PqM * PqSubDim) // emb fixture width — fixed 64
         .select(col("centroid_id"), col("centroid_vec"))
       SimilarityOps.semDedup(e, trained, "vec_id", "embedding", tau = 0.35)
     }),

@@ -495,7 +495,12 @@ object DedupOps {
     val postings = corpus.select(col(idCol).as("id"),
       explode(array_distinct(graft.expressions.MinHashExpressions
         .wordGrams(col(textCol), gramSize))).as("gram"))
-      .select(col("id"), md5(col("gram")).as("gh"))
+      // r14 opt (guide §2.3 narrower types): 16-byte binary digest instead
+      // of the 32-char hex string — every downstream exchange/join keys on
+      // gh, so the suite's top shuffler halves its key bytes; unhex∘md5 is
+      // injective on md5's image, so all join/groupBy decisions (and the
+      // output, which never exposes gh) are unchanged.
+      .select(col("id"), unhex(md5(col("gram"))).as("gh"))
     val rareGh = postings.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, dfCap)).select(col("gh"))
     val rare = postings.join(rareGh, "gh")
@@ -818,11 +823,17 @@ object DedupOps {
     *         reach the fixpoint (wrong labels must not pass silently). */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // r14 opt (guide §1.2): LAZY checkpoints throughout this loop — the
+    // labelSum action that follows every checkpoint materializes the
+    // blocks in the SAME job, so each round (and the init) runs one
+    // driver-synchronized job instead of two (eager ckpt + sum). Plan
+    // truncation is unchanged (the Dataset is LogicalRDD-backed either
+    // way); only the final-stage materialization fuses with the sum.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).localCheckpoint(eager = false)
     // labels only ever DECREASE, so Σlabel is strictly monotone until the
     // fixpoint — an unchanged sum IS convergence; no per-round diff join.
     // Exact decimal sum: a long overflow colliding two different label sets
@@ -846,7 +857,7 @@ object DedupOps {
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by the sum below
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -878,7 +889,8 @@ object DedupOps {
                                      idB: String = "id_b",
                                      maxIter: Int = 40): DataFrame = {
     val nodes = pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id"))).distinct().localCheckpoint()
+      .union(pairs.select(col(idB).as("id"))).distinct()
+      .localCheckpoint(eager = false) // materialized by the final join's action
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -902,7 +914,9 @@ object DedupOps {
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("src"),
         least(col(idA), col(idB)).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      .filter(col("src") =!= col("dst")).distinct()
+      // lazy: the signature probe right below materializes it (r14 opt)
+      .localCheckpoint(eager = false)
     // Per-round fixpoint probe: one cheap commutative signature aggregate
     // (count, exact decimal Σsrc/Σdst, Σxxhash64(src,dst)) instead of the
     // count+except pair the naive check needs — except is a full shuffle
@@ -923,7 +937,8 @@ object DedupOps {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges))
+        .localCheckpoint(eager = false) // materialized by the signature probe
       val sig = signature(next)
       converged = sig == prevSig && next.except(edges).isEmpty
       prevSig = sig

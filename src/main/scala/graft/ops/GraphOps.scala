@@ -170,7 +170,9 @@ object GraphOps {
           lit(r).as("rnd"))
         .unionByName(rem.select(col("id"), lit("removed").as("state"),
           lit(r).as("rnd")))
-        .localCheckpoint() // cut: next round's `active` must not re-derive it
+        // lazy cut (r14 opt, guide §1.2): the eager `active` checkpoint
+        // below contains this relation, so one job materializes both
+        .localCheckpoint(eager = false)
       decided = if (first) decidedRound else decided.unionByName(decidedRound)
       first = false
       active = active.join(decidedRound.select(col("id")), Seq("id"), "left_anti")
@@ -281,7 +283,9 @@ object GraphOps {
       val next = nbr.join(frontier, Seq("id"), "left_semi")
         .select(col("nb").as("id")).distinct()
         .join(settled.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint()
+        // lazy cut (r14 opt): settled's eager checkpoint below contains
+        // `next`, so one job per round materializes both
+        .localCheckpoint(eager = false)
       frontier = next
       settled = settled.unionByName(next.withColumn("dist", lit(d.toLong)))
         .localCheckpoint()
@@ -490,7 +494,8 @@ object GraphOps {
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s"))
       a = spine.join(aSum, Seq("id"), "left")
         .select(col("id"), coalesce(col("s"), lit(0L)).as("a"))
-        .localCheckpoint()
+        // lazy cut (r14 opt): h's eager checkpoint below contains `a`
+        .localCheckpoint(eager = false)
       val hSum = e.join(a.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("s"))
       h = spine.join(hSum, Seq("id"), "left")

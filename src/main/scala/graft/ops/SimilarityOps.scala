@@ -590,7 +590,8 @@ object SimilarityOps {
     *         refined mean vector, and the size of the cluster that
     *         produced it. */
   def kmeansRefine(corpus: DataFrame, init: DataFrame,
-                   idCol: String, vecCol: String, iters: Int): DataFrame = {
+                   idCol: String, vecCol: String, iters: Int,
+                   dims: Int = 0): DataFrame = {
     require(iters >= 1, "at least one Lloyd iteration")
     var cent = init.select(col("centroid_id"), col("centroid_vec"))
     var out: DataFrame = null
@@ -600,16 +601,37 @@ object SimilarityOps {
       // iteration i re-derives every earlier assign inside one deep plan
       if (i > 0) cent = cent.localCheckpoint()
       val assigned = assignToCentroids(corpus, cent, idCol, vecCol)
-      val dimSums = assigned
-        .select(col("centroid_id"),
-          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        .agg(Exact.sumD(col("x"), 10).as("sx"), count(lit(1)).as("n"))
-      out = dimSums.groupBy(col("centroid_id"))
-        .agg(transform(
-            array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m")))),
-            s => s("m")).as("centroid_vec"),
-          first(col("n")).as("n"))
+      out = if (dims > 0) {
+        // r14 opt (guide §2.3/§2.4, the pqCodebookRefine form): with a
+        // FIXED vector width the per-dim means ride ONE centroid-keyed
+        // exchange of `dims` decimal partial sums — no posexplode (dims×
+        // fewer rows) and one exchange fewer per iteration. Identical
+        // decimal accumulations over identical value sets and the same
+        // double division, so the centroids are bit-identical; `n` equals
+        // the per-dim count because every vector carries every dim.
+        val v = col(vecCol).cast("array<double>")
+        val aggs = count(lit(1)).as("n") +: (0 until dims).map(d =>
+          sum(v(d).cast("decimal(30,10)")).cast("double").as(s"sx$d"))
+        assigned.groupBy(col("centroid_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("centroid_id"),
+            array((0 until dims).map(d => col(s"sx$d") / col("n")): _*)
+              .as("centroid_vec"),
+            col("n"))
+      } else {
+        // variable-width path (the executable spec the fast path is
+        // tested against)
+        val dimSums = assigned
+          .select(col("centroid_id"),
+            posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+          .groupBy(col("centroid_id"), col("dim"))
+          .agg(Exact.sumD(col("x"), 10).as("sx"), count(lit(1)).as("n"))
+        dimSums.groupBy(col("centroid_id"))
+          .agg(transform(
+              array_sort(collect_list(struct(col("dim"), (col("sx") / col("n")).as("m")))),
+              s => s("m")).as("centroid_vec"),
+            first(col("n")).as("n"))
+      }
       cent = out.select(col("centroid_id"), col("centroid_vec"))
     }
     out

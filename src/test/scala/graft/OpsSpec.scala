@@ -476,6 +476,31 @@ class OpsSpec extends SparkSpec {
       "second iteration must be a fixed point on separated clusters")
   }
 
+  test("kmeans: fixed-width fast path is bit-identical to the posexplode spec path") {
+    // r14 opt gate: kmeansRefine(dims = d) collapses the per-dim means into
+    // one centroid-keyed exchange of d decimal partial sums; the variable-
+    // width path stays as the executable spec. Values chosen so double
+    // rounding would expose any accumulation-order difference (0.1f is not
+    // representable; sums of it differ across fp orders), and an empty-cell
+    // seed exercises the dropped-centroid branch on both paths.
+    val vecs = (0L until 23L).map { i =>
+      (i, Array.tabulate(4)(d => (0.1f * ((i * 7 + d * 3) % 11)) - 0.3f))
+    }.toDF("vec_id", "embedding")
+    val far = Seq((99L, Array.fill(4)(1e9f))).toDF("vec_id", "embedding")
+    val init = vecs.filter($"vec_id" % 5 === 0).union(far)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    for (iters <- Seq(1, 3)) {
+      val spec = SimilarityOps.kmeansRefine(vecs, init, "vec_id", "embedding", iters)
+      val fast = SimilarityOps.kmeansRefine(vecs, init, "vec_id", "embedding", iters,
+        dims = 4)
+      val s = spec.orderBy($"centroid_id")
+        .as[(Long, Seq[Double], Long)].collect().toSeq
+      val f = fast.orderBy($"centroid_id")
+        .as[(Long, Seq[Double], Long)].collect().toSeq
+      assert(f === s, s"fast path diverged from spec at iters=$iters")
+    }
+  }
+
   test("vocabulary: deterministic count-desc/term-asc ids, layout-independent") {
     val docs = Seq((1L, "b a a"), (2L, "c a b"), (3L, "  ")).toDF("doc_id", "text")
     // counts: a=3, b=2, c=1; blank doc contributes nothing
