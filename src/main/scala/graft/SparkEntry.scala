@@ -907,6 +907,7 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_start"))
         .agg(max(col("value")).as("hourly_max"))
         .withColumn("breached", (col("hourly_max") >= 18.0).cast("int"))
+      // global window over the hourly spine (≤ 8.8k rows/year) — metadata
       val w = Window.orderBy(col("hour_start")).rowsBetween(-2, 0)
       hourly.withColumn("alarm",
         (min(col("breached")).over(w) === 1 && count(lit(1)).over(w) === 3).cast("int"))
@@ -1469,6 +1470,8 @@ object SparkEntry {
         when(col("lang") === "en", 1L).otherwise(0L).as("is_a"))
       val byV = d.groupBy(col("v")).agg(sum(col("is_a")).as("na"),
         sum(lit(1L) - col("is_a")).as("nb"))
+      // global window over the DISTINCT-VALUE relation (n_chars domain,
+      // not docs) — the rank-sum needs the total order of values anyway
       val w = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, -1)
       byV
@@ -3044,6 +3047,7 @@ object SparkEntry {
           col("lang") === "en")
         .orderBy(col("w_dec").desc, col("id")).limit(100)
       top.withColumn("sel_rank",
+          // global window over the 100 limit-survivors — bounded
           row_number().over(Window.orderBy(col("w_dec").desc, col("id"))))
         .select(col("id").as("doc_id"), col("n_feats"),
           Exact.fmt(col("w_dec").cast("double"), 4).as("weight_r"),
@@ -3847,15 +3851,44 @@ object SparkEntry {
     // scan — at index scale the same slices ride s2's IVF instead.
     "s33_matryoshka_recall" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 5)
-      val truth = SimilarityOps.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      // The full-width truth and every prefix grid point score the SAME
+      // query×corpus pairs — one crossJoin pass computes all four cosines
+      // per pair (prefix slices are per-side projections, computed once per
+      // row, not once per pair) instead of four bruteForceTopK corpus
+      // passes. Per-(m, query) windows reproduce each pass's (sim desc,
+      // neighbor_id) top-5 verbatim; bruteForceTopK's zero-norm admission
+      // is replicated per width by null-masking the tag (a width admits a
+      // pair iff BOTH sliced vectors are nonzero-norm, exactly its
+      // per-pass filter). m = 0 tags the full-width truth. The ranked
+      // relation is metadata-sized (≤ 4 tags · |Q| · 5 rows), so the
+      // checkpoint that lets truth and prefixes read it twice is free.
+      val ms = Seq(8, 16, 32)
+      def widen(df: DataFrame, vc: String) =
+        ms.foldLeft(df) { (d, m) => d.withColumn(s"${vc}_$m", slice(col(vc), 1, m)) }
+      val c = widen(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv")), "cv")
+      val q = widen(e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")), "qv")
+      def tag(m: Long, qv: Column, cv: Column): Column =
+        struct(lit(m).as("m"),
+          when(SimilarityOps.isNonZero(qv) && SimilarityOps.isNonZero(cv),
+            SimilarityOps.cosine(qv, cv)).as("sim"))
+      val w = Window.partitionBy(col("m"), col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val top = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          explode(filter(array(tag(0L, col("qv"), col("cv")) +:
+              ms.map(m => tag(m.toLong, col(s"qv_$m"), col(s"cv_$m"))): _*),
+            t => t.getField("sim").isNotNull)).as("t"))
+        .select(col("query_id"), col("neighbor_id"),
+          col("t.m").as("m"), col("t.sim").as("sim"))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("m"), col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
+      val truth = top.filter(col("m") === 0)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      Seq(8, 16, 32).map { m =>
-        val ep = e.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
-        val qp = q.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
-        SimilarityOps.bruteForceTopK(ep, qp, "vec_id", "embedding", 5)
-          .select(lit(m.toLong).as("m_dims"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ unionByName _)
+      top.filter(col("m") =!= 0)
+        .select(col("m").as("m_dims"), col("query_id"), col("neighbor_id"))
         .join(truth, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("m_dims"), col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
@@ -6646,6 +6679,7 @@ object SparkEntry {
           (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
         .withColumn("vkey", floor(col("variance") * lit(1e9)).cast("long"))
         .withColumn("vrank",
+          // global window over the per-DIM moments (embedding width rows)
           row_number().over(Window.orderBy(col("vkey").desc, col("grp"))))
         .filter(col("vrank") <= 8)
         .select(col("grp").as("dim"), col("n"),
@@ -6864,11 +6898,27 @@ object SparkEntry {
       val centroids = e.filter(col("vec_id") % Adaptive.centroidStride(e.count()) === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
       val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
-      Seq(1, 2, 4).map { np =>
-        SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 5, nprobe = np)
-          .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
-      }.reduce(_ unionByName _)
+      // One ranked probe set at the DEEPEST depth scores the probed cells
+      // once; nprobe=np's candidate cells are exactly rank r <= np, so each
+      // grid point is a filter over the shared scored relation instead of
+      // its own corpus pass (3 scoreProbedCells passes + 3 probe windows
+      // -> 1 + 1). Per-(nprobe, query) ranking reproduces ivfTopK's window
+      // (sim desc, neighbor_id) verbatim — grid points are independent
+      // window partitions.
+      val probes = SimilarityOps.probeCellsRanked(
+        e.filter(col("vec_id") < 5), centroids, "vec_id", "embedding", nprobe = 4)
+      val wnp = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"), col("centroid_id"))
+        .join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          SimilarityOps.cosine(col("qv"), col("cv")).as("sim"),
+          explode(filter(array(lit(1), lit(2), lit(4)), np => np >= col("r")))
+            .as("nprobe"))
+        .withColumn("rank", row_number().over(wnp)).filter(col("rank") <= 5)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
         .join(brute, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("nprobe"), col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
@@ -6888,19 +6938,79 @@ object SparkEntry {
       val brute = SimilarityOps.bruteForceTopK(
           e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      Seq(("coarse", baseStride * 4), ("base", baseStride),
-          ("fine", math.max(2L, baseStride / 4))).map { case (tag, st) =>
-        val centroids = e.filter(col("vec_id") % st === 0)
-          .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid_vec"))
-        val kCells = centroids.filter(expr(
-            "aggregate(cast(centroid_vec as array<double>), 0D, (a, x) -> a + x * x) > 0"))
-          .agg(count(lit(1)).as("k_cells"))
-        val assigned = SimilarityOps.assignToCentroids(e, centroids, "vec_id", "embedding")
-        SimilarityOps.ivfTopK(assigned, centroids, e.filter(col("vec_id") < 5),
-            "vec_id", "embedding", k = 5, nprobe = 2)
-          .select(lit(tag).as("nlist_tag"), col("query_id"), col("neighbor_id"))
-          .crossJoin(broadcast(kCells))
-      }.reduce(_ unionByName _)
+      // The three grids are MEMBERSHIP FLAGS over one union centroid set
+      // (vec_id % st == 0 per stride), so assignment, probing, scoring and
+      // the cell census all ride ONE corpus pass each instead of one per
+      // grid point (3 assign exchanges + 3 score passes + 3 census aggs
+      // -> 1 + 1 + 1). Per-grid results are reproduced exactly: the argmax
+      // is max_by over the SAME (csim, -centroid_id) struct null-masked to
+      // the grid's members, and every window partitions by (nlist_tag, ...)
+      // so grid points never see each other's rows.
+      val grid = Seq(("coarse", baseStride * 4), ("base", baseStride),
+        ("fine", math.max(2L, baseStride / 4)))
+      val cents = e.filter(grid.map { case (_, st) => col("vec_id") % st === 0 }
+          .reduce(_ || _))
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").cast("array<double>").as("cent_v"))
+        .filter(SimilarityOps.isNonZero(col("cent_v")))
+        .select(col("centroid_id") +: col("cent_v") +:
+          grid.map { case (tag, st) => (col("centroid_id") % st === 0).as(s"in_$tag") }: _*)
+      // one assign pass: per-grid argmax via null-masked max_by (a row with
+      // a null ordering key is ignored, exactly the per-grid candidate set)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+          col("embedding").cast("array<double>").as("__v"))
+        .filter(SimilarityOps.isNonZero(col("__v")))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id") +: col("embedding") +:
+          struct(SimilarityOps.cosine(col("__v"), col("cent_v")).as("csim"),
+            (-col("centroid_id")).as("nid")).as("__s") +: col("centroid_id") +:
+          grid.map { case (tag, _) => col(s"in_$tag") }: _*)
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          grid.map { case (tag, _) =>
+            max_by(col("centroid_id"), when(col(s"in_$tag"), col("__s")))
+              .as(s"cid_$tag") }: _*)
+      // one probe pass at nprobe=2 across all grids (window per grid+query)
+      val wq = Window.partitionBy(col("nlist_tag"), col("query_id"))
+        .orderBy(col("cdist").desc, col("centroid_id"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .filter(SimilarityOps.isNonZero(col("qv")))
+        .crossJoin(broadcast(cents))
+        .select(col("query_id"), col("qv"), col("centroid_id"),
+          SimilarityOps.cosine(col("qv"), col("cent_v")).as("cdist"),
+          explode(filter(array(grid.map { case (tag, _) =>
+              struct(lit(tag).as("tag"), col(s"in_$tag").as("m")) }: _*),
+            t => t.getField("m"))).as("t"))
+        .select(col("t.tag").as("nlist_tag"), col("query_id"), col("qv"),
+          col("centroid_id"), col("cdist"))
+        .withColumn("r", row_number().over(wq)).filter(col("r") <= 2)
+        .select(col("nlist_tag"), col("query_id"), col("qv"), col("centroid_id"))
+      // one score pass: each vector contributes its per-grid cell rows
+      val ws = Window.partitionBy(col("nlist_tag"), col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val ivf = assigned.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"),
+          explode(filter(array(grid.map { case (tag, _) =>
+              struct(lit(tag).as("tag"), col(s"cid_$tag").as("cid")) }: _*),
+            t => t.getField("cid").isNotNull)).as("t"))
+        .select(col("neighbor_id"), col("cv"),
+          col("t.tag").as("nlist_tag"), col("t.cid").as("centroid_id"))
+        .join(broadcast(probes), Seq("nlist_tag", "centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("nlist_tag"), col("query_id"), col("neighbor_id"),
+          SimilarityOps.cosine(col("qv"), col("cv")).as("sim"))
+        .withColumn("rank", row_number().over(ws)).filter(col("rank") <= 5)
+      // one census pass over the (already nonzero-norm) union set
+      val kExprs = grid.map { case (tag, _) =>
+        coalesce(sum(when(col(s"in_$tag"), 1L)), lit(0L)).as(s"k_$tag") }
+      val kCells = cents.agg(kExprs.head, kExprs.tail: _*)
+        .select(explode(array(grid.map { case (tag, _) =>
+            struct(lit(tag).as("tag"), col(s"k_$tag").as("k_cells")) }: _*)).as("t"))
+        .select(col("t.tag").as("nlist_tag"), col("t.k_cells").as("k_cells"))
+      ivf.select(col("nlist_tag"), col("query_id"), col("neighbor_id"))
+        .join(broadcast(kCells), Seq("nlist_tag"))
         .join(brute, Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("nlist_tag"), col("k_cells"), col("query_id"))
         .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
@@ -7141,6 +7251,7 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("h"))
         .agg(floor(Exact.sumD(col("value"), 10) / count(lit(1)) * lit(1e10))
           .cast("long").as("v_e10"))
+      // global window over the hourly spine (≤ 8.8k rows/year) — metadata
       val w = Window.orderBy(col("h")).rowsBetween(-12, 12)
       val withTrend = hourly
         .withColumn("fcnt", count(lit(1)).over(w))

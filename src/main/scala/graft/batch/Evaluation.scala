@@ -24,6 +24,9 @@ object Evaluation {
     * not a contract in a distributed engine. */
   def alignByPosition(targets: DataFrame, targetOrder: String,
                       preds: DataFrame, predOrder: String): DataFrame = {
+    // global windows over the EVALUATION frames (forecast-horizon rows, the
+    // reference zips arrays of that length in pandas) — bounded spine, not
+    // corpus data; past that, rank via Ranking.globalRowNumber
     val wt = Window.partitionBy().orderBy(col(targetOrder))
     val wp = Window.partitionBy().orderBy(col(predOrder))
     val t = targets.withColumn("__pos", row_number().over(wt))

@@ -51,7 +51,12 @@ object SeriesETL {
 
   /** Attach a 1-based position and total count per series, ordered by
     * `orderCol` (ties broken by the order column being unique — the
-    * reference's tx_minute key is). */
+    * reference's tx_minute key is).
+    *
+    * Scale note: with `seriesCol = None` the windows are global — bounded,
+    * because they run over the MINUTE-aggregate series spine (rows = minutes
+    * in the horizon, ~526k/year even at 100 TB of raw events), never over
+    * raw data. Multi-series callers pass `seriesCol` and partition. */
   def indexed(df: DataFrame, orderCol: String, seriesCol: Option[String] = None): DataFrame = {
     val w0 = seriesCol.map(s => Window.partitionBy(s)).getOrElse(Window.partitionBy())
     val w = w0.orderBy(col(orderCol))
@@ -83,6 +88,8 @@ object SeriesETL {
   def toSeries(df: DataFrame, orderCol: String, valueCol: String)
               (implicit spark: SparkSession): Dataset[TimeSeries] = {
     import spark.implicits._
+    // global window over the minute-spine series (see [[indexed]]'s scale
+    // note); the TimeSeries row it builds must fit one task by definition
     val w = Window.partitionBy().orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.select(

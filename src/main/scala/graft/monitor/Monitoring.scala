@@ -27,6 +27,7 @@ object Alarm {
       .groupBy(date_format(date_trunc("hour", col(tsCol)), "yyyy-MM-dd HH:00:00").as("hour_start"))
       .agg(max(col(valueCol)).as("hourly_max"))
       .withColumn("breached", (col("hourly_max") >= threshold).cast("int"))
+    // global window over the HOURLY spine (≤ 8.8k rows/year) — metadata
     val w = Window.partitionBy().orderBy(col("hour_start")).rowsBetween(-(k - 1), 0)
     hourly.withColumn(
       "alarm",

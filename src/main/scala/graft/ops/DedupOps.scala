@@ -504,6 +504,12 @@ object DedupOps {
     val rareGh = postings.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
       .filter(col("nd").between(2, dfCap)).select(col("gh"))
     val rare = postings.join(rareGh, "gh")
+    // r14 opt note — localCheckpoint(cand) measured and REJECTED: the
+    // static plan's 80 duplicated scan+explode subtrees looked alarming,
+    // but runtime AQE exchange reuse already dedups them (warm run: 14
+    // jobs / 22 tasks, nowhere near 80 scans); the checkpoint only split
+    // the pipeline into more jobs (14→17) and slowed the warm run
+    // 1.97→2.42 s with identical shuffle bytes.
     val cand = rare.select(col("gh"), col("id").as("id_a"))
       .join(rare.select(col("gh"), col("id").as("id_b")), "gh")
       .filter(col("id_a") < col("id_b"))

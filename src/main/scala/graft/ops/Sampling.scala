@@ -183,6 +183,7 @@ object Sampling {
         expr(s"$total * w6 div w_tot").as("q_floor"),
         expr(s"($total * w6) % w_tot").as("rem"))
       .withColumn("extra_rank",
+        // global window over the STRATA relation — metadata, not data
         row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
       .withColumn("n_extra",
         (lit(total) - sum(col("q_floor")).over(floorsSum)).cast("long"))
@@ -229,6 +230,7 @@ object Sampling {
         expr(s"$total * w10 div w_tot").as("q_floor"),
         expr(s"($total * w10) % w_tot").as("rem"))
       .withColumn("extra_rank",
+        // global window over the STRATA relation — metadata, not data
         row_number().over(Window.orderBy(col("rem").desc, col("stratum"))))
       .withColumn("n_extra",
         (lit(total) - sum(col("q_floor")).over(floorsSum)).cast("long"))

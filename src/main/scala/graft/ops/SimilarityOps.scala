@@ -197,7 +197,17 @@ object SimilarityOps {
   /** The `nprobe` nearest centroids per query: (query_id, qv, centroid_id).
     * A tiny broadcast cross join — both sides are small by construction. */
   def probeCells(queries: DataFrame, centroids: DataFrame, idCol: String,
-                 vecCol: String, nprobe: Int): DataFrame = {
+                 vecCol: String, nprobe: Int): DataFrame =
+    probeCellsRanked(queries, centroids, idCol, vecCol, nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+
+  /** [[probeCells]] keeping the per-query cell rank:
+    * (query_id, qv, centroid_id, r) with r ∈ 1..nprobe in the probe order
+    * (cdist desc, centroid_id). One ranked probe set at the MAXIMUM depth
+    * serves a whole nprobe sweep — each grid point is `r <= np` — so the
+    * probed cells are scored once instead of once per grid point (s30). */
+  def probeCellsRanked(queries: DataFrame, centroids: DataFrame, idCol: String,
+                       vecCol: String, nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")).filter(nonZero(col("qv")))
     val cent = centroids.select(col("centroid_id"),
@@ -207,7 +217,7 @@ object SimilarityOps {
     q.crossJoin(broadcast(cent))
       .withColumn("cdist", cosine(col("qv"), col("cent_v")))
       .withColumn("r", row_number().over(wq)).filter(col("r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+      .select(col("query_id"), col("qv"), col("centroid_id"), col("r"))
   }
 
   /** Score the probed cells only: the broadcast join on centroid_id prunes

@@ -531,6 +531,7 @@ object Sketches {
     val counts = df.crossJoin(broadcast(st)).select(bin.as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     import org.apache.spark.sql.expressions.Window
+    // global window over the BIN relation (nBins rows) — metadata, not data
     val cum = counts.withColumn("cum",
       sum(col("cnt")).over(Window.orderBy(col("bin"))))
     val qRows = qs.map(q =>

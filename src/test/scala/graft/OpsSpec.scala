@@ -433,6 +433,29 @@ class OpsSpec extends SparkSpec {
     assert(probed === flat)
   }
 
+  test("probeCellsRanked at depth r <= np equals probeCells(np) for every np") {
+    // The s30 nprobe-sweep fusion rests on exactly this: one ranked probe
+    // set at the maximum depth, each grid point a filter over it. Ties in
+    // cdist are broken by centroid_id in both paths, so the sets must be
+    // identical, not merely same-sized.
+    val rng = new scala.util.Random(29)
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.fill(6)(rng.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" % 4 === 0)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val queries = vecs.filter($"vec_id" < 5)
+    val maxNp = 4
+    val ranked = SimilarityOps.probeCellsRanked(queries, centroids, "vec_id", "embedding", maxNp)
+      .select("query_id", "centroid_id", "r").as[(Long, Long, Int)].collect()
+    assert(ranked.forall(t => t._3 >= 1 && t._3 <= maxNp))
+    for (np <- 1 to maxNp) {
+      val viaRank = ranked.filter(_._3 <= np).map(t => (t._1, t._2)).toSet
+      val direct = SimilarityOps.probeCells(queries, centroids, "vec_id", "embedding", np)
+        .select("query_id", "centroid_id").as[(Long, Long)].collect().toSet
+      assert(viaRank === direct, s"nprobe=$np")
+    }
+  }
+
   test("PQ: array-form encode equals the long-form reference") {
     val rng = new scala.util.Random(17)
     val vecs = (0L until 35L).map(i =>
